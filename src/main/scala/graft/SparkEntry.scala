@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.ops.{Relational, SrData}
+import graft.text.Analysis
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -16,7 +17,8 @@ object SparkEntry {
   private def registries: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
       (SrData.queries, SrData.oracleSql),
-      (Relational.queries, Relational.oracleSql)
+      (Relational.queries, Relational.oracleSql),
+      (Analysis.queries, Analysis.oracleSql)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,171 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Text-analysis operators a large-scale training-data pipeline needs:
+  * language-ID (function-word heuristic), quality scoring, token counting
+  * (whitespace + BPE-ish regex), and document fingerprinting. All pure
+  * per-row Catalyst expressions — no shuffle, no UDF, fully codegen'd, so
+  * they scale linearly with the scan.
+  *
+  * Justified by the reference's NLP-preprocess pipeline
+  * (`preprocess_and_store_parquets.py:111-160`) and built over the
+  * `documents` fixture table.
+  */
+object Analysis {
+
+  /** Function-word markers per language. Hit-counting these over the token
+    * stream is the classic cheap language-ID heuristic (an n-gram model's
+    * degenerate, SQL-expressible form). Tie-break: fixed language order.
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "to", "and", "in", "is", "it", "not"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "nicht", "mit"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "une", "pas", "dans"),
+    "es" -> Seq("el", "los", "las", "y", "es", "una", "no", "con"),
+    "zh" -> Seq("的", "是", "不", "了", "在")
+  )
+
+  private def tokens(c: Column): Column = TextOps.tokenize(c)
+
+  private def hits(toks: Column, markers: Seq[String]): Column =
+    size(filter(toks, t => t.isin(markers: _*)))
+
+  /** Predicted language code, or 'und' when no marker hits at all. */
+  def langId(c: Column): Column = {
+    val toks = tokens(c)
+    val scores = LangMarkers.map { case (lang, m) => lang -> hits(toks, m) }
+    val total = scores.map(_._2).reduce(_ + _)
+    // greatest-score argmax with fixed-order tie-break: lang i wins if its
+    // score is >= every later score and > every earlier score (earlier
+    // langs already had their chance), expressed as a when-chain.
+    val chain = scores.zipWithIndex.foldLeft(when(total === 0, "und")) {
+      case (acc, ((lang, s), i)) =>
+        val beatsLater = scores.drop(i + 1).map { case (_, s2) => s >= s2 }
+          .foldLeft(lit(true))(_ && _)
+        acc.when(beatsLater, lang)
+    }
+    chain.otherwise(LangMarkers.last._1)
+  }
+
+  def langIdSql(c: String): String = {
+    val toks = TextOps.tokenizeSql(c)
+    def hitsSql(m: Seq[String]) =
+      s"len(list_filter($toks, t -> t IN (${m.map(w => s"'$w'").mkString(", ")})))"
+    val scores = LangMarkers.map { case (lang, m) => lang -> hitsSql(m) }
+    val total = scores.map(_._2).mkString(" + ")
+    val whens = scores.zipWithIndex.map { case ((lang, s), i) =>
+      val beatsLater = scores.drop(i + 1).map { case (_, s2) => s"$s >= $s2" }
+      val cond = if (beatsLater.isEmpty) "TRUE" else beatsLater.mkString(" AND ")
+      s"WHEN $cond THEN '$lang'"
+    }
+    s"CASE WHEN ($total) = 0 THEN 'und' ${whens.mkString(" ")} ELSE '${LangMarkers.last._1}' END"
+  }
+
+  /** Quality components + composite score. All ratios double, rounded for
+    * cross-engine hash parity.
+    */
+  def qualityColumns(c: Column): Seq[(String, Column)] = {
+    val toks = tokens(c)
+    val n = size(toks)
+    val nD = n.cast("double")
+    val types = size(array_distinct(toks))
+    val stopHits = hits(toks, TextOps.Stopwords)
+    val charLen = aggregate(toks, lit(0), (acc, t) => acc + length(t))
+    Seq(
+      "n_tokens" -> n.cast("long"),
+      "type_token_ratio" -> round(types / nD, 4),
+      "stopword_ratio" -> round(stopHits / nD, 4),
+      "mean_token_len" -> round(charLen / nD, 4),
+      "quality_score" -> round(
+        round(types / nD, 4) * 0.4 +
+          (lit(1.0) - round(stopHits / nD, 4)) * 0.3 +
+          least(lit(1.0), nD / 100.0) * 0.3, 4)
+    )
+  }
+
+  def qualitySqlColumns(c: String): Seq[(String, String)] = {
+    val toks = TextOps.tokenizeSql(c)
+    val n = s"len($toks)"
+    val nD = s"CAST($n AS DOUBLE)"
+    val types = s"len(list_distinct($toks))"
+    val stopHits = s"len(list_filter($toks, t -> t IN (${TextOps.stopwordListSql})))"
+    val charLen = s"list_sum(list_transform($toks, t -> length(t)))"
+    Seq(
+      "n_tokens" -> s"CAST($n AS BIGINT)",
+      "type_token_ratio" -> s"round($types / $nD, 4)",
+      "stopword_ratio" -> s"round($stopHits / $nD, 4)",
+      "mean_token_len" -> s"round($charLen / $nD, 4)",
+      "quality_score" -> (s"round(round($types / $nD, 4) * 0.4 + " +
+        s"(1.0 - round($stopHits / $nD, 4)) * 0.3 + " +
+        s"least(1.0, $nD / 100.0) * 0.3, 4)")
+    )
+  }
+
+  /** BPE-ish pre-tokenizer regex: letter runs | single digits | single
+    * non-alnum marks — the unit shape GPT-style tokenizers split on first.
+    */
+  val BpeIshPattern = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
+
+  def wsTokenCount(c: Column): Column = size(tokens(c)).cast("long")
+
+  def bpeIshTokenCount(c: Column): Column =
+    size(regexp_extract_all(c, lit(BpeIshPattern), lit(0))).cast("long")
+
+  /** Content fingerprint = md5 of the normalized text — the exact-dedup /
+    * idempotent-sink key. (SimHash/MinHash live in graft.dedup.)
+    */
+  def fingerprint(c: Column): Column = md5(Normalize.normalizeText(c))
+
+  // ---- query registry ----
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_normalize_text" -> ((s, dir) =>
+      Tables.documents(s, dir).select(col("doc_id"),
+        Normalize.normalizeText(col("text")).as("norm_text"))),
+    "q_tokenize_stopword_lemma" -> ((s, dir) =>
+      Tables.documents(s, dir).select(col("doc_id"),
+        concat_ws(" ", TextOps.preprocess(col("text"))).as("processed"),
+        size(TextOps.preprocess(col("text"))).cast("long").as("n_out_tokens"))),
+    "q_lang_id" -> ((s, dir) =>
+      Tables.documents(s, dir).select(col("doc_id"), col("lang"),
+        langId(col("text")).as("lang_pred"))),
+    "q_text_quality" -> ((s, dir) => {
+      val cols = qualityColumns(col("text")).map { case (n, c) => c.as(n) }
+      Tables.documents(s, dir).select(col("doc_id") +: cols: _*)
+    }),
+    "q_token_count" -> ((s, dir) =>
+      Tables.documents(s, dir).select(col("doc_id"),
+        wsTokenCount(col("text")).as("ws_tokens"),
+        bpeIshTokenCount(col("text")).as("bpeish_tokens"))),
+    "q_fingerprint" -> ((s, dir) =>
+      Tables.documents(s, dir).select(col("doc_id"),
+        fingerprint(col("text")).as("fp_md5")))
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_normalize_text" ->
+      s"""SELECT doc_id, ${Normalize.normalizeSql("text")} AS norm_text FROM documents""",
+    "q_tokenize_stopword_lemma" ->
+      s"""SELECT doc_id,
+         |  array_to_string(${TextOps.preprocessSql("text")}, ' ') AS processed,
+         |  CAST(len(${TextOps.preprocessSql("text")}) AS BIGINT) AS n_out_tokens
+         |FROM documents""".stripMargin,
+    "q_lang_id" ->
+      s"""SELECT doc_id, lang, ${langIdSql("text")} AS lang_pred FROM documents""",
+    "q_text_quality" -> {
+      val cols = qualitySqlColumns("text").map { case (n, c) => s"$c AS $n" }
+      s"""SELECT doc_id, ${cols.mkString(", ")} FROM documents"""
+    },
+    "q_token_count" ->
+      s"""SELECT doc_id,
+         |  CAST(len(${TextOps.tokenizeSql("text")}) AS BIGINT) AS ws_tokens,
+         |  CAST(len(regexp_extract_all(text, '${BpeIshPattern}')) AS BIGINT) AS bpeish_tokens
+         |FROM documents""".stripMargin,
+    "q_fingerprint" ->
+      s"""SELECT doc_id, md5(${Normalize.normalizeSql("text")}) AS fp_md5 FROM documents"""
+  )
+}
