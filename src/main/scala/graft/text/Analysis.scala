@@ -34,7 +34,10 @@ object Analysis {
   private def hits(toks: Column, markers: Seq[String]): Column =
     size(filter(toks, t => t.isin(markers: _*)))
 
-  /** Predicted language code, or 'und' when no marker hits at all. */
+  /** Predicted language code; 'und' for NULL text or when no marker hits
+    * at all (a NULL guard keeps missing text from falling through every
+    * unknown-valued comparison into the last branch).
+    */
   def langId(c: Column): Column = {
     val toks = tokens(c)
     val scores = LangMarkers.map { case (lang, m) => lang -> hits(toks, m) }
@@ -42,7 +45,8 @@ object Analysis {
     // greatest-score argmax with fixed-order tie-break: lang i wins if its
     // score is >= every later score and > every earlier score (earlier
     // langs already had their chance), expressed as a when-chain.
-    val chain = scores.zipWithIndex.foldLeft(when(total === 0, "und")) {
+    val chain = scores.zipWithIndex.foldLeft(
+      when(c.isNull, "und").when(total === 0, "und")) {
       case (acc, ((lang, s), i)) =>
         val beatsLater = scores.drop(i + 1).map { case (_, s2) => s >= s2 }
           .foldLeft(lit(true))(_ && _)
@@ -62,11 +66,22 @@ object Analysis {
       val cond = if (beatsLater.isEmpty) "TRUE" else beatsLater.mkString(" AND ")
       s"WHEN $cond THEN '$lang'"
     }
-    s"CASE WHEN ($total) = 0 THEN 'und' ${whens.mkString(" ")} ELSE '${LangMarkers.last._1}' END"
+    s"CASE WHEN $c IS NULL THEN 'und' WHEN ($total) = 0 THEN 'und' " +
+      s"${whens.mkString(" ")} ELSE '${LangMarkers.last._1}' END"
   }
 
-  /** Quality components + composite score. All ratios double, rounded for
-    * cross-engine hash parity.
+  /** Quality components + composite score.
+    *
+    * Cross-engine exactness discipline: `round(double, 4)` ties at the
+    * 5th decimal render differently in Spark (BigDecimal HALF_UP on the
+    * exact double) vs DuckDB (scaled std::round) — that made round-1's
+    * composite hash-FAIL. The composite is therefore computed from
+    * *integer-valued* doubles (each ratio floored at 1e4 scale; integers
+    * ≤ 1e5 are exact in IEEE754) with one final division — both engines
+    * then perform the identical correctly-rounded IEEE ops and agree
+    * bit-for-bit. Ratios are guarded with `n > 0` so empty/null docs emit
+    * NULL on both engines (DuckDB's list_sum([]) is NULL and 0/0.0 is NaN,
+    * Spark's would be NULL and NULL — unguarded they diverge).
     */
   def qualityColumns(c: Column): Seq[(String, Column)] = {
     val toks = tokens(c)
@@ -75,15 +90,19 @@ object Analysis {
     val types = size(array_distinct(toks))
     val stopHits = hits(toks, TextOps.Stopwords)
     val charLen = aggregate(toks, lit(0), (acc, t) => acc + length(t))
+    // scaled-integer components (exact doubles): ratio * 1e4, floored
+    val t4 = floor(types.cast("double") * 10000 / nD)
+    val s4 = floor(stopHits.cast("double") * 10000 / nD)
+    val l4 = least(lit(10000.0), nD * 100) // min(1, n/100) * 1e4, exact
+    // 0.4*ttr + 0.3*(1-stop) + 0.3*len_bonus == (4*t4 + 3*(1e4-s4) + 3*l4) / 1e5
+    val score = (t4 * 4 + (lit(10000.0) - s4) * 3 + l4 * 3) / lit(100000.0)
+    def guarded(col: Column): Column = when(n > 0, col)
     Seq(
       "n_tokens" -> n.cast("long"),
-      "type_token_ratio" -> round(types / nD, 4),
-      "stopword_ratio" -> round(stopHits / nD, 4),
-      "mean_token_len" -> round(charLen / nD, 4),
-      "quality_score" -> round(
-        round(types / nD, 4) * 0.4 +
-          (lit(1.0) - round(stopHits / nD, 4)) * 0.3 +
-          least(lit(1.0), nD / 100.0) * 0.3, 4)
+      "type_token_ratio" -> guarded(round(types / nD, 4)),
+      "stopword_ratio" -> guarded(round(stopHits / nD, 4)),
+      "mean_token_len" -> guarded(round(charLen / nD, 4)),
+      "quality_score" -> guarded(score)
     )
   }
 
@@ -94,14 +113,17 @@ object Analysis {
     val types = s"len(list_distinct($toks))"
     val stopHits = s"len(list_filter($toks, t -> t IN (${TextOps.stopwordListSql})))"
     val charLen = s"list_sum(list_transform($toks, t -> length(t)))"
+    val t4 = s"floor(CAST($types AS DOUBLE) * 10000 / $nD)"
+    val s4 = s"floor(CAST($stopHits AS DOUBLE) * 10000 / $nD)"
+    val l4 = s"least(10000.0, $nD * 100)"
+    val score = s"($t4 * 4 + (10000.0 - $s4) * 3 + $l4 * 3) / 100000.0"
+    def guarded(e: String): String = s"CASE WHEN $n > 0 THEN $e END"
     Seq(
       "n_tokens" -> s"CAST($n AS BIGINT)",
-      "type_token_ratio" -> s"round($types / $nD, 4)",
-      "stopword_ratio" -> s"round($stopHits / $nD, 4)",
-      "mean_token_len" -> s"round($charLen / $nD, 4)",
-      "quality_score" -> (s"round(round($types / $nD, 4) * 0.4 + " +
-        s"(1.0 - round($stopHits / $nD, 4)) * 0.3 + " +
-        s"least(1.0, $nD / 100.0) * 0.3, 4)")
+      "type_token_ratio" -> guarded(s"round($types / $nD, 4)"),
+      "stopword_ratio" -> guarded(s"round($stopHits / $nD, 4)"),
+      "mean_token_len" -> guarded(s"round($charLen / $nD, 4)"),
+      "quality_score" -> guarded(score)
     )
   }
 

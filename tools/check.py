@@ -42,8 +42,15 @@ def main():
         # align column order by name, then sort rows
         gidx = [gcols.index(c) for c in sorted(gcols)]
         eidx = [ecols.index(c) for c in sorted(ecols)]
+        # Sort key rounds floats to the comparison tolerance so a last-ulp
+        # difference can't flip two rows' order and misalign the zip pairing
+        # (which would turn an approx-equal result into a spurious FAIL).
         def key(row):
-            return tuple("\0N" if v is None else str(v) for v in row)
+            return tuple(
+                "\0N" if v is None
+                else f"{v:.9g}" if isinstance(v, float)
+                else str(v)
+                for v in row)
         g = sorted([tuple(r[i] for i in gidx) for r in got], key=key)
         e = sorted([tuple(r[i] for i in eidx) for r in exp], key=key)
         exact = g == e
