@@ -1,24 +1,81 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{bit_xor, col, struct, xxhash64}
+
+/** Benchmark main. Prints exactly ONE machine-parseable JSON line on stdout:
+  * {"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}.
+  *
+  * Measurement discipline (round-1 verdict findings 2-4):
+  *   - The action is a full-evaluation xxhash64-sum over every output column,
+  *     not count(): under a bare count Catalyst prunes deterministic
+  *     projections, so md5/regex/tokenize work was never executed and text
+  *     queries benched as pure scan time.
+  *   - One untimed warmup pass per query first (JVM/JIT + codegen + parquet
+  *     footer caching), so the first timed query doesn't eat cluster warmup.
+  *   - Failures are not swallowed into small timings: a failing query records
+  *     value -1 and an "errors" entry, and the process exits non-zero after
+  *     still printing the JSON line (so the driver always gets a parse).
+  */
 object Bench {
+
+  /** Force full evaluation of every row and column: hash each row to one
+    * 64-bit value and XOR-fold (bit_xor never overflows under ANSI mode,
+    * unlike sum over 64-bit hashes). Nothing is prunable, output is one
+    * tiny row.
+    */
+  def fullEval(df: DataFrame): Unit = {
+    val h = xxhash64(struct(df.columns.map(col): _*))
+    df.select(bit_xor(h)).collect()
+    ()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+
+    val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+
+    // warmup: evaluate everything once, untimed; remember what failed so the
+    // timed pass skips it (a throw mid-pass would distort neighbors).
+    queries.foreach { case (name, fn) =>
+      try fullEval(fn(spark, sfDir))
+      catch { case e: Throwable =>
+        errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+      }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    val results = queries.map { case (name, fn) =>
+      if (errors.contains(name)) name -> -1.0
+      else {
+        val t0 = System.nanoTime()
+        try { fullEval(fn(spark, sfDir)); name -> (System.nanoTime() - t0) / 1e9 }
+        catch { case e: Throwable =>
+          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+          name -> -1.0
+        }
+      }
+    }
+
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+      } + "\""
+    val qs = results.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val errJson =
+      if (errors.isEmpty) ""
+      else s""","errors":${errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")}"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":${jstr(sfDir)}$errJson}""")
     spark.stop()
+    if (errors.nonEmpty) sys.exit(1)
   }
 }
