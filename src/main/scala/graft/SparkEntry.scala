@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.ops.{Relational, SrData}
+import graft.pipelines.Preprocess
 import graft.text.Analysis
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -18,7 +19,8 @@ object SparkEntry {
     Seq(
       (SrData.queries, SrData.oracleSql),
       (Relational.queries, Relational.oracleSql),
-      (Analysis.queries, Analysis.oracleSql)
+      (Analysis.queries, Analysis.oracleSql),
+      (Preprocess.queries, Preprocess.oracleSql)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
