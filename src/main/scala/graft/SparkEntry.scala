@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.ops.{Relational, SrData}
-import graft.pipelines.Preprocess
+import graft.pipelines.{DistinctUpsert, Preprocess}
 import graft.text.Analysis
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -20,7 +20,8 @@ object SparkEntry {
       (SrData.queries, SrData.oracleSql),
       (Relational.queries, Relational.oracleSql),
       (Analysis.queries, Analysis.oracleSql),
-      (Preprocess.queries, Preprocess.oracleSql)
+      (Preprocess.queries, Preprocess.oracleSql),
+      (DistinctUpsert.queries, DistinctUpsert.oracleSql)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
