@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
+import graft.dedup.Dedup
 import graft.ops.{Relational, SrData}
 import graft.pipelines.{DistinctUpsert, Preprocess}
 import graft.text.Analysis
@@ -21,7 +22,8 @@ object SparkEntry {
       (Relational.queries, Relational.oracleSql),
       (Analysis.queries, Analysis.oracleSql),
       (Preprocess.queries, Preprocess.oracleSql),
-      (DistinctUpsert.queries, DistinctUpsert.oracleSql)
+      (DistinctUpsert.queries, DistinctUpsert.oracleSql),
+      (Dedup.queries, Dedup.oracleSql)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

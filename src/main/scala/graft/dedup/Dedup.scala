@@ -1,0 +1,214 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.text.{Analysis, TextOps}
+
+/** Deduplication operators over the `documents` table — the dedup family a
+  * training-data pipeline needs, each designed bucket-first so no stage is
+  * ever all-pairs:
+  *
+  *   - [[Exact]]: fingerprint (md5 of normalized text) + keep-first window,
+  *     partitioned BY the fingerprint — duplicates hash to one task, work is
+  *     proportional to group sizes, never n².
+  *   - [[MinHashLSH]]: word-3-gram shingles → k MinHash values → banded LSH
+  *     buckets → candidate pairs joined ONLY within buckets → exact Jaccard
+  *     verify. The classic sub-quadratic near-dup join.
+  *   - [[SimHash]]: per-document 16-bit SimHash signature from token-hash
+  *     bit votes — a per-row, shuffle-free sketch whose Hamming distance
+  *     approximates cosine/Jaccard similarity.
+  *
+  * Cross-engine exactness: every hash is md5-as-hex-string (identical in
+  * Spark and DuckDB) and every MinHash min is a STRING min — so the DuckDB
+  * oracle replicates the LSH bucketing bit-for-bit, and the correctness
+  * gate checks the real bucketed plan, not a brute-force stand-in.
+  */
+object Dedup {
+
+  /** Distinct word-3-gram shingles of the whitespace tokenization. Both
+    * engines build `tk[i] ⧺ ' ' ⧺ tk[i+1] ⧺ ' ' ⧺ tk[i+2]` for i in
+    * 1..n-2 (1-based element_at), empty for n < 3.
+    */
+  def shingles(c: Column): Column = {
+    val tk = TextOps.tokenize(c)
+    val n = size(tk)
+    val idx = when(n >= 3, sequence(lit(1), n - 2)).otherwise(array().cast("array<int>"))
+    array_distinct(transform(idx, i =>
+      concat_ws(" ", element_at(tk, i), element_at(tk, i + 1), element_at(tk, i + 2))))
+  }
+
+  def shinglesSql(c: String): String = {
+    val tk = TextOps.tokenizeSql(c)
+    s"""list_distinct(list_transform(range(1, greatest(len($tk) - 1, 1)),
+       | i -> ($tk)[i] || ' ' || ($tk)[i+1] || ' ' || ($tk)[i+2]))""".stripMargin.replace("\n", "")
+  }
+
+  /** Exact set Jaccard of two shingle-set columns: |∩| / |∪| as the ratio
+    * of two integers — bit-identical across engines.
+    */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
+
+  object Exact {
+    /** Keep-first per content fingerprint. Window partitions BY the hash:
+      * at 100 TB each fingerprint's (tiny) group sorts independently.
+      */
+    def dedupExact(docs: DataFrame): DataFrame = {
+      val fp = docs.select(col("doc_id"), Analysis.fingerprint(col("text")).as("fp_md5"))
+      val w = Window.partitionBy(col("fp_md5")).orderBy(col("doc_id"))
+      fp.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+    }
+
+    def oracle: String =
+      s"""SELECT doc_id, md5(${graft.text.Normalize.normalizeSql("text")}) AS fp_md5
+         |FROM documents
+         |QUALIFY row_number() OVER (
+         |  PARTITION BY md5(${graft.text.Normalize.normalizeSql("text")})
+         |  ORDER BY doc_id) = 1""".stripMargin
+  }
+
+  object MinHashLSH {
+    /** k hash functions, banded r rows × b bands (k = r·b). */
+    val NumHashes = 8
+    val Bands = 4
+    val RowsPerBand: Int = NumHashes / Bands
+
+    /** Verified-pair threshold on exact shingle Jaccard. */
+    val Threshold = 0.8
+
+    /** MinHash i = MIN over shingles of md5("i:" ⧺ shingle) — a string min
+      * over identical hex digests, so both engines agree exactly.
+      */
+    def minhashSig(sh: Column): Seq[Column] =
+      (0 until NumHashes).map { i =>
+        array_min(transform(sh, x => md5(concat(lit(s"$i:"), x)))).as(s"h$i")
+      }
+
+    /** Band j = md5 of its r concatenated signature values. */
+    def bandHash(j: Int): Column =
+      md5(concat_ws("|", (0 until RowsPerBand).map(r => col(s"h${j * RowsPerBand + r}")): _*))
+
+    /** (doc_id, band, band_hash) — one row per band per doc. */
+    def banded(docs: DataFrame): DataFrame = {
+      val sig = docs.select(col("doc_id") +: minhashSig(col("sh")): _*)
+      val bandsArr = array((0 until Bands).map(bandHash): _*)
+      sig.select(col("doc_id"), posexplode(bandsArr).as(Seq("band", "band_hash")))
+    }
+
+    /** The full near-dup join: candidates share ≥1 LSH band (joined only
+      * within (band, band_hash) buckets), then exact Jaccard ≥ threshold.
+      * Shingle arrays stay OUT of the band shuffle — candidates are
+      * re-joined to them by doc_id afterward, so the wide data moves once.
+      */
+    def nearDupPairs(spark: SparkSession, dir: String): DataFrame = {
+      val docs = Tables.documents(spark, dir)
+        .select(col("doc_id"), shingles(col("text")).as("sh"))
+        .filter(size(col("sh")) > 0)
+      val b = banded(docs)
+      val candidates = b.as("x").join(b.as("y"),
+          col("x.band") === col("y.band") && col("x.band_hash") === col("y.band_hash") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .distinct()
+      candidates
+        .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+        .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+        .select(col("doc_a"), col("doc_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+        .filter(col("jaccard") >= Threshold)
+    }
+
+    def oracle: String = {
+      val sh = shinglesSql("text")
+      val sigCols = (0 until NumHashes).map { i =>
+        s"list_aggregate(list_transform(sh, x -> md5('$i:' || x)), 'min') AS h$i"
+      }.mkString(",\n    ")
+      val bandCols = (0 until Bands).map { j =>
+        val parts = (0 until RowsPerBand).map(r => s"h${j * RowsPerBand + r}").mkString(" || '|' || ")
+        s"md5($parts)"
+      }.mkString(", ")
+      s"""WITH docs AS (
+         |  SELECT doc_id, $sh AS sh FROM documents
+         |), nonempty AS (
+         |  SELECT * FROM docs WHERE len(sh) > 0
+         |), sig AS (
+         |  SELECT doc_id, sh,
+         |    $sigCols
+         |  FROM nonempty
+         |), bandarr AS (
+         |  SELECT doc_id, sh, [$bandCols] AS bands FROM sig
+         |), banded AS (
+         |  SELECT doc_id, i - 1 AS band, bands[i] AS band_hash
+         |  FROM bandarr, unnest(range(1, ${Bands + 1})) AS t(i)
+         |), candidates AS (
+         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM banded x JOIN banded y
+         |    ON x.band = y.band AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id
+         |)
+         |SELECT c.doc_a, c.doc_b,
+         |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |    / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+         |FROM candidates c
+         |JOIN nonempty a ON a.doc_id = c.doc_a
+         |JOIN nonempty b ON b.doc_id = c.doc_b
+         |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |    / len(list_distinct(list_concat(a.sh, b.sh))) >= ${Threshold}""".stripMargin
+    }
+  }
+
+  object SimHash {
+    /** Signature width. 16 bits keeps the expression tree (16 md5 probes
+      * per token) oracle-expressible; a production 64-bit variant belongs in
+      * a custom Catalyst Expression (one md5 per token, bit-sliced).
+      */
+    val Bits = 16
+
+    private val HighHex = Seq("8", "9", "a", "b", "c", "d", "e", "f")
+
+    /** SimHash over the distinct token set: bit i is set iff the majority
+      * of token hashes have bit i set (hex digit i's high bit as the bit
+      * source). Per-row, shuffle-free, codegen'd.
+      */
+    def simhash(c: Column): Column = {
+      val toksD = array_distinct(TextOps.tokenize(c))
+      val n = size(toksD)
+      val bitCols = (0 until Bits).map { i =>
+        val cnt = size(filter(toksD, t => substring(md5(t), i + 1, 1).isin(HighHex: _*)))
+        when(cnt * 2 > n, lit(1L << i)).otherwise(lit(0L))
+      }
+      bitCols.reduce(_ + _).as("simhash")
+    }
+
+    def simhashSql(c: String): String = {
+      val toksD = s"list_distinct(${TextOps.tokenizeSql(c)})"
+      val hexList = HighHex.map(h => s"'$h'").mkString(", ")
+      val bitTerms = (0 until Bits).map { i =>
+        s"CASE WHEN 2 * len(list_filter(tt, t -> substring(md5(t), ${i + 1}, 1) IN ($hexList))) > len(tt) THEN ${1L << i} ELSE 0 END"
+      }.mkString(" + ")
+      s"(SELECT $bitTerms FROM (SELECT $toksD AS tt))"
+    }
+
+    /** Hamming distance between two signatures (for near-dup banding by
+      * signature prefix at scale).
+      */
+    def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+  }
+
+  // ---- query registry ----
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_exact" -> ((s, dir) => Exact.dedupExact(Tables.documents(s, dir))),
+    "q_dedup_neardup" -> ((s, dir) => MinHashLSH.nearDupPairs(s, dir)),
+    "q_dedup_simhash" -> ((s, dir) =>
+      Tables.documents(s, dir).select(col("doc_id"), SimHash.simhash(col("text"))))
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_dedup_exact" -> Exact.oracle,
+    "q_dedup_neardup" -> MinHashLSH.oracle,
+    "q_dedup_simhash" ->
+      s"SELECT doc_id, CAST(${SimHash.simhashSql("text")} AS BIGINT) AS simhash FROM documents"
+  )
+}

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+
+class DedupSpec extends SparkSuite {
+
+  test("shingles: fewer than 3 tokens yields empty; order-insensitive distinct set") {
+    import spark.implicits._
+    val df = Seq("a b", "a b c d", "x x x x").toDF("text")
+      .select(Dedup.shingles(col("text")).as("sh"))
+    val rows = df.collect().map(_.getSeq[String](0))
+    assert(rows(0).isEmpty)
+    assert(rows(1) == Seq("a b c", "b c d"))
+    assert(rows(2) == Seq("x x x")) // duplicates collapsed
+  }
+
+  test("exact dedup keeps the lowest doc_id per identical normalized text") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "Hello   WORLD 42"), // normalizes same as doc 3
+      (2L, "completely different content"),
+      (3L, "hello world 99")    // digits stripped -> same fingerprint as 1
+    ).toDF("doc_id", "text")
+    val out = Dedup.Exact.dedupExact(docs).select("doc_id").as[Long].collect().sorted
+    assert(out.toSeq == Seq(1L, 2L))
+  }
+
+  test("minhash LSH finds an obvious near-dup and not a dissimilar pair") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val nearDup = base.replace("kappa", "lambda") // 1-token tail change
+    val other = "one two three four five six seven eight nine ten"
+    val docs = Seq((0L, base), (1L, nearDup), (2L, other)).toDF("doc_id", "text")
+      .select(col("doc_id"), Dedup.shingles(col("text")).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val b = Dedup.MinHashLSH.banded(docs)
+    val cand = b.as("x").join(b.as("y"),
+        col("x.band") === col("y.band") && col("x.band_hash") === col("y.band_hash") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id"), col("y.doc_id")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cand.contains((0L, 1L)), "near-dup pair must share at least one band")
+    assert(!cand.contains((0L, 2L)) && !cand.contains((1L, 2L)),
+      "dissimilar docs share no band")
+  }
+
+  test("fixture near-dup pairs all exceed the verify threshold and are plentiful") {
+    val pairs = Dedup.MinHashLSH.nearDupPairs(spark, Sf)
+    val n = pairs.count()
+    assert(n > 0, "generator plants near-dups at every SF")
+    assert(pairs.filter(col("jaccard") < Dedup.MinHashLSH.Threshold).count() === 0)
+  }
+
+  test("simhash: identical token sets agree; near-dup hamming < dissimilar hamming") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (1L, "alpha beta gamma delta epsilon zeta eta iota"),  // 1 token differs
+      (2L, "uno dos tres cuatro cinco seis siete ocho")
+    ).toDF("doc_id", "text").select(col("doc_id"), Dedup.SimHash.simhash(col("text")))
+    val h = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(h(0L), h(1L)) < ham(h(0L), h(2L)),
+      s"near-dup hamming ${ham(h(0L), h(1L))} should beat dissimilar ${ham(h(0L), h(2L))}")
+  }
+}
