@@ -5,6 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.dedup.Dedup
 import graft.ops.{Relational, SrData}
 import graft.pipelines.{DistinctUpsert, Preprocess}
+import graft.sim.Similarity
 import graft.text.Analysis
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -23,7 +24,8 @@ object SparkEntry {
       (Analysis.queries, Analysis.oracleSql),
       (Preprocess.queries, Preprocess.oracleSql),
       (DistinctUpsert.queries, DistinctUpsert.oracleSql),
-      (Dedup.queries, Dedup.oracleSql)
+      (Dedup.queries, Dedup.oracleSql),
+      (Similarity.queries, Similarity.oracleSql)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,299 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Similarity search over the `embeddings` table (`ArrayType(FloatType)`,
+  * 64-d, unit-norm) — the ANN family a training-data pipeline needs:
+  *
+  *   - [[topK]]: brute-force cosine top-k — the exact baseline. Query side
+  *     broadcast, scores computed in the scan stage, per-query top-k via
+  *     window.
+  *   - [[ivfTopK]]: IVF-style approximate top-k — the scale path. Vectors
+  *     are pre-assigned to coarse lists (the `label` column); each query
+  *     ranks list summaries and probes only the best `nprobe` lists, so the
+  *     scored candidate set shrinks by ~lists/nprobe at any data size.
+  *   - [[meanEmbedding]]: per-group mean vector via posexplode + per-dim
+  *     integer sums (the shuffle carries (key, dim, long) triples, never
+  *     whole arrays).
+  *   - [[nearDupPairs]]: sign-bit banded LSH pair join (embedding-cosine
+  *     near-dup): candidates share one 4-bit sign band, verified by exact
+  *     cosine — never all-pairs.
+  *
+  * Cross-engine exactness discipline: every float is quantized once to
+  * `floor(x·1000)` (exact small integers); dot products and squared norms
+  * are then order-independent integer sums, and cosine is ONE double
+  * division `dot / sqrt(n1·n2)` over identical integers — so Spark and the
+  * DuckDB oracle agree bit-for-bit, including rank order. (Integer
+  * quantization is also the production ANN pattern — int8 IVF/PQ — so the
+  * trick is faithful to how this runs at 100 TB, not an oracle hack.)
+  */
+object Similarity {
+
+  /** Quantization scale: floor(x·1000) keeps |q| ≤ ~10^4 for |x| ≤ 10, so
+    * 64-dim dots stay far below long overflow.
+    */
+  val Scale = 1000
+
+  val NumQueries = 5  // query set: vec_id < 5
+  val K = 10          // neighbors per query
+  val NProbe = 3      // IVF lists probed per query
+  val NearDupThreshold = 0.4 // fixture embeddings are random unit vectors; ~0.4 is the near-dup tail
+  val SignBits = 16   // LSH: 16 sign bits …
+  val SignBands = 4   // … in 4 bands of 4
+
+  /** float[] → long[] quantized vector. */
+  def qvec(c: Column): Column =
+    transform(c, x => floor(x.cast("double") * Scale).cast("long"))
+
+  /** Integer dot product of two quantized vectors (order-independent). */
+  def dotq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
+  /** cos = dot / sqrt(n1·n2), with n1·n2 multiplied in DOUBLE (centroid
+    * norms can push a long product past 2^63; doubles up to 2^53 stay
+    * exact and both engines round identically beyond).
+    */
+  def cosFromInts(dot: Column, n1: Column, n2: Column): Column =
+    dot.cast("double") / sqrt(n1.cast("double") * n2.cast("double"))
+
+  /** (vec_id, label, q, n2) — quantized vectors with cached squared norm. */
+  private def quantized(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), qvec(col("embedding")).as("q"))
+      .withColumn("n2", dotq(col("q"), col("q")))
+
+  /** Brute-force exact top-k: every (query, vector) pair scored. The query
+    * set is broadcast (it is always the small side), so the big side never
+    * shuffles; the only exchange is the per-query window top-k.
+    */
+  def topK(spark: SparkSession, dir: String): DataFrame = {
+    val docs = quantized(spark, dir)
+    val qs = docs.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"), col("n2").as("qn2"))
+    val scored = docs.crossJoin(broadcast(qs))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosFromInts(dotq(col("q"), col("qq")), col("n2"), col("qn2")).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id")).orderBy(desc("cos_sim"), asc("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= K)
+      .select("query_id", "neighbor_id", "rank", "cos_sim")
+  }
+
+  /** Per-list summary vectors: dim-wise integer sums via posexplode —
+    * the shuffle carries (label, dim, partial-sum) longs with map-side
+    * combine, never whole arrays. Returned long-form: (label, dim, s).
+    */
+  def listSums(docs: DataFrame): DataFrame =
+    docs.select(col("label"), posexplode(col("q")).as(Seq("dim", "v")))
+      .groupBy(col("label"), col("dim"))
+      .agg(sum(col("v")).as("s"))
+
+  /** IVF-style approximate top-k. List ranking uses the summary vector
+    * directly: rank by dot(q, Σ_list) / |Σ_list| — the list-size divisor
+    * cancels, so scoring stays in exact integer space.
+    */
+  def ivfTopK(spark: SparkSession, dir: String): DataFrame = {
+    val docs = quantized(spark, dir)
+    // compact per-list summaries: (label, sumvec, sn2)
+    val sums = listSums(docs)
+      .groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("s")))).as("ds"))
+      .select(col("label"), transform(col("ds"), _.getField("s")).as("sumvec"))
+      .withColumn("sn2", dotq(col("sumvec"), col("sumvec")))
+    val qs = docs.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"), col("n2").as("qn2"))
+    // rank lists per query, keep nprobe
+    val wl = Window.partitionBy(col("query_id")).orderBy(desc("list_score"), asc("label"))
+    val probes = qs.crossJoin(broadcast(sums))
+      .select(col("query_id"), col("qq"), col("qn2"), col("label"),
+        cosFromInts(dotq(col("qq"), col("sumvec")), col("qn2"), col("sn2")).as("list_score"))
+      .withColumn("pr", row_number().over(wl))
+      .filter(col("pr") <= NProbe)
+      .select(col("query_id"), col("qq"), col("qn2"), col("label"))
+    // score only vectors in probed lists
+    val w = Window.partitionBy(col("query_id")).orderBy(desc("cos_sim"), asc("neighbor_id"))
+    docs.join(broadcast(probes), "label")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosFromInts(dotq(col("q"), col("qq")), col("n2"), col("qn2")).as("cos_sim"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= K)
+      .select("query_id", "neighbor_id", "rank", "cos_sim")
+  }
+
+  /** Per-label mean embedding in exact long-form: (label, dim, sum_q,
+    * n_vecs, mean_q). Integer sums are order-independent, so the result is
+    * deterministic under any parallelism; mean_q is one double division
+    * over identical integers.
+    */
+  def meanEmbedding(spark: SparkSession, dir: String): DataFrame = {
+    val docs = quantized(spark, dir)
+    docs.select(col("label"), posexplode(col("q")).as(Seq("dim", "v")))
+      .groupBy(col("label"), col("dim"))
+      .agg(sum(col("v")).as("sum_q"), count(lit(1)).as("n_vecs"))
+      .select(col("label"), col("dim").cast("long").as("dim"),
+        col("sum_q"), col("n_vecs"),
+        (col("sum_q").cast("double") / col("n_vecs")).as("mean_q"))
+  }
+
+  /** Embedding-cosine near-dup pairs via sign-bit banded LSH: bucket on 4
+    * bands of 4 sign bits; only bucket-mates are scored; exact quantized
+    * cosine ≥ threshold verifies. The oracle replicates the bucketing, so
+    * the gate checks the genuine sub-quadratic plan.
+    */
+  def nearDupPairs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = quantized(spark, dir)
+    val bitsPerBand = SignBits / SignBands
+    val bandCols = (0 until SignBands).map { j =>
+      val bits = (0 until bitsPerBand).map { r =>
+        when(element_at(col("q"), j * bitsPerBand + r + 1) >= 0, "1").otherwise("0")
+      }
+      concat(bits: _*)
+    }
+    val b = docs.select(col("vec_id"), posexplode(array(bandCols: _*)).as(Seq("band", "pat")))
+    val candidates = b.as("x").join(b.as("y"),
+        col("x.band") === col("y.band") && col("x.pat") === col("y.pat") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+      .distinct()
+    val side = (n: String) => docs.select(
+      col("vec_id").as(s"vec_$n"), col("q").as(s"q_$n"), col("n2").as(s"n2_$n"))
+    candidates.join(side("a"), "vec_a").join(side("b"), "vec_b")
+      .select(col("vec_a"), col("vec_b"),
+        cosFromInts(dotq(col("q_a"), col("q_b")), col("n2_a"), col("n2_b")).as("cos_sim"))
+      .filter(col("cos_sim") >= NearDupThreshold)
+  }
+
+  // ---- DuckDB oracle SQL (generated from the same constants) ----
+
+  private val qSql = s"list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $Scale) AS BIGINT))"
+
+  /** 64-dim integer dot product in SQL (1-based indexing, fixed order —
+    * order is irrelevant for integer sums anyway).
+    */
+  private def dotSql(a: String, b: String): String =
+    s"list_sum(list_transform(range(1, 65), i -> ($a)[i] * ($b)[i]))"
+
+  private def cosSql(dot: String, n1: String, n2: String): String =
+    s"(CAST($dot AS DOUBLE) / sqrt(CAST($n1 AS DOUBLE) * CAST($n2 AS DOUBLE)))"
+
+  private val quantizedSql =
+    s"""SELECT vec_id, label, $qSql AS q,
+       |  ${dotSql(qSql, qSql)} AS n2
+       |FROM embeddings""".stripMargin
+
+  def topKOracle: String =
+    s"""WITH docs AS ($quantizedSql),
+       |qs AS (SELECT vec_id AS query_id, q AS qq, n2 AS qn2 FROM docs WHERE vec_id < $NumQueries),
+       |scored AS (
+       |  SELECT qs.query_id, d.vec_id AS neighbor_id,
+       |    ${cosSql(dotSql("d.q", "qs.qq"), "d.n2", "qs.qn2")} AS cos_sim
+       |  FROM docs d CROSS JOIN qs
+       |  WHERE d.vec_id != qs.query_id
+       |)
+       |SELECT query_id, neighbor_id,
+       |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rank,
+       |  cos_sim
+       |FROM scored
+       |QUALIFY rank <= $K""".stripMargin
+
+  /** IVF oracle: per-list dim sums via an explicit unnest-regroup, exactly
+    * mirroring the Spark posexplode plan.
+    */
+  def ivfOracle: String =
+    s"""WITH docs AS ($quantizedSql),
+       |exploded AS (
+       |  SELECT label, i AS dim, q[i] AS v
+       |  FROM docs, unnest(range(1, 65)) AS t(i)
+       |),
+       |sums_long AS (
+       |  SELECT label, dim, sum(v) AS s FROM exploded GROUP BY label, dim
+       |),
+       |sums AS (
+       |  SELECT label, list(s ORDER BY dim) AS sumvec FROM sums_long GROUP BY label
+       |),
+       |sums2 AS (
+       |  SELECT label, sumvec, ${dotSql("sumvec", "sumvec")} AS sn2 FROM sums
+       |),
+       |qs AS (SELECT vec_id AS query_id, q AS qq, n2 AS qn2 FROM docs WHERE vec_id < $NumQueries),
+       |probes AS (
+       |  SELECT query_id, qq, qn2, label
+       |  FROM (
+       |    SELECT qs.query_id, qs.qq, qs.qn2, s.label,
+       |      ${cosSql(dotSql("qs.qq", "s.sumvec"), "qs.qn2", "s.sn2")} AS list_score
+       |    FROM qs CROSS JOIN sums2 s
+       |  )
+       |  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY list_score DESC, label) <= $NProbe
+       |),
+       |scored AS (
+       |  SELECT p.query_id, d.vec_id AS neighbor_id,
+       |    ${cosSql(dotSql("d.q", "p.qq"), "d.n2", "p.qn2")} AS cos_sim
+       |  FROM docs d JOIN probes p ON d.label = p.label
+       |  WHERE d.vec_id != p.query_id
+       |)
+       |SELECT query_id, neighbor_id,
+       |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rank,
+       |  cos_sim
+       |FROM scored
+       |QUALIFY rank <= $K""".stripMargin
+
+  def meanEmbeddingOracle: String =
+    s"""WITH docs AS ($quantizedSql),
+       |exploded AS (
+       |  SELECT label, i AS dim, q[i] AS v
+       |  FROM docs, unnest(range(1, 65)) AS t(i)
+       |)
+       |SELECT label, CAST(dim - 1 AS BIGINT) AS dim, sum(v) AS sum_q,
+       |  count(*) AS n_vecs,
+       |  CAST(sum(v) AS DOUBLE) / count(*) AS mean_q
+       |FROM exploded
+       |GROUP BY label, dim""".stripMargin
+
+  def nearDupOracle: String = {
+    val bitsPerBand = SignBits / SignBands
+    val bandExprs = (0 until SignBands).map { j =>
+      val bits = (0 until bitsPerBand).map { r =>
+        s"CASE WHEN q[${j * bitsPerBand + r + 1}] >= 0 THEN '1' ELSE '0' END"
+      }
+      bits.mkString(" || ")
+    }
+    s"""WITH docs AS ($quantizedSql),
+       |bandarr AS (SELECT vec_id, [${bandExprs.mkString(", ")}] AS bands FROM docs),
+       |banded AS (
+       |  SELECT vec_id, i - 1 AS band, bands[i] AS pat
+       |  FROM bandarr, unnest(range(1, ${SignBands + 1})) AS t(i)
+       |),
+       |candidates AS (
+       |  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+       |  FROM banded x JOIN banded y
+       |    ON x.band = y.band AND x.pat = y.pat AND x.vec_id < y.vec_id
+       |)
+       |SELECT c.vec_a, c.vec_b,
+       |  ${cosSql(dotSql("a.q", "b.q"), "a.n2", "b.n2")} AS cos_sim
+       |FROM candidates c
+       |JOIN docs a ON a.vec_id = c.vec_a
+       |JOIN docs b ON b.vec_id = c.vec_b
+       |WHERE ${cosSql(dotSql("a.q", "b.q"), "a.n2", "b.n2")} >= $NearDupThreshold""".stripMargin
+  }
+
+  // ---- query registry ----
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_similarity_topk" -> ((s, dir) => topK(s, dir)),
+    "q_similarity_ivf" -> ((s, dir) => ivfTopK(s, dir)),
+    "q_mean_embedding" -> ((s, dir) => meanEmbedding(s, dir)),
+    "q_embedding_neardup" -> ((s, dir) => nearDupPairs(s, dir))
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_similarity_topk" -> topKOracle,
+    "q_similarity_ivf" -> ivfOracle,
+    "q_mean_embedding" -> meanEmbeddingOracle,
+    "q_embedding_neardup" -> nearDupOracle
+  )
+}
