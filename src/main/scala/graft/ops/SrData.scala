@@ -158,6 +158,42 @@ object SrData {
     )
   }
 
+  /** "M-YYYY" (unpadded, reference form) → [first day, first day of next
+    * month) — the sargable twin of the derived-expression month predicate.
+    */
+  def monthBucketRange(bucket: String): (String, String) = {
+    val Array(m, y) = bucket.split("-").map(_.toInt)
+    val lo = java.time.LocalDate.of(y, m, 1)
+    (lo.toString, lo.plusMonths(1).toString)
+  }
+
+  /** Scale-safe default plan for the month-bucket query: the SAME rows as
+    * [[filtered]], selected by a raw date-range predicate instead of
+    * `concat_ws(month(), year()) = bucket`. The derived-expression form
+    * (kept in [[filtered]] for reference parity) defeats parquet min/max
+    * row-group pruning — every month pass re-scans all of `orders`; this
+    * form pushes `o_orderdate >= lo AND < hi` into the scan
+    * (`PushedFilters` in explain), so at 100 TB each month touches only
+    * its row groups.
+    */
+  def filteredSargable(spark: SparkSession, dir: String, monthBucket: String): DataFrame = {
+    val (lo, hi) = monthBucketRange(monthBucket)
+    val j = joined(spark, dir)
+    val notLike = ExcludedPatterns.map(p => !col("e.n_name").like(p)).reduce(_ && _)
+    val f = j
+      .filter(!col("c.c_mktsegment").isin(MktsegExcluded: _*))
+      .filter(notLike)
+      .filter(!col("o.o_orderpriority").isin(PriorityExcluded: _*))
+      .filter(col("o.o_orderdate") >= lit(lo).cast("timestamp") &&
+        col("o.o_orderdate") < lit(hi).cast("timestamp"))
+    f.select(
+      concat_ws("-", col("a.l_orderkey"), col("a.l_linenumber")).as("Incident_Number"),
+      col("c.c_name").as("Description"),
+      col("s.s_name").as("Summary"),
+      isFederal.cast("boolean").as("is_federal")
+    )
+  }
+
   /** DuckDB oracle for [[flagship]]. Shared join/CTE text. */
   private def joinSql: String =
     """FROM lineitem a
@@ -223,14 +259,35 @@ object SrData {
        |  AND concat_ws('-', month(o.o_orderdate), year(o.o_orderdate)) = '$monthBucket'""".stripMargin
   }
 
+  def filteredSargableOracle(monthBucket: String): String = {
+    val (lo, hi) = monthBucketRange(monthBucket)
+    val notLikes = ExcludedPatterns
+      .map(p => s"e.n_name NOT LIKE '$p' ESCAPE '\\'").mkString(" AND ")
+    val mktseg = MktsegExcluded.map(v => s"'$v'").mkString(", ")
+    val prio = PriorityExcluded.map(v => s"'$v'").mkString(", ")
+    s"""SELECT
+       |  concat_ws('-', a.l_orderkey, a.l_linenumber) AS "Incident_Number",
+       |  c.c_name AS "Description",
+       |  s.s_name AS "Summary",
+       |  CAST($isFederalSql AS BOOLEAN) AS "is_federal"
+       |$joinSql
+       |WHERE c.c_mktsegment NOT IN ($mktseg)
+       |  AND $notLikes
+       |  AND o.o_orderpriority NOT IN ($prio)
+       |  AND o.o_orderdate >= TIMESTAMP '$lo 00:00:00'
+       |  AND o.o_orderdate < TIMESTAMP '$hi 00:00:00'""".stripMargin
+  }
+
   /** Registry contributed to [[graft.SparkEntry]]. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_srdata_flagship" -> ((s, dir) => flagship(s, dir)),
-    "q_srdata_filtered" -> ((s, dir) => filtered(s, dir, "3-1997"))
+    "q_srdata_filtered" -> ((s, dir) => filtered(s, dir, "3-1997")),
+    "q_srdata_filtered_sargable" -> ((s, dir) => filteredSargable(s, dir, "3-1997"))
   )
 
   def oracleSql: Map[String, String] = Map(
     "q_srdata_flagship" -> flagshipOracle,
-    "q_srdata_filtered" -> filteredOracle("3-1997")
+    "q_srdata_filtered" -> filteredOracle("3-1997"),
+    "q_srdata_filtered_sargable" -> filteredSargableOracle("3-1997")
   )
 }

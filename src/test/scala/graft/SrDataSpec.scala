@@ -60,4 +60,28 @@ class SrDataSpec extends SparkSuite {
     val some = df.select("month_year").distinct().collect().map(_.getString(0))
     assert(some.exists(_.matches("^[1-9]-\\d{4}$"))) // single-digit month, no zero pad
   }
+
+  test("sargable month filter returns identical rows to the derived-expression form") {
+    val derived = SrData.filtered(spark, Sf, "3-1997")
+    val sargable = SrData.filteredSargable(spark, Sf, "3-1997")
+    assert(derived.exceptAll(sargable).isEmpty && sargable.exceptAll(derived).isEmpty)
+    assert(sargable.count() > 0)
+  }
+
+  test("sargable form pushes the date range into the parquet scan; derived form cannot") {
+    def planOf(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.executedPlan.toString
+    // (plan rendering truncates long filter lists, so match the prefix)
+    val sarg = planOf(SrData.filteredSargable(spark, Sf, "3-1997"))
+    assert(sarg.contains("GreaterThanOrEqual(o_"),
+      "date range must reach the orders scan as a pushed filter")
+    val derived = planOf(SrData.filtered(spark, Sf, "3-1997"))
+    assert(!derived.contains("GreaterThanOrEqual(o_"),
+      "derived concat month predicate is expected to stay un-pushed (why the twin exists)")
+  }
+
+  test("month bucket range parses unpadded reference keys") {
+    assert(SrData.monthBucketRange("3-1997") == ("1997-03-01", "1997-04-01"))
+    assert(SrData.monthBucketRange("12-1999") == ("1999-12-01", "2000-01-01"))
+  }
 }
