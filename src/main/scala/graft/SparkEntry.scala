@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.dedup.Dedup
-import graft.ops.{Relational, SrData}
+import graft.ops.{Events, Relational, SrData}
 import graft.pipelines.{DistinctUpsert, Preprocess}
 import graft.sim.Similarity
 import graft.text.Analysis
@@ -25,7 +25,8 @@ object SparkEntry {
       (Preprocess.queries, Preprocess.oracleSql),
       (DistinctUpsert.queries, DistinctUpsert.oracleSql),
       (Dedup.queries, Dedup.oracleSql),
-      (Similarity.queries, Similarity.oracleSql)
+      (Similarity.queries, Similarity.oracleSql),
+      (Events.queries, Events.oracleSql)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,62 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructType}
+
+import graft.Tables
+
+/** JSON-column + time-window operators over the `events` table — the
+  * fixture's stand-in for semi-structured event streams (SURVEY §2.8 note:
+  * the reference has no JSON functions; the `props` column exists so the
+  * engine's `from_json`/`get_json_object` surface is exercised).
+  *
+  * Scale notes: JSON parsing is per-row, codegen'd, shuffle-free; the
+  * tumbling-window aggregation groups by (window, event_type) — a single
+  * hash aggregate with map-side partials. The double-valued `value` column
+  * is summed as exact integer cents (floor(value·100)) so the aggregate is
+  * order-independent — deterministic under any parallelism and
+  * bit-identical to the oracle — then rendered back as one double division.
+  */
+object Events {
+
+  val PropsSchema: StructType = new StructType().add("k", LongType)
+
+  /** Hourly tumbling-window aggregate per event type. Spark's `window()`
+    * aligns tumbling windows to the epoch, so whole-hour windows coincide
+    * with `date_trunc('hour', ts)` — the oracle's form.
+    */
+  def hourlyJsonAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(
+        col("ts"), col("event_type"),
+        from_json(col("props"), PropsSchema).getField("k").as("k"),          // typed parse
+        get_json_object(col("props"), "$.k").cast("long").as("k_raw"),       // path-extract twin
+        floor(col("value") * 100).cast("long").as("value_cents"))
+      .withColumn("k", coalesce(col("k"), col("k_raw"))) // identical; keeps both ops live
+      .groupBy(window(col("ts"), "1 hour").getField("start").as("hour_start"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("k")).as("sum_k"),
+        sum(col("value_cents")).as("sum_value_cents"))
+      .select(col("hour_start"), col("event_type"), col("n_events"), col("sum_k"),
+        (col("sum_value_cents").cast("double") / 100).as("sum_value"))
+
+  def hourlyJsonAggOracle: String =
+    s"""SELECT
+       |  date_trunc('hour', ts) AS hour_start,
+       |  event_type,
+       |  count(*) AS n_events,
+       |  sum(CAST(json_extract_string(props, '$$.k') AS BIGINT)) AS sum_k,
+       |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS DOUBLE) / 100 AS sum_value
+       |FROM events
+       |GROUP BY 1, 2""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_events_json" -> ((s, dir) => hourlyJsonAgg(s, dir))
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_events_json" -> hourlyJsonAggOracle
+  )
+}

@@ -1,0 +1,42 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.ops.Events
+
+/** Structured Streaming twin of [[graft.ops.Events.hourlyJsonAgg]].
+  *
+  * The reference is pure batch (SURVEY §2.10) — its closest analogue is the
+  * incremental month-bucket loop. This module is the thin streaming demo
+  * that shape implies: the SAME transformation applied to an unbounded
+  * source via `readStream`, with a watermark bounding the window state.
+  *
+  * The transform is source-agnostic (works on `MemoryStream`, file source,
+  * or Kafka alike): parse JSON props → 1-hour tumbling window with a
+  * 2-hour watermark → count/sum per (window, event_type). State per key is
+  * O(1) and evicted once the watermark passes the window end, so the
+  * streaming job's memory is bounded by (hours in flight × event types) —
+  * safe at any throughput.
+  */
+object EventsStream {
+
+  /** Apply the windowed JSON aggregation to a STREAMING DataFrame with
+    * schema (ts timestamp, event_type string, value double, props string).
+    */
+  def hourlyJsonAggStream(events: DataFrame): DataFrame =
+    events
+      .select(
+        col("ts"), col("event_type"),
+        from_json(col("props"), Events.PropsSchema).getField("k").as("k"),
+        floor(col("value") * 100).cast("long").as("value_cents"))
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("k")).as("sum_k"),
+        sum(col("value_cents")).as("sum_value_cents"))
+      .select(col("window").getField("start").as("hour_start"), col("event_type"),
+        col("n_events"), col("sum_k"),
+        (col("sum_value_cents").cast("double") / 100).as("sum_value"))
+}
