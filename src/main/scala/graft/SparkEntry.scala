@@ -5,7 +5,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.dedup.Dedup
 import graft.ops.{Events, Relational, SrData}
 import graft.pipelines.{DistinctUpsert, Preprocess}
+import graft.multimodal.Multimodal
 import graft.sim.Similarity
+import graft.text.Keyword
 import graft.text.Analysis
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -26,7 +28,9 @@ object SparkEntry {
       (DistinctUpsert.queries, DistinctUpsert.oracleSql),
       (Dedup.queries, Dedup.oracleSql),
       (Similarity.queries, Similarity.oracleSql),
-      (Events.queries, Events.oracleSql)
+      (Events.queries, Events.oracleSql),
+      (Keyword.queries, Keyword.oracleSql),
+      (Multimodal.queries, Multimodal.oracleSql)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
