@@ -30,14 +30,24 @@ object Dedup {
 
   /** Distinct word-3-gram shingles of the whitespace tokenization. Both
     * engines build `tk[i] ⧺ ' ' ⧺ tk[i+1] ⧺ ' ' ⧺ tk[i+2]` for i in
-    * 1..n-2 (1-based element_at), empty for n < 3.
+    * 1..n-2 (1-based), empty for n < 3.
+    *
+    * PERF: formulated as `zip_with` over three `slice`s of the token array,
+    * NOT `transform(sequence(...), i => element_at(tk, i) ...)`. Catalyst
+    * substitutes a lambda-captured expression tree wholesale, so an
+    * element_at formulation re-runs the full regex tokenization for every
+    * element access — O(shingles × tokens) work per row (measured 20×
+    * slowdown at sf0.1). With slice/zip_with the token array is evaluated a
+    * constant number of times per row and lambda bodies touch only their
+    * lambda arguments.
     */
   def shingles(c: Column): Column = {
     val tk = TextOps.tokenize(c)
-    val n = size(tk)
-    val idx = when(n >= 3, sequence(lit(1), n - 2)).otherwise(array().cast("array<int>"))
-    array_distinct(transform(idx, i =>
-      concat_ws(" ", element_at(tk, i), element_at(tk, i + 1), element_at(tk, i + 2))))
+    val len = greatest(size(tk) - 2, lit(0))
+    val pairs = zip_with(slice(tk, lit(1), len), slice(tk, lit(2), len),
+      (a, b) => concat(a, lit(" "), b))
+    array_distinct(zip_with(pairs, slice(tk, lit(3), len),
+      (ab, cc) => concat(ab, lit(" "), cc)))
   }
 
   def shinglesSql(c: String): String = {
@@ -104,10 +114,16 @@ object Dedup {
       * re-joined to them by doc_id afterward, so the wide data moves once.
       */
     def nearDupPairs(spark: SparkSession, dir: String): DataFrame = {
+      // The shingle set feeds four plan branches (both band sides, both
+      // verify joins) and the band rows feed two; persist both so the
+      // expensive md5/minhash work runs once, not 4× — the C1 pattern the
+      // reference applies at the same fan-out points. At cluster scale the
+      // same role is played by checkpointing the signature table.
       val docs = Tables.documents(spark, dir)
         .select(col("doc_id"), shingles(col("text")).as("sh"))
         .filter(size(col("sh")) > 0)
-      val b = banded(docs)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val b = banded(docs).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val candidates = b.as("x").join(b.as("y"),
           col("x.band") === col("y.band") && col("x.band_hash") === col("y.band_hash") &&
             col("x.doc_id") < col("y.doc_id"))
@@ -170,24 +186,30 @@ object Dedup {
     /** SimHash over the distinct token set: bit i is set iff the majority
       * of token hashes have bit i set (hex digit i's high bit as the bit
       * source). Per-row, shuffle-free, codegen'd.
+      *
+      * PERF: each token is hashed ONCE into a digest array; the 16 bit
+      * counters then probe substrings of their lambda argument. Counting
+      * with `filter(toks, t => …md5(t)…)` instead would inline the md5
+      * into every bit's lambda — 16 digests per token (same Catalyst
+      * lambda-substitution trap as [[Dedup.shingles]]).
       */
     def simhash(c: Column): Column = {
-      val toksD = array_distinct(TextOps.tokenize(c))
-      val n = size(toksD)
+      val digests = transform(array_distinct(TextOps.tokenize(c)), t => md5(t))
+      val n = size(digests)
       val bitCols = (0 until Bits).map { i =>
-        val cnt = size(filter(toksD, t => substring(md5(t), i + 1, 1).isin(HighHex: _*)))
+        val cnt = size(filter(digests, m => substring(m, i + 1, 1).isin(HighHex: _*)))
         when(cnt * 2 > n, lit(1L << i)).otherwise(lit(0L))
       }
       bitCols.reduce(_ + _).as("simhash")
     }
 
     def simhashSql(c: String): String = {
-      val toksD = s"list_distinct(${TextOps.tokenizeSql(c)})"
+      val digests = s"list_transform(list_distinct(${TextOps.tokenizeSql(c)}), t -> md5(t))"
       val hexList = HighHex.map(h => s"'$h'").mkString(", ")
       val bitTerms = (0 until Bits).map { i =>
-        s"CASE WHEN 2 * len(list_filter(tt, t -> substring(md5(t), ${i + 1}, 1) IN ($hexList))) > len(tt) THEN ${1L << i} ELSE 0 END"
+        s"CASE WHEN 2 * len(list_filter(tt, m -> substring(m, ${i + 1}, 1) IN ($hexList))) > len(tt) THEN ${1L << i} ELSE 0 END"
       }.mkString(" + ")
-      s"(SELECT $bitTerms FROM (SELECT $toksD AS tt))"
+      s"(SELECT $bitTerms FROM (SELECT $digests AS tt))"
     }
 
     /** Hamming distance between two signatures (for near-dup banding by

@@ -147,7 +147,11 @@ object Similarity {
     * the gate checks the genuine sub-quadratic plan.
     */
   def nearDupPairs(spark: SparkSession, dir: String): DataFrame = {
+    // quantized vectors feed four plan branches (both band sides, both
+    // verify joins) — persist so quantization runs once (see
+    // Dedup.MinHashLSH.nearDupPairs for the same pattern).
     val docs = quantized(spark, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bitsPerBand = SignBits / SignBands
     val bandCols = (0 until SignBands).map { j =>
       val bits = (0 until bitsPerBand).map { r =>
