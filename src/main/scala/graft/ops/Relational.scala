@@ -88,22 +88,34 @@ object Relational {
     * customer and supplier arms must land in the same nation. Small dims
     * (`nation`, `region`) broadcast; the co-nation condition rides the
     * supplier join.
+    *
+    * Scale shape: the ASIA restriction is propagated UP the tree as
+    * broadcast semi-join pre-filters on `customer` and `supplier` before
+    * the big fact joins — semantically implied by the downstream
+    * nation/region joins (so results are identical), but it shrinks the
+    * sort-merge join inputs by ~|regions| at any scale instead of carrying
+    * every region's rows to the last two broadcast joins.
     */
   def q5LocalVolume(spark: SparkSession, dir: String): DataFrame = {
     val l = Tables.lineitem(spark, dir)
     val o = Tables.orders(spark, dir)
       .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
         col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
-    val c = Tables.customer(spark, dir)
-    val s = Tables.supplier(spark, dir)
     val n = Tables.nation(spark, dir)
     val r = Tables.region(spark, dir).filter(col("r_name") === "ASIA")
+    val asiaNations = n.join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val c = Tables.customer(spark, dir).join(
+      broadcast(asiaNations.select(col("n_nationkey").as("c_nationkey"))),
+      Seq("c_nationkey"), "left_semi")
+    val s = Tables.supplier(spark, dir).join(
+      broadcast(asiaNations.select(col("n_nationkey").as("s_nationkey"))),
+      Seq("s_nationkey"), "left_semi")
     l.join(o, col("l_orderkey") === col("o_orderkey"))
       .join(c, col("o_custkey") === col("c_custkey"))
       .join(s, col("l_suppkey") === col("s_suppkey") &&
         col("c_nationkey") === col("s_nationkey"))
-      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
-      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .join(broadcast(asiaNations), col("s_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"))
       .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
       .orderBy(col("revenue").desc, col("n_name"))
