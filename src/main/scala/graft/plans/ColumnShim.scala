@@ -1,0 +1,12 @@
+// The standard extension-library shim (same idiom as Delta/Frameless):
+// Column <-> catalyst Expression bridging lives behind private[sql] in
+// Spark 4, so the two one-line forwarders must sit in Spark's namespace.
+// Nothing else belongs here — all real code stays under graft.*.
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+object GraftColumnShim {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}

@@ -49,8 +49,22 @@ object Similarity {
   def qvec(c: Column): Column =
     transform(c, x => floor(x.cast("double") * Scale).cast("long"))
 
-  /** Integer dot product of two quantized vectors (order-independent). */
+  /** Integer dot product of two quantized vectors (order-independent).
+    * Runs as the custom codegen'd [[graft.plans.DotProductLong]] — a tight
+    * primitive loop inside whole-stage codegen; [[dotqHof]] is the
+    * built-in-only twin (higher-order functions sit outside codegen),
+    * kept for the comparison test and as the porting reference.
+    */
   def dotq(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftColumnShim.column(
+      graft.plans.DotProductLong(
+        org.apache.spark.sql.GraftColumnShim.expression(a),
+        org.apache.spark.sql.GraftColumnShim.expression(b)))
+
+  /** Composable HOF form of [[dotq]] — identical results on dense
+    * equal-length arrays (every [[graft.sim]] vector).
+    */
+  def dotqHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
 
   /** cos = dot / sqrt(n1·n2), with n1·n2 multiplied in DOUBLE (centroid
