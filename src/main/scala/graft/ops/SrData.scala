@@ -140,6 +140,15 @@ object SrData {
     * escapes are null-rejecting on left-joined columns, so Catalyst's
     * `EliminateOuterJoin` legally rewrites those left joins to inner —
     * semantics the oracle must (and does) agree with.
+    *
+    * DELIBERATE DIVERGENCE (month-bucket padding): the reference driver
+    * generates zero-padded `%m-%Y` keys ("03-1997",
+    * `preprocess_and_store_parquets.py:109`) while its SQL compares against
+    * unpadded `CONCAT(MONTH(d),'-',YEAR(d))` ("3-1997", `:102`) — so for
+    * months 1-9 the reference's filter matched ZERO rows, a latent bug.
+    * This port uses the unpadded form on BOTH sides so the query returns
+    * rows; future fidelity audits should not flag the non-empty result as
+    * drift.
     */
   def filtered(spark: SparkSession, dir: String, monthBucket: String): DataFrame = {
     val j = joined(spark, dir)
