@@ -1,0 +1,54 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Scale tactics that exist for the 1000-executor case and cannot be seen
+  * in the logical result at all — only in the physical plan:
+  *
+  *   - [[saltedJoin]]: skew mitigation for a join with hot keys. AQE's
+  *     skew-join split handles sort-merge skew at runtime; explicit salting
+  *     remains the portable fix when one key floods a single task (e.g. a
+  *     null-heavy foreign key or one giant customer), and the technique the
+  *     brief calls out. Big side gets a uniform salt in [0, salts); small
+  *     side is replicated once per salt value; the join key becomes
+  *     (key, salt), spreading each hot key over `salts` tasks. Result rows
+  *     are EXACTLY those of the plain join (each big row matches exactly
+  *     one replica).
+  *   - [[explodeSalts]]: the replication helper, usable alone when the
+  *     small side feeds several salted joins.
+  *
+  * Bucketed co-located joins (the third tactic) are exercised in
+  * `ScaleOpsSpec` via `bucketBy().saveAsTable` — they are a write-time
+  * catalog property, not a Column transform, so there is nothing to wrap
+  * here; the spec asserts the shuffle-free plan shape.
+  */
+object ScaleOps {
+
+  /** Uniform deterministic-enough salt: row identity hashed into
+    * [0, salts). (`monotonically_increasing_id` varies across runs, which
+    * is fine — any uniform assignment is correct; results never depend on
+    * which replica a row meets.)
+    */
+  private def salt(salts: Int): Column =
+    pmod(xxhash64(monotonically_increasing_id()), lit(salts.toLong))
+
+  /** Replicate `small` once per salt value, adding `__salt`. */
+  def explodeSalts(small: DataFrame, salts: Int): DataFrame =
+    small.withColumn("__salt", explode(array((0 until salts).map(i => lit(i.toLong)): _*)))
+
+  /** Equi-join `big ⋈ small` on `key`, spreading each of big's keys over
+    * `salts` partitions. Inner and left-outer shapes supported (the small
+    * side is replicated, so right/full outer would duplicate unmatched
+    * small rows — rejected).
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String, salts: Int,
+                 joinType: String = "inner"): DataFrame = {
+    require(joinType == "inner" || joinType == "left" || joinType == "left_outer",
+      s"salting replicates the small side; '$joinType' would duplicate its unmatched rows")
+    val b = big.withColumn("__salt", salt(salts))
+    val s = explodeSalts(small, salts)
+    b.join(s, b(key) === s(key) && b("__salt") === s("__salt"), joinType)
+      .drop(s(key)).drop(b("__salt")).drop(s("__salt"))
+  }
+}
