@@ -30,4 +30,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Dozens of codegen'd stages across the bench/verify suite overflow the
+  // default 240m JIT code cache; once full the compiler disables itself and
+  // late-ordered queries run interpreted (sporadic 10x slowdowns).
+  "-XX:ReservedCodeCacheSize=512m",
 )

@@ -53,15 +53,27 @@ object Bench {
       }
     }
 
+    // Two timed passes, report the min — shared-host scheduling noise at
+    // this scale swings single runs by 2×; min-of-2 is the stable signal.
+    val TimedPasses = 2
     val results = queries.map { case (name, fn) =>
       if (errors.contains(name)) name -> -1.0
       else {
-        val t0 = System.nanoTime()
-        try { fullEval(fn(spark, sfDir)); name -> (System.nanoTime() - t0) / 1e9 }
-        catch { case e: Throwable =>
-          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
-          name -> -1.0
+        val times = (1 to TimedPasses).flatMap { _ =>
+          // drop persisted intermediates from the warmup/previous pass
+          // (CacheManager matches canonicalized plans, so a re-built query
+          // would otherwise read warm cache and under-report) — every
+          // timed number is a cold end-to-end run; only JVM/codegen warmup
+          // carries over.
+          spark.catalog.clearCache()
+          val t0 = System.nanoTime()
+          try { fullEval(fn(spark, sfDir)); Some((System.nanoTime() - t0) / 1e9) }
+          catch { case e: Throwable =>
+            errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+            None
+          }
         }
+        name -> (if (times.isEmpty) -1.0 else times.min)
       }
     }
 
