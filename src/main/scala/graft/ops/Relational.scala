@@ -136,15 +136,53 @@ object Relational {
       |GROUP BY n_name
       |ORDER BY revenue DESC, n_name""".stripMargin
 
+  /** Promo-revenue share ↔ TPC-H Q14 shape: fact⨝dim with the dim
+    * auto-broadcast, conditional aggregation, single-row result. Revenue
+    * terms are floored to integer cents before summing (both engines
+    * compute the identical double product first, so the floor is
+    * bit-identical and the long sums are order-independent); the share is
+    * one division over exact integers.
+    */
+  def q14PromoShare(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1997-03-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+    val p = Tables.part(spark, dir)
+    val revCents = floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100).cast("long")
+    l.join(p, col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", revCents).otherwise(0L)).as("promo_cents"),
+        sum(revCents).as("total_cents"))
+      .select(
+        col("promo_cents"), col("total_cents"),
+        (col("promo_cents").cast("double") * 100 / col("total_cents")).as("promo_share_pct"))
+  }
+
+  val q14Oracle: String =
+    """SELECT promo_cents, total_cents,
+      |  CAST(promo_cents AS DOUBLE) * 100 / total_cents AS promo_share_pct
+      |FROM (
+      |  SELECT
+      |    sum(CASE WHEN p_type = 'PROMO'
+      |        THEN CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+      |        ELSE 0 END) AS promo_cents,
+      |    sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS total_cents
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  WHERE l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+      |)""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> ((s, dir) => q1PricingSummary(s, dir)),
     "q3_top_revenue"     -> ((s, dir) => q3TopRevenue(s, dir)),
-    "q5_local_volume"    -> ((s, dir) => q5LocalVolume(s, dir))
+    "q5_local_volume"    -> ((s, dir) => q5LocalVolume(s, dir)),
+    "q14_promo_share"    -> ((s, dir) => q14PromoShare(s, dir))
   )
 
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" -> q1Oracle,
     "q3_top_revenue"     -> q3Oracle,
-    "q5_local_volume"    -> q5Oracle
+    "q5_local_volume"    -> q5Oracle,
+    "q14_promo_share"    -> q14Oracle
   )
 }
