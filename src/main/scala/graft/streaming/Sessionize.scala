@@ -1,0 +1,110 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Custom-state streaming: gap-based sessionization of the events stream
+  * via `flatMapGroupsWithState` — the `KeyValueGroupedDataset` stateful
+  * surface (the one streaming primitive windowed aggregation can't
+  * express, since session boundaries depend on per-key event history).
+  *
+  * Semantics: events for a user belong to one session while consecutive
+  * events are ≤ `gap` apart; a quiet period longer than the gap closes the
+  * session and emits one summary row. State per key is O(1) (current
+  * session bounds + counters), closed sessions leave state immediately,
+  * and an event-time timeout evicts idle keys — bounded memory at any
+  * throughput, the property that matters on an unbounded 100 TB/day
+  * stream.
+  *
+  * Used in batch tests through the same function — the transform is
+  * source-agnostic like [[EventsStream]].
+  */
+object Sessionize {
+
+  case class Event(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  case class SessionState(start: Long, lastTs: Long, nEvents: Long, valueCents: Long)
+  case class Session(user_id: Long, session_start: java.sql.Timestamp,
+                     session_end: java.sql.Timestamp, n_events: Long, sum_value: Double)
+
+  val GapMs: Long = 30 * 60 * 1000L // 30-minute inactivity gap
+
+  /** Per-key state transition. Events arrive in arbitrary order within a
+    * micro-batch; they are sorted by time before folding (correct as long
+    * as late data stays within the watermark, which drives the timeout).
+    */
+  def updateSessions(userId: Long, events: Iterator[Event],
+                     state: GroupState[SessionState]): Iterator[Session] = {
+    val sorted = events.toSeq.sortBy(_.ts.getTime)
+    var closed = List.empty[Session]
+    var cur = state.getOption
+
+    def close(s: SessionState): Unit =
+      closed ::= Session(userId, new java.sql.Timestamp(s.start),
+        new java.sql.Timestamp(s.lastTs), s.nEvents,
+        s.valueCents.toDouble / 100)
+
+    if (state.hasTimedOut) {
+      cur.foreach(close)
+      state.remove()
+      cur = None
+    } else {
+      sorted.foreach { e =>
+        val t = e.ts.getTime
+        val cents = math.floor(e.value * 100).toLong
+        cur match {
+          case Some(s) if t - s.lastTs <= GapMs =>
+            cur = Some(SessionState(s.start, t, s.nEvents + 1, s.valueCents + cents))
+          case Some(s) =>
+            close(s)
+            cur = Some(SessionState(t, t, 1, cents))
+          case None =>
+            cur = Some(SessionState(t, t, 1, cents))
+        }
+      }
+      cur match {
+        case Some(s) =>
+          state.update(s)
+          state.setTimeoutTimestamp(s.lastTs + GapMs)
+        case None => state.remove()
+      }
+    }
+    closed.reverseIterator
+  }
+
+  /** Streaming sessionization: watermark bounds lateness, event-time
+    * timeout closes idle sessions.
+    */
+  def sessionize(events: Dataset[Event]): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(updateSessions)
+  }
+
+  /** Batch twin over the fixture for cross-checking: classic gap
+    * sessionization via lag + cumulative session ids.
+    */
+  def sessionizeBatch(spark: SparkSession, dir: String): Dataset[Session] = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    graft.Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("value"))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          (unix_millis(col("ts")) - unix_millis(col("prev_ts"))) > GapMs, 1).otherwise(0))
+      .withColumn("session_id", sum(col("new_session")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        (sum(floor(col("value") * 100).cast("long")).cast("double") / 100).as("sum_value"))
+      .drop("session_id")
+      .as[Session]
+  }
+}
