@@ -142,6 +142,25 @@ object Analysis {
     */
   def fingerprint(c: Column): Column = md5(Normalize.normalizeText(c))
 
+  /** Rolling (Rabin-Karp polynomial) fingerprint: fold
+    * `h ← (h·31 + codepoint) mod 1e9+7` over the text's characters — the
+    * incremental-hash shape sliding-window chunkers (CDC, winnowing) are
+    * built on. Explicit modulus keeps every intermediate ≤ ~3.1e16, exact
+    * in long arithmetic on both engines (natural 2^64 wraparound would trip
+    * ANSI overflow and differ from DuckDB's checked BIGINT). Per-row,
+    * shuffle-free, codegen'd.
+    */
+  def rollingHash(c: Column): Column = {
+    val chars = split(c, "")
+    aggregate(chars, lit(0L), (h, ch) => (h * 31 + ascii(ch).cast("long")) % 1000000007L)
+  }
+
+  def rollingHashSql(c: String): String =
+    s"""list_reduce(
+       |  list_prepend(CAST(0 AS BIGINT),
+       |    list_transform(string_split($c, ''), ch -> CAST(ascii(ch) AS BIGINT))),
+       |  (h, ch) -> (h * 31 + ch) % 1000000007)""".stripMargin.replace("\n", " ")
+
   // ---- query registry ----
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -165,7 +184,10 @@ object Analysis {
         bpeIshTokenCount(col("text")).as("bpeish_tokens"))),
     "q_fingerprint" -> ((s, dir) =>
       Tables.documents(s, dir).select(col("doc_id"),
-        fingerprint(col("text")).as("fp_md5")))
+        fingerprint(col("text")).as("fp_md5"))),
+    "q_rolling_fingerprint" -> ((s, dir) =>
+      Tables.documents(s, dir).select(col("doc_id"),
+        rollingHash(col("text")).as("fp_roll")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -188,6 +210,8 @@ object Analysis {
          |  CAST(len(regexp_extract_all(text, '${BpeIshPattern}')) AS BIGINT) AS bpeish_tokens
          |FROM documents""".stripMargin,
     "q_fingerprint" ->
-      s"""SELECT doc_id, md5(${Normalize.normalizeSql("text")}) AS fp_md5 FROM documents"""
+      s"""SELECT doc_id, md5(${Normalize.normalizeSql("text")}) AS fp_md5 FROM documents""",
+    "q_rolling_fingerprint" ->
+      s"""SELECT doc_id, ${rollingHashSql("text")} AS fp_roll FROM documents"""
   )
 }
