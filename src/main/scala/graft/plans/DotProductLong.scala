@@ -75,9 +75,9 @@ case class DotProductLong(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
-/** `SparkSessionExtensions` hook exposing [[DotProductLong]] to SQL as
-  * `dot_long(a, b)`. Activate with
-  * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")`.
+/** `SparkSessionExtensions` hook: exposes [[DotProductLong]] to SQL as
+  * `dot_long(a, b)` and installs [[SargableMonthRule]] in the optimizer.
+  * Activate with `.config("spark.sql.extensions", "graft.plans.GraftExtensions")`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -85,5 +85,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("dot_long"),
       new ExpressionInfo(classOf[DotProductLong].getName, "dot_long"),
       (children: Seq[Expression]) => DotProductLong(children.head, children(1))))
+    ext.injectOptimizerRule(_ => SargableMonthRule)
   }
 }

@@ -68,16 +68,18 @@ class SrDataSpec extends SparkSuite {
     assert(sargable.count() > 0)
   }
 
-  test("sargable form pushes the date range into the parquet scan; derived form cannot") {
+  test("date range reaches the parquet scan pushed — explicitly AND via SargableMonthRule") {
     def planOf(df: org.apache.spark.sql.DataFrame): String =
       df.queryExecution.executedPlan.toString
     // (plan rendering truncates long filter lists, so match the prefix)
     val sarg = planOf(SrData.filteredSargable(spark, Sf, "3-1997"))
     assert(sarg.contains("GreaterThanOrEqual(o_"),
       "date range must reach the orders scan as a pushed filter")
+    // the faithful concat-month form is unprunable as written, but the
+    // injected optimizer rule rewrites it to the same sargable range
     val derived = planOf(SrData.filtered(spark, Sf, "3-1997"))
-    assert(!derived.contains("GreaterThanOrEqual(o_"),
-      "derived concat month predicate is expected to stay un-pushed (why the twin exists)")
+    assert(derived.contains("GreaterThanOrEqual(o_"),
+      "SargableMonthRule should upgrade the faithful month predicate to a pushed range")
   }
 
   test("month bucket range parses unpadded reference keys") {
