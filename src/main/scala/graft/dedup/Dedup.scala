@@ -56,6 +56,21 @@ object Dedup {
        | i -> ($tk)[i] || ' ' || ($tk)[i+1] || ' ' || ($tk)[i+2]))""".stripMargin.replace("\n", "")
   }
 
+  /** Distinct character n-gram shingles — the sub-word near-dup signal
+    * (robust to token-boundary edits). Lambda bodies only reference the
+    * raw string column (an O(1) attribute read), so the per-element
+    * substring carries none of the recompute trap documented on
+    * [[shingles]].
+    */
+  def charShingles(c: Column, n: Int): Column = {
+    val idx = when(length(c) >= n, sequence(lit(1), length(c) - (n - 1)))
+      .otherwise(array().cast("array<int>"))
+    array_distinct(transform(idx, i => c.substr(i, lit(n))))
+  }
+
+  def charShinglesSql(c: String, n: Int): String =
+    s"list_distinct(list_transform(range(1, greatest(length($c) - ${n - 2}, 1)), i -> substring($c, i, $n)))"
+
   /** Exact set Jaccard of two shingle-set columns: |∩| / |∪| as the ratio
     * of two integers — bit-identical across engines.
     */
@@ -80,50 +95,72 @@ object Dedup {
          |  ORDER BY doc_id) = 1""".stripMargin
   }
 
-  object MinHashLSH {
-    /** k hash functions, banded r rows × b bands (k = r·b). */
-    val NumHashes = 8
-    val Bands = 4
-    val RowsPerBand: Int = NumHashes / Bands
+  /** LSH shape: k = bands·rowsPerBand MinHashes; a pair is a candidate iff
+    * one band of `rowsPerBand` consecutive hashes matches entirely. More
+    * rows per band → sharper threshold (fewer background candidates, the
+    * knob that keeps the join sub-quadratic when background similarity is
+    * high); more bands → higher recall at the target threshold.
+    */
+  case class LshConfig(bands: Int, rowsPerBand: Int, threshold: Double) {
+    val numHashes: Int = bands * rowsPerBand
+  }
 
-    /** Verified-pair threshold on exact shingle Jaccard. */
-    val Threshold = 0.8
+  object MinHashLSH {
+    /** Word-3-gram shingles: background Jaccard ≈ 0, planted near-dups
+      * ≥ 0.9 → loose 4×2 bands suffice.
+      */
+    val WordConfig: LshConfig = LshConfig(bands = 4, rowsPerBand = 2, threshold = 0.8)
+
+    /** Char-5-gram shingles share sub-word fragments across ordinary
+      * documents (background Jaccard ≈ 0.2-0.3), so bands are 4 rows deep:
+      * P(candidate | j=0.25) ≈ 4·0.25⁴ ≈ 1.6% while j=0.95 pairs still
+      * collide with ≥ 99.8% probability.
+      */
+    val CharConfig: LshConfig = LshConfig(bands = 4, rowsPerBand = 4, threshold = 0.8)
+
+    // word-shingle aliases (the original public surface)
+    val NumHashes: Int = WordConfig.numHashes
+    val Bands: Int = WordConfig.bands
+    val RowsPerBand: Int = WordConfig.rowsPerBand
+    val Threshold: Double = WordConfig.threshold
 
     /** MinHash i = MIN over shingles of md5("i:" ⧺ shingle) — a string min
       * over identical hex digests, so both engines agree exactly.
       */
-    def minhashSig(sh: Column): Seq[Column] =
-      (0 until NumHashes).map { i =>
+    def minhashSig(sh: Column, cfg: LshConfig = WordConfig): Seq[Column] =
+      (0 until cfg.numHashes).map { i =>
         array_min(transform(sh, x => md5(concat(lit(s"$i:"), x)))).as(s"h$i")
       }
 
     /** Band j = md5 of its r concatenated signature values. */
-    def bandHash(j: Int): Column =
-      md5(concat_ws("|", (0 until RowsPerBand).map(r => col(s"h${j * RowsPerBand + r}")): _*))
+    def bandHash(j: Int, cfg: LshConfig = WordConfig): Column =
+      md5(concat_ws("|",
+        (0 until cfg.rowsPerBand).map(r => col(s"h${j * cfg.rowsPerBand + r}")): _*))
 
     /** (doc_id, band, band_hash) — one row per band per doc. */
-    def banded(docs: DataFrame): DataFrame = {
-      val sig = docs.select(col("doc_id") +: minhashSig(col("sh")): _*)
-      val bandsArr = array((0 until Bands).map(bandHash): _*)
+    def banded(docs: DataFrame, cfg: LshConfig = WordConfig): DataFrame = {
+      val sig = docs.select(col("doc_id") +: minhashSig(col("sh"), cfg): _*)
+      val bandsArr = array((0 until cfg.bands).map(bandHash(_, cfg)): _*)
       sig.select(col("doc_id"), posexplode(bandsArr).as(Seq("band", "band_hash")))
     }
 
-    /** The full near-dup join: candidates share ≥1 LSH band (joined only
-      * within (band, band_hash) buckets), then exact Jaccard ≥ threshold.
-      * Shingle arrays stay OUT of the band shuffle — candidates are
-      * re-joined to them by doc_id afterward, so the wide data moves once.
+    /** The near-dup join over any shingle column: candidates share ≥1 LSH
+      * band (joined only within (band, band_hash) buckets), then exact
+      * Jaccard ≥ threshold. Shingle arrays stay OUT of the band shuffle —
+      * candidates are re-joined to them by doc_id afterward, so the wide
+      * data moves once.
       */
-    def nearDupPairs(spark: SparkSession, dir: String): DataFrame = {
+    def nearDupPairsOn(docsRaw: DataFrame, shingleCol: Column, cfg: LshConfig): DataFrame = {
       // The shingle set feeds four plan branches (both band sides, both
       // verify joins) and the band rows feed two; persist both so the
       // expensive md5/minhash work runs once, not 4× — the C1 pattern the
       // reference applies at the same fan-out points. At cluster scale the
       // same role is played by checkpointing the signature table.
-      val docs = Tables.documents(spark, dir)
-        .select(col("doc_id"), shingles(col("text")).as("sh"))
+      val docs = docsRaw
+        .select(col("doc_id"), shingleCol.as("sh"))
         .filter(size(col("sh")) > 0)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val b = banded(docs).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val b = banded(docs, cfg).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val candidates = b.as("x").join(b.as("y"),
           col("x.band") === col("y.band") && col("x.band_hash") === col("y.band_hash") &&
             col("x.doc_id") < col("y.doc_id"))
@@ -133,20 +170,30 @@ object Dedup {
         .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
         .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
         .select(col("doc_a"), col("doc_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
-        .filter(col("jaccard") >= Threshold)
+        .filter(col("jaccard") >= cfg.threshold)
     }
 
-    def oracle: String = {
-      val sh = shinglesSql("text")
-      val sigCols = (0 until NumHashes).map { i =>
+    /** Word-3-gram near-dup pairs (the original operator). */
+    def nearDupPairs(spark: SparkSession, dir: String): DataFrame =
+      nearDupPairsOn(Tables.documents(spark, dir), shingles(col("text")), WordConfig)
+
+    /** Character-5-gram near-dup pairs — the n-gram Jaccard dedup family
+      * member, robust to token-boundary edits.
+      */
+    def charGramPairs(spark: SparkSession, dir: String): DataFrame =
+      nearDupPairsOn(Tables.documents(spark, dir), charShingles(col("text"), 5), CharConfig)
+
+    def oracleOn(shingleSql: String, cfg: LshConfig): String = {
+      val sigCols = (0 until cfg.numHashes).map { i =>
         s"list_aggregate(list_transform(sh, x -> md5('$i:' || x)), 'min') AS h$i"
       }.mkString(",\n    ")
-      val bandCols = (0 until Bands).map { j =>
-        val parts = (0 until RowsPerBand).map(r => s"h${j * RowsPerBand + r}").mkString(" || '|' || ")
+      val bandCols = (0 until cfg.bands).map { j =>
+        val parts = (0 until cfg.rowsPerBand)
+          .map(r => s"h${j * cfg.rowsPerBand + r}").mkString(" || '|' || ")
         s"md5($parts)"
       }.mkString(", ")
       s"""WITH docs AS (
-         |  SELECT doc_id, $sh AS sh FROM documents
+         |  SELECT doc_id, $shingleSql AS sh FROM documents
          |), nonempty AS (
          |  SELECT * FROM docs WHERE len(sh) > 0
          |), sig AS (
@@ -157,7 +204,7 @@ object Dedup {
          |  SELECT doc_id, sh, [$bandCols] AS bands FROM sig
          |), banded AS (
          |  SELECT doc_id, i - 1 AS band, bands[i] AS band_hash
-         |  FROM bandarr, unnest(range(1, ${Bands + 1})) AS t(i)
+         |  FROM bandarr, unnest(range(1, ${cfg.bands + 1})) AS t(i)
          |), candidates AS (
          |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
          |  FROM banded x JOIN banded y
@@ -170,8 +217,11 @@ object Dedup {
          |JOIN nonempty a ON a.doc_id = c.doc_a
          |JOIN nonempty b ON b.doc_id = c.doc_b
          |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-         |    / len(list_distinct(list_concat(a.sh, b.sh))) >= ${Threshold}""".stripMargin
+         |    / len(list_distinct(list_concat(a.sh, b.sh))) >= ${cfg.threshold}""".stripMargin
     }
+
+    def oracle: String = oracleOn(shinglesSql("text"), WordConfig)
+    def charGramOracle: String = oracleOn(charShinglesSql("text", 5), CharConfig)
   }
 
   object SimHash {
@@ -223,6 +273,7 @@ object Dedup {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> ((s, dir) => Exact.dedupExact(Tables.documents(s, dir))),
     "q_dedup_neardup" -> ((s, dir) => MinHashLSH.nearDupPairs(s, dir)),
+    "q_dedup_chargram" -> ((s, dir) => MinHashLSH.charGramPairs(s, dir)),
     "q_dedup_simhash" -> ((s, dir) =>
       Tables.documents(s, dir).select(col("doc_id"), SimHash.simhash(col("text"))))
   )
@@ -230,6 +281,7 @@ object Dedup {
   def oracleSql: Map[String, String] = Map(
     "q_dedup_exact" -> Exact.oracle,
     "q_dedup_neardup" -> MinHashLSH.oracle,
+    "q_dedup_chargram" -> MinHashLSH.charGramOracle,
     "q_dedup_simhash" ->
       s"SELECT doc_id, CAST(${SimHash.simhashSql("text")} AS BIGINT) AS simhash FROM documents"
   )
