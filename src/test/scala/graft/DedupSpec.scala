@@ -33,7 +33,9 @@ class DedupSpec extends SparkSuite {
     val other = "one two three four five six seven eight nine ten"
     val docs = Seq((0L, base), (1L, nearDup), (2L, other)).toDF("doc_id", "text")
       .select(col("doc_id"), Dedup.shingles(col("text")).as("sh"))
-      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"),
+        array_distinct(Dedup.MinHashLSH.baseHashes(col("sh"))).as("hv"))
+      .filter(size(col("hv")) > 0)
     val b = Dedup.MinHashLSH.banded(docs)
     val cand = b.as("x").join(b.as("y"),
         col("x.band") === col("y.band") && col("x.band_hash") === col("y.band_hash") &&
