@@ -57,15 +57,22 @@ object Dedup {
   }
 
   /** Distinct character n-gram shingles — the sub-word near-dup signal
-    * (robust to token-boundary edits). Lambda bodies only reference the
-    * raw string column (an O(1) attribute read), so the per-element
-    * substring carries none of the recompute trap documented on
-    * [[shingles]].
+    * (robust to token-boundary edits).
+    *
+    * PERF: `substr(c, i, n)` per index is a per-shingle codepoint scan of
+    * the string (O(len²) per row — ~5 s of the sf0.1 chargram query).
+    * Instead the text is split into a char array once and shingles are a
+    * `zip_with` cascade over n slices — O(len·n) with O(1) array element
+    * access, same discipline as [[shingles]].
     */
   def charShingles(c: Column, n: Int): Column = {
-    val idx = when(length(c) >= n, sequence(lit(1), length(c) - (n - 1)))
-      .otherwise(array().cast("array<int>"))
-    array_distinct(transform(idx, i => c.substr(i, lit(n))))
+    val chars = split(c, "")
+    val len = greatest(size(chars) - (n - 1), lit(0))
+    val first = slice(chars, lit(1), len)
+    val shingled = (2 to n).foldLeft(first) { (acc, k) =>
+      zip_with(acc, slice(chars, lit(k), len), (a, b) => concat(a, b))
+    }
+    array_distinct(shingled)
   }
 
   def charShinglesSql(c: String, n: Int): String =
@@ -260,6 +267,18 @@ object Dedup {
     def charGramOracle: String = oracleOn(charShinglesSql("text", 5), CharConfig)
   }
 
+  /** Apply near-dup dedup: keep the LOWEST doc_id of every near-dup pair,
+    * dropping any document that appears as the greater side (`doc_b`) of a
+    * verified pair — the standard greedy representative selection (pairs
+    * are emitted with doc_a < doc_b, so within a duplicate cluster only
+    * its minimum survives; transitive chains collapse to their minimum as
+    * long as the cluster is LSH-connected, which holds at near-dup
+    * thresholds). One broadcast-able anti-join over the pair set — the
+    * pair table is orders of magnitude smaller than the corpus.
+    */
+  def dropNearDups(docs: DataFrame, pairs: DataFrame): DataFrame =
+    docs.join(pairs.select(col("doc_b").as("doc_id")).distinct(), Seq("doc_id"), "left_anti")
+
   object SimHash {
     /** Signature width. 16 bits keeps the expression tree (16 md5 probes
       * per token) oracle-expressible; a production 64-bit variant belongs in
@@ -310,6 +329,10 @@ object Dedup {
     "q_dedup_exact" -> ((s, dir) => Exact.dedupExact(Tables.documents(s, dir))),
     "q_dedup_neardup" -> ((s, dir) => MinHashLSH.nearDupPairs(s, dir)),
     "q_dedup_chargram" -> ((s, dir) => MinHashLSH.charGramPairs(s, dir)),
+    "q_dedup_apply" -> ((s, dir) =>
+      dropNearDups(
+        Tables.documents(s, dir).select("doc_id", "lang", "source"),
+        MinHashLSH.nearDupPairs(s, dir))),
     "q_dedup_simhash" -> ((s, dir) =>
       Tables.documents(s, dir).select(col("doc_id"), SimHash.simhash(col("text"))))
   )
@@ -318,6 +341,9 @@ object Dedup {
     "q_dedup_exact" -> Exact.oracle,
     "q_dedup_neardup" -> MinHashLSH.oracle,
     "q_dedup_chargram" -> MinHashLSH.charGramOracle,
+    "q_dedup_apply" ->
+      s"""SELECT doc_id, lang, source FROM documents
+         |WHERE doc_id NOT IN (SELECT doc_b FROM (${MinHashLSH.oracle}))""".stripMargin,
     "q_dedup_simhash" ->
       s"SELECT doc_id, CAST(${SimHash.simhashSql("text")} AS BIGINT) AS simhash FROM documents"
   )
