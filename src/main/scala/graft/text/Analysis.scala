@@ -97,11 +97,16 @@ object Analysis {
     // 0.4*ttr + 0.3*(1-stop) + 0.3*len_bonus == (4*t4 + 3*(1e4-s4) + 3*l4) / 1e5
     val score = (t4 * 4 + (lit(10000.0) - s4) * 3 + l4 * 3) / lit(100000.0)
     def guarded(col: Column): Column = when(n > 0, col)
+    // punctuation ratio over characters (brief: length/punct/stopword):
+    // both engines count the same regex matches and divide identical ints
+    val punct = size(regexp_extract_all(c, lit("[^A-Za-z0-9\\s]"), lit(0)))
+    val textLen = length(c)
     Seq(
       "n_tokens" -> n.cast("long"),
       "type_token_ratio" -> guarded(round(types / nD, 4)),
       "stopword_ratio" -> guarded(round(stopHits / nD, 4)),
       "mean_token_len" -> guarded(round(charLen / nD, 4)),
+      "punct_ratio" -> when(textLen > 0, round(punct.cast("double") / textLen, 4)),
       "quality_score" -> guarded(score)
     )
   }
@@ -118,11 +123,13 @@ object Analysis {
     val l4 = s"least(10000.0, $nD * 100)"
     val score = s"($t4 * 4 + (10000.0 - $s4) * 3 + $l4 * 3) / 100000.0"
     def guarded(e: String): String = s"CASE WHEN $n > 0 THEN $e END"
+    val punct = s"len(regexp_extract_all($c, '[^A-Za-z0-9\\s]'))"
     Seq(
       "n_tokens" -> s"CAST($n AS BIGINT)",
       "type_token_ratio" -> guarded(s"round($types / $nD, 4)"),
       "stopword_ratio" -> guarded(s"round($stopHits / $nD, 4)"),
       "mean_token_len" -> guarded(s"round($charLen / $nD, 4)"),
+      "punct_ratio" -> s"CASE WHEN length($c) > 0 THEN round(CAST($punct AS DOUBLE) / length($c), 4) END",
       "quality_score" -> guarded(score)
     )
   }
