@@ -288,18 +288,21 @@ object Dedup {
 
     private val HighHex = Seq("8", "9", "a", "b", "c", "d", "e", "f")
 
-    /** SimHash over the distinct token set: bit i is set iff the majority
-      * of token hashes have bit i set (hex digit i's high bit as the bit
-      * source). Per-row, shuffle-free, codegen'd.
-      *
-      * PERF: each token is hashed ONCE into a digest array; the 16 bit
-      * counters then probe substrings of their lambda argument. Counting
-      * with `filter(toks, t => …md5(t)…)` instead would inline the md5
-      * into every bit's lambda — 16 digests per token (same Catalyst
-      * lambda-substitution trap as [[Dedup.shingles]]).
+    /** Token digest array — materialize THIS as a column (one md5 per
+      * token), then feed [[simhashOf]]. The bit counters reference the
+      * digest array 17 times; if the md5 transform were inlined there
+      * (higher-order functions get no common-subexpression elimination),
+      * every reference would re-hash every token — the same Catalyst
+      * lambda-substitution trap as [[Dedup.shingles]].
       */
-    def simhash(c: Column): Column = {
-      val digests = transform(array_distinct(TextOps.tokenize(c)), t => md5(t))
+    def tokenDigests(c: Column): Column =
+      transform(array_distinct(TextOps.tokenize(c)), t => md5(t))
+
+    /** SimHash over a MATERIALIZED digest-array column: bit i is set iff
+      * the majority of token hashes have hex digit i's high bit set.
+      * Per-row, shuffle-free.
+      */
+    def simhashOf(digests: Column): Column = {
       val n = size(digests)
       val bitCols = (0 until Bits).map { i =>
         val cnt = size(filter(digests, m => substring(m, i + 1, 1).isin(HighHex: _*)))
@@ -307,6 +310,12 @@ object Dedup {
       }
       bitCols.reduce(_ + _).as("simhash")
     }
+
+    /** Convenience single-expression form — only safe where the input is
+      * already a plain column reference (tests); pipelines should go
+      * through [[tokenDigests]] + [[simhashOf]].
+      */
+    def simhash(c: Column): Column = simhashOf(tokenDigests(c))
 
     def simhashSql(c: String): String = {
       val digests = s"list_transform(list_distinct(${TextOps.tokenizeSql(c)}), t -> md5(t))"
@@ -334,7 +343,9 @@ object Dedup {
         Tables.documents(s, dir).select("doc_id", "lang", "source"),
         MinHashLSH.nearDupPairs(s, dir))),
     "q_dedup_simhash" -> ((s, dir) =>
-      Tables.documents(s, dir).select(col("doc_id"), SimHash.simhash(col("text"))))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), SimHash.tokenDigests(col("text")).as("dg"))
+        .select(col("doc_id"), SimHash.simhashOf(col("dg"))))
   )
 
   def oracleSql: Map[String, String] = Map(
