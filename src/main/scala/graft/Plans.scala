@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+
+/** Plan-audit dump: writes `explain("formatted")` output of every
+  * registered query to `<outDir>/<name>.plan.txt`. The artifact the
+  * scale review reads — pushed filters, exchange placement, codegen
+  * stages, broadcast choices — without re-running anything by hand.
+  *
+  * Usage: `sbt "runMain graft.Plans /root/testdata/sf0.001 /tmp/plans"`
+  */
+object Plans {
+  def main(args: Array[String]): Unit = {
+    val Array(sfDir, outDir) = args
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    Files.createDirectories(Paths.get(outDir))
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        val qe = fn(spark, sfDir).queryExecution
+        val txt = qe.explainString(org.apache.spark.sql.execution.FormattedMode)
+        Files.writeString(Paths.get(s"$outDir/$name.plan.txt"), txt)
+        println(s"[plans] wrote $name")
+      } catch {
+        case e: Throwable => System.err.println(s"[plans] $name failed: ${e.getMessage}")
+      }
+    }
+    spark.stop()
+  }
+}

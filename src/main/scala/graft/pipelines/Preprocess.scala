@@ -165,10 +165,13 @@ object Preprocess {
     * writes each to its own path with per-row output files
     * (`repartition(df.count())`, `:245-249`); the native form is ONE write
     * with `partitionBy("month_year")` — dynamic partition pruning then
-    * serves later month-bucket reads without re-scanning.
+    * serves later month-bucket reads without re-scanning. Rows are
+    * clustered by the business key within partitions so parquet row-group
+    * min/max stats serve key-range probes inside each month too.
     */
   def writeMonthPartitioned(df: DataFrame, outPath: String): Unit =
-    df.write.mode("overwrite").partitionBy("month_year").parquet(outPath)
+    df.sortWithinPartitions("month_year", "Incident_Number")
+      .write.mode("overwrite").partitionBy("month_year").parquet(outPath)
 
   /** All-months variant feeding the sink: flagship columns → federal filter
     * → normalize → non-null, keeping month_year for partitioning.
