@@ -171,9 +171,10 @@ object Dedup {
       sig.select(col("doc_id"), posexplode(bandsArr).as(Seq("band", "band_hash")))
     }
 
-    /** The near-dup join over any shingle column: candidates share ≥1 LSH
-      * band (joined only within (band, band_hash) buckets), then exact
-      * Jaccard ≥ threshold computed over the HASHED shingle sets — long
+    /** The near-dup join over any hashed-shingle column (`hvCol` must
+      * produce a DISTINCT array<long> of shingle hashes): candidates share
+      * ≥1 LSH band (joined only within (band, band_hash) buckets), then
+      * exact Jaccard ≥ threshold computed over the hashed sets — long
       * arrays, ~8 bytes per shingle instead of the string shingle itself,
       * so the verify join (the dominant cost) shuffles an order of
       * magnitude less data. Collisions at p≈1e9 shift a 1500-shingle set's
@@ -181,15 +182,14 @@ object Dedup {
       * stays bit-exact. Hash arrays stay OUT of the band shuffle —
       * candidates re-join them by doc_id, so the wide data moves once.
       */
-    def nearDupPairsOn(docsRaw: DataFrame, shingleCol: Column, cfg: LshConfig): DataFrame = {
+    def nearDupPairsOn(docsRaw: DataFrame, hvCol: Column, cfg: LshConfig): DataFrame = {
       // The hashed-shingle set feeds four plan branches (both band sides,
       // both verify joins) and the band rows feed two; persist both so the
-      // md5+hash work runs once, not 4× — the C1 pattern the reference
+      // hash work runs once, not 4× — the C1 pattern the reference
       // applies at the same fan-out points. At cluster scale the same role
       // is played by checkpointing the signature table.
       val docs = docsRaw
-        .select(col("doc_id"), shingleCol.as("sh"))
-        .select(col("doc_id"), array_distinct(baseHashes(col("sh"))).as("hv"))
+        .select(col("doc_id"), hvCol.as("hv"))
         .filter(size(col("hv")) > 0)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val b = banded(docs, cfg).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -205,26 +205,40 @@ object Dedup {
         .filter(col("jaccard") >= cfg.threshold)
     }
 
-    /** Word-3-gram near-dup pairs (the original operator). */
+    /** Word-3-gram near-dup pairs (the original operator): md5-based
+      * shingle hashing (word shingles are few per doc; md5 cost is noise).
+      */
     def nearDupPairs(spark: SparkSession, dir: String): DataFrame =
-      nearDupPairsOn(Tables.documents(spark, dir), shingles(col("text")), WordConfig)
+      nearDupPairsOn(Tables.documents(spark, dir),
+        array_distinct(baseHashes(shingles(col("text")))), WordConfig)
 
     /** Character-5-gram near-dup pairs — the n-gram Jaccard dedup family
-      * member, robust to token-boundary edits.
+      * member, robust to token-boundary edits. Char windows are ~charlen
+      * per doc, so hashing runs through the one-pass codegen'd
+      * [[graft.plans.NGramPolyHash]] instead of split/zip/md5 plumbing.
       */
     def charGramPairs(spark: SparkSession, dir: String): DataFrame =
-      nearDupPairsOn(Tables.documents(spark, dir), charShingles(col("text"), 5), CharConfig)
+      nearDupPairsOn(Tables.documents(spark, dir),
+        org.apache.spark.sql.GraftColumnShim.column(
+          graft.plans.NGramPolyHash(
+            org.apache.spark.sql.GraftColumnShim.expression(col("text")), 5)),
+        CharConfig)
 
-    def oracleOn(shingleSql: String, cfg: LshConfig): String = {
-      // hex fold of the first 12 md5 chars, mirroring baseHashes()
+    /** DuckDB twin of [[baseHashes]] over a shingle-list SQL expression:
+      * hex fold of the first 12 md5 chars (== Spark's conv), mod p,
+      * distinct.
+      */
+    def baseHashesSql(shingleSql: String): String = {
       val hexTerms = (1 to 12).map { i =>
         s"(CAST(ascii(substring(d, $i, 1)) AS BIGINT) - 48 - CASE WHEN ascii(substring(d, $i, 1)) >= 97 THEN 39 ELSE 0 END)"
       }
       val fold = hexTerms.zipWithIndex
         .map { case (t, idx) => s"$t * ${math.pow(16, 11 - idx).toLong}" }
         .mkString(" + ")
-      val baseHash =
-        s"list_distinct(list_transform(list_transform(sh, x -> md5(x)), d -> ($fold) % $P))"
+      s"list_distinct(list_transform(list_transform($shingleSql, x -> md5(x)), d -> ($fold) % $P))"
+    }
+
+    def oracleOn(hvSql: String, cfg: LshConfig): String = {
       val sigCols = (0 until cfg.numHashes).map { i =>
         s"list_aggregate(list_transform(hv, h -> (h * ${hashA(i)} + ${hashB(i)}) % $P), 'min') AS h$i"
       }.mkString(",\n    ")
@@ -233,10 +247,8 @@ object Dedup {
           .map(r => s"h${j * cfg.rowsPerBand + r}").mkString(" || '|' || ")
         s"md5($parts)"
       }.mkString(", ")
-      s"""WITH docs AS (
-         |  SELECT doc_id, $shingleSql AS sh FROM documents
-         |), hashed AS (
-         |  SELECT doc_id, $baseHash AS hv FROM docs
+      s"""WITH hashed AS (
+         |  SELECT doc_id, $hvSql AS hv FROM documents
          |), nonempty AS (
          |  SELECT * FROM hashed WHERE len(hv) > 0
          |), sig AS (
@@ -263,8 +275,9 @@ object Dedup {
          |    / len(list_distinct(list_concat(a.hv, b.hv))) >= ${cfg.threshold}""".stripMargin
     }
 
-    def oracle: String = oracleOn(shinglesSql("text"), WordConfig)
-    def charGramOracle: String = oracleOn(charShinglesSql("text", 5), CharConfig)
+    def oracle: String = oracleOn(baseHashesSql(shinglesSql("text")), WordConfig)
+    def charGramOracle: String =
+      oracleOn(graft.plans.NGramPolyHash.sql("text", 5), CharConfig)
   }
 
   /** Apply near-dup dedup: keep the LOWEST doc_id of every near-dup pair,
