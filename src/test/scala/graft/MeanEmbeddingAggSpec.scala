@@ -20,6 +20,30 @@ class MeanEmbeddingAggSpec extends SparkSuite {
     }
   }
 
+  test("Aggregator registers as a SQL UDAF and matches the typed path") {
+    import org.apache.spark.sql.functions
+    spark.udf.register("mean_emb", functions.udaf(new MeanEmbeddingAgg.MeanEmbedding(64)))
+    Tables.embeddings(spark, Sf)
+      .selectExpr("vec_id", "embedding", "label")
+      .createOrReplaceTempView("emb_udaf")
+    val viaSql = spark.sql(
+      "SELECT label, mean_emb(vec_id, embedding, label) AS m FROM emb_udaf GROUP BY label")
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq).toMap
+    val typed = MeanEmbeddingAgg.meanByLabel(spark, Sf).collect()
+      .map { case (l, m) => l -> m.toSeq }.toMap
+    assert(viaSql === typed)
+  }
+
+  test("HLL sketch: approx_count_distinct lands within 5% of exact on fingerprints") {
+    // the cardinality tool for 100 TB dedup-key estimation: one pass, fixed
+    // memory, mergeable — exact distinct needs a full shuffle
+    val fp = Tables.documents(spark, Sf)
+      .select(graft.text.Analysis.fingerprint(col("text")).as("fp"))
+    val exact = fp.distinct().count().toDouble
+    val approx = fp.agg(approx_count_distinct(col("fp"), 0.02)).collect()(0).getLong(0).toDouble
+    assert(math.abs(approx - exact) / exact < 0.05, s"approx=$approx exact=$exact")
+  }
+
   test("aggregator buffers merge associatively across repartitionings") {
     val one = MeanEmbeddingAgg.meanByLabel(spark, Sf).collect()
       .map { case (l, m) => l -> m.toSeq }.toMap
