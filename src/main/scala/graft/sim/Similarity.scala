@@ -98,40 +98,66 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "cos_sim")
   }
 
+  /** Number of IVF coarse-quantizer seeds (vec_id < NumSeeds). */
+  val NumSeeds = 16
+
+  /** Coarse quantization: assign every vector to its nearest seed by
+    * quantized cosine (integer-exact, seed-id tie-break → deterministic).
+    * Seeds broadcast; the argmax is a per-vector window over NumSeeds
+    * rows — at scale this is the standard IVF assign step, embarrassingly
+    * parallel in the scan stage.
+    */
+  def assignLists(docs: DataFrame): DataFrame = {
+    val seeds = docs.filter(col("vec_id") < NumSeeds)
+      .select(col("vec_id").as("list_id"), col("q").as("sq"), col("n2").as("sn2"))
+    val wa = Window.partitionBy(col("vec_id")).orderBy(desc("seed_score"), asc("list_id"))
+    docs.crossJoin(broadcast(seeds))
+      .select(col("vec_id"), col("list_id"),
+        cosFromInts(dotq(col("q"), col("sq")), col("n2"), col("sn2")).as("seed_score"))
+      .withColumn("ar", row_number().over(wa))
+      .filter(col("ar") === 1)
+      .select(col("vec_id"), col("list_id"))
+  }
+
   /** Per-list summary vectors: dim-wise integer sums via posexplode —
-    * the shuffle carries (label, dim, partial-sum) longs with map-side
-    * combine, never whole arrays. Returned long-form: (label, dim, s).
+    * the shuffle carries (list_id, dim, partial-sum) longs with map-side
+    * combine, never whole arrays. Returned long-form: (list_id, dim, s).
     */
   def listSums(docs: DataFrame): DataFrame =
-    docs.select(col("label"), posexplode(col("q")).as(Seq("dim", "v")))
-      .groupBy(col("label"), col("dim"))
+    docs.select(col("list_id"), posexplode(col("q")).as(Seq("dim", "v")))
+      .groupBy(col("list_id"), col("dim"))
       .agg(sum(col("v")).as("s"))
 
-  /** IVF-style approximate top-k. List ranking uses the summary vector
-    * directly: rank by dot(q, Σ_list) / |Σ_list| — the list-size divisor
-    * cancels, so scoring stays in exact integer space.
+  /** IVF approximate top-k with a genuine coarse quantizer: vectors are
+    * assigned to their nearest of [[NumSeeds]] seed vectors; each query
+    * ranks list summaries and probes only the best [[NProbe]] lists.
+    * List ranking uses the summary vector directly: rank by
+    * dot(q, Σ_list) / |Σ_list| — the list-size divisor cancels, so scoring
+    * stays in exact integer space.
     */
   def ivfTopK(spark: SparkSession, dir: String): DataFrame = {
     val docs = quantized(spark, dir)
-    // compact per-list summaries: (label, sumvec, sn2)
-    val sums = listSums(docs)
-      .groupBy(col("label"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val assigned = docs.join(assignLists(docs), "vec_id")
+    // compact per-list summaries: (list_id, sumvec, sn2)
+    val sums = listSums(assigned)
+      .groupBy(col("list_id"))
       .agg(array_sort(collect_list(struct(col("dim"), col("s")))).as("ds"))
-      .select(col("label"), transform(col("ds"), _.getField("s")).as("sumvec"))
-      .withColumn("sn2", dotq(col("sumvec"), col("sumvec")))
+      .select(col("list_id"), transform(col("ds"), _.getField("s")).as("sumvec"))
+      .withColumn("ln2", dotq(col("sumvec"), col("sumvec")))
     val qs = docs.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("q").as("qq"), col("n2").as("qn2"))
     // rank lists per query, keep nprobe
-    val wl = Window.partitionBy(col("query_id")).orderBy(desc("list_score"), asc("label"))
+    val wl = Window.partitionBy(col("query_id")).orderBy(desc("list_score"), asc("list_id"))
     val probes = qs.crossJoin(broadcast(sums))
-      .select(col("query_id"), col("qq"), col("qn2"), col("label"),
-        cosFromInts(dotq(col("qq"), col("sumvec")), col("qn2"), col("sn2")).as("list_score"))
+      .select(col("query_id"), col("qq"), col("qn2"), col("list_id"),
+        cosFromInts(dotq(col("qq"), col("sumvec")), col("qn2"), col("ln2")).as("list_score"))
       .withColumn("pr", row_number().over(wl))
       .filter(col("pr") <= NProbe)
-      .select(col("query_id"), col("qq"), col("qn2"), col("label"))
+      .select(col("query_id"), col("qq"), col("qn2"), col("list_id"))
     // score only vectors in probed lists
     val w = Window.partitionBy(col("query_id")).orderBy(desc("cos_sim"), asc("neighbor_id"))
-    docs.join(broadcast(probes), "label")
+    assigned.join(broadcast(probes), "list_id")
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         cosFromInts(dotq(col("q"), col("qq")), col("n2"), col("qn2")).as("cos_sim"))
@@ -220,38 +246,51 @@ object Similarity {
        |FROM scored
        |QUALIFY rank <= $K""".stripMargin
 
-  /** IVF oracle: per-list dim sums via an explicit unnest-regroup, exactly
-    * mirroring the Spark posexplode plan.
+  /** IVF oracle: nearest-seed assignment, per-list dim sums via an
+    * explicit unnest-regroup, probe ranking — exactly mirroring the Spark
+    * plan stage for stage.
     */
   def ivfOracle: String =
     s"""WITH docs AS ($quantizedSql),
+       |seeds AS (
+       |  SELECT vec_id AS list_id, q AS sq, n2 AS sn2 FROM docs WHERE vec_id < $NumSeeds
+       |),
+       |assigned_l AS (
+       |  SELECT d.vec_id, s.list_id,
+       |    ${cosSql(dotSql("d.q", "s.sq"), "d.n2", "s.sn2")} AS seed_score
+       |  FROM docs d CROSS JOIN seeds s
+       |  QUALIFY row_number() OVER (PARTITION BY d.vec_id ORDER BY seed_score DESC, s.list_id) = 1
+       |),
+       |assigned AS (
+       |  SELECT d.*, a.list_id FROM docs d JOIN assigned_l a ON d.vec_id = a.vec_id
+       |),
        |exploded AS (
-       |  SELECT label, i AS dim, q[i] AS v
-       |  FROM docs, unnest(range(1, 65)) AS t(i)
+       |  SELECT list_id, i AS dim, q[i] AS v
+       |  FROM assigned, unnest(range(1, 65)) AS t(i)
        |),
        |sums_long AS (
-       |  SELECT label, dim, sum(v) AS s FROM exploded GROUP BY label, dim
+       |  SELECT list_id, dim, sum(v) AS s FROM exploded GROUP BY list_id, dim
        |),
        |sums AS (
-       |  SELECT label, list(s ORDER BY dim) AS sumvec FROM sums_long GROUP BY label
+       |  SELECT list_id, list(s ORDER BY dim) AS sumvec FROM sums_long GROUP BY list_id
        |),
        |sums2 AS (
-       |  SELECT label, sumvec, ${dotSql("sumvec", "sumvec")} AS sn2 FROM sums
+       |  SELECT list_id, sumvec, ${dotSql("sumvec", "sumvec")} AS ln2 FROM sums
        |),
        |qs AS (SELECT vec_id AS query_id, q AS qq, n2 AS qn2 FROM docs WHERE vec_id < $NumQueries),
        |probes AS (
-       |  SELECT query_id, qq, qn2, label
+       |  SELECT query_id, qq, qn2, list_id
        |  FROM (
-       |    SELECT qs.query_id, qs.qq, qs.qn2, s.label,
-       |      ${cosSql(dotSql("qs.qq", "s.sumvec"), "qs.qn2", "s.sn2")} AS list_score
+       |    SELECT qs.query_id, qs.qq, qs.qn2, s.list_id,
+       |      ${cosSql(dotSql("qs.qq", "s.sumvec"), "qs.qn2", "s.ln2")} AS list_score
        |    FROM qs CROSS JOIN sums2 s
        |  )
-       |  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY list_score DESC, label) <= $NProbe
+       |  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY list_score DESC, list_id) <= $NProbe
        |),
        |scored AS (
        |  SELECT p.query_id, d.vec_id AS neighbor_id,
        |    ${cosSql(dotSql("d.q", "p.qq"), "d.n2", "p.qn2")} AS cos_sim
-       |  FROM docs d JOIN probes p ON d.label = p.label
+       |  FROM assigned d JOIN probes p ON d.list_id = p.list_id
        |  WHERE d.vec_id != p.query_id
        |)
        |SELECT query_id, neighbor_id,
