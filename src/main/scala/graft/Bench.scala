@@ -24,7 +24,7 @@ object Bench {
     * tiny row.
     */
   def fullEval(df: DataFrame): Unit = {
-    val h = xxhash64(struct(df.columns.map(col): _*))
+    val h = xxhash64(struct(df.columns.toIndexedSeq.map(col): _*))
     df.select(bit_xor(h)).collect()
     ()
   }

@@ -75,7 +75,7 @@ object DistinctUpsert {
   /** drop (P5 ↔ :227-228) + cast-all-to-string (P6 ↔ :230). */
   def shaped(spark: SparkSession, dir: String): DataFrame = {
     val dropped = distinctSource(spark, dir).drop("total_price")
-    dropped.select(dropped.columns.map(c => col(c).cast("string").as(c)): _*)
+    dropped.select(dropped.columns.toIndexedSeq.map(c => col(c).cast("string").as(c)): _*)
   }
 
   /** A4 upsert-by-key: keep exactly one row per incident_number —

@@ -86,7 +86,7 @@ object Preprocess {
     val parts = if (partitions > 0) partitions else spark.sessionState.conf.numShufflePartitions
     val sorted = df.repartitionByRange(parts, col(orderKey)).sortWithinPartitions(orderKey)
     val schema = StructType(sorted.schema.fields :+ StructField("row_num", LongType, nullable = false))
-    val rdd = sorted.rdd.zipWithIndex.map { case (r, i) => Row.fromSeq(r.toSeq :+ (i + 1L)) }
+    val rdd = sorted.rdd.zipWithIndex().map { case (r, i) => Row.fromSeq(r.toSeq :+ (i + 1L)) }
     spark.createDataFrame(rdd, schema)
   }
 
