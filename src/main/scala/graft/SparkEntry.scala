@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.dedup.Dedup
-import graft.ops.{Events, Relational, SrData}
+import graft.ops.{AsofJoin, Events, Relational, SrData}
 import graft.pipelines.{DistinctUpsert, Preprocess}
 import graft.multimodal.Multimodal
 import graft.sim.Similarity
@@ -30,6 +30,7 @@ object SparkEntry {
       (Similarity.queries, Similarity.oracleSql),
       (Events.queries, Events.oracleSql),
       (Keyword.queries, Keyword.oracleSql),
+      (AsofJoin.queries, AsofJoin.oracleSql),
       (Multimodal.queries, Multimodal.oracleSql)
     )
 

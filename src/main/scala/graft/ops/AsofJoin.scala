@@ -1,0 +1,89 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** As-of join — for every left row, the latest right row with
+  * `right.ts <= left.ts` within the same key. Spark has no native ASOF
+  * operator; per the custom-operator preference order the engine composes
+  * it from existing primitives (union + ordered window + last(ignoreNulls))
+  * rather than a custom physical node:
+  *
+  *   1. Tag both sides and `unionByName` them.
+  *   2. One window per key ordered by (ts, side) — right rows sort BEFORE
+  *      left rows at equal timestamps, so `ts >= rts` includes equality.
+  *   3. `last(value, ignoreNulls = true)` over rows unbounded-preceding..
+  *      current carries the most recent right-side payload forward.
+  *   4. Keep left rows.
+  *
+  * Scale shape: ONE shuffle (hash by key) + per-key sort — identical cost
+  * to the sort-merge join Spark would run anyway, with no range-explosion:
+  * the classic union trick is how production systems express as-of at
+  * scale. The DuckDB oracle uses its NATIVE `ASOF LEFT JOIN`, making the
+  * gate a strong independent check of the composition's semantics.
+  */
+object AsofJoin {
+
+  /** Generic composed as-of join.
+    *
+    * @param left     left side, must contain `key` and `ts`
+    * @param right    right side, must contain `key` and `ts`; its OTHER
+    *                 columns are carried as the as-of payload
+    * @return left columns + right payload columns (null when no right row
+    *         at or before the left timestamp)
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String, ts: String): DataFrame = {
+    val payloadCols = right.columns.filterNot(c => c == key || c == ts).toSeq
+    require(payloadCols.nonEmpty, "right side needs at least one payload column")
+    val leftCols = left.columns.toSeq
+
+    val l = payloadCols.foldLeft(left.withColumn("__side", lit(1))) {
+      (df, c) => df.withColumn(c, lit(null).cast(right.schema(c).dataType))
+    }
+    val extraLeftCols = leftCols.filterNot(c => c == key || c == ts)
+    val r = extraLeftCols.foldLeft(
+        right.withColumn("__side", lit(0))) {
+      (df, c) => df.withColumn(c, lit(null).cast(left.schema(c).dataType))
+    }
+
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(ts).asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = payloadCols.foldLeft(l.unionByName(r)) { (df, c) =>
+      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+    carried.filter(col("__side") === 1)
+      .select((leftCols ++ payloadCols).map(col): _*)
+  }
+
+  /** Query: each event joined to the most recent preceding 'error' event of
+    * the same user (including itself when the event IS an error).
+    */
+  def eventsAsofErrors(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select("event_id", "user_id", "ts", "event_type")
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("prev_err_id"), col("ts").as("prev_err_ts"))
+    asofJoin(ev.select("event_id", "user_id", "ts"), errors, "user_id", "ts")
+      .select("event_id", "user_id", "prev_err_id", "prev_err_ts")
+  }
+
+  def eventsAsofErrorsOracle: String =
+    s"""SELECT e.event_id, e.user_id,
+       |  x.event_id AS prev_err_id,
+       |  x.ts AS prev_err_ts
+       |FROM events e ASOF LEFT JOIN (
+       |  SELECT user_id, ts, event_id FROM events WHERE event_type = 'error'
+       |) x ON e.user_id = x.user_id AND e.ts >= x.ts""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_asof_join" -> ((s, dir) => eventsAsofErrors(s, dir))
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_asof_join" -> eventsAsofErrorsOracle
+  )
+}
