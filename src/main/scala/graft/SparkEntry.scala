@@ -31,6 +31,9 @@ object SparkEntry {
       (Events.queries, Events.oracleSql),
       (Keyword.queries, Keyword.oracleSql),
       (AsofJoin.queries, AsofJoin.oracleSql),
+      (Map[String, (SparkSession, String) => DataFrame](
+        "q_range_join" -> ((s, dir) => graft.streaming.Sessionize.assignEventsToSessions(s, dir))),
+        Map("q_range_join" -> graft.streaming.Sessionize.assignOracle)),
       (Multimodal.queries, Multimodal.oracleSql)
     )
 

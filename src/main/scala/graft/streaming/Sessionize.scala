@@ -83,6 +83,49 @@ object Sessionize {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(updateSessions)
   }
 
+  /** Range join: assign every event to its containing session interval —
+    * `user_id` equality carries the join (hash shuffle, no range
+    * explosion), the `BETWEEN` rides as a post-join predicate. The classic
+    * interval-assignment shape: at scale the equi key bounds each range
+    * probe to one user's sessions.
+    */
+  def assignEventsToSessions(spark: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val sessions = sessionizeBatch(spark, dir)
+      .select(col("user_id"), col("session_start"), col("session_end"), col("n_events"))
+    graft.Tables.events(spark, dir).select(col("event_id"), col("user_id"), col("ts"))
+      .join(sessions, Seq("user_id"))
+      .filter(col("ts") >= col("session_start") && col("ts") <= col("session_end"))
+      .select(col("event_id"), col("user_id"), col("session_start"),
+        col("session_end"), col("n_events"))
+  }
+
+  /** DuckDB oracle: the same lag/cumsum sessionization and interval join. */
+  def assignOracle: String =
+    s"""WITH base AS (
+       |  SELECT user_id, ts,
+       |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+       |  FROM events
+       |), flagged AS (
+       |  SELECT user_id, ts,
+       |    CASE WHEN prev_ts IS NULL
+       |              OR epoch_ms(ts) - epoch_ms(prev_ts) > $GapMs THEN 1 ELSE 0 END AS new_session
+       |  FROM base
+       |), numbered AS (
+       |  SELECT user_id, ts,
+       |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+       |  FROM flagged
+       |), sessions AS (
+       |  SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+       |    count(*) AS n_events
+       |  FROM numbered GROUP BY user_id, session_id
+       |)
+       |SELECT e.event_id, e.user_id, s.session_start, s.session_end, s.n_events
+       |FROM events e JOIN sessions s
+       |  ON e.user_id = s.user_id
+       | AND e.ts >= s.session_start AND e.ts <= s.session_end""".stripMargin
+
   /** Batch twin over the fixture for cross-checking: classic gap
     * sessionization via lag + cumulative session ids.
     */
