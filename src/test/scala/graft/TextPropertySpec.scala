@@ -106,6 +106,16 @@ class TextPropertySpec extends SparkSuite {
     assert(fromSpark.toSeq == samples.map(preprocessScala))
   }
 
+  test("keyword normalizer: every fold-table char maps to lowercase ASCII") {
+    import spark.implicits._
+    import graft.text.Keyword
+    val folded = Seq(Keyword.FoldFrom + Keyword.FoldFrom.toUpperCase)
+      .toDF("s").select(Keyword.keywordNormalize(col("s"))).collect()(0).getString(0)
+    // (no length assertion: "ß".toUpperCase is the two-char "SS", which
+    // lowercases to plain ASCII "ss" rather than passing through the fold)
+    assert(folded.forall(c => c < 128 && !c.isUpper), s"unfolded output: $folded")
+  }
+
   test("UDF registration surface: registered normalize UDF equals the expression form") {
     import spark.implicits._
     spark.udf.register("normalize_text", Normalize.normalizeTextScala)
