@@ -15,6 +15,30 @@ class EventsSpec extends SparkSuite {
     assert(out.filter(col("sum_k").isNull).count() === 0)
   }
 
+  test("writeStream lands append-mode results in checkpointed parquet (production sink path)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    val mem = MemoryStream[(java.sql.Timestamp, String, Double, String)]
+    val q = EventsStream.hourlyJsonAggStream(mem.toDF().toDF("ts", "event_type", "value", "props"))
+      .writeStream.format("parquet")
+      .option("path", s"$base/out")
+      .option("checkpointLocation", s"$base/ckpt")
+      .outputMode("append")
+      .start()
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    mem.addData((ts("2024-01-01 10:10:00"), "click", 1.00, """{"k": 2}"""))
+    q.processAllAvailable()
+    mem.addData((ts("2024-01-01 15:00:00"), "view", 0.0, """{"k": 0}""")) // advances watermark
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.read.parquet(s"$base/out")
+    assert(out.count() === 1, "exactly the closed 10:00 window is committed")
+    val r = out.collect()(0)
+    assert(r.getAs[String]("event_type") == "click" && r.getAs[Long]("sum_k") == 2L)
+    assert(new java.io.File(s"$base/ckpt").exists(), "checkpoint directory materialized")
+  }
+
   test("streaming twin produces the same rows as batch once the source is exhausted") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
