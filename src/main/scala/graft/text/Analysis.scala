@@ -37,9 +37,16 @@ object Analysis {
   /** Predicted language code; 'und' for NULL text or when no marker hits
     * at all (a NULL guard keeps missing text from falling through every
     * unknown-valued comparison into the last branch).
+    *
+    * The argmax when-chain references each language's score ~|langs| times;
+    * queries should materialize the token array first and call
+    * [[langIdFromTokens]] so those references re-filter a bound array
+    * instead of re-running the tokenization (Catalyst inlines the full
+    * sub-tree per reference — the lambda-substitution trap).
     */
-  def langId(c: Column): Column = {
-    val toks = tokens(c)
+  def langId(c: Column): Column = langIdFromTokens(c, tokens(c))
+
+  def langIdFromTokens(c: Column, toks: Column): Column = {
     val scores = LangMarkers.map { case (lang, m) => lang -> hits(toks, m) }
     val total = scores.map(_._2).reduce(_ + _)
     // greatest-score argmax with fixed-order tie-break: lang i wins if its
@@ -83,8 +90,14 @@ object Analysis {
     * NULL on both engines (DuckDB's list_sum([]) is NULL and 0/0.0 is NaN,
     * Spark's would be NULL and NULL — unguarded they diverge).
     */
-  def qualityColumns(c: Column): Seq[(String, Column)] = {
-    val toks = tokens(c)
+  def qualityColumns(c: Column): Seq[(String, Column)] =
+    qualityColumnsFromTokens(c, tokens(c))
+
+  /** Variant over a pre-materialized token column — six output columns
+    * each reference the tokens, so queries should bind them once (see
+    * [[langIdFromTokens]]).
+    */
+  def qualityColumnsFromTokens(c: Column, toks: Column): Seq[(String, Column)] = {
     val n = size(toks)
     val nD = n.cast("double")
     val types = size(array_distinct(toks))
@@ -179,11 +192,16 @@ object Analysis {
         concat_ws(" ", TextOps.preprocess(col("text"))).as("processed"),
         size(TextOps.preprocess(col("text"))).cast("long").as("n_out_tokens"))),
     "q_lang_id" -> ((s, dir) =>
-      Tables.documents(s, dir).select(col("doc_id"), col("lang"),
-        langId(col("text")).as("lang_pred"))),
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("text"), tokens(col("text")).as("toks"))
+        .select(col("doc_id"), col("lang"),
+          langIdFromTokens(col("text"), col("toks")).as("lang_pred"))),
     "q_text_quality" -> ((s, dir) => {
-      val cols = qualityColumns(col("text")).map { case (n, c) => c.as(n) }
-      Tables.documents(s, dir).select(col("doc_id") +: cols: _*)
+      val cols = qualityColumnsFromTokens(col("text"), col("toks"))
+        .map { case (n, c) => c.as(n) }
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"), tokens(col("text")).as("toks"))
+        .select(col("doc_id") +: cols: _*)
     }),
     "q_token_count" -> ((s, dir) =>
       Tables.documents(s, dir).select(col("doc_id"),
