@@ -188,9 +188,11 @@ object Analysis {
       Tables.documents(s, dir).select(col("doc_id"),
         Normalize.normalizeText(col("text")).as("norm_text"))),
     "q_tokenize_stopword_lemma" -> ((s, dir) =>
-      Tables.documents(s, dir).select(col("doc_id"),
-        concat_ws(" ", TextOps.preprocess(col("text"))).as("processed"),
-        size(TextOps.preprocess(col("text"))).cast("long").as("n_out_tokens"))),
+      Tables.documents(s, dir)
+        .select(col("doc_id"), TextOps.preprocess(col("text")).as("p"))
+        .select(col("doc_id"),
+          concat_ws(" ", col("p")).as("processed"),
+          size(col("p")).cast("long").as("n_out_tokens"))),
     "q_lang_id" -> ((s, dir) =>
       Tables.documents(s, dir)
         .select(col("doc_id"), col("lang"), col("text"), tokens(col("text")).as("toks"))
