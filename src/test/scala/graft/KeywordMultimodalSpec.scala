@@ -27,6 +27,16 @@ class KeywordMultimodalSpec extends SparkSuite {
     mt.show(3) // O3 show(n) surface — smoke
   }
 
+  test("binary metadata counts BYTES, not characters, for multibyte payloads") {
+    import spark.implicits._
+    val r = Seq("héllo 中").toDF("text")
+      .select(octet_length(col("text").cast("binary")).as("b"), length(col("text")).as("c"))
+      .collect()(0)
+    assert(r.getInt(0) === "héllo 中".getBytes("UTF-8").length)
+    assert(r.getInt(1) === 7) // characters
+    assert(r.getInt(0) > r.getInt(1), "UTF-8 bytes exceed char count for multibyte text")
+  }
+
   test("fake features are deterministic and stable across evaluations") {
     val a = Multimodal.mediaFeatures(spark, Sf).orderBy("media_id").limit(5).collect()
     val b = Multimodal.mediaFeatures(spark, Sf).orderBy("media_id").limit(5).collect()

@@ -54,6 +54,15 @@ class SinksSpec extends SparkSuite {
     assert(out === Map("k1" -> "v2", "k2" -> "w1"))
   }
 
+  test("S5 merge fails loudly on schema drift instead of silently dropping columns") {
+    import spark.implicits._
+    val existing = Seq(("k1", "2020-01-01", "old")).toDF("id", "ver", "payload")
+    val drifted = Seq(("k1", "2021-01-01")).toDF("id", "ver") // payload missing
+    intercept[org.apache.spark.sql.AnalysisException] {
+      Sinks.mergeByKey(existing, drifted, "id", "ver").collect()
+    }
+  }
+
   test("S6 registry: ensureExists creates once with the typed schema, then no-ops") {
     val base = tmpDir()
     assert(Sinks.SchemaRegistry.ensureExists(spark, "sr_data_index", base))
