@@ -52,11 +52,42 @@ object Events {
        |FROM events
        |GROUP BY 1, 2""".stripMargin
 
+  /** Fixed pivot value list — explicit so the output schema is static
+    * (an unlisted value would otherwise trigger a distinct-scan job and a
+    * data-dependent schema, both wrong for a production pipeline).
+    */
+  val EventTypes: Seq[String] = Seq("click", "view", "purchase", "signup", "error")
+
+  /** Per-user-day event counts pivoted to one column per type — the
+    * `groupBy().pivot()` relational surface. Spark leaves combinations
+    * with no rows null; they are coalesced to 0 to match plain
+    * conditional-aggregation semantics (the oracle's FILTER form).
+    */
+  def dailyTypePivot(spark: SparkSession, dir: String): DataFrame = {
+    val pivoted = Tables.events(spark, dir)
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .pivot("event_type", EventTypes)
+      .agg(count(lit(1)))
+    pivoted.select(
+      col("user_id") +: col("day") +:
+        EventTypes.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+  }
+
+  def dailyTypePivotOracle: String = {
+    val cols = EventTypes.map(t => s"count(*) FILTER (event_type = '$t') AS $t").mkString(",\n  ")
+    s"""SELECT user_id, CAST(ts AS DATE) AS day,
+       |  $cols
+       |FROM events
+       |GROUP BY user_id, CAST(ts AS DATE)""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_events_json" -> ((s, dir) => hourlyJsonAgg(s, dir))
+    "q_events_json" -> ((s, dir) => hourlyJsonAgg(s, dir)),
+    "q_events_pivot" -> ((s, dir) => dailyTypePivot(s, dir))
   )
 
   def oracleSql: Map[String, String] = Map(
-    "q_events_json" -> hourlyJsonAggOracle
+    "q_events_json" -> hourlyJsonAggOracle,
+    "q_events_pivot" -> dailyTypePivotOracle
   )
 }
