@@ -81,13 +81,46 @@ object Events {
        |GROUP BY user_id, CAST(ts AS DATE)""".stripMargin
   }
 
+  /** Unpivot (melt) the pivoted frame back to long form — the inverse
+    * surface; zero-count combinations are dropped so the round trip equals
+    * the plain grouped count.
+    */
+  def dailyTypeUnpivot(spark: SparkSession, dir: String): DataFrame =
+    dailyTypePivot(spark, dir)
+      .unpivot(Array(col("user_id"), col("day")), EventTypes.map(col).toArray,
+        "event_type", "n_events")
+      .filter(col("n_events") > 0)
+
+  def dailyTypeUnpivotOracle: String =
+    s"""SELECT user_id, CAST(ts AS DATE) AS day, event_type, count(*) AS n_events
+       |FROM events
+       |GROUP BY 1, 2, 3""".stripMargin
+
+  /** Rollup: day × type counts with per-day subtotals and a grand total —
+    * the grouping-sets surface. Subtotal rows carry NULL grouping columns
+    * in both engines.
+    */
+  def dailyRollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .rollup(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+
+  def dailyRollupOracle: String =
+    s"""SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n_events
+       |FROM events
+       |GROUP BY ROLLUP (CAST(ts AS DATE), event_type)""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_events_json" -> ((s, dir) => hourlyJsonAgg(s, dir)),
-    "q_events_pivot" -> ((s, dir) => dailyTypePivot(s, dir))
+    "q_events_pivot" -> ((s, dir) => dailyTypePivot(s, dir)),
+    "q_events_unpivot" -> ((s, dir) => dailyTypeUnpivot(s, dir)),
+    "q_events_rollup" -> ((s, dir) => dailyRollup(s, dir))
   )
 
   def oracleSql: Map[String, String] = Map(
     "q_events_json" -> hourlyJsonAggOracle,
-    "q_events_pivot" -> dailyTypePivotOracle
+    "q_events_pivot" -> dailyTypePivotOracle,
+    "q_events_unpivot" -> dailyTypeUnpivotOracle,
+    "q_events_rollup" -> dailyRollupOracle
   )
 }
