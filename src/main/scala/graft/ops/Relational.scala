@@ -172,17 +172,49 @@ object Relational {
       |    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
       |)""".stripMargin
 
+  /** Set-operation surface: customers who ordered in 1996 but not 1997
+    * (EXCEPT) and in both years (INTERSECT). Distinct set semantics on
+    * both engines; single integer column so results are hash-stable.
+    */
+  def q22SetOps(spark: SparkSession, dir: String): DataFrame = {
+    def buyersIn(year: Int) = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit(s"$year-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit(s"${year + 1}-01-01").cast("timestamp"))
+      .select(col("o_custkey"))
+    val churned = buyersIn(1996).except(buyersIn(1997))
+      .select(col("o_custkey"), lit("churned").as("cohort"))
+    val retained = buyersIn(1996).intersect(buyersIn(1997))
+      .select(col("o_custkey"), lit("retained").as("cohort"))
+    churned.unionByName(retained)
+  }
+
+  val q22Oracle: String =
+    """WITH y96 AS (
+      |  SELECT o_custkey FROM orders
+      |  WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      |), y97 AS (
+      |  SELECT o_custkey FROM orders
+      |  WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      |)
+      |SELECT o_custkey, 'churned' AS cohort FROM (SELECT * FROM y96 EXCEPT SELECT * FROM y97)
+      |UNION ALL
+      |SELECT o_custkey, 'retained' AS cohort FROM (SELECT * FROM y96 INTERSECT SELECT * FROM y97)""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> ((s, dir) => q1PricingSummary(s, dir)),
     "q3_top_revenue"     -> ((s, dir) => q3TopRevenue(s, dir)),
     "q5_local_volume"    -> ((s, dir) => q5LocalVolume(s, dir)),
-    "q14_promo_share"    -> ((s, dir) => q14PromoShare(s, dir))
+    "q14_promo_share"    -> ((s, dir) => q14PromoShare(s, dir)),
+    "q22_set_ops"        -> ((s, dir) => q22SetOps(s, dir))
   )
 
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" -> q1Oracle,
     "q3_top_revenue"     -> q3Oracle,
     "q5_local_volume"    -> q5Oracle,
-    "q14_promo_share"    -> q14Oracle
+    "q14_promo_share"    -> q14Oracle,
+    "q22_set_ops"        -> q22Oracle
   )
 }
