@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.sim.Similarity
+
+/** User-facing façade — the high-level calls a user of the reference
+  * scripts (or any training-data pipeline) reaches for, each delegating to
+  * the oracle-gated operators underneath. One import, no plumbing:
+  *
+  * {{{
+  * import graft.Graft
+  * val spark = Graft.session()                    // tuned local session
+  * Graft.runSqlToParquet(spark, sfDir, out)       // pipeline 1
+  * Graft.dedupCorpus(docsDf)                      // exact + near-dup drop
+  * Graft.searchTopK(spark, sfDir)                 // ANN top-k
+  * }}}
+  */
+object Graft {
+
+  /** A session configured the way every graft entry point expects:
+    * UTC clock, right-sized shuffle partitions, and the extension pack
+    * (dot_long / ngram_poly_hash SQL functions + SargableMonthRule).
+    */
+  def session(threads: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$threads]")
+      .config("spark.sql.shuffle.partitions", threads)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  // ---- the three reference pipelines ----
+
+  /** Star query → keyword normalize → index DDL → keyed sink; returns rows written. */
+  def runSqlToParquet(spark: SparkSession, sfDir: String, outBase: String): Long =
+    pipelines.SqlToParquet.run(spark, sfDir, outBase)
+
+  /** DISTINCT source → cast-all → last-writer-wins merge by key. */
+  def runDistinctUpsert(spark: SparkSession, sfDir: String): DataFrame =
+    pipelines.DistinctUpsert.distinctUpsert(spark, sfDir)
+
+  /** NLP preprocess → scalable numbering → chunk gather (one month bucket). */
+  def runPreprocessMonthly(spark: SparkSession, sfDir: String, monthBucket: String,
+                           chunkSize: Int = pipelines.Preprocess.RefChunkSize): DataFrame =
+    pipelines.Preprocess.preprocessMonthly(spark, sfDir, monthBucket, chunkSize)
+
+  // ---- training-data operators over a (doc_id, text) corpus ----
+
+  /** Drop exact duplicates (normalized-text fingerprint, keep lowest doc_id). */
+  def dedupExact(docs: DataFrame): DataFrame =
+    Dedup.Exact.dedupExact(docs)
+
+  /** Drop near-duplicates: word-shingle MinHash LSH pairs, greedy
+    * representative selection. Returns the surviving rows of `docs`.
+    */
+  def dedupCorpus(docs: DataFrame): DataFrame = {
+    val hv = array_distinct(Dedup.MinHashLSH.baseHashes(Dedup.shingles(col("text"))))
+    val pairs = Dedup.MinHashLSH.nearDupPairsOn(docs, hv, Dedup.MinHashLSH.WordConfig)
+    Dedup.dropNearDups(docs, pairs)
+  }
+
+  /** Per-document quality/text-analysis frame: language, token counts,
+    * quality score, fingerprint.
+    */
+  def analyzeCorpus(docs: DataFrame): DataFrame = {
+    val toks = text.TextOps.tokenize(col("text"))
+    val withToks = docs.select(col("doc_id"), col("text"), toks.as("toks"))
+    val quality = text.Analysis.qualityColumnsFromTokens(col("text"), col("toks"))
+      .map { case (n, c) => c.as(n) }
+    withToks.select(
+      Seq(col("doc_id"),
+        text.Analysis.langIdFromTokens(col("text"), col("toks")).as("lang_pred"),
+        text.Analysis.fingerprint(col("text")).as("fp_md5")) ++ quality: _*)
+  }
+
+  /** Exact cosine top-k neighbors for the fixture's query set. */
+  def searchTopK(spark: SparkSession, sfDir: String): DataFrame =
+    Similarity.topK(spark, sfDir)
+
+  /** IVF-probed approximate top-k (the 100 TB path). */
+  def searchTopKApprox(spark: SparkSession, sfDir: String): DataFrame =
+    Similarity.ivfTopK(spark, sfDir)
+}
