@@ -59,6 +59,40 @@ object Multimodal {
     transform(sequence(lit(0), lit(nFrames - 1)),
       i => content.substr(i * frameSize + 1, lit(frameSize)))
 
+  /** Batched decode over partitions — the Scala analog of `mapInPandas`:
+    * the decoder handle is constructed ONCE PER PARTITION and reused for
+    * every row in the batch (real codecs/models pay heavy init; per-row
+    * construction is the classic mistake). The fake decoder is
+    * deterministic (payload length + first-byte features); swap
+    * `FakeDecoder` for a real codec on a cluster with media libraries —
+    * the iterator plumbing, schema, and batch shape stay identical.
+    *
+    * Returns (media_id, n_bytes, f_head) rows; `decoderInits` counts
+    * constructor calls so tests can prove per-partition (not per-row)
+    * initialization.
+    */
+  def decodeBatched(media: DataFrame,
+                    initCounter: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        initCounter.foreach(_.add(1L))
+        val decoder = new FakeDecoder // once per batch
+        rows.map { case (id, bytes) => (id, bytes.length.toLong, decoder.decode(bytes)) }
+      }
+      .toDF("media_id", "n_bytes", "f_head")
+  }
+
+  /** Stand-in for an expensive-to-construct codec (JPEG decoder, audio
+    * resampler...). Deterministic: "feature" = first byte or -1.
+    */
+  final class FakeDecoder {
+    def decode(bytes: Array[Byte]): Long =
+      if (bytes.isEmpty) -1L else java.lang.Byte.toUnsignedLong(bytes(0))
+  }
+
   /** documents → media table: text payloads as binary stand-ins for image
     * bytes, with the typed metadata struct. The binary column is genuine
     * (`cast(text AS BINARY)` = UTF-8 bytes, same as DuckDB `encode`).

@@ -52,6 +52,23 @@ class KeywordMultimodalSpec extends SparkSuite {
     assert(frames == Seq("abc", "def", "ghi"))
   }
 
+  test("batched decode constructs the decoder once per partition, not per row") {
+    val media = Multimodal.mediaTable(spark, Sf).repartition(3).cache()
+    val acc = spark.sparkContext.longAccumulator("decoderInits")
+    val out = Multimodal.decodeBatched(media, Some(acc)).cache()
+    val rows = out.count()
+    assert(rows === media.count() && rows > 3)
+    assert(acc.value === 3L, s"decoder must init per partition (3), not per row: ${acc.value}")
+    // features deterministic: first UTF-8 byte of each payload
+    val sample = out.join(media.select(col("media_id"), col("content")), "media_id")
+      .limit(20).collect()
+    sample.foreach { r =>
+      val bytes = r.getAs[Array[Byte]]("content")
+      val expect = if (bytes.isEmpty) -1L else java.lang.Byte.toUnsignedLong(bytes(0))
+      assert(r.getAs[Long]("f_head") === expect)
+    }
+  }
+
   test("real decoder entry point is a marked stub that refuses to run here") {
     intercept[UnsupportedOperationException] {
       Multimodal.decodeReal(col("x"))
