@@ -42,6 +42,19 @@ class SargableMonthRuleSpec extends SparkSuite {
     assert(plan.contains("concat_ws"), "mixed-expression month/year must be left alone")
   }
 
+  test("fires on a genuine DateType column (not just timestamp-under-cast)") {
+    val p = java.nio.file.Files.createTempDirectory("graft-datecol").toString + "/t"
+    Tables.orders(spark, Sf).select(col("o_orderkey"), col("o_orderdate").cast("date").as("d"))
+      .write.parquet(p)
+    val df = spark.read.parquet(p)
+      .filter(concat_ws("-", month(col("d")), year(col("d"))) === "3-1997")
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("concat_ws"), s"DateType branch should rewrite too:\n$plan")
+    val expected = spark.read.parquet(p)
+      .filter(col("d") >= lit("1997-03-01").cast("date") && col("d") < lit("1997-04-01").cast("date"))
+    assert(df.count() === expected.count() && df.count() > 0)
+  }
+
   test("null dates are dropped by both forms alike") {
     import spark.implicits._
     val df = Seq(Some("1997-03-15"), None).toDF("s")
