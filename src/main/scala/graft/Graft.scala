@@ -25,16 +25,23 @@ object Graft {
     * (dot_long / ngram_poly_hash SQL functions + SargableMonthRule).
     */
   def session(threads: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {
-    val s = SparkSession.builder()
+    val s = configure(SparkSession.builder())
       .master(s"local[$threads]")
       .config("spark.sql.shuffle.partitions", threads)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
   }
+
+  /** Apply graft's required session config to ANY builder — the cluster
+    * path: bring your own master/deploy settings, graft adds the UTC clock
+    * and the extension pack. (Shuffle partitioning is left to the caller /
+    * AQE on a real cluster.)
+    */
+  def configure(b: SparkSession.Builder): SparkSession.Builder =
+    b.config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
 
   // ---- the three reference pipelines ----
 
