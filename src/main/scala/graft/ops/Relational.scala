@@ -202,7 +202,27 @@ object Relational {
       |UNION ALL
       |SELECT o_custkey, 'retained' AS cohort FROM (SELECT * FROM y96 INTERSECT SELECT * FROM y97)""".stripMargin
 
+  /** Correlated-subquery surface through the SQL entry path: ONE
+    * dialect-neutral SQL string runs verbatim on Spark (over temp views,
+    * C6) and as its own DuckDB oracle — the strongest possible
+    * SQL-compatibility statement. Catalyst decorrelates both predicates
+    * into semi/anti joins (no per-row subquery execution).
+    */
+  val ExistsSql: String =
+    """SELECT c_custkey, c_name FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |              WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+      |  AND NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')""".stripMargin
+
+  def qExistsSubquery(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("customer")
+    Tables.orders(spark, dir).createOrReplaceTempView("orders")
+    spark.sql(ExistsSql)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_exists_subquery"  -> ((s, dir) => qExistsSubquery(s, dir)),
     "q1_pricing_summary" -> ((s, dir) => q1PricingSummary(s, dir)),
     "q3_top_revenue"     -> ((s, dir) => q3TopRevenue(s, dir)),
     "q5_local_volume"    -> ((s, dir) => q5LocalVolume(s, dir)),
@@ -211,6 +231,7 @@ object Relational {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_exists_subquery"  -> ExistsSql,
     "q1_pricing_summary" -> q1Oracle,
     "q3_top_revenue"     -> q3Oracle,
     "q5_local_volume"    -> q5Oracle,
