@@ -47,9 +47,11 @@ object ScaleProbe {
       { df.select(org.apache.spark.sql.functions.bit_xor(xxhash64(struct(df.columns.map(col): _*)))).collect(); () }
 
     println(s"rows: docs=${spark.read.parquet(s"$dst/documents.parquet").count()}, lineitem=${spark.read.parquet(s"$dst/lineitem.parquet").count()}")
-    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
-         if Set("q_dedup_chargram","q_dedup_neardup","q_srdata_flagship","q_preprocess_monthly",
-                "q_similarity_topk","q_dedup_simhash","q_distinct_upsert").contains(name)) {
+    val headline = Set("q_dedup_chargram","q_dedup_neardup","q_srdata_flagship","q_preprocess_monthly",
+      "q_similarity_topk","q_dedup_simhash","q_distinct_upsert","q_embedding_neardup")
+    val wanted: String => Boolean =
+      if (args.contains("all")) _ => true else headline.contains
+    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1) if wanted(name)) {
       spark.catalog.clearCache()
       time(name)(fullEval(fn(spark, dst)))
     }

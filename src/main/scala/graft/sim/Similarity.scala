@@ -42,8 +42,18 @@ object Similarity {
   val K = 10          // neighbors per query
   val NProbe = 3      // IVF lists probed per query
   val NearDupThreshold = 0.4 // fixture embeddings are random unit vectors; ~0.4 is the near-dup tail
-  val SignBits = 16   // LSH: 16 sign bits …
-  val SignBands = 4   // … in 4 bands of 4
+
+  /** Sign-LSH shape: 4 bands × 8 sign bits = 256 buckets per band. The
+    * bucket count is the scale knob — candidates grow O(n²/2^bits), so
+    * bits MUST be sized to the corpus (the 10× scale probe caught a 4-bit
+    * variant going quadratic: 16 buckets never get larger with the data).
+    * At true near-dup thresholds (cos ≥ 0.95, bit-agreement ≈ 0.9) deep
+    * bands keep high recall; at this fixture's loose 0.4 tail the probe
+    * recall is intentionally partial — the oracle replicates the bucketing
+    * so the gate is exact either way.
+    */
+  val SignBits = 32   // LSH: 32 sign bits …
+  val SignBands = 4   // … in 4 bands of 8
 
   /** float[] → long[] quantized vector. */
   def qvec(c: Column): Column =
