@@ -47,7 +47,7 @@ object Events {
        |  date_trunc('hour', ts) AS hour_start,
        |  event_type,
        |  count(*) AS n_events,
-       |  sum(CAST(json_extract_string(props, '$$.k') AS BIGINT)) AS sum_k,
+       |  CAST(sum(CAST(json_extract_string(props, '$$.k') AS BIGINT)) AS BIGINT) AS sum_k,
        |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS DOUBLE) / 100 AS sum_value
        |FROM events
        |GROUP BY 1, 2""".stripMargin

@@ -163,10 +163,10 @@ object Relational {
       |  CAST(promo_cents AS DOUBLE) * 100 / total_cents AS promo_share_pct
       |FROM (
       |  SELECT
-      |    sum(CASE WHEN p_type = 'PROMO'
+      |    CAST(sum(CASE WHEN p_type = 'PROMO'
       |        THEN CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
-      |        ELSE 0 END) AS promo_cents,
-      |    sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS total_cents
+      |        ELSE 0 END) AS BIGINT) AS promo_cents,
+      |    CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS total_cents
       |  FROM lineitem JOIN part ON l_partkey = p_partkey
       |  WHERE l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
       |    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'

@@ -113,20 +113,27 @@ object Similarity {
 
   /** Coarse quantization: assign every vector to its nearest seed by
     * quantized cosine (integer-exact, seed-id tie-break → deterministic).
-    * Seeds broadcast; the argmax is a per-vector window over NumSeeds
-    * rows — at scale this is the standard IVF assign step, embarrassingly
-    * parallel in the scan stage.
+    *
+    * Shuffle-free by construction: the [[NumSeeds]] seeds are folded into
+    * ONE row (`collect_list` over ≤16 rows) and broadcast, so every doc
+    * partition computes all seed scores in a single scan-stage projection
+    * and takes the argmax with `array_max` over `struct(score, -list_id)`
+    * — max on the struct picks the highest score and, on ties, the
+    * largest negated id = the smallest list_id, exactly the old
+    * `row_number` ordering `(desc(score), asc(list_id))`. No Exchange
+    * touches the corpus: at 100 TB this stage is a map over the scan,
+    * which is what a real IVF assign step is (centroids always live on
+    * the small/broadcast side).
     */
   def assignLists(docs: DataFrame): DataFrame = {
-    val seeds = docs.filter(col("vec_id") < NumSeeds)
-      .select(col("vec_id").as("list_id"), col("q").as("sq"), col("n2").as("sn2"))
-    val wa = Window.partitionBy(col("vec_id")).orderBy(desc("seed_score"), asc("list_id"))
-    docs.crossJoin(broadcast(seeds))
-      .select(col("vec_id"), col("list_id"),
-        cosFromInts(dotq(col("q"), col("sq")), col("n2"), col("sn2")).as("seed_score"))
-      .withColumn("ar", row_number().over(wa))
-      .filter(col("ar") === 1)
-      .select(col("vec_id"), col("list_id"))
+    val seedArr = docs.filter(col("vec_id") < NumSeeds)
+      .agg(collect_list(
+        struct(col("vec_id").as("list_id"), col("q").as("sq"), col("n2").as("sn2"))).as("seeds"))
+    val best = array_max(transform(col("seeds"), s => struct(
+      cosFromInts(dotq(col("q"), s.getField("sq")), col("n2"), s.getField("sn2")).as("seed_score"),
+      (-s.getField("list_id")).as("neg_list_id"))))
+    docs.crossJoin(broadcast(seedArr))
+      .select(col("vec_id"), (-best.getField("neg_list_id")).as("list_id"))
   }
 
   /** Per-list summary vectors: dim-wise integer sums via posexplode —
@@ -315,7 +322,7 @@ object Similarity {
        |  SELECT label, i AS dim, q[i] AS v
        |  FROM docs, unnest(range(1, 65)) AS t(i)
        |)
-       |SELECT label, CAST(dim - 1 AS BIGINT) AS dim, sum(v) AS sum_q,
+       |SELECT label, CAST(dim - 1 AS BIGINT) AS dim, CAST(sum(v) AS BIGINT) AS sum_q,
        |  count(*) AS n_vecs,
        |  CAST(sum(v) AS DOUBLE) / count(*) AS mean_q
        |FROM exploded
