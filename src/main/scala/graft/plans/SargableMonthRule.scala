@@ -19,9 +19,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * faithful style gets partition/row-group pruning automatically; the scan
   * shows the pushed date bounds in `PushedFilters`.
   *
-  * Semantics preserved exactly:
+  * Semantics preserved exactly — in EVERY boolean context:
   *   - NULL date: original → concat_ws skips NULLs → `'' = 'M-YYYY'` →
-  *     false; rewritten → `NULL >= lo` → NULL → filter drops. Same rows.
+  *     false (not NULL). A bare range `NULL >= lo` would be NULL — same
+  *     rows under a top-level Filter but DIFFERENT rows under NOT(...)
+  *     (false negates to kept, NULL stays dropped). The rewrite therefore
+  *     emits `IsNotNull(d) AND lo <= d < hi`, which is false for NULL
+  *     dates exactly like the original, so the rule is sound anywhere in
+  *     the condition tree, including under Not.
   *   - Only fires when the literal parses as an unpadded `M-YYYY` bucket
   *     (the reference's `MONTH()` rendering); zero-padded or malformed
   *     literals — which can never equal an unpadded concat — fold to false.
@@ -75,11 +80,13 @@ object SargableMonthRule extends Rule[LogicalPlan] {
   private def rewrite(e: Expression): Expression = e match {
     case eq @ EqualTo(concat: ConcatWs, Literal(b: UTF8String, _)) =>
       rangeFor(concat, b.toString)
-        .map { case (col, lo, hi) => And(GreaterThanOrEqual(col, lo), LessThan(col, hi)) }
+        .map { case (col, lo, hi) =>
+          And(IsNotNull(col), And(GreaterThanOrEqual(col, lo), LessThan(col, hi))) }
         .getOrElse(eq)
     case eq @ EqualTo(Literal(b: UTF8String, _), concat: ConcatWs) =>
       rangeFor(concat, b.toString)
-        .map { case (col, lo, hi) => And(GreaterThanOrEqual(col, lo), LessThan(col, hi)) }
+        .map { case (col, lo, hi) =>
+          And(IsNotNull(col), And(GreaterThanOrEqual(col, lo), LessThan(col, hi))) }
         .getOrElse(eq)
     case other => other.mapChildren(rewrite)
   }

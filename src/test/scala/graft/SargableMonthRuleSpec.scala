@@ -62,4 +62,18 @@ class SargableMonthRuleSpec extends SparkSuite {
     val derived = df.filter(concat_ws("-", month(col("d")), year(col("d"))) === "3-1997")
     assert(derived.count() === 1)
   }
+
+  test("negated month predicate keeps null-date rows (rewrite is false, not NULL, for NULL)") {
+    // concat_ws('-', month(NULL), year(NULL)) = '' -> pred is FALSE for a
+    // null date, so NOT(pred) KEEPS the row. A bare range rewrite would be
+    // NULL under NOT and silently drop it — the rewrite must carry
+    // IsNotNull so it stays false in every boolean context.
+    import spark.implicits._
+    val df = Seq(Some("1997-03-15"), Some("1997-05-20"), None).toDF("s")
+      .select(col("s").cast("timestamp").as("d"))
+    val negated = df.filter(!(concat_ws("-", month(col("d")), year(col("d"))) === "3-1997"))
+    val plan = negated.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("concat_ws"), s"rule should fire under Not too:\n$plan")
+    assert(negated.count() === 2, "May row AND the null-date row survive NOT, as pre-rewrite")
+  }
 }
