@@ -38,10 +38,18 @@ object Graft {
     * path: bring your own master/deploy settings, graft adds the UTC clock
     * and the extension pack. (Shuffle partitioning is left to the caller /
     * AQE on a real cluster.)
+    *
+    * `nanosAsLong` lives here — at session construction, not inside
+    * [[Tables.events]] — because a loader mutating session conf is a
+    * global side effect (and a race under shared sessions). The fixture
+    * `events.ts` is parquet TIMESTAMP(NANOS), which the vectorized reader
+    * otherwise rejects; with the flag it arrives as raw INT64 nanos and
+    * [[Tables.events]] truncates to micros.
     */
   def configure(b: SparkSession.Builder): SparkSession.Builder =
     b.config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
 
   // ---- the three reference pipelines ----
 

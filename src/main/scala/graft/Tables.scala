@@ -19,14 +19,18 @@ object Tables {
   def orders(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "lineitem")
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects outright. Read the raw INT64 nanos (legacy flag) and
-    * truncate to microseconds with integral division — the same floor
-    * DuckDB applies when it narrows nanos to its micro TIMESTAMP, so both
-    * engines see identical values. (ts / 1000 in double would corrupt:
-    * 1.7e18 nanos exceeds 2^53.)
+    * reader rejects outright. With `spark.sql.legacy.parquet.nanosAsLong`
+    * (set once at session construction by [[Graft.configure]] and every
+    * entry-point builder — a loader must not mutate session conf) the
+    * column arrives as raw INT64 nanos; truncate to microseconds with
+    * integral division — the same floor DuckDB applies when it narrows
+    * nanos to its micro TIMESTAMP, so both engines see identical values.
+    * (ts / 1000 in double would corrupt: 1.7e18 nanos exceeds 2^53.)
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
+      "events requires spark.sql.legacy.parquet.nanosAsLong=true at session build " +
+        "(use Graft.session() or Graft.configure(builder))")
     val raw = table(spark, dir, "events")
     // only nano-typed files need the conversion — re-written event tables
     // (e.g. ScaleProbe's synthetic copies) already carry micro timestamps

@@ -39,6 +39,14 @@ object AsofJoin {
     val payloadCols = right.columns.filterNot(c => c == key || c == ts).toSeq
     require(payloadCols.nonEmpty, "right side needs at least one payload column")
     val leftCols = left.columns.toSeq
+    // The union trick fills each side's missing columns with typed nulls —
+    // a shared name would silently null out the real column. Fail loudly.
+    val collisions = payloadCols.intersect(leftCols)
+    require(collisions.isEmpty,
+      s"right payload column(s) ${collisions.mkString(", ")} collide with left " +
+        "columns; rename one side before asofJoin")
+    require(!leftCols.contains("__side") && !right.columns.contains("__side"),
+      "__side is reserved by asofJoin")
 
     val l = payloadCols.foldLeft(left.withColumn("__side", lit(1))) {
       (df, c) => df.withColumn(c, lit(null).cast(right.schema(c).dataType))

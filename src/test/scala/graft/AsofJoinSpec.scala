@@ -35,6 +35,19 @@ class AsofJoinSpec extends SparkSuite {
       "as-of never matches a future row")
   }
 
+  test("colliding payload column names are rejected, not silently nulled") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val left = Seq((1L, "u", ts("2024-01-01 10:00:00")))
+      .toDF("payload", "user_id", "ts") // left already owns "payload"
+    val right = Seq(("u", ts("2024-01-01 09:00:00"), 100L))
+      .toDF("user_id", "ts", "payload")
+    val e = intercept[IllegalArgumentException] {
+      AsofJoin.asofJoin(left, right, "user_id", "ts")
+    }
+    assert(e.getMessage.contains("payload"))
+  }
+
   test("plan shape: one hash exchange by key, no range explosion join") {
     val plan = AsofJoin.eventsAsofErrors(spark, Sf).queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
