@@ -343,6 +343,79 @@ object Dedup {
       * signature prefix at scale).
       */
     def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+    /** Verify threshold for the banded pair join. Recall is GUARANTEED
+      * for Hamming ≤ [[graft.plans.SimHash48.NumBands]]−1 = 3 (pigeonhole:
+      * 3 flipped bits leave ≥1 of 4 bands intact); 4–6 is partial recall —
+      * the honest production trade-off, and the oracle replicates the
+      * bucketing so the gate is exact either way (same discipline as the
+      * sign-LSH embedding family).
+      */
+    val HammingMax = 6
+
+    /** 48-bit production signature over a feature-array column — the
+      * codegen'd [[graft.plans.SimHash48]] expression.
+      */
+    def simhash48Of(features: Column): Column =
+      org.apache.spark.sql.GraftColumnShim.column(
+        graft.plans.SimHash48(
+          org.apache.spark.sql.GraftColumnShim.expression(features)))
+
+    /** Document signature over word-3-gram SHINGLE features, not unigram
+      * tokens: on a templated corpus every document shares most of the
+      * vocabulary, so unigram majority votes correlate across the whole
+      * corpus (measured on the fixture: 17k pairs within Hamming 6,
+      * including Hamming-0 collisions between unrelated docs). Shingles
+      * decorrelate — shared words in different orders yield different
+      * features — which is why production simhash systems feed n-grams.
+      */
+    def simhash48(c: Column): Column = simhash48Of(shingles(c))
+
+    /** Banded SimHash near-dup pairs: signatures bucket on 4 bands of 12
+      * bits (4096 buckets/band — candidates shrink O(n²/4096), never
+      * all-pairs); only bucket-mates are Hamming-verified. The signature
+      * is ONE long, so unlike MinHash there is no wide array to keep out
+      * of the shuffle — the band rows carry it and no re-join is needed.
+      * Documents with no shingles (< 3 tokens) are excluded: a degenerate
+      * all-zero signature would pair every short doc with every other.
+      */
+    def nearDupPairs48(spark: SparkSession, dir: String): DataFrame = {
+      import graft.plans.SimHash48.{BandBits, BandMask, NumBands}
+      val sigs = Tables.documents(spark, dir)
+        .select(col("doc_id"), shingles(col("text")).as("ft"))
+        .filter(size(col("ft")) > 0)
+        .select(col("doc_id"), simhash48Of(col("ft")).as("sh"))
+      val bandArr = array((0 until NumBands).map(j =>
+        shiftright(col("sh"), j * BandBits).bitwiseAND(lit(BandMask))): _*)
+      val banded = sigs.select(col("doc_id"), col("sh"),
+        posexplode(bandArr).as(Seq("band", "bv")))
+      banded.as("x").join(banded.as("y"),
+          col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+          hamming(col("x.sh"), col("y.sh")).cast("long").as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= HammingMax)
+    }
+
+    def nearDup48Oracle: String = {
+      import graft.plans.SimHash48.{BandBits, BandMask, NumBands}
+      val sigSql = graft.plans.SimHash48.sql("ft")
+      s"""WITH feats AS (
+         |  SELECT doc_id, ${shinglesSql("text")} AS ft FROM documents
+         |), sigs AS (
+         |  SELECT doc_id, $sigSql AS sh FROM feats WHERE len(ft) > 0
+         |),
+         |banded AS (
+         |  SELECT doc_id, sh, j AS band, (sh >> ($BandBits * j)) & $BandMask AS bv
+         |  FROM sigs, unnest(range(0, $NumBands)) AS t(j)
+         |)
+         |SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         |  CAST(bit_count(xor(x.sh, y.sh)) AS BIGINT) AS hamming
+         |FROM banded x JOIN banded y
+         |  ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id
+         |WHERE bit_count(xor(x.sh, y.sh)) <= $HammingMax""".stripMargin
+    }
   }
 
   // ---- query registry ----
@@ -358,7 +431,8 @@ object Dedup {
     "q_dedup_simhash" -> ((s, dir) =>
       Tables.documents(s, dir)
         .select(col("doc_id"), SimHash.tokenDigests(col("text")).as("dg"))
-        .select(col("doc_id"), SimHash.simhashOf(col("dg"))))
+        .select(col("doc_id"), SimHash.simhashOf(col("dg")))),
+    "q_simhash_neardup" -> ((s, dir) => SimHash.nearDupPairs48(s, dir))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -369,6 +443,7 @@ object Dedup {
       s"""SELECT doc_id, lang, source FROM documents
          |WHERE doc_id NOT IN (SELECT doc_b FROM (${MinHashLSH.oracle}))""".stripMargin,
     "q_dedup_simhash" ->
-      s"SELECT doc_id, CAST(${SimHash.simhashSql("text")} AS BIGINT) AS simhash FROM documents"
+      s"SELECT doc_id, CAST(${SimHash.simhashSql("text")} AS BIGINT) AS simhash FROM documents",
+    "q_simhash_neardup" -> SimHash.nearDup48Oracle
   )
 }

@@ -85,6 +85,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("dot_long"),
       new ExpressionInfo(classOf[DotProductLong].getName, "dot_long"),
       (children: Seq[Expression]) => DotProductLong(children.head, children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("simhash48"),
+      new ExpressionInfo(classOf[SimHash48].getName, "simhash48"),
+      (children: Seq[Expression]) => SimHash48(children.head)))
     ext.injectOptimizerRule(_ => SargableMonthRule)
   }
 }
