@@ -54,13 +54,41 @@ object Sinks {
       .drop("__rn", "__upd")
   }
 
-  /** S5 sink: merge updates into the table at `path` (reads existing if
-    * present, plain write otherwise) — the ES `upsert`+append write.
+  /** All path probing/cleanup goes through the Hadoop `FileSystem`
+    * resolved FROM the path — so every sink works unchanged on local
+    * paths, `file:` URIs, HDFS, or any object store with a Hadoop
+    * connector (the reference writes to `hdfs:///projects/...`,
+    * `preprocess_and_store_parquets.py:245-249`; `java.io.File` would
+    * silently report "absent" for every non-local URI and re-init the
+    * table).
+    */
+  private def hfs(spark: SparkSession, path: String) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  private def pathExists(spark: SparkSession, path: String): Boolean = {
+    val (fs, p) = hfs(spark, path)
+    fs.exists(p)
+  }
+
+  private def deletePath(spark: SparkSession, path: String): Unit = {
+    val (fs, p) = hfs(spark, path)
+    fs.delete(p, true)
+  }
+
+  /** S5 sink, whole-table form: merge updates into the table at `path`
+    * (reads existing if present, plain write otherwise) — the ES
+    * `upsert`+append write. Rewrites the WHOLE table per batch (staged,
+    * then swapped), which is only appropriate for small dimension-sized
+    * tables; the 100 TB path is [[writeMergedPartitioned]], which bounds
+    * the rewrite to the batch's touched partitions the same way the
+    * reference's ES upsert touches only the batch's keys.
     */
   def writeMerged(spark: SparkSession, updates: DataFrame, key: String, version: String,
                   path: String): Unit = {
     val merged =
-      if (new java.io.File(path).exists()) {
+      if (pathExists(spark, path)) {
         val existing = spark.read.parquet(path)
         mergeByKey(existing, updates, key, version)
       } else keepOne(updates, key, version)
@@ -69,15 +97,48 @@ object Sinks {
     merged.write.mode("overwrite").parquet(tmp)
     val out = spark.read.parquet(tmp)
     out.write.mode("overwrite").parquet(path)
-    deleteRecursively(java.nio.file.Paths.get(tmp))
+    deletePath(spark, tmp)
   }
 
-  private def deleteRecursively(p: java.nio.file.Path): Unit = {
-    import java.nio.file.Files
-    if (Files.exists(p)) {
-      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-        .forEach(f => Files.delete(f))
+  /** S5 sink, partition-bounded form — the scale path. The table is laid
+    * out `partitionBy(partCol)` (compose with
+    * [[graft.pipelines.Preprocess.writeMonthPartitioned]]'s month
+    * buckets); a merge batch:
+    *
+    *   1. derives its touched partitions from the updates (one tiny
+    *      distinct-collect — bounded by the number of buckets, not rows),
+    *   2. reads ONLY those partitions of the existing table (partition
+    *      pruning on `partCol` — untouched partitions are never opened),
+    *   3. merges and stages the touched partitions, then
+    *   4. commits them with dynamic partition overwrite, which replaces
+    *      exactly the partitions present in the staged frame.
+    *
+    * Untouched partitions' files are not read, not rewritten, not even
+    * listed by the commit — write amplification is 2× the BATCH's
+    * partitions instead of 2× the table (↔ the reference's ES upsert
+    * touching only the batch's keys, `snowflake_to_es_etl.py:234-241`).
+    */
+  def writeMergedPartitioned(spark: SparkSession, updates: DataFrame, key: String,
+                             version: String, partCol: String, path: String): Unit = {
+    require(updates.columns.contains(partCol), s"updates must carry $partCol")
+    if (!pathExists(spark, path)) {
+      keepOne(updates, key, version)
+        .write.mode("overwrite").partitionBy(partCol).parquet(path)
+      return
     }
+    val touched = updates.select(partCol).distinct()
+      .collect().map(_.get(0)).toSeq
+    val existing = spark.read.parquet(path)
+      .filter(col(partCol).isInCollection(touched))
+      .select(updates.columns.map(col): _*) // partition col back to updates' column order
+    val merged = mergeByKey(existing, updates, key, version)
+    val tmp = path + "__staging"
+    merged.write.mode("overwrite").partitionBy(partCol).parquet(tmp)
+    spark.read.parquet(tmp)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partCol).parquet(path)
+    deletePath(spark, tmp)
   }
 
   /** S6: schema registry — named StructType schemas with ensure-exists DDL,
@@ -115,7 +176,7 @@ object Sinks {
       val path = s"$basePath/$name"
       val schema = schemas.getOrElse(name,
         throw new IllegalArgumentException(s"unregistered schema: $name"))
-      if (new java.io.File(path).exists()) false
+      if (pathExists(spark, path)) false
       else {
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
           .write.parquet(path)

@@ -63,6 +63,61 @@ class SinksSpec extends SparkSuite {
     }
   }
 
+  test("S5 sink works over a file: URI (Hadoop FileSystem, not java.io.File)") {
+    import spark.implicits._
+    val path = "file://" + tmpDir() + "/merged_uri"
+    Sinks.writeMerged(spark,
+      Seq(("k1", "2020-01-01", "v1")).toDF("id", "ver", "payload"), "id", "ver", path)
+    Sinks.writeMerged(spark,
+      Seq(("k1", "2020-02-02", "v2")).toDF("id", "ver", "payload"), "id", "ver", path)
+    val out = spark.read.parquet(path).collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(out === Map("k1" -> "v2"),
+      "an existence check that misses the file: table would re-init instead of merging")
+  }
+
+  test("S5 partition-bounded merge rewrites ONLY touched partitions") {
+    import spark.implicits._
+    val path = tmpDir() + "/merged_part"
+    Sinks.writeMergedPartitioned(spark,
+      Seq(("k1", "2020-01-01", "v1", "1-2020"),
+          ("k2", "2020-01-01", "w1", "2-2020"),
+          ("k3", "2020-01-01", "x1", "3-2020")).toDF("id", "ver", "payload", "month_year"),
+      "id", "ver", "month_year", path)
+
+    def fileState(part: String): Map[String, (Long, Long)] = {
+      val d = new java.io.File(s"$path/month_year=$part")
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> (f.length(), f.lastModified())).toMap
+    }
+    val before2 = fileState("2-2020")
+    val before3 = fileState("3-2020")
+
+    // merge batch touching ONLY partition 1-2020
+    Sinks.writeMergedPartitioned(spark,
+      Seq(("k1", "2021-01-01", "v2", "1-2020")).toDF("id", "ver", "payload", "month_year"),
+      "id", "ver", "month_year", path)
+
+    assert(fileState("2-2020") === before2 && fileState("3-2020") === before3,
+      "untouched partitions' files must be byte-identical (same name/size/mtime)")
+    val out = spark.read.parquet(path)
+      .collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(out === Map("k1" -> "v2", "k2" -> "w1", "k3" -> "x1"))
+  }
+
+  test("S5 partition-bounded merge: new partitions in a batch are appended, not erased") {
+    import spark.implicits._
+    val path = tmpDir() + "/merged_part_new"
+    Sinks.writeMergedPartitioned(spark,
+      Seq(("k1", "2020-01-01", "v1", "1-2020")).toDF("id", "ver", "payload", "month_year"),
+      "id", "ver", "month_year", path)
+    Sinks.writeMergedPartitioned(spark,
+      Seq(("k9", "2020-05-05", "z1", "5-2020")).toDF("id", "ver", "payload", "month_year"),
+      "id", "ver", "month_year", path)
+    val out = spark.read.parquet(path)
+      .collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(out === Map("k1" -> "v1", "k9" -> "z1"))
+  }
+
   test("S6 registry: ensureExists creates once with the typed schema, then no-ops") {
     val base = tmpDir()
     assert(Sinks.SchemaRegistry.ensureExists(spark, "sr_data_index", base))
