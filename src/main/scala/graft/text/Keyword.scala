@@ -11,25 +11,40 @@ import graft.Tables
   * sink-side comparisons behave like the reference's index would.
   *
   * The ES `asciifolding` filter folds the full Unicode Latin repertoire;
-  * this normalizer folds the explicit table below via `translate` — a
-  * deterministic published spec (like the lemmatizer, SURVEY §7 "UD2
-  * fidelity"), applied AFTER `lower` so only lowercase forms are needed.
-  * `translate` is a per-row codegen'd expression: no UDF, no shuffle.
+  * this normalizer folds the explicit tables below — a deterministic
+  * published spec (like the lemmatizer, SURVEY §7 "UD2 fidelity"),
+  * applied AFTER `lower` so only lowercase forms are needed. Ligatures
+  * and sharp-s EXPAND to multi-char ASCII exactly as ES does (æ→ae,
+  * œ→oe, ß→ss, þ→th) via a short `replace` chain; the remaining 1:1
+  * accents fold via `translate`. Every step is a per-row codegen'd
+  * expression: no UDF, no shuffle.
   */
 object Keyword {
 
-  val FoldFrom = "àáâãäåæçèéêëìíîïðñòóôõöøùúûüýÿšžœß"
-  val FoldTo   = "aaaaaaeceeeeiiiidnoooooouuuuyyszes"
+  /** Multi-char expansions — ES asciifolding's one-to-many cases. Applied
+    * before [[FoldFrom]] so the 1:1 table never sees them.
+    */
+  val Expansions: Seq[(String, String)] =
+    Seq("æ" -> "ae", "œ" -> "oe", "ß" -> "ss", "þ" -> "th")
+
+  val FoldFrom = "àáâãäåçèéêëìíîïðñòóôõöøùúûüýÿšž"
+  val FoldTo   = "aaaaaaceeeeiiiidnoooooouuuuyysz"
 
   require(FoldFrom.length == FoldTo.length, "fold tables must align 1:1")
 
-  /** Single-char folds only (`translate` is 1:1; æ→e is the lossy rendering
-    * ES expands to "ae" — documented divergence, tested as such).
-    */
-  def keywordNormalize(c: Column): Column = translate(lower(c), FoldFrom, FoldTo)
+  def keywordNormalize(c: Column): Column = {
+    val expanded = Expansions.foldLeft(lower(c)) { case (acc, (f, t)) =>
+      replace(acc, lit(f), lit(t))
+    }
+    translate(expanded, FoldFrom, FoldTo)
+  }
 
-  def keywordNormalizeSql(c: String): String =
-    s"translate(lower($c), '$FoldFrom', '$FoldTo')"
+  def keywordNormalizeSql(c: String): String = {
+    val expanded = Expansions.foldLeft(s"lower($c)") { case (acc, (f, t)) =>
+      s"replace($acc, '$f', '$t')"
+    }
+    s"translate($expanded, '$FoldFrom', '$FoldTo')"
+  }
 
   /** The sink path the reference applies the normalizer to: keyword-typed
     * identity columns of the index document (`sql_to_es_etl.py:102-103`).

@@ -8,11 +8,12 @@ class KeywordMultimodalSpec extends SparkSuite {
 
   test("keyword normalizer folds accents after lowercasing") {
     import spark.implicits._
-    val out = Seq("Crème BRÛLÉE à côté", "plain ascii", "ŠKODA œuvre")
+    val out = Seq("Crème BRÛLÉE à côté", "plain ascii", "ŠKODA œuvre", "STRAßE Ætna þorn")
       .toDF("s").select(Keyword.keywordNormalize(col("s"))).collect().map(_.getString(0))
     assert(out(0) == "creme brulee a cote")
     assert(out(1) == "plain ascii")
-    assert(out(2) == "skoda euvre") // 1:1 translate: œ→e (documented divergence from ES "oe")
+    assert(out(2) == "skoda oeuvre") // multi-char expansion œ→oe, as ES asciifolding does
+    assert(out(3) == "strasse aetna thorn") // ß→ss, æ→ae, þ→th
   }
 
   test("media table carries a genuine binary column with typed metadata") {
