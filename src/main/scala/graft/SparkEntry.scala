@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.dedup.Dedup
-import graft.ops.{AsofJoin, Events, Relational, SrData}
+import graft.ops.{AsofJoin, DateParse, Events, Relational, SrData}
 import graft.pipelines.{DistinctUpsert, Preprocess}
 import graft.multimodal.Multimodal
 import graft.sim.Similarity
@@ -31,6 +31,7 @@ object SparkEntry {
       (Events.queries, Events.oracleSql),
       (Keyword.queries, Keyword.oracleSql),
       (AsofJoin.queries, AsofJoin.oracleSql),
+      (DateParse.queries, DateParse.oracleSql),
       (Map[String, (SparkSession, String) => DataFrame](
         "q_range_join" -> ((s, dir) => graft.streaming.Sessionize.assignEventsToSessions(s, dir))),
         Map("q_range_join" -> graft.streaming.Sessionize.assignOracle)),

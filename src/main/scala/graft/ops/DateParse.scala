@@ -1,0 +1,102 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Multi-format date coercion — the ES `Date(format="a||b||…")` semantics
+  * (`sql_to_es_etl.py:106-109`: `yyyy-MM-dd HH:mm:ss.S||.SS||.SSS||
+  * yyyy-MM-dd||epoch_millis||strict_date_optional_time`): a string value
+  * is accepted by the FIRST declared format that parses it.
+  *
+  * Native form: a `coalesce` chain of `try_to_timestamp(c, fmt)` — every
+  * branch is a codegen'd expression, nulls flow on (a value no format
+  * accepts coerces to NULL exactly as an ES bulk write would reject it to
+  * the error channel). `epoch_millis` is digit-gated so numeric strings
+  * never mis-parse through a date pattern.
+  *
+  * The fixture timestamps are already typed (the reason this operator was
+  * missing until round 3), so the gate RENDERS each row's timestamp into
+  * one of the declared formats (picked by key mod 5 — deterministic, all
+  * formats exercised) and parses it back; both engines render and parse
+  * with identical rules, making the coercion itself the thing compared.
+  */
+object DateParse {
+
+  /** The declared format chain, ES-ordered. Fractional-second patterns in
+    * Spark's parser match exact digit counts, so `.S`/`.SS`/`.SSS` are
+    * three branches just as ES declares them.
+    */
+  val TimestampFormats: Seq[String] = Seq(
+    "yyyy-MM-dd HH:mm:ss.S",
+    "yyyy-MM-dd HH:mm:ss.SS",
+    "yyyy-MM-dd HH:mm:ss.SSS",
+    "yyyy-MM-dd",
+    // strict_date_optional_time's common concrete shapes
+    "yyyy-MM-dd'T'HH:mm:ss",
+    "yyyy-MM-dd'T'HH:mm:ss.SSS")
+
+  def multiFormatTimestamp(c: Column): Column = {
+    val branches = TimestampFormats.map(f => try_to_timestamp(c, lit(f))) :+
+      when(c.rlike("^\\d{10,}$"), timestamp_millis(c.cast("long"))) // epoch_millis
+    coalesce(branches: _*)
+  }
+
+  /** DuckDB twin: try_strptime accepts python-style patterns; `%f`
+    * parses 1–6 fractional digits so it covers the `.S/.SS/.SSS` family
+    * in one branch (same acceptance set, same result — the chain is a
+    * first-match, so collapsing equal-result branches is sound).
+    */
+  def multiFormatTimestampSql(c: String): String =
+    s"""coalesce(
+       |  try_strptime($c, '%Y-%m-%d %H:%M:%S.%f'),
+       |  try_strptime($c, '%Y-%m-%d'),
+       |  try_strptime($c, '%Y-%m-%dT%H:%M:%S'),
+       |  try_strptime($c, '%Y-%m-%dT%H:%M:%S.%f'),
+       |  CASE WHEN regexp_matches($c, '^[0-9]{10,}$$')
+       |       THEN make_timestamp(CAST($c AS BIGINT) * 1000) END)""".stripMargin
+
+  /** Gate: render o_orderdate into the declared formats (by key mod 5),
+    * parse back through the chain. `rendered` stays in the output so a
+    * parse asymmetry is visible as a value, not just a null count.
+    */
+  def parseMultiFormat(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).select("o_orderkey", "o_orderdate")
+    val d = col("o_orderdate")
+    val fmtId = col("o_orderkey") % 5
+    val rendered =
+      when(fmtId === 0, concat(date_format(d, "yyyy-MM-dd HH:mm:ss"), lit(".0")))
+        .when(fmtId === 1, concat(date_format(d, "yyyy-MM-dd HH:mm:ss"), lit(".000")))
+        .when(fmtId === 2, date_format(d, "yyyy-MM-dd"))
+        .when(fmtId === 3, date_format(d, "yyyy-MM-dd'T'HH:mm:ss"))
+        // fixture timestamps are NTZ; the session is pinned UTC, so the
+        // cast to an instant is the identity embedding
+        .otherwise(unix_millis(d.cast("timestamp")).cast("string"))
+    o.select(col("o_orderkey"), rendered.as("rendered"))
+      .withColumn("parsed", multiFormatTimestamp(col("rendered")))
+  }
+
+  def parseMultiFormatOracle: String =
+    s"""SELECT o_orderkey, rendered,
+       |  ${multiFormatTimestampSql("rendered")} AS parsed
+       |FROM (
+       |  SELECT o_orderkey,
+       |    CASE o_orderkey % 5
+       |      WHEN 0 THEN strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') || '.0'
+       |      WHEN 1 THEN strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') || '.000'
+       |      WHEN 2 THEN strftime(o_orderdate, '%Y-%m-%d')
+       |      WHEN 3 THEN strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S')
+       |      ELSE CAST(epoch_ms(o_orderdate) AS VARCHAR)
+       |    END AS rendered
+       |  FROM orders
+       |)""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_multiformat_date" -> ((s, dir) => parseMultiFormat(s, dir))
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_multiformat_date" -> parseMultiFormatOracle
+  )
+}
