@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.dedup.Dedup
-import graft.ops.{AsofJoin, DateParse, Events, Relational, SrData}
+import graft.ops.{AsofJoin, CorpusOps, DateParse, Events, Relational, SrData}
 import graft.pipelines.{DistinctUpsert, Preprocess}
 import graft.multimodal.Multimodal
 import graft.sim.Similarity
@@ -32,6 +32,7 @@ object SparkEntry {
       (Keyword.queries, Keyword.oracleSql),
       (AsofJoin.queries, AsofJoin.oracleSql),
       (DateParse.queries, DateParse.oracleSql),
+      (CorpusOps.queries, CorpusOps.oracleSql),
       (Map[String, (SparkSession, String) => DataFrame](
         "q_range_join" -> ((s, dir) => graft.streaming.Sessionize.assignEventsToSessions(s, dir))),
         Map("q_range_join" -> graft.streaming.Sessionize.assignOracle)),

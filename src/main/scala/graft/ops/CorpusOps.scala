@@ -1,0 +1,124 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.text.TextOps
+
+/** Corpus-preparation operators a training-data pipeline runs after dedup
+  * and before training — split assignment and term weighting — designed
+  * Spark-first and oracle-gated like every other family:
+  *
+  *   - [[stratifiedSplit]]: deterministic train/val/test assignment by
+  *     content-independent key hash. Per-row, shuffle-free, stable across
+  *     runs/cluster sizes — the property that makes a split reproducible
+  *     at 100 TB (no `rand()`, no global sort, no sampling action).
+  *   - [[tfidfTopTerms]]: per-document top-k terms by tf·idf. The idf is
+  *     integer-quantized (`(N·10⁶) div df`, integral division) so both
+  *     engines rank identically — the same exactness discipline as the
+  *     quantized cosine in [[graft.sim.Similarity]].
+  *
+  * Scale shapes documented per operator; both compose with the dedup
+  * outputs (split AFTER dedup so near-dup pairs can't straddle splits).
+  */
+object CorpusOps {
+
+  /** Split fractions in percent: [0,Train) train, [Train,TrainVal) val,
+    * rest test.
+    */
+  val TrainPct = 80
+  val TrainValPct = 90
+  val Buckets = 100
+
+  /** 48-bit fold of the md5 hex digest — the same universal-hash idiom as
+    * MinHash's base hashes, applied to a scalar key.
+    */
+  private def md5Bucket(c: org.apache.spark.sql.Column) =
+    conv(substring(md5(c.cast("string")), 1, 12), 16, 10).cast("long") % Buckets
+
+  /** Deterministic stratified split: bucket = md5-fold(doc_id) mod 100.
+    * Key-hash (not `rand`) means: same row → same split on every run,
+    * every cluster size, every execution order; adding rows never moves
+    * existing rows between splits. Per-row projection — zero shuffle.
+    */
+  def stratifiedSplit(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), md5Bucket(col("doc_id")).as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < TrainPct, "train")
+          .when(col("bucket") < TrainValPct, "val")
+          .otherwise("test"))
+
+  def splitOracle: String = {
+    val hexTerms = (1 to 12).map { i =>
+      s"(CAST(ascii(substring(d, $i, 1)) AS BIGINT) - 48 - CASE WHEN ascii(substring(d, $i, 1)) >= 97 THEN 39 ELSE 0 END)"
+    }
+    val fold = hexTerms.zipWithIndex
+      .map { case (t, idx) => s"$t * ${math.pow(16, 11 - idx).toLong}" }
+      .mkString(" + ")
+    s"""SELECT doc_id, bucket,
+       |  CASE WHEN bucket < $TrainPct THEN 'train'
+       |       WHEN bucket < $TrainValPct THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM (
+       |  SELECT doc_id, ($fold) % $Buckets AS bucket
+       |  FROM (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS d FROM documents)
+       |)""".stripMargin
+  }
+
+  /** Top terms per document. */
+  val TopK = 5
+  val IdfScale = 1000000L
+
+  /** Per-document top-[[TopK]] terms by tf · ((N·10⁶) div df).
+    *
+    * Scale shape: explode → one hash aggregate to (doc, term) tf → one
+    * much smaller aggregate to per-term document frequency. The df table
+    * is VOCABULARY-sized (≪ corpus at any scale — Heaps' law), so it is
+    * explicitly broadcast back onto tf: the wide tf table shuffles once
+    * (for its own aggregate) and never again; N rides in as a one-row
+    * broadcast cross join. Final per-doc top-k is a window over the tf
+    * aggregate's own partitioning residue.
+    */
+  def tfidfTopTerms(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val n = docs.agg(count(lit(1)).as("n"))
+    val tf = docs
+      .select(col("doc_id"), explode(TextOps.tokenize(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(desc("score"), asc("term"))
+    tf.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(n))
+      .withColumn("score", col("tf") * expr(s"(n * $IdfScale) div df"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= TopK)
+      .select("doc_id", "term", "tf", "df", "score", "rank")
+  }
+
+  def tfidfOracle: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(${TextOps.tokenizeSql("text")}) AS term FROM documents
+       |), tf AS (
+       |  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+       |), dfreq AS (
+       |  SELECT term, count(*) AS df FROM tf GROUP BY term
+       |), n AS (SELECT count(*) AS n FROM documents)
+       |SELECT doc_id, term, tf, df,
+       |  tf * ((n * $IdfScale) // df) AS score,
+       |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tf * ((n * $IdfScale) // df) DESC, term) AS BIGINT) AS rank
+       |FROM tf JOIN dfreq USING (term) CROSS JOIN n
+       |QUALIFY rank <= $TopK""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_corpus_split" -> ((s, dir) => stratifiedSplit(Tables.documents(s, dir))),
+    "q_tfidf_topterms" -> ((s, dir) => tfidfTopTerms(s, dir))
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_corpus_split" -> splitOracle,
+    "q_tfidf_topterms" -> tfidfOracle
+  )
+}

@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.CorpusOps
+
+class CorpusOpsSpec extends SparkSuite {
+
+  test("split is deterministic, content-independent, and roughly stratified") {
+    val docs = Tables.documents(spark, Sf)
+    val a = CorpusOps.stratifiedSplit(docs).collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val b = CorpusOps.stratifiedSplit(docs.repartition(7)).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(a === b, "same key -> same split under any partitioning")
+    val frac = a.values.groupBy(identity).view.mapValues(_.size.toDouble / a.size).toMap
+    assert(frac("train") > 0.6 && frac("train") < 0.95, s"train fraction off: $frac")
+    assert(frac.keySet === Set("train", "val", "test"))
+  }
+
+  test("split plan is a pure projection: zero exchanges") {
+    val plan = CorpusOps.stratifiedSplit(Tables.documents(spark, Sf))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"split must not shuffle:\n$plan")
+  }
+
+  test("tf-idf top terms: k per doc, ranks dense from 1, common terms never outrank rare ones at equal tf") {
+    val out = CorpusOps.tfidfTopTerms(spark, Sf).cache()
+    val perDoc = out.groupBy("doc_id").agg(
+      count(lit(1)).as("k"), max("rank").as("maxr"), min("rank").as("minr"))
+    assert(perDoc.filter(col("k") > CorpusOps.TopK).count() === 0)
+    assert(perDoc.filter(col("minr") =!= 1).count() === 0)
+    assert(perDoc.filter(col("maxr") =!= col("k")).count() === 0, "ranks are 1..k dense")
+    // within one document, at equal tf a larger df must never rank strictly better
+    val self = out.as("p").join(out.as("q"),
+        col("p.doc_id") === col("q.doc_id") && col("p.tf") === col("q.tf") &&
+          col("p.df") < col("q.df") && col("p.rank") > col("q.rank"))
+    assert(self.count() === 0, "rarer term (smaller df) must rank at least as high at equal tf")
+  }
+
+  test("tf-idf plan broadcasts the vocabulary-sized df table") {
+    val plan = CorpusOps.tfidfTopTerms(spark, Sf).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"df join must be broadcast:\n$plan")
+  }
+}
