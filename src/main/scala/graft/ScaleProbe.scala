@@ -2,12 +2,31 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
 
-/** 10x scale experiment: key-offset unions of the sf0.1 fixtures →
-  * measure the heavy operators and check for super-linear blowup.
+/** 10× scale experiment over the FULL query registry: key-offset unions
+  * of the sf0.1 fixtures → time every registered query at 1× and 10× →
+  * emit per-query growth ratios as a JSON artifact
+  * (default `SCALE_r03.json`) so the scale review cites measured scaling
+  * for every operator, not just the headline set. A ratio far above the
+  * data growth (see [[ScaleProbe.GrowthBound]]) marks a super-linear
+  * operator — the probe that caught the 4-bit sign-LSH quadratic in
+  * round 2.
+  *
+  * Usage: `sbt "runMain graft.ScaleProbe [outFile]"`
   */
 object ScaleProbe {
+
+  /** Flag threshold for t(10×)/t(1×). Linear scaling lands near 10 (data
+    * grows 10×; constant overheads pull it below, shuffle log-factors push
+    * it slightly above); 20 = twice linear is the alarm line that a
+    * quadratic candidate stage (100×) clears by an order of magnitude
+    * while honest log-linear operators never approach it.
+    */
+  val GrowthBound = 20.0
+
   def main(args: Array[String]): Unit = {
+    val outFile = args.headOption.getOrElse("SCALE_r03.json")
     val spark = Graft.configure(SparkSession.builder()).master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false").getOrCreate()
@@ -34,25 +53,58 @@ object ScaleProbe {
     replicate("supplier", Map("s_suppkey" -> 1000000L))
     for (t <- Seq("nation", "region", "part"))
       spark.read.parquet(s"$src/$t.parquet").write.mode("overwrite").parquet(s"$dst/$t.parquet")
-    // events carries TIMESTAMP(NANOS): route through the converting loader
-    Tables.events(spark, src).write.mode("overwrite").parquet(s"$dst/events.parquet")
-
-    def time(label: String)(f: => Any): Unit = {
-      val t0 = System.nanoTime(); f
-      println(f"SCALE $label: ${(System.nanoTime()-t0)/1e9}%.2f s")
+    // events carries TIMESTAMP(NANOS): route through the converting loader,
+    // then replicate like the fact tables (shifted ids, same timestamps →
+    // 10× users and 10× density per window — the load shape that stresses
+    // sessionization, as-of and the hourly aggregates)
+    locally {
+      val base = Tables.events(spark, src)
+      val out = (0 until copies).map { i =>
+        base.withColumn("event_id", col("event_id") + lit(i * 100000000L))
+          .withColumn("user_id", col("user_id") + lit(i * 1000000L))
+      }.reduce(_ unionByName _)
+      out.repartition(32).write.mode("overwrite").parquet(s"$dst/events.parquet")
     }
+
     def fullEval(df: DataFrame): Unit =
-      { df.select(org.apache.spark.sql.functions.bit_xor(xxhash64(struct(df.columns.map(col): _*)))).collect(); () }
+      { df.select(bit_xor(xxhash64(struct(df.columns.map(col): _*)))).collect(); () }
 
-    println(s"rows: docs=${spark.read.parquet(s"$dst/documents.parquet").count()}, lineitem=${spark.read.parquet(s"$dst/lineitem.parquet").count()}")
-    val headline = Set("q_dedup_chargram","q_dedup_neardup","q_srdata_flagship","q_preprocess_monthly",
-      "q_similarity_topk","q_dedup_simhash","q_distinct_upsert","q_embedding_neardup")
-    val wanted: String => Boolean =
-      if (args.contains("all")) _ => true else headline.contains
-    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1) if wanted(name)) {
-      spark.catalog.clearCache()
-      time(name)(fullEval(fn(spark, dst)))
+    def timed(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
+
+    println(s"rows: docs=${spark.read.parquet(s"$dst/documents.parquet").count()}, " +
+      s"lineitem=${spark.read.parquet(s"$dst/lineitem.parquet").count()}")
+
+    val rows = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      try {
+        // warm up EACH scale before timing it: JIT + codegen for t1, and
+        // any per-corpus one-time materialization (e.g. Dedup.PairTable's
+        // checkpoint) for BOTH sides — otherwise a query whose warmup only
+        // touched 1× would charge the 10× pass with setup cost and fake a
+        // super-linear ratio.
+        spark.catalog.clearCache()
+        fullEval(fn(spark, src))
+        spark.catalog.clearCache()
+        val t1 = timed(fullEval(fn(spark, src)))
+        spark.catalog.clearCache()
+        fullEval(fn(spark, dst))
+        spark.catalog.clearCache()
+        val t10 = timed(fullEval(fn(spark, dst)))
+        val ratio = t10 / math.max(t1, 1e-3)
+        println(f"SCALE $name: 1x=$t1%.2f s 10x=$t10%.2f s ratio=$ratio%.1f")
+        Some(f"""  "$name": {"t1_sec": $t1%.3f, "t10_sec": $t10%.3f, "ratio": $ratio%.2f, "super_linear": ${ratio > GrowthBound}}""")
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"SCALE $name FAILED: ${e.getMessage}")
+          Some(s"""  "$name": {"error": "${e.getClass.getSimpleName}"}""")
+      }
+    }
+    val json = rows.mkString(
+      s"""{\n  "_meta": {"copies": $copies, "src": "$src", "growth_bound": $GrowthBound},\n""",
+      ",\n", "\n}")
+    Files.writeString(Paths.get(outFile), json)
+    println(s"wrote $outFile")
     spark.stop()
   }
 }
