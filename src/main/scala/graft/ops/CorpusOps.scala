@@ -38,6 +38,14 @@ object CorpusOps {
   private def md5Bucket(c: org.apache.spark.sql.Column) =
     conv(substring(md5(c.cast("string")), 1, 12), 16, 10).cast("long") % Buckets
 
+  /** Split label for a key column — composable into any frame. */
+  def splitLabel(key: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val bucket = md5Bucket(key)
+    when(bucket < TrainPct, "train")
+      .when(bucket < TrainValPct, "val")
+      .otherwise("test")
+  }
+
   /** Deterministic stratified split: bucket = md5-fold(doc_id) mod 100.
     * Key-hash (not `rand`) means: same row → same split on every run,
     * every cluster size, every execution order; adding rows never moves
@@ -112,13 +120,77 @@ object CorpusOps {
        |FROM tf JOIN dfreq USING (term) CROSS JOIN n
        |QUALIFY rank <= $TopK""".stripMargin
 
+  /** Pipeline gates: documents shorter than this or scoring below this
+    * are excluded from training data.
+    */
+  val MinTokens = 10L
+  val MinQuality = 0.5
+
+  /** THE end-to-end corpus-preparation pipeline as ONE lazy plan:
+    * near-dup dedup (materialized pair table) → quality gate →
+    * deterministic split → per-split size report. What a user of this
+    * library runs before training; every stage is the already-gated
+    * operator, composed.
+    *
+    * Scale shape: the anti-join's pair side is tiny (broadcast-able), the
+    * quality gate and split label are per-row scan-stage projections, and
+    * the only corpus-wide shuffle is the final 3-group aggregate — i.e.
+    * the whole pipeline reads the corpus once and exchanges 3 rows.
+    */
+  def pipelineReport(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val survivors = graft.dedup.Dedup.dropNearDups(
+      docs, graft.dedup.Dedup.PairTable.wordPairs(spark, dir))
+    val withToks = survivors.select(
+      col("doc_id"), col("text"), TextOps.tokenize(col("text")).as("toks"))
+    val q = graft.text.Analysis.qualityColumnsFromTokens(col("text"), col("toks")).toMap
+    withToks
+      .select(col("doc_id"), q("quality_score").as("q"), q("n_tokens").as("n_tokens"))
+      .filter(col("q") >= MinQuality && col("n_tokens") >= MinTokens)
+      .select(splitLabel(col("doc_id")).as("split"), col("n_tokens"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).cast("long").as("sum_tokens"))
+  }
+
+  def pipelineOracle: String = {
+    val qCols = graft.text.Analysis.qualitySqlColumns("text").toMap
+    val hexTerms = (1 to 12).map { i =>
+      s"(CAST(ascii(substring(d, $i, 1)) AS BIGINT) - 48 - CASE WHEN ascii(substring(d, $i, 1)) >= 97 THEN 39 ELSE 0 END)"
+    }
+    val fold = hexTerms.zipWithIndex
+      .map { case (t, idx) => s"$t * ${math.pow(16, 11 - idx).toLong}" }
+      .mkString(" + ")
+    s"""WITH pairs AS (${graft.dedup.Dedup.MinHashLSH.oracle}),
+       |survivors AS (
+       |  SELECT * FROM documents
+       |  WHERE doc_id NOT IN (SELECT doc_b FROM pairs)
+       |), scored AS (
+       |  SELECT doc_id, ${qCols("quality_score")} AS q, ${qCols("n_tokens")} AS n_tokens
+       |  FROM survivors
+       |), kept AS (
+       |  SELECT doc_id, n_tokens FROM scored WHERE q >= $MinQuality AND n_tokens >= $MinTokens
+       |), labeled AS (
+       |  SELECT CASE WHEN bucket < $TrainPct THEN 'train'
+       |              WHEN bucket < $TrainValPct THEN 'val'
+       |              ELSE 'test' END AS split, n_tokens
+       |  FROM (
+       |    SELECT n_tokens, ($fold) % $Buckets AS bucket
+       |    FROM (SELECT n_tokens, md5(CAST(doc_id AS VARCHAR)) AS d FROM kept)
+       |  )
+       |)
+       |SELECT split, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+       |FROM labeled GROUP BY split""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_corpus_split" -> ((s, dir) => stratifiedSplit(Tables.documents(s, dir))),
-    "q_tfidf_topterms" -> ((s, dir) => tfidfTopTerms(s, dir))
+    "q_tfidf_topterms" -> ((s, dir) => tfidfTopTerms(s, dir)),
+    "q_corpus_pipeline" -> ((s, dir) => pipelineReport(s, dir))
   )
 
   def oracleSql: Map[String, String] = Map(
     "q_corpus_split" -> splitOracle,
-    "q_tfidf_topterms" -> tfidfOracle
+    "q_tfidf_topterms" -> tfidfOracle,
+    "q_corpus_pipeline" -> pipelineOracle
   )
 }

@@ -36,6 +36,19 @@ class CorpusOpsSpec extends SparkSuite {
     assert(self.count() === 0, "rarer term (smaller df) must rank at least as high at equal tf")
   }
 
+  test("pipeline report reads the corpus once: anti-join broadcast, one grouping exchange") {
+    val plan = CorpusOps.pipelineReport(spark, Sf).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"pair side of the dedup anti-join must broadcast:\n$plan")
+    // exchanges: one keyed on `split` (the 3-group report) plus at most
+    // the pair-table's own tiny distinct feeding its broadcast — nothing
+    // else may shuffle corpus rows
+    val exchanges = "Exchange hashpartitioning\\(([a-z_]+)#".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq.sorted
+    assert(exchanges == Seq("split") || exchanges == Seq("doc_id", "split"),
+      s"unexpected exchange set ${exchanges.mkString(",")}:\n$plan")
+  }
+
   test("tf-idf plan broadcasts the vocabulary-sized df table") {
     val plan = CorpusOps.tfidfTopTerms(spark, Sf).queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), s"df join must be broadcast:\n$plan")
