@@ -182,15 +182,42 @@ object CorpusOps {
        |FROM labeled GROUP BY split""".stripMargin
   }
 
+  /** Per-language vocabulary stats — the distinct-aggregate surface
+    * (`count(DISTINCT …)` per group). Spark plans grouped count-distinct
+    * as the two-phase expand/partial-aggregate rewrite; at scale the
+    * pre-aggregation on (lang, term) absorbs the duplication before the
+    * final per-lang count. The exact form is the gate; the HLL sketch
+    * (`approx_count_distinct`) is unit-tested against it within tolerance
+    * (sketches differ across engines, so it cannot be oracle-hashed).
+    */
+  def vocabStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("lang"), explode(TextOps.tokenize(col("text"))).as("term"))
+      .groupBy(col("lang"))
+      .agg(
+        countDistinct(col("term")).as("vocab"),
+        count(lit(1)).as("n_tokens"))
+
+  def vocabOracle: String =
+    s"""SELECT lang,
+       |  count(DISTINCT term) AS vocab,
+       |  count(*) AS n_tokens
+       |FROM (
+       |  SELECT lang, unnest(${TextOps.tokenizeSql("text")}) AS term FROM documents
+       |)
+       |GROUP BY lang""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_corpus_split" -> ((s, dir) => stratifiedSplit(Tables.documents(s, dir))),
     "q_tfidf_topterms" -> ((s, dir) => tfidfTopTerms(s, dir)),
-    "q_corpus_pipeline" -> ((s, dir) => pipelineReport(s, dir))
+    "q_corpus_pipeline" -> ((s, dir) => pipelineReport(s, dir)),
+    "q_vocab_stats" -> ((s, dir) => vocabStats(s, dir))
   )
 
   def oracleSql: Map[String, String] = Map(
     "q_corpus_split" -> splitOracle,
     "q_tfidf_topterms" -> tfidfOracle,
-    "q_corpus_pipeline" -> pipelineOracle
+    "q_corpus_pipeline" -> pipelineOracle,
+    "q_vocab_stats" -> vocabOracle
   )
 }

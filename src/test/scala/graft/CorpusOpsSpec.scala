@@ -49,6 +49,15 @@ class CorpusOpsSpec extends SparkSuite {
       s"unexpected exchange set ${exchanges.mkString(",")}:\n$plan")
   }
 
+  test("approx_count_distinct (HLL) lands within 5% of the exact vocabulary") {
+    val toks = Tables.documents(spark, Sf)
+      .select(explode(graft.text.TextOps.tokenize(col("text"))).as("term"))
+    val exact = toks.agg(countDistinct(col("term"))).head().getLong(0)
+    val approx = toks.agg(approx_count_distinct(col("term"))).head().getLong(0)
+    assert(math.abs(approx - exact).toDouble / exact < 0.05,
+      s"HLL estimate $approx too far from exact $exact")
+  }
+
   test("tf-idf plan broadcasts the vocabulary-sized df table") {
     val plan = CorpusOps.tfidfTopTerms(spark, Sf).queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), s"df join must be broadcast:\n$plan")
