@@ -188,7 +188,10 @@ object Dedup {
       // hash work runs once, not 4× — the C1 pattern the reference
       // applies at the same fan-out points. At cluster scale the same role
       // is played by checkpointing the signature table.
-      val docs = docsRaw
+      // widen BEFORE hashing: the shingle/minhash computation is the
+      // dominant per-row cost and must not serialize onto one task when
+      // the source is a single-row-group file (see ScaleOps.widen)
+      val docs = graft.ops.ScaleOps.widen(docsRaw)
         .select(col("doc_id"), hvCol.as("hv"))
         .filter(size(col("hv")) > 0)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -412,7 +415,7 @@ object Dedup {
       */
     def nearDupPairs48(spark: SparkSession, dir: String): DataFrame = {
       import graft.plans.SimHash48.{BandBits, BandMask, NumBands}
-      val sigs = Tables.documents(spark, dir)
+      val sigs = graft.ops.ScaleOps.widen(Tables.documents(spark, dir))
         .select(col("doc_id"), shingles(col("text")).as("ft"))
         .filter(size(col("ft")) > 0)
         .select(col("doc_id"), simhash48Of(col("ft")).as("sh"))

@@ -51,4 +51,23 @@ object ScaleOps {
     b.join(s, b(key) === s(key) && b("__salt") === s("__salt"), joinType)
       .drop(s(key)).drop(b("__salt")).drop(s("__salt"))
   }
+
+  /** Widen an under-split source before a compute-bound stage.
+    *
+    * A parquet file is splittable only at row-group boundaries; a small
+    * single-row-group file therefore scans as ONE task, and any expensive
+    * per-row expressions layered on the scan (digest signatures, shingle
+    * hashing) serialize onto one core no matter how many sit idle —
+    * measured: the sf0.1 `documents` fixture is one row group, pinning
+    * the whole SimHash/MinHash signature stage to a single thread.
+    *
+    * The fix is one round-robin exchange of the RAW rows (cheap by
+    * premise: the source is small) bought only when needed: if the scan
+    * already yields at least the cluster's parallelism — every real
+    * 100 TB table — this is the identity and the plan is untouched.
+    */
+  def widen(df: DataFrame): DataFrame = {
+    val slots = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < slots) df.repartition(slots) else df
+  }
 }
