@@ -89,7 +89,8 @@ object Dedup {
       * at 100 TB each fingerprint's (tiny) group sorts independently.
       */
     def dedupExact(docs: DataFrame): DataFrame = {
-      val fp = docs.select(col("doc_id"), Analysis.fingerprint(col("text")).as("fp_md5"))
+      val fp = graft.ops.ScaleOps.widen(docs)
+        .select(col("doc_id"), Analysis.fingerprint(col("text")).as("fp_md5"))
       val w = Window.partitionBy(col("fp_md5")).orderBy(col("doc_id"))
       fp.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
     }

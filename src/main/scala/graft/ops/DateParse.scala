@@ -62,7 +62,10 @@ object DateParse {
     * parse asymmetry is visible as a value, not just a null count.
     */
   def parseMultiFormat(spark: SparkSession, dir: String): DataFrame = {
-    val o = Tables.orders(spark, dir).select("o_orderkey", "o_orderdate")
+    // 6 try_to_timestamp branches per row, all in the scan stage — widen
+    // under-split files (identity on real tables)
+    val o = ScaleOps.widen(
+      Tables.orders(spark, dir).select("o_orderkey", "o_orderdate"))
     val d = col("o_orderdate")
     val fmtId = col("o_orderkey") % 5
     val rendered =

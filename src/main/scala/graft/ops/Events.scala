@@ -27,7 +27,8 @@ object Events {
     * with `date_trunc('hour', ts)` — the oracle's form.
     */
   def hourlyJsonAgg(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir)
+    // the per-row JSON parse is the scan-stage cost — widen under-split files
+    ScaleOps.widen(Tables.events(spark, dir))
       .select(
         col("ts"), col("event_type"),
         from_json(col("props"), PropsSchema).getField("k").as("k"),          // typed parse

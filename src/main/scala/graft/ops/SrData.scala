@@ -59,8 +59,15 @@ object SrData {
   /** The shared 5-join left-deep star with the reference's derived columns,
     * before rename-projection. ↔ `sr_data_query` (`sql_to_es_etl.py:54-73`).
     */
-  def joined(spark: SparkSession, dir: String): DataFrame = {
-    val a = Tables.lineitem(spark, dir).as("a")
+  /** @param wide widen the fact side (see [[ScaleOps.widen]]): with every
+    *   dim broadcast the whole star + projection is ONE stage, so an
+    *   under-split lineitem file runs it on one core. Full-table consumers
+    *   (the flagship) want this; month-filtered consumers skip it — their
+    *   surviving rows are too few to repay the exchange.
+    */
+  def joined(spark: SparkSession, dir: String, wide: Boolean = false): DataFrame = {
+    val fact = Tables.lineitem(spark, dir)
+    val a = (if (wide) ScaleOps.widen(fact) else fact).as("a")
     val o = Tables.orders(spark, dir).as("o")
     val c = Tables.customer(spark, dir).as("c")
     val s = Tables.supplier(spark, dir).as("s")
@@ -103,7 +110,7 @@ object SrData {
     * one native plan.
     */
   def flagship(spark: SparkSession, dir: String): DataFrame = {
-    val j = joined(spark, dir)
+    val j = joined(spark, dir, wide = true)
     val projected = j.select(
       // ↔ selectExpr rename block, sql_to_es_etl.py:87-89; Row_ID pre-cast
       // to string ↔ :86

@@ -183,37 +183,43 @@ object Analysis {
 
   // ---- query registry ----
 
+  /** All analysis queries are per-row expression pipelines over the scan —
+    * widen under-split files so they parallelize (identity on real tables).
+    */
+  private def docs(s: SparkSession, dir: String) =
+    graft.ops.ScaleOps.widen(Tables.documents(s, dir))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_normalize_text" -> ((s, dir) =>
-      Tables.documents(s, dir).select(col("doc_id"),
+      docs(s, dir).select(col("doc_id"),
         Normalize.normalizeText(col("text")).as("norm_text"))),
     "q_tokenize_stopword_lemma" -> ((s, dir) =>
-      Tables.documents(s, dir)
+      docs(s, dir)
         .select(col("doc_id"), TextOps.preprocess(col("text")).as("p"))
         .select(col("doc_id"),
           concat_ws(" ", col("p")).as("processed"),
           size(col("p")).cast("long").as("n_out_tokens"))),
     "q_lang_id" -> ((s, dir) =>
-      Tables.documents(s, dir)
+      docs(s, dir)
         .select(col("doc_id"), col("lang"), col("text"), tokens(col("text")).as("toks"))
         .select(col("doc_id"), col("lang"),
           langIdFromTokens(col("text"), col("toks")).as("lang_pred"))),
     "q_text_quality" -> ((s, dir) => {
       val cols = qualityColumnsFromTokens(col("text"), col("toks"))
         .map { case (n, c) => c.as(n) }
-      Tables.documents(s, dir)
+      docs(s, dir)
         .select(col("doc_id"), col("text"), tokens(col("text")).as("toks"))
         .select(col("doc_id") +: cols: _*)
     }),
     "q_token_count" -> ((s, dir) =>
-      Tables.documents(s, dir).select(col("doc_id"),
+      docs(s, dir).select(col("doc_id"),
         wsTokenCount(col("text")).as("ws_tokens"),
         bpeIshTokenCount(col("text")).as("bpeish_tokens"))),
     "q_fingerprint" -> ((s, dir) =>
-      Tables.documents(s, dir).select(col("doc_id"),
+      docs(s, dir).select(col("doc_id"),
         fingerprint(col("text")).as("fp_md5"))),
     "q_rolling_fingerprint" -> ((s, dir) =>
-      Tables.documents(s, dir).select(col("doc_id"),
+      docs(s, dir).select(col("doc_id"),
         rollingHash(col("text")).as("fp_roll")))
   )
 
