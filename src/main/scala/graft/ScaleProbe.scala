@@ -92,8 +92,12 @@ object ScaleProbe {
         spark.catalog.clearCache()
         val t10 = timed(fullEval(fn(spark, dst)))
         val ratio = t10 / math.max(t1, 1e-3)
-        println(f"SCALE $name: 1x=$t1%.2f s 10x=$t10%.2f s ratio=$ratio%.1f")
-        Some(f"""  "$name": {"t1_sec": $t1%.3f, "t10_sec": $t10%.3f, "ratio": $ratio%.2f, "super_linear": ${ratio > GrowthBound}}""")
+        // Locale.ROOT: the default-locale f-interpolator renders 0,507 in
+        // comma-decimal locales — invalid JSON
+        def num(x: Double, prec: Int) =
+          String.format(java.util.Locale.ROOT, s"%.${prec}f", Double.box(x))
+        println(s"SCALE $name: 1x=${num(t1, 2)} s 10x=${num(t10, 2)} s ratio=${num(ratio, 1)}")
+        Some(s"""  "$name": {"t1_sec": ${num(t1, 3)}, "t10_sec": ${num(t10, 3)}, "ratio": ${num(ratio, 2)}, "super_linear": ${ratio > GrowthBound}}""")
       } catch {
         case e: Throwable =>
           System.err.println(s"SCALE $name FAILED: ${e.getMessage}")

@@ -233,12 +233,7 @@ object Dedup {
       * distinct.
       */
     def baseHashesSql(shingleSql: String): String = {
-      val hexTerms = (1 to 12).map { i =>
-        s"(CAST(ascii(substring(d, $i, 1)) AS BIGINT) - 48 - CASE WHEN ascii(substring(d, $i, 1)) >= 97 THEN 39 ELSE 0 END)"
-      }
-      val fold = hexTerms.zipWithIndex
-        .map { case (t, idx) => s"$t * ${math.pow(16, 11 - idx).toLong}" }
-        .mkString(" + ")
+      val fold = TextOps.md5HexFold12Sql("d")
       s"list_distinct(list_transform(list_transform($shingleSql, x -> md5(x)), d -> ($fold) % $P))"
     }
 
@@ -303,14 +298,22 @@ object Dedup {
   object PairTable {
     private lazy val base =
       java.nio.file.Files.createTempDirectory("graft-pairs").toString
-    private val built = scala.collection.concurrent.TrieMap[String, String]()
+    private val built = scala.collection.mutable.HashMap[String, String]()
 
     def wordPairs(spark: SparkSession, dir: String): DataFrame = {
-      val path = built.getOrElseUpdate(dir, {
-        val p = s"$base/${java.lang.Integer.toHexString(dir.hashCode)}"
-        MinHashLSH.nearDupPairs(spark, dir).write.mode("overwrite").parquet(p)
-        p
-      })
+      // synchronized: getOrElseUpdate's body writes a table — two racing
+      // first callers must not interleave writes into one path. Path key
+      // is the full md5 of the dir (a 32-bit hashCode can collide across
+      // corpora, silently serving one corpus the other's pairs).
+      val path = built.synchronized {
+        built.getOrElseUpdate(dir, {
+          val digest = java.security.MessageDigest.getInstance("MD5")
+            .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+          val p = s"$base/$digest"
+          MinHashLSH.nearDupPairs(spark, dir).write.mode("overwrite").parquet(p)
+          p
+        })
+      }
       spark.read.parquet(path)
     }
   }

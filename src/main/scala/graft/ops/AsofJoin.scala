@@ -41,11 +41,15 @@ object AsofJoin {
     val leftCols = left.columns.toSeq
     // The union trick fills each side's missing columns with typed nulls —
     // a shared name would silently null out the real column. Fail loudly.
-    val collisions = payloadCols.intersect(leftCols)
+    // Names compare case-INsensitively: withColumn resolves that way under
+    // the default spark.sql.caseSensitive=false, so "VALUE" would replace
+    // a real "value" even though the strings differ.
+    val leftLower = leftCols.map(_.toLowerCase)
+    val collisions = payloadCols.filter(c => leftLower.contains(c.toLowerCase))
     require(collisions.isEmpty,
       s"right payload column(s) ${collisions.mkString(", ")} collide with left " +
         "columns; rename one side before asofJoin")
-    require(!leftCols.contains("__side") && !right.columns.contains("__side"),
+    require(!(leftCols ++ right.columns).exists(_.equalsIgnoreCase("__side")),
       "__side is reserved by asofJoin")
 
     val l = payloadCols.foldLeft(left.withColumn("__side", lit(1))) {

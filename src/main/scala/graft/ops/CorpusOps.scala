@@ -38,13 +38,22 @@ object CorpusOps {
   private def md5Bucket(c: org.apache.spark.sql.Column) =
     conv(substring(md5(c.cast("string")), 1, 12), 16, 10).cast("long") % Buckets
 
-  /** Split label for a key column — composable into any frame. */
-  def splitLabel(key: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-    val bucket = md5Bucket(key)
+  /** Bucket → label, the ONE copy of the threshold chain (its SQL twin is
+    * [[labelFromBucketSql]]).
+    */
+  private def labelFromBucket(bucket: org.apache.spark.sql.Column) =
     when(bucket < TrainPct, "train")
       .when(bucket < TrainValPct, "val")
       .otherwise("test")
-  }
+
+  private def labelFromBucketSql(bucket: String): String =
+    s"""CASE WHEN $bucket < $TrainPct THEN 'train'
+       |       WHEN $bucket < $TrainValPct THEN 'val'
+       |       ELSE 'test' END""".stripMargin
+
+  /** Split label for a key column — composable into any frame. */
+  def splitLabel(key: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    labelFromBucket(md5Bucket(key))
 
   /** Deterministic stratified split: bucket = md5-fold(doc_id) mod 100.
     * Key-hash (not `rand`) means: same row → same split on every run,
@@ -53,22 +62,12 @@ object CorpusOps {
     */
   def stratifiedSplit(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), md5Bucket(col("doc_id")).as("bucket"))
-      .withColumn("split",
-        when(col("bucket") < TrainPct, "train")
-          .when(col("bucket") < TrainValPct, "val")
-          .otherwise("test"))
+      .withColumn("split", labelFromBucket(col("bucket")))
 
   def splitOracle: String = {
-    val hexTerms = (1 to 12).map { i =>
-      s"(CAST(ascii(substring(d, $i, 1)) AS BIGINT) - 48 - CASE WHEN ascii(substring(d, $i, 1)) >= 97 THEN 39 ELSE 0 END)"
-    }
-    val fold = hexTerms.zipWithIndex
-      .map { case (t, idx) => s"$t * ${math.pow(16, 11 - idx).toLong}" }
-      .mkString(" + ")
+    val fold = TextOps.md5HexFold12Sql("d")
     s"""SELECT doc_id, bucket,
-       |  CASE WHEN bucket < $TrainPct THEN 'train'
-       |       WHEN bucket < $TrainValPct THEN 'val'
-       |       ELSE 'test' END AS split
+       |  ${labelFromBucketSql("bucket")} AS split
        |FROM (
        |  SELECT doc_id, ($fold) % $Buckets AS bucket
        |  FROM (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS d FROM documents)
@@ -154,12 +153,7 @@ object CorpusOps {
 
   def pipelineOracle: String = {
     val qCols = graft.text.Analysis.qualitySqlColumns("text").toMap
-    val hexTerms = (1 to 12).map { i =>
-      s"(CAST(ascii(substring(d, $i, 1)) AS BIGINT) - 48 - CASE WHEN ascii(substring(d, $i, 1)) >= 97 THEN 39 ELSE 0 END)"
-    }
-    val fold = hexTerms.zipWithIndex
-      .map { case (t, idx) => s"$t * ${math.pow(16, 11 - idx).toLong}" }
-      .mkString(" + ")
+    val fold = TextOps.md5HexFold12Sql("d")
     s"""WITH pairs AS (${graft.dedup.Dedup.MinHashLSH.oracle}),
        |survivors AS (
        |  SELECT * FROM documents
@@ -170,9 +164,7 @@ object CorpusOps {
        |), kept AS (
        |  SELECT doc_id, n_tokens FROM scored WHERE q >= $MinQuality AND n_tokens >= $MinTokens
        |), labeled AS (
-       |  SELECT CASE WHEN bucket < $TrainPct THEN 'train'
-       |              WHEN bucket < $TrainValPct THEN 'val'
-       |              ELSE 'test' END AS split, n_tokens
+       |  SELECT ${labelFromBucketSql("bucket")} AS split, n_tokens
        |  FROM (
        |    SELECT n_tokens, ($fold) % $Buckets AS bucket
        |    FROM (SELECT n_tokens, md5(CAST(doc_id AS VARCHAR)) AS d FROM kept)

@@ -43,17 +43,21 @@ object DateParse {
     coalesce(branches: _*)
   }
 
-  /** DuckDB twin: try_strptime accepts python-style patterns; `%f`
-    * parses 1–6 fractional digits so it covers the `.S/.SS/.SSS` family
-    * in one branch (same acceptance set, same result — the chain is a
-    * first-match, so collapsing equal-result branches is sound).
+  /** DuckDB twin. `try_strptime`'s `%f` accepts 1–6 fractional digits
+    * where Spark's `.S/.SS/.SSS` chain accepts exactly 1–3 (measured:
+    * pattern count is the MAX digits, shorter runs parse), so the
+    * fraction branches are regex-gated to 1–3 digits — a microsecond
+    * string like `…30.123456` coerces to NULL on BOTH engines, as the
+    * ES declaration (which stops at `.SSS`) implies.
     */
   def multiFormatTimestampSql(c: String): String =
     s"""coalesce(
-       |  try_strptime($c, '%Y-%m-%d %H:%M:%S.%f'),
+       |  CASE WHEN regexp_matches($c, '^\\d{4}-\\d{2}-\\d{2} \\d{2}:\\d{2}:\\d{2}\\.\\d{1,3}$$')
+       |       THEN try_strptime($c, '%Y-%m-%d %H:%M:%S.%f') END,
        |  try_strptime($c, '%Y-%m-%d'),
        |  try_strptime($c, '%Y-%m-%dT%H:%M:%S'),
-       |  try_strptime($c, '%Y-%m-%dT%H:%M:%S.%f'),
+       |  CASE WHEN regexp_matches($c, '^\\d{4}-\\d{2}-\\d{2}T\\d{2}:\\d{2}:\\d{2}\\.\\d{1,3}$$')
+       |       THEN try_strptime($c, '%Y-%m-%dT%H:%M:%S.%f') END,
        |  CASE WHEN regexp_matches($c, '^[0-9]{10,}$$')
        |       THEN make_timestamp(CAST($c AS BIGINT) * 1000) END)""".stripMargin
 
@@ -67,12 +71,18 @@ object DateParse {
     val o = ScaleOps.widen(
       Tables.orders(spark, dir).select("o_orderkey", "o_orderdate"))
     val d = col("o_orderdate")
-    val fmtId = col("o_orderkey") % 5
+    // key mod 7 → every declared shape is exercised: .S/.SS/.SSS,
+    // date-only, ISO with and without fraction, epoch_millis
+    val fmtId = col("o_orderkey") % 7
+    val base = date_format(d, "yyyy-MM-dd HH:mm:ss")
+    val iso = date_format(d, "yyyy-MM-dd'T'HH:mm:ss")
     val rendered =
-      when(fmtId === 0, concat(date_format(d, "yyyy-MM-dd HH:mm:ss"), lit(".0")))
-        .when(fmtId === 1, concat(date_format(d, "yyyy-MM-dd HH:mm:ss"), lit(".000")))
-        .when(fmtId === 2, date_format(d, "yyyy-MM-dd"))
-        .when(fmtId === 3, date_format(d, "yyyy-MM-dd'T'HH:mm:ss"))
+      when(fmtId === 0, concat(base, lit(".0")))
+        .when(fmtId === 1, concat(base, lit(".00")))
+        .when(fmtId === 2, concat(base, lit(".000")))
+        .when(fmtId === 3, date_format(d, "yyyy-MM-dd"))
+        .when(fmtId === 4, iso)
+        .when(fmtId === 5, concat(iso, lit(".000")))
         // fixture timestamps are NTZ; the session is pinned UTC, so the
         // cast to an instant is the identity embedding
         .otherwise(unix_millis(d.cast("timestamp")).cast("string"))
@@ -85,11 +95,13 @@ object DateParse {
        |  ${multiFormatTimestampSql("rendered")} AS parsed
        |FROM (
        |  SELECT o_orderkey,
-       |    CASE o_orderkey % 5
+       |    CASE o_orderkey % 7
        |      WHEN 0 THEN strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') || '.0'
-       |      WHEN 1 THEN strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') || '.000'
-       |      WHEN 2 THEN strftime(o_orderdate, '%Y-%m-%d')
-       |      WHEN 3 THEN strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S')
+       |      WHEN 1 THEN strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') || '.00'
+       |      WHEN 2 THEN strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') || '.000'
+       |      WHEN 3 THEN strftime(o_orderdate, '%Y-%m-%d')
+       |      WHEN 4 THEN strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S')
+       |      WHEN 5 THEN strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S') || '.000'
        |      ELSE CAST(epoch_ms(o_orderdate) AS VARCHAR)
        |    END AS rendered
        |  FROM orders

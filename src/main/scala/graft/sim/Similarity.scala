@@ -134,6 +134,10 @@ object Similarity {
       (-s.getField("list_id")).as("neg_list_id"))))
     docs.crossJoin(broadcast(seedArr))
       .select(col("vec_id"), (-best.getField("neg_list_id")).as("list_id"))
+      // zero seeds → empty `seeds` array → NULL argmax; drop those rows so
+      // the empty-seed case returns an empty assignment exactly like the
+      // old crossJoin-against-no-rows formulation did
+      .filter(col("list_id").isNotNull)
   }
 
   /** Per-list summary vectors: dim-wise integer sums via posexplode —

@@ -72,6 +72,20 @@ object TextOps {
 
   def stopwordListSql: String = Stopwords.map(s => s"'$s'").mkString(", ")
 
+  /** Fold the first 12 hex chars of a bound md5-hex variable `v` into the
+    * 48-bit integer Spark's `conv(substring(md5(x),1,12),16,10)` yields —
+    * the ONE copy of the ascii-decode idiom every oracle that buckets or
+    * hashes by md5 shares (MinHash base hashes, corpus split buckets).
+    */
+  def md5HexFold12Sql(v: String): String = {
+    val hexTerms = (1 to 12).map { i =>
+      s"(CAST(ascii(substring($v, $i, 1)) AS BIGINT) - 48 - CASE WHEN ascii(substring($v, $i, 1)) >= 97 THEN 39 ELSE 0 END)"
+    }
+    hexTerms.zipWithIndex
+      .map { case (t, idx) => s"$t * ${math.pow(16, 11 - idx).toLong}" }
+      .mkString(" + ")
+  }
+
   def tokenizeSql(c: String): String =
     s"list_filter(string_split_regex(trim($c), '\\s+'), t -> length(t) > 0)"
 

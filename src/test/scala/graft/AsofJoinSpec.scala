@@ -48,6 +48,20 @@ class AsofJoinSpec extends SparkSuite {
     assert(e.getMessage.contains("payload"))
   }
 
+  test("collision guard is case-insensitive, matching withColumn resolution") {
+    // withColumn resolves case-insensitively under the default
+    // spark.sql.caseSensitive=false — "PAYLOAD" would replace "payload"
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val left = Seq((1L, "u", ts("2024-01-01 10:00:00")))
+      .toDF("payload", "user_id", "ts")
+    val right = Seq(("u", ts("2024-01-01 09:00:00"), 100L))
+      .toDF("user_id", "ts", "PAYLOAD")
+    intercept[IllegalArgumentException] {
+      AsofJoin.asofJoin(left, right, "user_id", "ts")
+    }
+  }
+
   test("plan shape: one hash exchange by key, no range explosion join") {
     val plan = AsofJoin.eventsAsofErrors(spark, Sf).queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),

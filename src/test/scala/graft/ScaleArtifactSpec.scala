@@ -14,7 +14,9 @@ class ScaleArtifactSpec extends AnyFunSuite {
     val dir = new java.io.File(".")
     Option(dir.listFiles((_, n) => n.matches("SCALE_r\\d+\\.json")))
       .map(_.toSeq).getOrElse(Seq.empty)
-      .sortBy(_.getName).lastOption
+      // numeric round order — lexicographic would rank r99 above r100
+      .sortBy(f => "\\d+".r.findFirstIn(f.getName).get.toInt)
+      .lastOption
   }
 
   test("no registered query exceeds the configured growth bound at 10x data") {
