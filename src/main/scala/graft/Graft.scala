@@ -102,4 +102,30 @@ object Graft {
   /** IVF-probed approximate top-k (the 100 TB path). */
   def searchTopKApprox(spark: SparkSession, sfDir: String): DataFrame =
     Similarity.ivfTopK(spark, sfDir)
+
+  // ---- corpus preparation (round-3 surface) ----
+
+  /** Deterministic train/val/test assignment by key hash — reproducible
+    * at any scale, append-stable.
+    */
+  def splitCorpus(docs: DataFrame): DataFrame =
+    ops.CorpusOps.stratifiedSplit(docs)
+
+  /** Per-document top terms by integer-quantized tf·idf. */
+  def topTerms(spark: SparkSession, sfDir: String): DataFrame =
+    ops.CorpusOps.tfidfTopTerms(spark, sfDir)
+
+  /** The full prepare-for-training pipeline (dedup → quality gate →
+    * split) as one lazy plan, reported per split.
+    */
+  def prepareCorpus(spark: SparkSession, sfDir: String): DataFrame =
+    ops.CorpusOps.pipelineReport(spark, sfDir)
+
+  /** ES-style multi-format first-match timestamp coercion. */
+  def parseTimestamp(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    ops.DateParse.multiFormatTimestamp(c)
+
+  /** Watermark-bounded streaming dedup (first delivery per key wins). */
+  def dedupStream(events: DataFrame, key: String, horizon: String = "2 hours"): DataFrame =
+    streaming.EventsStream.dedupStream(events, key, horizon)
 }

@@ -24,4 +24,23 @@ class GraftFacadeSpec extends SparkSuite {
     val approx = Graft.searchTopKApprox(spark, Sf).select("query_id", "neighbor_id")
     assert(approx.count() === exact.count(), "both return K per query")
   }
+
+  test("corpus-prep facade: split covers every doc, report partitions the kept set") {
+    val docs = Tables.documents(spark, Sf)
+    val split = Graft.splitCorpus(docs).cache()
+    assert(split.count() === docs.count())
+    assert(split.select("split").distinct().count() <= 3)
+    val report = Graft.prepareCorpus(spark, Sf)
+      .agg(sum("n_docs")).head().getLong(0)
+    assert(report > 0 && report <= docs.count())
+    val terms = Graft.topTerms(spark, Sf)
+    assert(terms.groupBy("doc_id").count().filter(col("count") > 5).count() === 0)
+  }
+
+  test("parseTimestamp facade accepts every declared shape") {
+    import spark.implicits._
+    val ok = Seq("2020-03-15", "2020-03-15T10:20:30", "1584267630000")
+      .toDF("s").select(Graft.parseTimestamp(col("s"))).collect()
+    assert(ok.forall(!_.isNullAt(0)))
+  }
 }

@@ -5,6 +5,16 @@ import graft.ops.ScaleOps
 
 class ScaleOpsSpec extends SparkSuite {
 
+  test("widen repartitions an under-split source and is the identity on a wide one") {
+    val docs = Tables.documents(spark, Sf) // single-row-group fixture -> 1 split
+    val slots = spark.sparkContext.defaultParallelism
+    assert(ScaleOps.widen(docs).rdd.getNumPartitions === slots)
+    val alreadyWide = docs.repartition(slots + 2)
+    assert(ScaleOps.widen(alreadyWide).queryExecution.logical
+      .eq(alreadyWide.queryExecution.logical),
+      "a source at or above cluster parallelism must pass through untouched")
+  }
+
   test("salted join returns exactly the rows of the plain join (inner)") {
     val o = Tables.orders(spark, Sf).select("o_orderkey", "o_custkey", "o_totalprice")
     val c = Tables.customer(spark, Sf).select("c_custkey", "c_name")
