@@ -456,6 +456,57 @@ object Dedup {
     }
   }
 
+  /** Content-defined chunking — duplicated-SPAN detection, the
+    * sub-document granularity the whole-doc families can't see (quotes,
+    * boilerplate, partial copies). [[graft.plans.CdcChunks]] splits at
+    * local-content boundaries, so a shared span chunks identically in
+    * any two documents; the chunk-hash table then finds cross-document
+    * duplicates with one aggregate. Also the RAG-chunker shape.
+    */
+  object Cdc {
+    import graft.plans.CdcChunks
+
+    def chunkCol(c: Column): Column =
+      org.apache.spark.sql.GraftColumnShim.column(
+        CdcChunks(org.apache.spark.sql.GraftColumnShim.expression(c),
+          CdcChunks.DefaultW, CdcChunks.DefaultDivisor))
+
+    /** (doc_id, chunk_idx, chunk_md5, chunk_len) — the chunk table. */
+    def chunkTable(spark: SparkSession, dir: String): DataFrame =
+      graft.ops.ScaleOps.widen(Tables.documents(spark, dir))
+        .select(col("doc_id"), posexplode(chunkCol(col("text"))).as(Seq("chunk_idx", "chunk")))
+        .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+          md5(col("chunk")).as("chunk_md5"),
+          length(col("chunk")).cast("long").as("chunk_len"))
+
+    /** Spans appearing in more than one document. */
+    def sharedChunks(spark: SparkSession, dir: String): DataFrame =
+      chunkTable(spark, dir)
+        .groupBy(col("chunk_md5"))
+        .agg(count(lit(1)).as("n_occurrences"),
+          countDistinct(col("doc_id")).as("n_docs"))
+        .filter(col("n_docs") > 1)
+
+    def chunkTableOracle: String = {
+      val bSql = CdcChunks.boundariesSql("text", CdcChunks.DefaultW, CdcChunks.DefaultDivisor)
+      s"""WITH withb AS (
+         |  SELECT doc_id, text, $bSql AS b FROM documents
+         |), chunked AS (
+         |  SELECT doc_id, ${CdcChunks.slicesSql("text", "b")} AS ch FROM withb
+         |)
+         |SELECT doc_id, CAST(i - 1 AS BIGINT) AS chunk_idx,
+         |  md5(ch[i]) AS chunk_md5,
+         |  CAST(length(ch[i]) AS BIGINT) AS chunk_len
+         |FROM chunked, unnest(range(1, len(ch) + 1)) AS t(i)""".stripMargin
+    }
+
+    def sharedChunksOracle: String =
+      s"""SELECT chunk_md5, count(*) AS n_occurrences,
+         |  count(DISTINCT doc_id) AS n_docs
+         |FROM ($chunkTableOracle)
+         |GROUP BY chunk_md5 HAVING count(DISTINCT doc_id) > 1""".stripMargin
+  }
+
   // ---- query registry ----
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -474,7 +525,9 @@ object Dedup {
       Tables.documents(s, dir)
         .select(col("doc_id"), SimHash.tokenDigests(col("text")).as("dg"))
         .select(col("doc_id"), SimHash.simhashOf(col("dg")))),
-    "q_simhash_neardup" -> ((s, dir) => SimHash.nearDupPairs48(s, dir))
+    "q_simhash_neardup" -> ((s, dir) => SimHash.nearDupPairs48(s, dir)),
+    "q_cdc_chunks" -> ((s, dir) => Cdc.chunkTable(s, dir)),
+    "q_cdc_shared_chunks" -> ((s, dir) => Cdc.sharedChunks(s, dir))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -486,6 +539,8 @@ object Dedup {
          |WHERE doc_id NOT IN (SELECT doc_b FROM (${MinHashLSH.oracle}))""".stripMargin,
     "q_dedup_simhash" ->
       s"SELECT doc_id, CAST(${SimHash.simhashSql("text")} AS BIGINT) AS simhash FROM documents",
-    "q_simhash_neardup" -> SimHash.nearDup48Oracle
+    "q_simhash_neardup" -> SimHash.nearDup48Oracle,
+    "q_cdc_chunks" -> Cdc.chunkTableOracle,
+    "q_cdc_shared_chunks" -> Cdc.sharedChunksOracle
   )
 }

@@ -89,6 +89,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("simhash48"),
       new ExpressionInfo(classOf[SimHash48].getName, "simhash48"),
       (children: Seq[Expression]) => SimHash48(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("cdc_chunks"),
+      new ExpressionInfo(classOf[CdcChunks].getName, "cdc_chunks"),
+      (children: Seq[Expression]) =>
+        CdcChunks(children.head, CdcChunks.DefaultW, CdcChunks.DefaultDivisor)))
     ext.injectOptimizerRule(_ => SargableMonthRule)
   }
 }
