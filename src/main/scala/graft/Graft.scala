@@ -128,4 +128,11 @@ object Graft {
   /** Watermark-bounded streaming dedup (first delivery per key wins). */
   def dedupStream(events: DataFrame, key: String, horizon: String = "2 hours"): DataFrame =
     streaming.EventsStream.dedupStream(events, key, horizon)
+
+  /** Content-defined chunks of a (doc_id, text) corpus — duplicated-span
+    * detection and RAG chunking.
+    */
+  def chunkCorpus(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      posexplode(Dedup.Cdc.chunkCol(col("text"))).as(Seq("chunk_idx", "chunk")))
 }

@@ -37,6 +37,16 @@ class GraftFacadeSpec extends SparkSuite {
     assert(terms.groupBy("doc_id").count().filter(col("count") > 5).count() === 0)
   }
 
+  test("chunkCorpus emits ordered chunks that reassemble per document") {
+    val docs = Tables.documents(spark, Sf).limit(20)
+    val rebuilt = Graft.chunkCorpus(docs)
+      .groupBy("doc_id")
+      .agg(concat_ws("", sort_array(collect_list(struct(col("chunk_idx"), col("chunk"))))
+        .getField("chunk")).as("joined"))
+    val bad = rebuilt.join(docs, "doc_id").filter(col("joined") =!= col("text")).count()
+    assert(bad === 0)
+  }
+
   test("parseTimestamp facade accepts every declared shape") {
     import spark.implicits._
     val ok = Seq("2020-03-15", "2020-03-15T10:20:30", "1584267630000")
