@@ -76,7 +76,7 @@ object Graft {
     * representative selection. Returns the surviving rows of `docs`.
     */
   def dedupCorpus(docs: DataFrame): DataFrame = {
-    val hv = array_distinct(Dedup.MinHashLSH.baseHashes(Dedup.shingles(col("text"))))
+    val hv = Dedup.MinHashLSH.shingleHashes(col("text"))
     val pairs = Dedup.MinHashLSH.nearDupPairsOn(docs, hv, Dedup.MinHashLSH.WordConfig)
     Dedup.dropNearDups(docs, pairs)
   }

@@ -209,12 +209,20 @@ object Dedup {
         .filter(col("jaccard") >= cfg.threshold)
     }
 
-    /** Word-3-gram near-dup pairs (the original operator): md5-based
-      * shingle hashing (word shingles are few per doc; md5 cost is noise).
+    /** The fused one-pass form of `array_distinct(baseHashes(shingles(c)))`
+      * — value-identical (tested), an order of magnitude fewer per-row
+      * allocations.
+      */
+    def shingleHashes(c: Column, n: Int = 3): Column =
+      org.apache.spark.sql.GraftColumnShim.column(
+        graft.plans.ShingleHashes(
+          org.apache.spark.sql.GraftColumnShim.expression(c), n))
+
+    /** Word-3-gram near-dup pairs (the original operator), hashing through
+      * the fused codegen'd [[graft.plans.ShingleHashes]].
       */
     def nearDupPairs(spark: SparkSession, dir: String): DataFrame =
-      nearDupPairsOn(Tables.documents(spark, dir),
-        array_distinct(baseHashes(shingles(col("text")))), WordConfig)
+      nearDupPairsOn(Tables.documents(spark, dir), shingleHashes(col("text")), WordConfig)
 
     /** Character-5-gram near-dup pairs — the n-gram Jaccard dedup family
       * member, robust to token-boundary edits. Char windows are ~charlen

@@ -359,19 +359,46 @@ object Similarity {
        |WHERE ${cosSql(dotSql("a.q", "b.q"), "a.n2", "b.n2")} >= $NearDupThreshold""".stripMargin
   }
 
+  /** ANN quality observability: per-query recall of the IVF probe against
+    * the exact top-k — the metric an ANN deployment monitors. Integer
+    * counts and a scaled-integer percent keep the gate exact; both plans
+    * are the already-gated operators joined on (query, neighbor).
+    */
+  def annRecall(spark: SparkSession, dir: String): DataFrame = {
+    val exact = topK(spark, dir).select(col("query_id"), col("neighbor_id"))
+    val approx = ivfTopK(spark, dir).select(col("query_id"), col("neighbor_id"))
+    exact.join(approx.withColumn("hit", lit(1L)),
+        Seq("query_id", "neighbor_id"), "left_outer")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("k"), sum(coalesce(col("hit"), lit(0L))).cast("long").as("n_hit"))
+      .select(col("query_id"), col("k"), col("n_hit"),
+        (col("n_hit") * 100 / col("k")).cast("long").as("recall_pct"))
+  }
+
+  def annRecallOracle: String =
+    s"""WITH exact_k AS ($topKOracle), ivf_k AS ($ivfOracle)
+       |SELECT e.query_id, count(*) AS k,
+       |  CAST(count(i.neighbor_id) AS BIGINT) AS n_hit,
+       |  CAST(count(i.neighbor_id) * 100 // count(*) AS BIGINT) AS recall_pct
+       |FROM exact_k e LEFT JOIN ivf_k i
+       |  ON e.query_id = i.query_id AND e.neighbor_id = i.neighbor_id
+       |GROUP BY e.query_id""".stripMargin
+
   // ---- query registry ----
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_similarity_topk" -> ((s, dir) => topK(s, dir)),
     "q_similarity_ivf" -> ((s, dir) => ivfTopK(s, dir)),
     "q_mean_embedding" -> ((s, dir) => meanEmbedding(s, dir)),
-    "q_embedding_neardup" -> ((s, dir) => nearDupPairs(s, dir))
+    "q_embedding_neardup" -> ((s, dir) => nearDupPairs(s, dir)),
+    "q_ann_recall" -> ((s, dir) => annRecall(s, dir))
   )
 
   def oracleSql: Map[String, String] = Map(
     "q_similarity_topk" -> topKOracle,
     "q_similarity_ivf" -> ivfOracle,
     "q_mean_embedding" -> meanEmbeddingOracle,
-    "q_embedding_neardup" -> nearDupOracle
+    "q_embedding_neardup" -> nearDupOracle,
+    "q_ann_recall" -> annRecallOracle
   )
 }
