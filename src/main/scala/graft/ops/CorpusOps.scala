@@ -199,17 +199,63 @@ object CorpusOps {
        |)
        |GROUP BY lang""".stripMargin
 
+  /** Exact per-language length percentiles — the corpus-report percentile
+    * surface, engine-exact by construction: instead of engine-specific
+    * interpolating `percentile`/`quantile_cont` (whose float interpolation
+    * is not bit-portable), the percentile is DEFINED as the value at rank
+    * `ceil(cnt·q)` of the ordered lengths (`percentile_disc` semantics)
+    * and selected with explicit integer rank arithmetic — identical in
+    * both engines, deterministic under ties (equal ranks always carry
+    * equal values inside a tie run).
+    */
+  def lengthPercentiles(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = Tables.documents(spark, dir)
+      .select(col("lang"), graft.text.Analysis.wsTokenCount(col("text")).as("n_tokens"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("n_tokens"))
+    val ranked = t
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("lang"))))
+    def rankOf(pct: Int) = expr(s"(cnt * $pct + 99) div 100") // ceil(cnt*pct/100), integral
+    ranked.groupBy(col("lang"))
+      .agg(
+        max(col("cnt")).as("n_docs"),
+        max(when(col("rn") === rankOf(50), col("n_tokens"))).as("p50_tokens"),
+        max(when(col("rn") === rankOf(90), col("n_tokens"))).as("p90_tokens"),
+        max(when(col("rn") === rankOf(99), col("n_tokens"))).as("p99_tokens"))
+  }
+
+  def lengthPercentilesOracle: String = {
+    val nTok = s"CAST(len(${TextOps.tokenizeSql("text")}) AS BIGINT)"
+    def rank(pct: Int) = s"(cnt * $pct + 99) // 100"
+    s"""WITH t AS (
+       |  SELECT lang, $nTok AS n_tokens FROM documents
+       |), ranked AS (
+       |  SELECT lang, n_tokens,
+       |    row_number() OVER (PARTITION BY lang ORDER BY n_tokens) AS rn,
+       |    count(*) OVER (PARTITION BY lang) AS cnt
+       |  FROM t
+       |)
+       |SELECT lang, max(cnt) AS n_docs,
+       |  max(CASE WHEN rn = ${rank(50)} THEN n_tokens END) AS p50_tokens,
+       |  max(CASE WHEN rn = ${rank(90)} THEN n_tokens END) AS p90_tokens,
+       |  max(CASE WHEN rn = ${rank(99)} THEN n_tokens END) AS p99_tokens
+       |FROM ranked GROUP BY lang""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_corpus_split" -> ((s, dir) => stratifiedSplit(Tables.documents(s, dir))),
     "q_tfidf_topterms" -> ((s, dir) => tfidfTopTerms(s, dir)),
     "q_corpus_pipeline" -> ((s, dir) => pipelineReport(s, dir)),
-    "q_vocab_stats" -> ((s, dir) => vocabStats(s, dir))
+    "q_vocab_stats" -> ((s, dir) => vocabStats(s, dir)),
+    "q_length_percentiles" -> ((s, dir) => lengthPercentiles(s, dir))
   )
 
   def oracleSql: Map[String, String] = Map(
     "q_corpus_split" -> splitOracle,
     "q_tfidf_topterms" -> tfidfOracle,
     "q_corpus_pipeline" -> pipelineOracle,
-    "q_vocab_stats" -> vocabOracle
+    "q_vocab_stats" -> vocabOracle,
+    "q_length_percentiles" -> lengthPercentilesOracle
   )
 }
