@@ -133,6 +133,6 @@ object Graft {
     * detection and RAG chunking.
     */
   def chunkCorpus(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
+    ops.ScaleOps.widen(docs).select(col("doc_id"),
       posexplode(Dedup.Cdc.chunkCol(col("text"))).as(Seq("chunk_idx", "chunk")))
 }

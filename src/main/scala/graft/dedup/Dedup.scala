@@ -140,7 +140,7 @@ object Dedup {
       * at sf0.1). All arithmetic is exact in longs (h < p ≤ 1.1e9, products
       * < 1.2e18), so both engines agree bit-for-bit.
       */
-    val P = 1000000007L
+    val P: Long = graft.plans.HashConstants.P
     def hashA(i: Int): Long = (1000003L * (i + 1)) % P
     def hashB(i: Int): Long = (998244353L * (i + 7)) % P
 

@@ -46,8 +46,8 @@ case class CdcChunks(child: Expression, w: Int, divisor: Int)
 }
 
 object CdcChunks {
-  val P = 1000000007L
-  val B = 131L
+  val P: Long = HashConstants.P
+  val B: Long = HashConstants.B
 
   /** Default shape: 16-codepoint window, divisor 64 → expected chunk
     * length ≈ 64 codepoints.

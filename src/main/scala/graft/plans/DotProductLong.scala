@@ -92,8 +92,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       new FunctionIdentifier("cdc_chunks"),
       new ExpressionInfo(classOf[CdcChunks].getName, "cdc_chunks"),
-      (children: Seq[Expression]) =>
-        CdcChunks(children.head, CdcChunks.DefaultW, CdcChunks.DefaultDivisor)))
+      (children: Seq[Expression]) => children match {
+        // 1-arg default form, or explicit literal (w, divisor) — anything
+        // else must error, never silently fall back to defaults
+        case Seq(c) => CdcChunks(c, CdcChunks.DefaultW, CdcChunks.DefaultDivisor)
+        case Seq(c, org.apache.spark.sql.catalyst.expressions.Literal(w: Int, _),
+                    org.apache.spark.sql.catalyst.expressions.Literal(d: Int, _)) =>
+          CdcChunks(c, w, d)
+        case _ => throw new IllegalArgumentException(
+          "cdc_chunks(text) or cdc_chunks(text, <int literal w>, <int literal divisor>)")
+      }))
     ext.injectOptimizerRule(_ => SargableMonthRule)
   }
 }

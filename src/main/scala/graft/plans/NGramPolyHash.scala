@@ -43,8 +43,8 @@ case class NGramPolyHash(child: Expression, n: Int)
 }
 
 object NGramPolyHash {
-  val P = 1000000007L
-  val B = 131L
+  val P: Long = HashConstants.P
+  val B: Long = HashConstants.B
 
   /** Distinct window hashes as a long[]; static so generated code can call
     * it (the loop itself doesn't benefit from inlining into codegen).

@@ -21,7 +21,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * `String.trim`, which also strips control chars), then Java regex
   * split, then empty-token filter. The hash contract (md5 of the
   * shingle's UTF-8 bytes, first 12 hex chars as an integer, mod
-  * [[MinHashConstants.P]]) is shared with the DuckDB oracle, which is
+  * [[HashConstants.P]]) is shared with the DuckDB oracle, which is
   * unchanged by this expression.
   */
 case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
@@ -45,7 +45,7 @@ case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
 }
 
 object ShingleHashes {
-  val P = 1000000007L
+  val P: Long = HashConstants.P
 
   private val Whitespace = java.util.regex.Pattern.compile("\\s+")
 

@@ -34,6 +34,23 @@ class CdcChunksSpec extends SparkSuite {
     assert(out === Seq("tiny"))
   }
 
+  test("SQL registration: 1-arg and 3-literal-arg forms work, wrong arity errors") {
+    import spark.implicits._
+    Seq("the quick brown fox jumps over the lazy dog and keeps on running")
+      .toDF("text").createOrReplaceTempView("cdc_sql_docs")
+    val def1 = spark.sql("SELECT cdc_chunks(text) AS ch FROM cdc_sql_docs")
+      .head().getSeq[String](0)
+    val expl = spark.sql("SELECT cdc_chunks(text, 16, 64) AS ch FROM cdc_sql_docs")
+      .head().getSeq[String](0)
+    assert(def1 === expl, "explicit default literals must equal the 1-arg form")
+    val wide = spark.sql("SELECT cdc_chunks(text, 16, 2) AS ch FROM cdc_sql_docs")
+      .head().getSeq[String](0)
+    assert(wide.length >= def1.length, "divisor 2 must cut at least as often")
+    intercept[Exception] {
+      spark.sql("SELECT cdc_chunks(text, 16) FROM cdc_sql_docs").collect()
+    }
+  }
+
   test("fixture sanity: planted near-dups share spans, chunk lengths average near divisor") {
     val shared = Cdc.sharedChunks(spark, Sf)
     assert(shared.count() > 0, "near-dup fixtures must surface shared spans")
