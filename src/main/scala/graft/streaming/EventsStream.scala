@@ -40,6 +40,29 @@ object EventsStream {
         col("n_events"), col("sum_k"),
         (col("sum_value_cents").cast("double") / 100).as("sum_value"))
 
+  /** Stream-static enrichment join: each micro-batch of the stream joins
+    * the static dimension — Spark plans this as a broadcast per batch
+    * with NO streaming state (the static side is not stateful), so it
+    * scales with the dimension size, not the stream history. The
+    * streaming analog of the star-join dimension lookups.
+    */
+  def enrichStream(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(org.apache.spark.sql.functions.broadcast(dim), Seq(key), "left_outer")
+
+  /** Streaming upsert sink — the reference's ES `upsert`+append write
+    * (`snowflake_to_es_etl.py:234-241`) as a stream: every micro-batch
+    * merges into the keyed table via `foreachBatch` +
+    * [[graft.sources.Sinks.writeMerged]], so the stored table always
+    * holds last-writer-wins rows per key. At scale, swap in
+    * `writeMergedPartitioned` to bound each batch's rewrite to its
+    * touched partitions.
+    */
+  def streamMergeByKey(events: DataFrame, key: String, version: String,
+                       path: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      graft.sources.Sinks.writeMerged(batch.sparkSession, batch, key, version, path)
+    }
+
   /** Streaming twin of the EXACT-dedup family: drop re-deliveries of the
     * same key within the watermark horizon via
     * `dropDuplicatesWithinWatermark` — the Spark-native streaming dedup.
