@@ -82,11 +82,13 @@ object CorpusOps {
     *
     * Scale shape: explode → one hash aggregate to (doc, term) tf → one
     * much smaller aggregate to per-term document frequency. The df table
-    * is VOCABULARY-sized (≪ corpus at any scale — Heaps' law), so it is
-    * explicitly broadcast back onto tf: the wide tf table shuffles once
-    * (for its own aggregate) and never again; N rides in as a one-row
-    * broadcast cross join. Final per-doc top-k is a window over the tf
-    * aggregate's own partitioning residue.
+    * is VOCABULARY-sized — smaller than the corpus (Heaps' law) but NOT
+    * broadcast-sized at scale: a 100 TB web corpus has 10⁸–10⁹ distinct
+    * terms, past any broadcast threshold and Spark's 8 GB hard cap. So no
+    * broadcast hint: the tf↔df join shuffles on `term`, and at fixture
+    * scale AQE's size estimate still picks a broadcast join on its own.
+    * N rides in as a one-row broadcast cross join. Final per-doc top-k is
+    * a window over the tf aggregate's own partitioning residue.
     */
   def tfidfTopTerms(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
@@ -97,7 +99,7 @@ object CorpusOps {
       .agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col("doc_id")).orderBy(desc("score"), asc("term"))
-    tf.join(broadcast(dfreq), "term")
+    tf.join(dfreq, "term")
       .crossJoin(broadcast(n))
       .withColumn("score", col("tf") * expr(s"(n * $IdfScale) div df"))
       .withColumn("rank", row_number().over(w).cast("long"))
@@ -207,22 +209,37 @@ object CorpusOps {
     * and selected with explicit integer rank arithmetic — identical in
     * both engines, deterministic under ties (equal ranks always carry
     * equal values inside a tie run).
+    *
+    * Scale shape — two-pass rank selection, NOT a per-language sort. A
+    * `row_number` window partitioned only by `lang` funnels the whole
+    * corpus through one task per language (~20 TB/task at 100 TB with a
+    * handful of languages). Instead:
+    *   pass 1: corpus-wide hash aggregate to a `(lang, n_tokens) → k`
+    *     histogram — fully parallel, output is #langs × #distinct-lengths
+    *     rows (bounded by max document length, independent of corpus size);
+    *   pass 2: cumulative sum over the TINY histogram; the value at rank
+    *     `r` of the sorted multiset is the smallest length whose
+    *     cumulative count reaches `r` — algebraically identical to the
+    *     `row_number`-based `percentile_disc` definition the DuckDB oracle
+    *     still uses, so the gate proves the equivalence.
     */
   def lengthPercentiles(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val t = Tables.documents(spark, dir)
       .select(col("lang"), graft.text.Analysis.wsTokenCount(col("text")).as("n_tokens"))
+    val hist = t.groupBy(col("lang"), col("n_tokens")).agg(count(lit(1)).as("k"))
+    val totals = hist.groupBy(col("lang")).agg(sum(col("k")).as("cnt"))
     val w = Window.partitionBy(col("lang")).orderBy(col("n_tokens"))
-    val ranked = t
-      .withColumn("rn", row_number().over(w))
-      .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("lang"))))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.withColumn("cum", sum(col("k")).over(w)).join(totals, "lang")
     def rankOf(pct: Int) = expr(s"(cnt * $pct + 99) div 100") // ceil(cnt*pct/100), integral
-    ranked.groupBy(col("lang"))
+    def valueAt(pct: Int) = min(when(col("cum") >= rankOf(pct), col("n_tokens")))
+    cum.groupBy(col("lang"))
       .agg(
         max(col("cnt")).as("n_docs"),
-        max(when(col("rn") === rankOf(50), col("n_tokens"))).as("p50_tokens"),
-        max(when(col("rn") === rankOf(90), col("n_tokens"))).as("p90_tokens"),
-        max(when(col("rn") === rankOf(99), col("n_tokens"))).as("p99_tokens"))
+        valueAt(50).as("p50_tokens"),
+        valueAt(90).as("p90_tokens"),
+        valueAt(99).as("p99_tokens"))
   }
 
   def lengthPercentilesOracle: String = {
