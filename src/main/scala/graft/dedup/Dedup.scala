@@ -298,29 +298,42 @@ object Dedup {
     * alone cannot provide it because the consumers run as separate
     * queries (and the bench clears cache between them).
     *
-    * Scoped per-JVM (a fresh temp dir per run, keyed by corpus dir) so a
-    * checkpoint can never serve stale pairs across code or fixture
-    * changes. First caller pays compute+write; the rest pay a parquet
-    * scan of a tiny table.
+    * The checkpoint base must be a path EVERY executor can read — on a
+    * real cluster a driver-local temp dir is wrong (executors would write
+    * partitions to their own local disks and the re-read misses data), so
+    * the base is `spark.graft.pairs.dir` if set, else a `_graft_pairs`
+    * dir under the session warehouse, and all I/O goes through Spark's
+    * parquet reader/writer, which resolves the path's own Hadoop
+    * `FileSystem` — local, `file:` URI, HDFS, or object store alike (the
+    * same discipline as [[graft.sources.Sinks]]).
+    *
+    * Freshness: the first caller in each JVM always recomputes and
+    * overwrites (the built-set is per-JVM), so a persistent base can never
+    * serve stale pairs across code or fixture changes; later callers in
+    * the same JVM pay only a parquet scan of a tiny table.
     */
   object PairTable {
-    private lazy val base =
-      java.nio.file.Files.createTempDirectory("graft-pairs").toString
-    private val built = scala.collection.mutable.HashMap[String, String]()
+    val DirConf = "spark.graft.pairs.dir"
+
+    private def base(spark: SparkSession): String =
+      spark.conf.getOption(DirConf).getOrElse(
+        spark.conf.get("spark.sql.warehouse.dir").stripSuffix("/") + "/_graft_pairs")
+
+    private val built = scala.collection.mutable.HashSet[String]()
 
     def wordPairs(spark: SparkSession, dir: String): DataFrame = {
-      // synchronized: getOrElseUpdate's body writes a table — two racing
-      // first callers must not interleave writes into one path. Path key
-      // is the full md5 of the dir (a 32-bit hashCode can collide across
-      // corpora, silently serving one corpus the other's pairs).
-      val path = built.synchronized {
-        built.getOrElseUpdate(dir, {
-          val digest = java.security.MessageDigest.getInstance("MD5")
-            .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
-          val p = s"$base/$digest"
-          MinHashLSH.nearDupPairs(spark, dir).write.mode("overwrite").parquet(p)
-          p
-        })
+      // Path key is the full md5 of the corpus dir (a 32-bit hashCode can
+      // collide across corpora, silently serving one corpus the other's
+      // pairs). synchronized: two racing first callers must not
+      // interleave writes into one path.
+      val digest = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val path = s"${base(spark)}/$digest"
+      built.synchronized {
+        if (!built.contains(path)) {
+          MinHashLSH.nearDupPairs(spark, dir).write.mode("overwrite").parquet(path)
+          built += path
+        }
       }
       spark.read.parquet(path)
     }

@@ -58,8 +58,19 @@ class CorpusOpsSpec extends SparkSuite {
       s"HLL estimate $approx too far from exact $exact")
   }
 
-  test("tf-idf plan broadcasts the vocabulary-sized df table") {
-    val plan = CorpusOps.tfidfTopTerms(spark, Sf).queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastHashJoin"), s"df join must be broadcast:\n$plan")
+  test("tf-idf df join carries no static broadcast hint (AQE decides by size)") {
+    // The vocabulary is NOT broadcast-sized at real corpus scale (10⁸–10⁹
+    // terms at 100 TB), so the plan must not pin a broadcast: no
+    // ResolvedHint/broadcast on the df side of the term join. At fixture
+    // size AQE is free to (and does) pick broadcast from runtime stats —
+    // assert only that the choice is left to it.
+    val df = CorpusOps.tfidfTopTerms(spark, Sf)
+    val hinted = df.queryExecution.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }
+    // the one-row corpus-count N is the only legitimate hint
+    assert(hinted.forall(_.child.output.map(_.name) == Seq("n")),
+      s"unexpected broadcast hint beyond the one-row N: $hinted")
+    df.count() // still executes green without the hint
   }
 }

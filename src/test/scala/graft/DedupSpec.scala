@@ -54,6 +54,19 @@ class DedupSpec extends SparkSuite {
     assert(pairs.filter(col("jaccard") < Dedup.MinHashLSH.Threshold).count() === 0)
   }
 
+  test("PairTable checkpoints under a configurable file: URI base and matches a direct run") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-pairs-test")
+    spark.conf.set(Dedup.PairTable.DirConf, "file:" + tmp.toString)
+    try {
+      val viaCheckpoint = Dedup.PairTable.wordPairs(spark, Sf).collect().toSet
+      val direct = Dedup.MinHashLSH.nearDupPairs(spark, Sf).collect().toSet
+      assert(viaCheckpoint == direct)
+      val children = tmp.toFile.listFiles()
+      assert(children != null && children.nonEmpty,
+        "checkpoint parquet must land under the configured base (Hadoop file: URI)")
+    } finally spark.conf.unset(Dedup.PairTable.DirConf)
+  }
+
   test("simhash: identical token sets agree; near-dup hamming < dissimilar hamming") {
     import spark.implicits._
     val df = Seq(
