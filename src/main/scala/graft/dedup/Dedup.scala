@@ -321,35 +321,137 @@ object Dedup {
 
     private val built = scala.collection.mutable.HashSet[String]()
 
-    def wordPairs(spark: SparkSession, dir: String): DataFrame = {
-      // Path key is the full md5 of the corpus dir (a 32-bit hashCode can
-      // collide across corpora, silently serving one corpus the other's
-      // pairs). synchronized: two racing first callers must not
-      // interleave writes into one path.
-      val digest = java.security.MessageDigest.getInstance("MD5")
-        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
-      val path = s"${base(spark)}/$digest"
+    // Path key is the full md5 of the corpus dir (a 32-bit hashCode can
+    // collide across corpora, silently serving one corpus the other's
+    // pairs). synchronized: two racing first callers must not interleave
+    // writes into one path.
+    private def materialize(spark: SparkSession, key: String)
+                           (build: => DataFrame): DataFrame = {
+      val path = s"${base(spark)}/$key"
       built.synchronized {
         if (!built.contains(path)) {
-          MinHashLSH.nearDupPairs(spark, dir).write.mode("overwrite").parquet(path)
+          build.write.mode("overwrite").parquet(path)
           built += path
         }
       }
       spark.read.parquet(path)
     }
+
+    private def digest(dir: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+    def wordPairs(spark: SparkSession, dir: String): DataFrame =
+      materialize(spark, digest(dir))(MinHashLSH.nearDupPairs(spark, dir))
+
+    /** Checkpointed connected components of [[wordPairs]] — the cluster
+      * table every downstream consumer (apply, audits, reports) re-reads
+      * instead of re-running the label propagation.
+      */
+    def wordClusters(spark: SparkSession, dir: String): DataFrame =
+      materialize(spark, digest(dir) + "_cc")(Components.of(wordPairs(spark, dir)))
   }
 
-  /** Apply near-dup dedup: keep the LOWEST doc_id of every near-dup pair,
-    * dropping any document that appears as the greater side (`doc_b`) of a
-    * verified pair — the standard greedy representative selection (pairs
-    * are emitted with doc_a < doc_b, so within a duplicate cluster only
-    * its minimum survives; transitive chains collapse to their minimum as
-    * long as the cluster is LSH-connected, which holds at near-dup
-    * thresholds). One broadcast-able anti-join over the pair set — the
-    * pair table is orders of magnitude smaller than the corpus.
+  /** Connected components of the near-dup pair graph, so duplicate
+    * CLUSTERS collapse exactly — not just LSH-connected ones. The naive
+    * "drop every doc_b" rule keeps the pair-min per edge, which is the
+    * cluster min only when the min shares a band with every other member:
+    * a chain A~B~C where (A,C) never collides keeps {A} for the A~B edge
+    * but strands C's membership on B. Closing the graph fixes that.
+    *
+    * Shape: iterative synchronous min-label propagation over the PAIR
+    * table (orders of magnitude smaller than the corpus — this loop never
+    * touches a document). Each round joins the label table to the edge
+    * list and takes the per-node min over self + neighbors; converges in
+    * O(cluster diameter) rounds (near-dup clusters are shallow — dup
+    * families link densely). `localCheckpoint` truncates the growing
+    * lineage each round; the convergence check is a count on the tiny
+    * label table. Output: (doc_id, cluster_id = component minimum), one
+    * row per document that appears in ≥1 pair.
     */
-  def dropNearDups(docs: DataFrame, pairs: DataFrame): DataFrame =
-    docs.join(pairs.select(col("doc_b").as("doc_id")).distinct(), Seq("doc_id"), "left_anti")
+  object Components {
+    val MaxRounds = 64
+
+    def of(pairs: DataFrame): DataFrame = {
+      val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      var labels = edges.select(col("src").as("doc_id")).distinct()
+        .withColumn("cluster_id", col("doc_id"))
+        .localCheckpoint(true)
+      var changed = 1L
+      var round = 0
+      while (changed > 0 && round < MaxRounds) {
+        val nbrMin = edges
+          .join(labels.select(col("doc_id").as("dst"), col("cluster_id").as("dst_label")), "dst")
+          .groupBy(col("src")).agg(min(col("dst_label")).as("nbr_label"))
+          .select(col("src").as("doc_id"), col("nbr_label"))
+        val next = labels.join(nbrMin, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            least(col("cluster_id"), coalesce(col("nbr_label"), col("cluster_id")))
+              .as("cluster_id"))
+          .localCheckpoint(true)
+        changed = next
+          .join(labels.select(col("doc_id"), col("cluster_id").as("prev")), "doc_id")
+          .filter(col("cluster_id") =!= col("prev")).count()
+        labels = next
+        round += 1
+      }
+      edges.unpersist()
+      require(changed == 0,
+        s"component labels did not converge in $MaxRounds rounds — pathological pair graph")
+      labels
+    }
+
+    /** DuckDB twin: transitive closure by recursive CTE, min reachable
+      * node per source — the textbook SQL definition the propagation
+      * loop must agree with.
+      */
+    def oracleOn(pairsSql: String): String =
+      s"""WITH RECURSIVE pairs AS ($pairsSql),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION
+         |  SELECT doc_b, doc_a FROM pairs
+         |), reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+         |)
+         |SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+         |FROM reach GROUP BY src""".stripMargin
+
+    /** The non-representative set as a SQL clause body (docs to drop). */
+    def dropSetSqlOn(pairsSql: String): String =
+      s"""SELECT doc_id FROM (${oracleOn(pairsSql)}) WHERE doc_id <> cluster_id"""
+  }
+
+  /** Apply near-dup dedup: keep exactly ONE representative (the minimum
+    * doc_id) per connected component of the pair graph, plus every
+    * unpaired document. Closing components first ([[Components.of]])
+    * makes transitive chains collapse even when the endpoints never
+    * share an LSH band. The corpus-side work is still one anti-join
+    * against a pair-table-sized (broadcast-able) drop set — the
+    * label-propagation rounds run over the tiny pair table only.
+    */
+  /** Drop sets up to this many ids get an explicit broadcast hint (the
+    * label table comes out of `localCheckpoint`, whose unknown size stats
+    * would otherwise push the static planner to shuffle the CORPUS by
+    * doc_id). Above it — a pathologically duplicate-heavy corpus — the
+    * hint is withheld so the anti-join degrades to a shuffle join instead
+    * of an executor-OOM broadcast. 10⁷ longs ≈ 80 MB broadcast.
+    */
+  val BroadcastMaxDropRows = 10000000L
+
+  def dropNearDups(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val drop = Components.of(pairs)
+      .filter(col("doc_id") =!= col("cluster_id")).select("doc_id")
+    // counting the checkpointed label table is O(pair-table) — free next
+    // to the corpus scan it sizes the join for
+    val side = if (drop.count() <= BroadcastMaxDropRows) broadcast(drop) else drop
+    docs.join(side, Seq("doc_id"), "left_anti")
+  }
 
   object SimHash {
     /** Signature width. 16 bits keeps the expression tree (16 md5 probes
@@ -542,6 +644,7 @@ object Dedup {
       dropNearDups(
         Tables.documents(s, dir).select("doc_id", "lang", "source"),
         PairTable.wordPairs(s, dir))),
+    "q_dedup_clusters" -> ((s, dir) => PairTable.wordClusters(s, dir)),
     "q_dedup_simhash" -> ((s, dir) =>
       Tables.documents(s, dir)
         .select(col("doc_id"), SimHash.tokenDigests(col("text")).as("dg"))
@@ -557,7 +660,8 @@ object Dedup {
     "q_dedup_chargram" -> MinHashLSH.charGramOracle,
     "q_dedup_apply" ->
       s"""SELECT doc_id, lang, source FROM documents
-         |WHERE doc_id NOT IN (SELECT doc_b FROM (${MinHashLSH.oracle}))""".stripMargin,
+         |WHERE doc_id NOT IN (${Components.dropSetSqlOn(MinHashLSH.oracle)})""".stripMargin,
+    "q_dedup_clusters" -> Components.oracleOn(MinHashLSH.oracle),
     "q_dedup_simhash" ->
       s"SELECT doc_id, CAST(${SimHash.simhashSql("text")} AS BIGINT) AS simhash FROM documents",
     "q_simhash_neardup" -> SimHash.nearDup48Oracle,

@@ -133,10 +133,12 @@ object CorpusOps {
     * library runs before training; every stage is the already-gated
     * operator, composed.
     *
-    * Scale shape: the anti-join's pair side is tiny (broadcast-able), the
-    * quality gate and split label are per-row scan-stage projections, and
-    * the only corpus-wide shuffle is the final 3-group aggregate — i.e.
-    * the whole pipeline reads the corpus once and exchanges 3 rows.
+    * Scale shape: the anti-join's drop-set side is tiny (broadcast-able;
+    * its component-closure rounds iterate over the pair table only, never
+    * a document), the quality gate and split label are per-row scan-stage
+    * projections, and the only corpus-wide shuffle is the final 3-group
+    * aggregate — i.e. the whole pipeline reads the corpus once and
+    * exchanges 3 rows.
     */
   def pipelineReport(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
@@ -156,10 +158,10 @@ object CorpusOps {
   def pipelineOracle: String = {
     val qCols = graft.text.Analysis.qualitySqlColumns("text").toMap
     val fold = TextOps.md5HexFold12Sql("d")
-    s"""WITH pairs AS (${graft.dedup.Dedup.MinHashLSH.oracle}),
-       |survivors AS (
+    val dropSet = graft.dedup.Dedup.Components.dropSetSqlOn(graft.dedup.Dedup.MinHashLSH.oracle)
+    s"""WITH survivors AS (
        |  SELECT * FROM documents
-       |  WHERE doc_id NOT IN (SELECT doc_b FROM pairs)
+       |  WHERE doc_id NOT IN ($dropSet)
        |), scored AS (
        |  SELECT doc_id, ${qCols("quality_score")} AS q, ${qCols("n_tokens")} AS n_tokens
        |  FROM survivors

@@ -54,6 +54,30 @@ class DedupSpec extends SparkSuite {
     assert(pairs.filter(col("jaccard") < Dedup.MinHashLSH.Threshold).count() === 0)
   }
 
+  test("components close a transitive chain whose endpoints share no band") {
+    import spark.implicits._
+    // 1~3 and 2~3 are verified pairs; (1,2) never collides anywhere.
+    // The old drop-every-doc_b rule would keep {1, 2, 4}; component
+    // closure must collapse {1,2,3} to its minimum and keep {1, 4}.
+    val pairs = Seq((2L, 3L), (1L, 3L)).toDF("doc_a", "doc_b")
+    val docs = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("doc_id", "text")
+    val cc = Dedup.Components.of(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    val kept = Dedup.dropNearDups(docs, pairs).select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 4L))
+  }
+
+  test("components converge on a long chain (diameter > one propagation round)") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (8L, 9L))
+      .toDF("doc_a", "doc_b")
+    val cc = Dedup.Components.of(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L, 6L -> 1L,
+      8L -> 8L, 9L -> 8L))
+  }
+
   test("PairTable checkpoints under a configurable file: URI base and matches a direct run") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-pairs-test")
     spark.conf.set(Dedup.PairTable.DirConf, "file:" + tmp.toString)
