@@ -18,7 +18,7 @@ import graft.Tables
   *
   * The fixture timestamps are already typed (the reason this operator was
   * missing until round 3), so the gate RENDERS each row's timestamp into
-  * one of the declared formats (picked by key mod 5 — deterministic, all
+  * one of the declared formats (picked by key mod 11 — deterministic, all
   * formats exercised) and parses it back; both engines render and parse
   * with identical rules, making the coercion itself the thing compared.
   */
@@ -33,9 +33,16 @@ object DateParse {
     "yyyy-MM-dd HH:mm:ss.SS",
     "yyyy-MM-dd HH:mm:ss.SSS",
     "yyyy-MM-dd",
-    // strict_date_optional_time's common concrete shapes
+    // strict_date_optional_time's concrete shapes: date 'T' time with
+    // optional fraction, optional offset ('Z' or ±HH:MM — XXX parses
+    // both), and the reduced-precision time forms (minute / hour only).
+    // Shapes are mutually exclusive, so chain order carries no semantics.
     "yyyy-MM-dd'T'HH:mm:ss",
-    "yyyy-MM-dd'T'HH:mm:ss.SSS")
+    "yyyy-MM-dd'T'HH:mm:ss.SSS",
+    "yyyy-MM-dd'T'HH:mm:ssXXX",
+    "yyyy-MM-dd'T'HH:mm:ss.SSSXXX",
+    "yyyy-MM-dd'T'HH:mm",
+    "yyyy-MM-dd'T'HH")
 
   def multiFormatTimestamp(c: Column): Column = {
     val branches = TimestampFormats.map(f => try_to_timestamp(c, lit(f))) :+
@@ -49,8 +56,14 @@ object DateParse {
     * fraction branches are regex-gated to 1–3 digits — a microsecond
     * string like `…30.123456` coerces to NULL on BOTH engines, as the
     * ES declaration (which stops at `.SSS`) implies.
+    *
+    * Offset shapes: `%z` accepts `±HH:MM` but not the bare `Z` Spark's
+    * `XXX` takes, so `Z` is regex-gated and rewritten to `+00:00` first;
+    * `%z` also yields TIMESTAMPTZ, cast back to TIMESTAMP (session is
+    * UTC) so the coalesce keeps the TIMESTAMP type Spark writes.
     */
-  def multiFormatTimestampSql(c: String): String =
+  def multiFormatTimestampSql(c: String): String = {
+    val off = "(Z|[+-]\\d{2}:\\d{2})"
     s"""coalesce(
        |  CASE WHEN regexp_matches($c, '^\\d{4}-\\d{2}-\\d{2} \\d{2}:\\d{2}:\\d{2}\\.\\d{1,3}$$')
        |       THEN try_strptime($c, '%Y-%m-%d %H:%M:%S.%f') END,
@@ -58,10 +71,19 @@ object DateParse {
        |  try_strptime($c, '%Y-%m-%dT%H:%M:%S'),
        |  CASE WHEN regexp_matches($c, '^\\d{4}-\\d{2}-\\d{2}T\\d{2}:\\d{2}:\\d{2}\\.\\d{1,3}$$')
        |       THEN try_strptime($c, '%Y-%m-%dT%H:%M:%S.%f') END,
+       |  CASE WHEN regexp_matches($c, '^\\d{4}-\\d{2}-\\d{2}T\\d{2}:\\d{2}:\\d{2}$off$$')
+       |       THEN CAST(try_strptime(replace($c, 'Z', '+00:00'), '%Y-%m-%dT%H:%M:%S%z') AS TIMESTAMP) END,
+       |  CASE WHEN regexp_matches($c, '^\\d{4}-\\d{2}-\\d{2}T\\d{2}:\\d{2}:\\d{2}\\.\\d{1,3}$off$$')
+       |       THEN CAST(try_strptime(replace($c, 'Z', '+00:00'), '%Y-%m-%dT%H:%M:%S.%f%z') AS TIMESTAMP) END,
+       |  CASE WHEN regexp_matches($c, '^\\d{4}-\\d{2}-\\d{2}T\\d{2}:\\d{2}$$')
+       |       THEN try_strptime($c, '%Y-%m-%dT%H:%M') END,
+       |  CASE WHEN regexp_matches($c, '^\\d{4}-\\d{2}-\\d{2}T\\d{2}$$')
+       |       THEN try_strptime($c, '%Y-%m-%dT%H') END,
        |  CASE WHEN regexp_matches($c, '^[0-9]{10,}$$')
        |       THEN make_timestamp(CAST($c AS BIGINT) * 1000) END)""".stripMargin
+  }
 
-  /** Gate: render o_orderdate into the declared formats (by key mod 5),
+  /** Gate: render o_orderdate into the declared formats (by key mod 11),
     * parse back through the chain. `rendered` stays in the output so a
     * parse asymmetry is visible as a value, not just a null count.
     */
@@ -71,11 +93,15 @@ object DateParse {
     val o = ScaleOps.widen(
       Tables.orders(spark, dir).select("o_orderkey", "o_orderdate"))
     val d = col("o_orderdate")
-    // key mod 7 → every declared shape is exercised: .S/.SS/.SSS,
-    // date-only, ISO with and without fraction, epoch_millis
-    val fmtId = col("o_orderkey") % 7
+    // key mod 11 → every declared shape is exercised: .S/.SS/.SSS,
+    // date-only, ISO ± fraction, epoch_millis, offset forms ('Z' and
+    // +01:00, with and without fraction), minute- and hour-precision
+    val fmtId = col("o_orderkey") % 11
     val base = date_format(d, "yyyy-MM-dd HH:mm:ss")
     val iso = date_format(d, "yyyy-MM-dd'T'HH:mm:ss")
+    // wall clock shifted +1h so the +01:00 offset round-trips to the
+    // same instant — exercises a NONZERO offset, not just notation
+    val isoPlus1 = date_format(d + expr("INTERVAL 1 HOUR"), "yyyy-MM-dd'T'HH:mm:ss")
     val rendered =
       when(fmtId === 0, concat(base, lit(".0")))
         .when(fmtId === 1, concat(base, lit(".00")))
@@ -83,6 +109,12 @@ object DateParse {
         .when(fmtId === 3, date_format(d, "yyyy-MM-dd"))
         .when(fmtId === 4, iso)
         .when(fmtId === 5, concat(iso, lit(".000")))
+        .when(fmtId === 6, concat(iso, lit("Z")))
+        .when(fmtId === 7, concat(isoPlus1, lit("+01:00")))
+        .when(fmtId === 8, concat(isoPlus1, lit(".000+01:00")))
+        // reduced precision is lossless here (order timestamps are
+        // midnight); the gate compares ENGINES, not round-trip fidelity
+        .when(fmtId === 9, date_format(d, "yyyy-MM-dd'T'HH:mm"))
         // fixture timestamps are NTZ; the session is pinned UTC, so the
         // cast to an instant is the identity embedding
         .otherwise(unix_millis(d.cast("timestamp")).cast("string"))
@@ -95,13 +127,17 @@ object DateParse {
        |  ${multiFormatTimestampSql("rendered")} AS parsed
        |FROM (
        |  SELECT o_orderkey,
-       |    CASE o_orderkey % 7
+       |    CASE o_orderkey % 11
        |      WHEN 0 THEN strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') || '.0'
        |      WHEN 1 THEN strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') || '.00'
        |      WHEN 2 THEN strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') || '.000'
        |      WHEN 3 THEN strftime(o_orderdate, '%Y-%m-%d')
        |      WHEN 4 THEN strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S')
        |      WHEN 5 THEN strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S') || '.000'
+       |      WHEN 6 THEN strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S') || 'Z'
+       |      WHEN 7 THEN strftime(o_orderdate + INTERVAL 1 HOUR, '%Y-%m-%dT%H:%M:%S') || '+01:00'
+       |      WHEN 8 THEN strftime(o_orderdate + INTERVAL 1 HOUR, '%Y-%m-%dT%H:%M:%S') || '.000+01:00'
+       |      WHEN 9 THEN strftime(o_orderdate, '%Y-%m-%dT%H:%M')
        |      ELSE CAST(epoch_ms(o_orderdate) AS VARCHAR)
        |    END AS rendered
        |  FROM orders
