@@ -192,15 +192,17 @@ object Similarity {
     * deterministic under any parallelism; mean_q is one double division
     * over identical integers.
     */
-  def meanEmbedding(spark: SparkSession, dir: String): DataFrame = {
-    val docs = quantized(spark, dir)
+  def meanEmbedding(spark: SparkSession, dir: String): DataFrame =
+    meanEmbeddingOn(quantized(spark, dir))
+
+  /** Width-agnostic core of [[meanEmbedding]] over any (label, q) frame. */
+  def meanEmbeddingOn(docs: DataFrame): DataFrame =
     docs.select(col("label"), posexplode(col("q")).as(Seq("dim", "v")))
       .groupBy(col("label"), col("dim"))
       .agg(sum(col("v")).as("sum_q"), count(lit(1)).as("n_vecs"))
       .select(col("label"), col("dim").cast("long").as("dim"),
         col("sum_q"), col("n_vecs"),
         (col("sum_q").cast("double") / col("n_vecs")).as("mean_q"))
-  }
 
   /** Embedding-cosine near-dup pairs via sign-bit banded LSH: bucket on 4
     * bands of 4 sign bits; only bucket-mates are scored; exact quantized
@@ -238,11 +240,13 @@ object Similarity {
 
   private val qSql = s"list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $Scale) AS BIGINT))"
 
-  /** 64-dim integer dot product in SQL (1-based indexing, fixed order —
-    * order is irrelevant for integer sums anyway).
+  /** Integer dot product in SQL — width-agnostic (`len`-driven range, so
+    * the same oracle text serves 64-d fixtures and the ES mapping's 500-d
+    * vectors; 1-based indexing, fixed order — order is irrelevant for
+    * integer sums anyway).
     */
   private def dotSql(a: String, b: String): String =
-    s"list_sum(list_transform(range(1, 65), i -> ($a)[i] * ($b)[i]))"
+    s"list_sum(list_transform(range(1, len($a) + 1), i -> ($a)[i] * ($b)[i]))"
 
   private def cosSql(dot: String, n1: String, n2: String): String =
     s"(CAST($dot AS DOUBLE) / sqrt(CAST($n1 AS DOUBLE) * CAST($n2 AS DOUBLE)))"
@@ -287,7 +291,7 @@ object Similarity {
        |),
        |exploded AS (
        |  SELECT list_id, i AS dim, q[i] AS v
-       |  FROM assigned, unnest(range(1, 65)) AS t(i)
+       |  FROM assigned, unnest(range(1, len(q) + 1)) AS t(i)
        |),
        |sums_long AS (
        |  SELECT list_id, dim, sum(v) AS s FROM exploded GROUP BY list_id, dim
@@ -324,7 +328,7 @@ object Similarity {
     s"""WITH docs AS ($quantizedSql),
        |exploded AS (
        |  SELECT label, i AS dim, q[i] AS v
-       |  FROM docs, unnest(range(1, 65)) AS t(i)
+       |  FROM docs, unnest(range(1, len(q) + 1)) AS t(i)
        |)
        |SELECT label, CAST(dim - 1 AS BIGINT) AS dim, CAST(sum(v) AS BIGINT) AS sum_q,
        |  count(*) AS n_vecs,

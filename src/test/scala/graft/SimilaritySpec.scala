@@ -51,6 +51,33 @@ class SimilaritySpec extends SparkSuite {
     assert(df.toSeq == Seq(4000L, 6000L))
   }
 
+  test("no width assumption: qvec/dotq/meanEmbedding agree at 64-d and 500-d") {
+    // The ES mapping declares DenseVector(dims=500) while fixtures are
+    // 64-d — prove nothing in the vector path bakes in a width.
+    import spark.implicits._
+    for (dims <- Seq(64, 500)) {
+      def vec(id: Int): Array[Float] =
+        Array.tabulate(dims)(i => (((id * 31 + i) % 7) - 3) / 3.0f)
+      val docs = Seq((0, vec(0)), (1, vec(1)), (2, vec(2)), (3, vec(0)))
+        .toDF("label", "embedding")
+        .select(col("label") % 2 as "label", Similarity.qvec(col("embedding")).as("q"))
+      // codegen'd dot vs HOF twin on full-width vectors
+      val dots = docs.select(
+        Similarity.dotq(col("q"), col("q")).as("a"),
+        Similarity.dotqHof(col("q"), col("q")).as("b")).collect()
+      assert(dots.forall(r => r.getLong(0) == r.getLong(1)),
+        s"codegen vs HOF dot diverged at $dims-d")
+      val mean = Similarity.meanEmbeddingOn(docs)
+      assert(mean.count() == 2L * dims, s"expected 2 labels x $dims dims")
+      // hand check dim 0 of label 0: vectors 0 and 2 → q = floor(x*1000)
+      val expected = Seq(vec(0)(0), vec(2)(0))
+        .map(x => math.floor(x * Similarity.Scale).toLong).sum
+      val got = mean.filter(col("label") === 0 && col("dim") === 0)
+        .select("sum_q").head().getLong(0)
+      assert(got == expected, s"dim-0 sum at $dims-d: got $got, expected $expected")
+    }
+  }
+
   test("near-dup pairs are symmetric-free (a<b), above threshold, and verified exact") {
     val pairs = Similarity.nearDupPairs(spark, Sf).cache()
     assert(pairs.filter(col("vec_a") >= col("vec_b")).count() === 0)
