@@ -51,9 +51,13 @@ object Bench {
       }
     }
 
-    // Two timed passes, report the min — shared-host scheduling noise at
-    // this scale swings single runs by 2×; min-of-2 is the stable signal.
-    val TimedPasses = 2
+    // Three timed passes, report the min. Shared-host scheduling noise at
+    // this scale swings single runs by 2× — and the round-3 artifact
+    // showed min-of-2 is not enough: seven queries recorded 4-10× their
+    // true cost (r3 bench 50.1s vs 31.4s re-measured quiet, with
+    // q_events_rollup 2.56s vs a reproducible 0.25s on unchanged code and
+    // plans). Min-of-3 caps a single noisy co-scheduled pass's influence.
+    val TimedPasses = 3
     val results = queries.map { case (name, fn) =>
       if (errors.contains(name)) name -> -1.0
       else {
