@@ -275,8 +275,12 @@ object Similarity {
     * explicit unnest-regroup, probe ranking — exactly mirroring the Spark
     * plan stage for stage.
     */
-  def ivfOracle: String =
-    s"""WITH docs AS ($quantizedSql),
+  /** Shared CTE prefix for the IVF family — coarse assignment, per-list
+    * summaries, probe selection. Both the flat and the PQ oracle append
+    * their own scoring stage to this chain.
+    */
+  private def ivfCtes: String =
+    s"""docs AS ($quantizedSql),
        |seeds AS (
        |  SELECT vec_id AS list_id, q AS sq, n2 AS sn2 FROM docs WHERE vec_id < $NumSeeds
        |),
@@ -311,7 +315,10 @@ object Similarity {
        |    FROM qs CROSS JOIN sums2 s
        |  )
        |  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY list_score DESC, list_id) <= $NProbe
-       |),
+       |)""".stripMargin
+
+  def ivfOracle: String =
+    s"""WITH $ivfCtes,
        |scored AS (
        |  SELECT p.query_id, d.vec_id AS neighbor_id,
        |    ${cosSql(dotSql("d.q", "p.qq"), "d.n2", "p.qn2")} AS cos_sim
@@ -321,6 +328,44 @@ object Similarity {
        |SELECT query_id, neighbor_id,
        |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rank,
        |  cos_sim
+       |FROM scored
+       |QUALIFY rank <= $K""".stripMargin
+
+  /** IVF-PQ twin: integer scaled residuals, per-list max-abs scale, int8
+    * codes by exact-double floor, one ADC double expression — operation
+    * for operation the Spark plan.
+    */
+  def ivfPqOracle: String =
+    s"""WITH $ivfCtes,
+       |cnts AS (SELECT list_id, count(*) AS cnt FROM assigned GROUP BY list_id),
+       |resid AS (
+       |  SELECT a.vec_id, a.list_id, c.cnt,
+       |    list_transform(range(1, len(a.q) + 1), i -> c.cnt * (a.q)[i] - (s.sumvec)[i]) AS r
+       |  FROM assigned a JOIN sums s ON a.list_id = s.list_id JOIN cnts c ON a.list_id = c.list_id
+       |),
+       |amax AS (
+       |  SELECT list_id, max(list_aggregate(list_transform(r, x -> abs(x)), 'max')) AS a
+       |  FROM resid GROUP BY list_id
+       |),
+       |codes AS (
+       |  SELECT vec_id, list_id, cnt, a,
+       |    CASE WHEN a = 0 THEN list_transform(r, x -> CAST(0 AS BIGINT))
+       |         ELSE list_transform(r, x -> CAST(floor(CAST(x AS DOUBLE) * 127 / a) AS BIGINT)) END AS code
+       |  FROM resid JOIN amax USING (list_id)
+       |),
+       |scored AS (
+       |  SELECT p.query_id, cd.vec_id AS neighbor_id,
+       |    (CAST(${dotSql("p.qq", "s.sumvec")} AS DOUBLE)
+       |      + CAST(${dotSql("p.qq", "cd.code")} AS DOUBLE) * CAST(cd.a AS DOUBLE) / 127.0)
+       |      / CAST(cd.cnt AS DOUBLE) AS adc_score
+       |  FROM codes cd
+       |  JOIN probes p ON cd.list_id = p.list_id
+       |  JOIN sums s ON cd.list_id = s.list_id
+       |  WHERE cd.vec_id != p.query_id
+       |)
+       |SELECT query_id, neighbor_id,
+       |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY adc_score DESC, neighbor_id) AS BIGINT) AS rank,
+       |  adc_score
        |FROM scored
        |QUALIFY rank <= $K""".stripMargin
 
