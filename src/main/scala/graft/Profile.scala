@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Ad-hoc cold-cost profiler: times the named registry queries with the same
+  * discipline as [[Bench]] (full-eval action, clearCache before each timed
+  * run) but one query at a time, N passes, printing every pass — so a
+  * regression can be bisected without a 2-minute full-bench run.
+  *
+  * Usage: runMain graft.Profile q_dedup_chargram q_normalize_text [passes=3]
+  */
+object Profile {
+  def main(args: Array[String]): Unit = {
+    val (names, passes) = {
+      val (qs, opts) = args.partition(!_.startsWith("passes="))
+      (qs.toSeq, opts.headOption.map(_.stripPrefix("passes=").toInt).getOrElse(3))
+    }
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = Graft.configure(SparkSession.builder())
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    names.foreach { name =>
+      val fn = SparkEntry.queries(name)
+      // one untimed warmup (JIT/codegen), then cold timed passes
+      Bench.fullEval(fn(spark, sfDir))
+      val times = (1 to passes).map { i =>
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        Bench.fullEval(fn(spark, sfDir))
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"$name pass$i: $dt%.2f s")
+        dt
+      }
+      println(f"$name MIN: ${times.min}%.2f s")
+    }
+    spark.stop()
+  }
+}

@@ -311,6 +311,15 @@ object Dedup {
     * overwrites (the built-set is per-JVM), so a persistent base can never
     * serve stale pairs across code or fixture changes; later callers in
     * the same JVM pay only a parquet scan of a tiny table.
+    *
+    * Concurrency: the checkpoint path embeds a per-JVM nonce, so two
+    * sessions sharing one warehouse never touch each other's files — the
+    * alternative (a shared path per corpus) lets one JVM's
+    * `mode("overwrite")` delete parquet files a second JVM is mid-read
+    * on, failing its job. Each JVM's dirs are removed by a shutdown hook
+    * (through the path's own Hadoop `FileSystem`, so a remote base is
+    * cleaned the same way as a local one); if the JVM dies hard the
+    * orphan dir is inert — no later run ever reads another nonce's path.
     */
   object PairTable {
     val DirConf = "spark.graft.pairs.dir"
@@ -319,15 +328,33 @@ object Dedup {
       spark.conf.getOption(DirConf).getOrElse(
         spark.conf.get("spark.sql.warehouse.dir").stripSuffix("/") + "/_graft_pairs")
 
+    private val jvmNonce: String = java.util.UUID.randomUUID().toString.take(12)
+
     private val built = scala.collection.mutable.HashSet[String]()
+    private val cleanupRegistered = new java.util.concurrent.atomic.AtomicBoolean(false)
+
+    private def registerCleanup(spark: SparkSession): Unit =
+      if (cleanupRegistered.compareAndSet(false, true)) {
+        val conf = spark.sparkContext.hadoopConfiguration
+        Runtime.getRuntime.addShutdownHook(new Thread(() =>
+          built.synchronized {
+            built.foreach { p =>
+              try {
+                val hp = new org.apache.hadoop.fs.Path(p)
+                hp.getFileSystem(conf).delete(hp, true)
+              } catch { case _: Throwable => () } // best-effort; orphans are inert
+            }
+          }))
+      }
 
     // Path key is the full md5 of the corpus dir (a 32-bit hashCode can
     // collide across corpora, silently serving one corpus the other's
-    // pairs). synchronized: two racing first callers must not interleave
-    // writes into one path.
+    // pairs) plus the JVM nonce (see scaladoc). synchronized: two racing
+    // first callers in THIS JVM must not interleave writes into one path.
     private def materialize(spark: SparkSession, key: String)
                            (build: => DataFrame): DataFrame = {
-      val path = s"${base(spark)}/$key"
+      registerCleanup(spark)
+      val path = s"${base(spark)}/${key}_$jvmNonce"
       built.synchronized {
         if (!built.contains(path)) {
           build.write.mode("overwrite").parquet(path)
@@ -444,8 +471,18 @@ object Dedup {
     */
   val BroadcastMaxDropRows = 10000000L
 
-  def dropNearDups(docs: DataFrame, pairs: DataFrame): DataFrame = {
-    val drop = Components.of(pairs)
+  def dropNearDups(docs: DataFrame, pairs: DataFrame): DataFrame =
+    dropNearDupsFromClusters(docs, Components.of(pairs))
+
+  /** The checkpoint-aware apply: consumes an already-materialized cluster
+    * table (e.g. [[PairTable.wordClusters]]) so call sites that share a
+    * corpus pay the label-propagation loop ONCE — `dropNearDups(docs,
+    * pairs)` re-runs [[Components.of]] (eager: checkpoint rounds + counts
+    * at DataFrame-construction time) on every call, which is only right
+    * for ad-hoc pair tables.
+    */
+  def dropNearDupsFromClusters(docs: DataFrame, clusters: DataFrame): DataFrame = {
+    val drop = clusters
       .filter(col("doc_id") =!= col("cluster_id")).select("doc_id")
     // counting the checkpointed label table is O(pair-table) — free next
     // to the corpus scan it sizes the join for
@@ -641,9 +678,9 @@ object Dedup {
     // number stays honest, while apply demonstrates (and is timed as)
     // the checkpoint-reuse consumer: one anti-join over a tiny table.
     "q_dedup_apply" -> ((s, dir) =>
-      dropNearDups(
+      dropNearDupsFromClusters(
         Tables.documents(s, dir).select("doc_id", "lang", "source"),
-        PairTable.wordPairs(s, dir))),
+        PairTable.wordClusters(s, dir))),
     "q_dedup_clusters" -> ((s, dir) => PairTable.wordClusters(s, dir)),
     "q_dedup_simhash" -> ((s, dir) =>
       Tables.documents(s, dir)

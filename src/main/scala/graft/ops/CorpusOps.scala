@@ -142,8 +142,8 @@ object CorpusOps {
     */
   def pipelineReport(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val survivors = graft.dedup.Dedup.dropNearDups(
-      docs, graft.dedup.Dedup.PairTable.wordPairs(spark, dir))
+    val survivors = graft.dedup.Dedup.dropNearDupsFromClusters(
+      docs, graft.dedup.Dedup.PairTable.wordClusters(spark, dir))
     val withToks = survivors.select(
       col("doc_id"), col("text"), TextOps.tokenize(col("text")).as("toks"))
     val q = graft.text.Analysis.qualityColumnsFromTokens(col("text"), col("toks")).toMap

@@ -18,7 +18,7 @@ import graft.Tables
   *
   * The fixture timestamps are already typed (the reason this operator was
   * missing until round 3), so the gate RENDERS each row's timestamp into
-  * one of the declared formats (picked by key mod 11 — deterministic, all
+  * one of the declared formats (picked by key mod 12 — deterministic, all
   * formats exercised) and parses it back; both engines render and parse
   * with identical rules, making the coercion itself the thing compared.
   */
@@ -83,7 +83,7 @@ object DateParse {
        |       THEN make_timestamp(CAST($c AS BIGINT) * 1000) END)""".stripMargin
   }
 
-  /** Gate: render o_orderdate into the declared formats (by key mod 11),
+  /** Gate: render o_orderdate into the declared formats (by key mod 12),
     * parse back through the chain. `rendered` stays in the output so a
     * parse asymmetry is visible as a value, not just a null count.
     */
@@ -93,10 +93,10 @@ object DateParse {
     val o = ScaleOps.widen(
       Tables.orders(spark, dir).select("o_orderkey", "o_orderdate"))
     val d = col("o_orderdate")
-    // key mod 11 → every declared shape is exercised: .S/.SS/.SSS,
+    // key mod 12 → every declared shape is exercised: .S/.SS/.SSS,
     // date-only, ISO ± fraction, epoch_millis, offset forms ('Z' and
     // +01:00, with and without fraction), minute- and hour-precision
-    val fmtId = col("o_orderkey") % 11
+    val fmtId = col("o_orderkey") % 12
     val base = date_format(d, "yyyy-MM-dd HH:mm:ss")
     val iso = date_format(d, "yyyy-MM-dd'T'HH:mm:ss")
     // wall clock shifted +1h so the +01:00 offset round-trips to the
@@ -115,6 +115,7 @@ object DateParse {
         // reduced precision is lossless here (order timestamps are
         // midnight); the gate compares ENGINES, not round-trip fidelity
         .when(fmtId === 9, date_format(d, "yyyy-MM-dd'T'HH:mm"))
+        .when(fmtId === 10, date_format(d, "yyyy-MM-dd'T'HH"))
         // fixture timestamps are NTZ; the session is pinned UTC, so the
         // cast to an instant is the identity embedding
         .otherwise(unix_millis(d.cast("timestamp")).cast("string"))
@@ -127,7 +128,7 @@ object DateParse {
        |  ${multiFormatTimestampSql("rendered")} AS parsed
        |FROM (
        |  SELECT o_orderkey,
-       |    CASE o_orderkey % 11
+       |    CASE o_orderkey % 12
        |      WHEN 0 THEN strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') || '.0'
        |      WHEN 1 THEN strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') || '.00'
        |      WHEN 2 THEN strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') || '.000'
@@ -138,6 +139,7 @@ object DateParse {
        |      WHEN 7 THEN strftime(o_orderdate + INTERVAL 1 HOUR, '%Y-%m-%dT%H:%M:%S') || '+01:00'
        |      WHEN 8 THEN strftime(o_orderdate + INTERVAL 1 HOUR, '%Y-%m-%dT%H:%M:%S') || '.000+01:00'
        |      WHEN 9 THEN strftime(o_orderdate, '%Y-%m-%dT%H:%M')
+       |      WHEN 10 THEN strftime(o_orderdate, '%Y-%m-%dT%H')
        |      ELSE CAST(epoch_ms(o_orderdate) AS VARCHAR)
        |    END AS rendered
        |  FROM orders

@@ -91,6 +91,32 @@ class DedupSpec extends SparkSuite {
     } finally spark.conf.unset(Dedup.PairTable.DirConf)
   }
 
+  test("PairTable checkpoint dirs are nonce-suffixed — concurrent JVMs sharing a base never collide") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-pairs-nonce")
+    spark.conf.set(Dedup.PairTable.DirConf, "file:" + tmp.toString)
+    try {
+      Dedup.PairTable.wordPairs(spark, Sf).count()
+      val names = tmp.toFile.listFiles().map(_.getName)
+      assert(names.nonEmpty)
+      // every dir is <md5-key>[_cc]_<jvm-nonce>: a second JVM draws its own
+      // nonce, so its overwrite can never delete files this one is reading
+      assert(names.forall(_.matches("^[0-9a-f]{32}(_cc)?_[0-9a-f-]{12}$")),
+        s"unexpected checkpoint dir names: ${names.mkString(", ")}")
+    } finally spark.conf.unset(Dedup.PairTable.DirConf)
+  }
+
+  test("dropNearDupsFromClusters over a materialized cluster table equals dropNearDups") {
+    import spark.implicits._
+    val pairs = Seq((2L, 3L), (1L, 3L)).toDF("doc_a", "doc_b")
+    val docs = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("doc_id", "text")
+    val clusters = Dedup.Components.of(pairs)
+    val viaClusters = Dedup.dropNearDupsFromClusters(docs, clusters)
+      .select("doc_id").as[Long].collect().sorted
+    val direct = Dedup.dropNearDups(docs, pairs)
+      .select("doc_id").as[Long].collect().sorted
+    assert(viaClusters.toSeq == direct.toSeq && viaClusters.toSeq == Seq(1L, 4L))
+  }
+
   test("simhash: identical token sets agree; near-dup hamming < dissimilar hamming") {
     import spark.implicits._
     val df = Seq(
