@@ -41,6 +41,27 @@ class SimilaritySpec extends SparkSuite {
     assert(recall >= 0.3, s"recall@10 was $recall")
   }
 
+  test("IVF-PQ: ADC ranking over int8 residual codes loses no recall vs flat IVF at equal probe budget") {
+    val brute = Similarity.topK(spark, Sf).select("query_id", "neighbor_id")
+    val flat = Similarity.ivfTopK(spark, Sf).select("query_id", "neighbor_id")
+    val pq = Similarity.ivfPqTopK(spark, Sf).select("query_id", "neighbor_id")
+    val flatRecall = brute.intersect(flat).count().toDouble / brute.count()
+    val pqRecall = brute.intersect(pq).count().toDouble / brute.count()
+    // same lists probed — any gap is pure quantization-ranking loss, which
+    // at 8-bit/dim must not cost recall on this fixture
+    assert(pqRecall >= flatRecall, s"pq recall $pqRecall < flat recall $flatRecall")
+  }
+
+  test("IVF-PQ output shape: K ranked rows per query with non-increasing ADC score") {
+    val out = Similarity.ivfPqTopK(spark, Sf)
+    // K rows per query, rank 1..K, adc_score non-increasing
+    val perQuery = out.groupBy("query_id").count().collect()
+    assert(perQuery.forall(_.getLong(1) == Similarity.K))
+    val scores = out.filter(col("query_id") === 0).orderBy("rank")
+      .select("adc_score").collect().map(_.getDouble(0))
+    assert(scores.sameElements(scores.sorted(Ordering[Double].reverse)))
+  }
+
   test("mean embedding: per-dim integer sums match a hand computation") {
     import spark.implicits._
     val df = Seq((1, Array(1.0f, 2.0f)), (1, Array(3.0f, 4.0f))).toDF("label", "embedding")
