@@ -59,7 +59,7 @@ object Bench {
     // plans). Min-of-3 caps a single noisy co-scheduled pass's influence.
     val TimedPasses = 3
     val results = queries.map { case (name, fn) =>
-      if (errors.contains(name)) name -> -1.0
+      if (errors.contains(name)) name -> (-1.0, -1.0)
       else {
         val times = (1 to TimedPasses).flatMap { _ =>
           // drop persisted intermediates from the warmup/previous pass
@@ -75,7 +75,7 @@ object Bench {
             None
           }
         }
-        name -> (if (times.isEmpty) -1.0 else times.min)
+        name -> (if (times.isEmpty) (-1.0, -1.0) else (times.min, times.max))
       }
     }
 
@@ -84,12 +84,20 @@ object Bench {
         case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
         case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
       } + "\""
-    val qs = results.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val qs = results.map { case (k, (mn, _)) => s"${jstr(k)}:$mn" }.mkString("{", ",", "}")
+    val total = results.collect { case (_, (mn, _)) if mn >= 0 => mn }.sum
+    // Host-contention telltale: the median across queries of max/min over
+    // the timed passes. On a quiet host this sits near 1.0-1.3; a
+    // co-scheduled noisy neighbor inflates EVERY pass and the artifact
+    // should say so itself rather than look like a code regression
+    // (BENCH_r04's 2x total came with unchanged plans — min-of-3 cannot
+    // defend against contention lasting the whole run).
+    val spreads = results.collect { case (_, (mn, mx)) if mn > 0 => mx / mn }.sorted
+    val noise = if (spreads.isEmpty) -1.0 else spreads(spreads.length / 2)
     val errJson =
       if (errors.isEmpty) ""
       else s""","errors":${errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")}"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":${jstr(sfDir)}$errJson}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","pass_spread_median":$noise,"queries":$qs,"sf":${jstr(sfDir)}$errJson}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }
