@@ -151,16 +151,21 @@ object Similarity {
   def listSums(docs: DataFrame): DataFrame =
     docs.select(col("list_id"), posexplode(col("q")).as(Seq("dim", "v")))
       .groupBy(col("list_id"), col("dim"))
-      .agg(sum(col("v")).as("s"))
+      // c rides along so the PQ path gets per-list vector counts without a
+      // second corpus aggregate (each (list, dim) group holds exactly one
+      // row per vector in the list)
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("c"))
 
   /** Compact per-list summaries from an assigned frame:
-    * (list_id, sumvec, ln2) — one row per coarse list.
+    * (list_id, sumvec, cnt, ln2) — one row per coarse list, from ONE
+    * corpus aggregate (cnt folds out of the dim-group counts).
     */
   private def listSummaries(assigned: DataFrame): DataFrame =
     listSums(assigned)
       .groupBy(col("list_id"))
-      .agg(array_sort(collect_list(struct(col("dim"), col("s")))).as("ds"))
-      .select(col("list_id"), transform(col("ds"), _.getField("s")).as("sumvec"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("s")))).as("ds"),
+        max(col("c")).as("cnt"))
+      .select(col("list_id"), transform(col("ds"), _.getField("s")).as("sumvec"), col("cnt"))
       .withColumn("ln2", dotq(col("sumvec"), col("sumvec")))
 
   /** Probe selection: each query ranks list summaries by summary cosine
@@ -236,10 +241,8 @@ object Similarity {
     val assigned = docs.join(assignLists(docs), "vec_id")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sums = listSummaries(assigned)
-    val cnts = assigned.groupBy(col("list_id")).agg(count(lit(1)).as("cnt"))
     val resid = assigned
-      .join(broadcast(sums.select(col("list_id"), col("sumvec"))), "list_id")
-      .join(broadcast(cnts), "list_id")
+      .join(broadcast(sums.select(col("list_id"), col("sumvec"), col("cnt"))), "list_id")
       .select(col("vec_id"), col("list_id"), col("cnt"),
         zip_with(col("q"), col("sumvec"), (x, sv) => col("cnt") * x - sv).as("r"))
     val amax = resid.groupBy(col("list_id"))
