@@ -103,6 +103,12 @@ object Graft {
   def searchTopKApprox(spark: SparkSession, sfDir: String): DataFrame =
     Similarity.ivfTopK(spark, sfDir)
 
+  /** IVF-PQ approximate top-k — probed lists scored from per-list int8
+    * residual codes (8× smaller at rest than the quantized vectors).
+    */
+  def searchTopKCompressed(spark: SparkSession, sfDir: String): DataFrame =
+    Similarity.ivfPqTopK(spark, sfDir)
+
   // ---- corpus preparation (round-3 surface) ----
 
   /** Deterministic train/val/test assignment by key hash — reproducible
