@@ -29,8 +29,12 @@ object Bench {
     ()
   }
 
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+  /** The measurement session every harness main shares — one place for
+    * the env-var defaults so Bench and Profile can never drift onto
+    * different core counts (a Profile at local[32] "diagnosing" a Bench
+    * run at local[4] measures a different configuration).
+    */
+  def session(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = Graft.configure(SparkSession.builder())
       .master(s"local[$cpus]")
@@ -38,6 +42,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = session()
 
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()

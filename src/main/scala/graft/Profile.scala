@@ -16,13 +16,7 @@ object Profile {
       (qs.toSeq, opts.headOption.map(_.stripPrefix("passes=").toInt).getOrElse(3))
     }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = Graft.configure(SparkSession.builder())
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = Bench.session() // same env defaults as Bench — comparable numbers
 
     names.foreach { name =>
       val fn = SparkEntry.queries(name)

@@ -336,15 +336,24 @@ object Dedup {
     private def registerCleanup(spark: SparkSession): Unit =
       if (cleanupRegistered.compareAndSet(false, true)) {
         val conf = spark.sparkContext.hadoopConfiguration
-        Runtime.getRuntime.addShutdownHook(new Thread(() =>
-          built.synchronized {
-            built.foreach { p =>
-              try {
-                val hp = new org.apache.hadoop.fs.Path(p)
-                hp.getFileSystem(conf).delete(hp, true)
-              } catch { case _: Throwable => () } // best-effort; orphans are inert
+        // Registered through Hadoop's ShutdownHookManager ABOVE the
+        // FileSystem-close priority: a raw Runtime hook runs concurrently
+        // with (and can lose to) Hadoop's FS-cache finalizer, in which
+        // case getFileSystem returns a closed FS, delete throws, and the
+        // nonce dirs leak on every CLEAN exit — priority ordering makes
+        // the delete run while the FS is still open.
+        org.apache.hadoop.util.ShutdownHookManager.get().addShutdownHook(
+          new Runnable {
+            def run(): Unit = built.synchronized {
+              built.foreach { p =>
+                try {
+                  val hp = new org.apache.hadoop.fs.Path(p)
+                  hp.getFileSystem(conf).delete(hp, true)
+                } catch { case _: Throwable => () } // best-effort; orphans are inert
+              }
             }
-          }))
+          },
+          org.apache.hadoop.fs.FileSystem.SHUTDOWN_HOOK_PRIORITY + 40)
       }
 
     // Path key is the full md5 of the corpus dir (a 32-bit hashCode can

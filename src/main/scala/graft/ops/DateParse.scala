@@ -88,7 +88,8 @@ object DateParse {
     * parse asymmetry is visible as a value, not just a null count.
     */
   def parseMultiFormat(spark: SparkSession, dir: String): DataFrame = {
-    // 6 try_to_timestamp branches per row, all in the scan stage — widen
+    // 10 try_to_timestamp branches + the epoch gate per row, all in the
+    // scan stage — widen
     // under-split files (identity on real tables)
     val o = ScaleOps.widen(
       Tables.orders(spark, dir).select("o_orderkey", "o_orderdate"))

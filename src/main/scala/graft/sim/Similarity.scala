@@ -146,7 +146,8 @@ object Similarity {
 
   /** Per-list summary vectors: dim-wise integer sums via posexplode —
     * the shuffle carries (list_id, dim, partial-sum) longs with map-side
-    * combine, never whole arrays. Returned long-form: (list_id, dim, s).
+    * combine, never whole arrays. Returned long-form: (list_id, dim, s, c)
+    * where c is the list's vector count (identical across a list's dims).
     */
   def listSums(docs: DataFrame): DataFrame =
     docs.select(col("list_id"), posexplode(col("q")).as(Seq("dim", "v")))
@@ -171,16 +172,21 @@ object Similarity {
   /** Probe selection: each query ranks list summaries by summary cosine
     * (the list-size divisor cancels, so scoring stays in exact integer
     * space) and keeps the best [[NProbe]]. Output (query_id, qq, qn2,
-    * list_id) — queries × nprobe rows, always the broadcast side.
+    * list_id, q_dot_sum) — queries × nprobe rows, always the broadcast
+    * side. `q_dot_sum` = dot(q, Σ_list) is constant per (query, list), so
+    * it is computed HERE (queries × lists evaluations) rather than per
+    * candidate — the ADC consumer would otherwise redo a d-element dot on
+    * every scored row for one of 15 distinct values.
     */
   private def probesFor(qs: DataFrame, sums: DataFrame): DataFrame = {
     val wl = Window.partitionBy(col("query_id")).orderBy(desc("list_score"), asc("list_id"))
     qs.crossJoin(broadcast(sums))
       .select(col("query_id"), col("qq"), col("qn2"), col("list_id"),
-        cosFromInts(dotq(col("qq"), col("sumvec")), col("qn2"), col("ln2")).as("list_score"))
+        dotq(col("qq"), col("sumvec")).as("q_dot_sum"), col("ln2"))
+      .withColumn("list_score", cosFromInts(col("q_dot_sum"), col("qn2"), col("ln2")))
       .withColumn("pr", row_number().over(wl))
       .filter(col("pr") <= NProbe)
-      .select(col("query_id"), col("qq"), col("qn2"), col("list_id"))
+      .select(col("query_id"), col("qq"), col("qn2"), col("list_id"), col("q_dot_sum"))
   }
 
   /** IVF approximate top-k with a genuine coarse quantizer: vectors are
@@ -216,39 +222,45 @@ object Similarity {
     *   - code_i = floor(r_i · 127 / a) ∈ [−127, 127] — int8 per dimension.
     * Asymmetric-distance scoring (query unquantized, data coded):
     *   dot(q, x) ≈ (dot(q, Σ) + dot(q, code)·a/127) / cnt,
-    * one double expression per candidate over integer dots.
+    * then normalized by the EXACT stored norms — adc_score ≈
+    * dot/√(‖x‖²·‖q‖²) — so the ranking metric is the same cosine the
+    * exact baseline and flat IVF use, not an inner product that would
+    * silently favor large-norm vectors on any corpus that is not
+    * unit-norm. dot(q, Σ) is read from the probe row (constant per
+    * (query, list)); only the d-element code dot runs per candidate.
     *
-    * Memory per vector: d bytes of codes (64 B at 64-d, 500 B at the ES
-    * mapping's 500-d) against 8·d for the quantized-long form — an 8×
-    * compression; the per-list (Σ, a, cnt) overhead is amortized across
-    * the whole list. This is scalar residual quantization (FAISS's
-    * IVF-SQ8 shape, the "int8 residual codes per list" the round-3
-    * verdict names): true product quantization swaps the per-dim floor
-    * for trained sub-vector codebooks, which needs iterative k-means —
-    * the closed-form scheme keeps the identical storage/ADC shape while
-    * staying deterministic enough for a bit-exact cross-engine gate.
+    * Memory per vector: d bytes of codes + 8 B exact norm (72 B at 64-d,
+    * 508 B at the ES mapping's 500-d) against 8·d for the quantized-long
+    * form — still ~7-8× compression; the per-list (Σ, a, cnt) overhead is
+    * amortized across the whole list. This is scalar residual
+    * quantization (FAISS's IVF-SQ8 shape, the "int8 residual codes per
+    * list" the round-3 verdict names): true product quantization swaps
+    * the per-dim floor for trained sub-vector codebooks, which needs
+    * iterative k-means — the closed-form scheme keeps the identical
+    * storage/ADC shape while staying deterministic enough for a
+    * bit-exact cross-engine gate.
     *
     * Scale shape: codes are corpus-sized but never shuffle — every join
-    * against them (sums, cnts, amax, probes) broadcasts a list-count- or
+    * against them (summaries, scale, probes) broadcasts a list-count- or
     * query-sized side; the only corpus exchange is the per-query top-k
     * window over probed candidates, exactly as [[ivfTopK]].
     */
   def ivfPqTopK(spark: SparkSession, dir: String): DataFrame = {
     val docs = quantized(spark, dir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // assigned feeds three aggregates (summaries, counts, scale) plus the
+    // assigned feeds the summary aggregate, the scale aggregate, and the
     // residual computation — persist so coarse assignment runs once
     val assigned = docs.join(assignLists(docs), "vec_id")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sums = listSummaries(assigned)
     val resid = assigned
       .join(broadcast(sums.select(col("list_id"), col("sumvec"), col("cnt"))), "list_id")
-      .select(col("vec_id"), col("list_id"), col("cnt"),
+      .select(col("vec_id"), col("list_id"), col("cnt"), col("n2"),
         zip_with(col("q"), col("sumvec"), (x, sv) => col("cnt") * x - sv).as("r"))
     val amax = resid.groupBy(col("list_id"))
       .agg(max(array_max(transform(col("r"), x => abs(x)))).as("a"))
     val codes = resid.join(broadcast(amax), "list_id")
-      .select(col("vec_id"), col("list_id"), col("cnt"), col("a"),
+      .select(col("vec_id"), col("list_id"), col("cnt"), col("n2"), col("a"),
         when(col("a") === 0, transform(col("r"), _ => lit(0L)))
           .otherwise(transform(col("r"),
             x => floor(x.cast("double") * 127 / col("a")).cast("long"))).as("code"))
@@ -257,12 +269,12 @@ object Similarity {
     val probes = probesFor(qs, sums)
     val w = Window.partitionBy(col("query_id")).orderBy(desc("adc_score"), asc("neighbor_id"))
     codes.join(broadcast(probes), "list_id")
-      .join(broadcast(sums.select(col("list_id"), col("sumvec"))), "list_id")
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        ((dotq(col("qq"), col("sumvec")).cast("double")
+        (((col("q_dot_sum").cast("double")
           + dotq(col("qq"), col("code")).cast("double") * col("a").cast("double") / lit(127.0))
-          / col("cnt").cast("double")).as("adc_score"))
+          / col("cnt").cast("double"))
+          / sqrt(col("n2").cast("double") * col("qn2").cast("double"))).as("adc_score"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= K)
       .select("query_id", "neighbor_id", "rank", "adc_score")
@@ -421,7 +433,7 @@ object Similarity {
     s"""WITH $ivfCtes,
        |cnts AS (SELECT list_id, count(*) AS cnt FROM assigned GROUP BY list_id),
        |resid AS (
-       |  SELECT a.vec_id, a.list_id, c.cnt,
+       |  SELECT a.vec_id, a.list_id, c.cnt, a.n2,
        |    list_transform(range(1, len(a.q) + 1), i -> c.cnt * (a.q)[i] - (s.sumvec)[i]) AS r
        |  FROM assigned a JOIN sums s ON a.list_id = s.list_id JOIN cnts c ON a.list_id = c.list_id
        |),
@@ -430,16 +442,17 @@ object Similarity {
        |  FROM resid GROUP BY list_id
        |),
        |codes AS (
-       |  SELECT vec_id, list_id, cnt, a,
+       |  SELECT vec_id, list_id, cnt, n2, a,
        |    CASE WHEN a = 0 THEN list_transform(r, x -> CAST(0 AS BIGINT))
        |         ELSE list_transform(r, x -> CAST(floor(CAST(x AS DOUBLE) * 127 / a) AS BIGINT)) END AS code
        |  FROM resid JOIN amax USING (list_id)
        |),
        |scored AS (
        |  SELECT p.query_id, cd.vec_id AS neighbor_id,
-       |    (CAST(${dotSql("p.qq", "s.sumvec")} AS DOUBLE)
+       |    ((CAST(${dotSql("p.qq", "s.sumvec")} AS DOUBLE)
        |      + CAST(${dotSql("p.qq", "cd.code")} AS DOUBLE) * CAST(cd.a AS DOUBLE) / 127.0)
-       |      / CAST(cd.cnt AS DOUBLE) AS adc_score
+       |      / CAST(cd.cnt AS DOUBLE))
+       |      / sqrt(CAST(cd.n2 AS DOUBLE) * CAST(p.qn2 AS DOUBLE)) AS adc_score
        |  FROM codes cd
        |  JOIN probes p ON cd.list_id = p.list_id
        |  JOIN sums s ON cd.list_id = s.list_id
