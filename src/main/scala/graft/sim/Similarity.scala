@@ -245,9 +245,16 @@ object Similarity {
     * query-sized side; the only corpus exchange is the per-query top-k
     * window over probed candidates, exactly as [[ivfTopK]].
     */
-  def ivfPqTopK(spark: SparkSession, dir: String): DataFrame = {
-    val docs = quantized(spark, dir)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  def ivfPqTopK(spark: SparkSession, dir: String): DataFrame =
+    ivfPqTopKOn(quantized(spark, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  /** Width- and norm-agnostic core of [[ivfPqTopK]] over any quantized
+    * frame (vec_id, q, n2) — separated so tests can drive it with
+    * non-unit-norm corpora, where the cosine normalization of the ADC
+    * score is observable (an inner-product ranking diverges there).
+    */
+  def ivfPqTopKOn(docs: DataFrame): DataFrame = {
     // assigned feeds the summary aggregate, the scale aggregate, and the
     // residual computation — persist so coarse assignment runs once
     val assigned = docs.join(assignLists(docs), "vec_id")

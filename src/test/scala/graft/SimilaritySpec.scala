@@ -55,6 +55,30 @@ class SimilaritySpec extends SparkSuite {
       s"pq recall $pqRecall too far below flat recall $flatRecall")
   }
 
+  test("IVF-PQ ranks by cosine, not inner product: a large-norm distractor cannot outrank a near-angle neighbor") {
+    import spark.implicits._
+    // Query (vec_id 0) points along +x. vec 5 is nearly parallel but short;
+    // vec 6 is 40 degrees off but 20x longer, so dot(q, v6) >> dot(q, v5)
+    // while cos(q, v6) << cos(q, v5). An inner-product ADC would rank 6
+    // first; the cosine ADC must rank 5 first. Seeds are vec_id < NumSeeds,
+    // so ids 0..4 pad the seed set and everything lands in few lists.
+    def vec(x: Double, y: Double, s: Double) = Array((x * s).toFloat, (y * s).toFloat)
+    val rows = Seq(
+      0L -> vec(1.0, 0.0, 1.0),       // query
+      1L -> vec(0.0, 1.0, 1.0), 2L -> vec(-1.0, 0.3, 1.0),
+      3L -> vec(0.3, -1.0, 1.0), 4L -> vec(-0.5, -0.5, 1.0),
+      5L -> vec(0.99, 0.14, 0.3),     // near-parallel, small norm
+      6L -> vec(0.77, 0.64, 20.0))    // 40 degrees off, huge norm
+    val docs = rows.toDF("vec_id", "embedding")
+      .select(col("vec_id"), Similarity.qvec(col("embedding")).as("q"))
+      .withColumn("n2", Similarity.dotq(col("q"), col("q")))
+    val out = Similarity.ivfPqTopKOn(docs)
+      .filter(col("query_id") === 0).orderBy("rank")
+      .select("neighbor_id").as[Long].collect()
+    assert(out.indexOf(5L) < out.indexOf(6L),
+      s"cosine ADC must prefer the near-angle small vector; got ${out.toSeq}")
+  }
+
   test("IVF-PQ output shape: K ranked rows per query with non-increasing ADC score") {
     val out = Similarity.ivfPqTopK(spark, Sf)
     // K rows per query, rank 1..K, adc_score non-increasing
