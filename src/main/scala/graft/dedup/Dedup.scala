@@ -298,84 +298,17 @@ object Dedup {
     * alone cannot provide it because the consumers run as separate
     * queries (and the bench clears cache between them).
     *
-    * The checkpoint base must be a path EVERY executor can read — on a
-    * real cluster a driver-local temp dir is wrong (executors would write
-    * partitions to their own local disks and the re-read misses data), so
-    * the base is `spark.graft.pairs.dir` if set, else a `_graft_pairs`
-    * dir under the session warehouse, and all I/O goes through Spark's
-    * parquet reader/writer, which resolves the path's own Hadoop
-    * `FileSystem` — local, `file:` URI, HDFS, or object store alike (the
-    * same discipline as [[graft.sources.Sinks]]).
-    *
-    * Freshness: the first caller in each JVM always recomputes and
-    * overwrites (the built-set is per-JVM), so a persistent base can never
-    * serve stale pairs across code or fixture changes; later callers in
-    * the same JVM pay only a parquet scan of a tiny table.
-    *
-    * Concurrency: the checkpoint path embeds a per-JVM nonce, so two
-    * sessions sharing one warehouse never touch each other's files — the
-    * alternative (a shared path per corpus) lets one JVM's
-    * `mode("overwrite")` delete parquet files a second JVM is mid-read
-    * on, failing its job. Each JVM's dirs are removed by a shutdown hook
-    * (through the path's own Hadoop `FileSystem`, so a remote base is
-    * cleaned the same way as a local one); if the JVM dies hard the
-    * orphan dir is inert — no later run ever reads another nonce's path.
+    * Storage contract (shared-path base, per-JVM nonce isolation,
+    * freshness, ordered shutdown cleanup): [[graft.sources.Checkpoints]].
     */
   object PairTable {
     val DirConf = "spark.graft.pairs.dir"
 
-    private def base(spark: SparkSession): String =
-      spark.conf.getOption(DirConf).getOrElse(
-        spark.conf.get("spark.sql.warehouse.dir").stripSuffix("/") + "/_graft_pairs")
-
-    private val jvmNonce: String = java.util.UUID.randomUUID().toString.take(12)
-
-    private val built = scala.collection.mutable.HashSet[String]()
-    private val cleanupRegistered = new java.util.concurrent.atomic.AtomicBoolean(false)
-
-    private def registerCleanup(spark: SparkSession): Unit =
-      if (cleanupRegistered.compareAndSet(false, true)) {
-        val conf = spark.sparkContext.hadoopConfiguration
-        // Registered through Hadoop's ShutdownHookManager ABOVE the
-        // FileSystem-close priority: a raw Runtime hook runs concurrently
-        // with (and can lose to) Hadoop's FS-cache finalizer, in which
-        // case getFileSystem returns a closed FS, delete throws, and the
-        // nonce dirs leak on every CLEAN exit — priority ordering makes
-        // the delete run while the FS is still open.
-        org.apache.hadoop.util.ShutdownHookManager.get().addShutdownHook(
-          new Runnable {
-            def run(): Unit = built.synchronized {
-              built.foreach { p =>
-                try {
-                  val hp = new org.apache.hadoop.fs.Path(p)
-                  hp.getFileSystem(conf).delete(hp, true)
-                } catch { case _: Throwable => () } // best-effort; orphans are inert
-              }
-            }
-          },
-          org.apache.hadoop.fs.FileSystem.SHUTDOWN_HOOK_PRIORITY + 40)
-      }
-
-    // Path key is the full md5 of the corpus dir (a 32-bit hashCode can
-    // collide across corpora, silently serving one corpus the other's
-    // pairs) plus the JVM nonce (see scaladoc). synchronized: two racing
-    // first callers in THIS JVM must not interleave writes into one path.
     private def materialize(spark: SparkSession, key: String)
-                           (build: => DataFrame): DataFrame = {
-      registerCleanup(spark)
-      val path = s"${base(spark)}/${key}_$jvmNonce"
-      built.synchronized {
-        if (!built.contains(path)) {
-          build.write.mode("overwrite").parquet(path)
-          built += path
-        }
-      }
-      spark.read.parquet(path)
-    }
+                           (build: => DataFrame): DataFrame =
+      graft.sources.Checkpoints.materialize(spark, DirConf, "_graft_pairs", key)(build)
 
-    private def digest(dir: String): String =
-      java.security.MessageDigest.getInstance("MD5")
-        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    private def digest(dir: String): String = graft.sources.Checkpoints.digest(dir)
 
     def wordPairs(spark: SparkSession, dir: String): DataFrame =
       materialize(spark, digest(dir))(MinHashLSH.nearDupPairs(spark, dir))

@@ -89,7 +89,7 @@ object Similarity {
     dot.cast("double") / sqrt(n1.cast("double") * n2.cast("double"))
 
   /** (vec_id, label, q, n2) — quantized vectors with cached squared norm. */
-  private def quantized(spark: SparkSession, dir: String): DataFrame =
+  private[sim] def quantized(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label"), qvec(col("embedding")).as("q"))
       .withColumn("n2", dotq(col("q"), col("q")))
@@ -161,7 +161,7 @@ object Similarity {
     * (list_id, sumvec, cnt, ln2) — one row per coarse list, from ONE
     * corpus aggregate (cnt folds out of the dim-group counts).
     */
-  private def listSummaries(assigned: DataFrame): DataFrame =
+  private[sim] def listSummaries(assigned: DataFrame): DataFrame =
     listSums(assigned)
       .groupBy(col("list_id"))
       .agg(array_sort(collect_list(struct(col("dim"), col("s")))).as("ds"),
@@ -178,7 +178,7 @@ object Similarity {
     * candidate — the ADC consumer would otherwise redo a d-element dot on
     * every scored row for one of 15 distinct values.
     */
-  private def probesFor(qs: DataFrame, sums: DataFrame): DataFrame = {
+  private[sim] def probesFor(qs: DataFrame, sums: DataFrame): DataFrame = {
     val wl = Window.partitionBy(col("query_id")).orderBy(desc("list_score"), asc("list_id"))
     qs.crossJoin(broadcast(sums))
       .select(col("query_id"), col("qq"), col("qn2"), col("list_id"),
@@ -260,20 +260,33 @@ object Similarity {
     val assigned = docs.join(assignLists(docs), "vec_id")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sums = listSummaries(assigned)
+    val codes = pqEncodeOn(assigned, sums)
+    val qs = docs.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"), col("n2").as("qn2"))
+    scoreAdc(codes, probesFor(qs, sums))
+  }
+
+  /** Residual-encode an assigned frame against its list summaries —
+    * the index-build stage: (vec_id, list_id, cnt, n2, a, code).
+    */
+  private[sim] def pqEncodeOn(assigned: DataFrame, sums: DataFrame): DataFrame = {
     val resid = assigned
       .join(broadcast(sums.select(col("list_id"), col("sumvec"), col("cnt"))), "list_id")
       .select(col("vec_id"), col("list_id"), col("cnt"), col("n2"),
         zip_with(col("q"), col("sumvec"), (x, sv) => col("cnt") * x - sv).as("r"))
     val amax = resid.groupBy(col("list_id"))
       .agg(max(array_max(transform(col("r"), x => abs(x)))).as("a"))
-    val codes = resid.join(broadcast(amax), "list_id")
+    resid.join(broadcast(amax), "list_id")
       .select(col("vec_id"), col("list_id"), col("cnt"), col("n2"), col("a"),
         when(col("a") === 0, transform(col("r"), _ => lit(0L)))
           .otherwise(transform(col("r"),
             x => floor(x.cast("double") * 127 / col("a")).cast("long"))).as("code"))
-    val qs = docs.filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("query_id"), col("q").as("qq"), col("n2").as("qn2"))
-    val probes = probesFor(qs, sums)
+  }
+
+  /** The serving stage: ADC-score coded vectors in probed lists, top-k
+    * per query by the cosine-normalized estimate.
+    */
+  private[sim] def scoreAdc(codes: DataFrame, probes: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("query_id")).orderBy(desc("adc_score"), asc("neighbor_id"))
     codes.join(broadcast(probes), "list_id")
       .filter(col("vec_id") =!= col("query_id"))
@@ -285,6 +298,24 @@ object Similarity {
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= K)
       .select("query_id", "neighbor_id", "rank", "adc_score")
+  }
+
+  /** Serve IVF-PQ top-k from the MATERIALIZED index ([[VecIndex]]) — the
+    * production query path: the encode pipeline (assign → summarize →
+    * residual-code) ran once at build time; a query pays only probe
+    * selection over the 16-row summary table plus ADC scoring of the
+    * probed codes. The query vectors themselves are read from the source
+    * (queries are ad-hoc at serving time; the index stores only data
+    * vectors). Same output as [[ivfPqTopK]] — the index build is fully
+    * deterministic — so the `q_similarity_ivfpq_apply` gate shares the
+    * PQ oracle.
+    */
+  def ivfPqTopKFromIndex(spark: SparkSession, dir: String): DataFrame = {
+    val sums = VecIndex.pqSummaries(spark, dir)
+    val codes = VecIndex.pqCodes(spark, dir)
+    val qs = quantized(spark, dir).filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"), col("n2").as("qn2"))
+    scoreAdc(codes, probesFor(qs, sums))
   }
 
   /** Per-label mean embedding in exact long-form: (label, dim, sum_q,
@@ -554,16 +585,61 @@ object Similarity {
     "q_similarity_topk" -> ((s, dir) => topK(s, dir)),
     "q_similarity_ivf" -> ((s, dir) => ivfTopK(s, dir)),
     "q_similarity_ivfpq" -> ((s, dir) => ivfPqTopK(s, dir)),
+    // consumes the materialized index (VecIndex) — q_similarity_ivfpq
+    // keeps the live build+serve pipeline honest while apply demonstrates
+    // (and is timed as) the serve-only consumer, mirroring q_dedup_apply
+    "q_similarity_ivfpq_apply" -> ((s, dir) => ivfPqTopKFromIndex(s, dir)),
     "q_mean_embedding" -> ((s, dir) => meanEmbedding(s, dir)),
     "q_embedding_neardup" -> ((s, dir) => nearDupPairs(s, dir)),
     "q_ann_recall" -> ((s, dir) => annRecall(s, dir)),
     "q_ann_recall_pq" -> ((s, dir) => annRecallPq(s, dir))
   )
 
+  // ---- persisted ANN index ----
+
+  /** Build-once/read-many materialization of the IVF-PQ index — the ANN
+    * twin of [[graft.dedup.Dedup.PairTable]]: the encode pipeline runs
+    * ONCE per corpus and lands as parquet; every serving query
+    * ([[Similarity.ivfPqTopKFromIndex]]) re-reads the coded table instead
+    * of re-assigning and re-encoding the corpus. Storage contract
+    * (shared-path base, per-JVM nonce isolation, freshness, ordered
+    * shutdown cleanup): [[graft.sources.Checkpoints]]. Base dir:
+    * `spark.graft.index.dir`, else `<warehouse>/_graft_index`.
+    *
+    * Two tables: `pqSummaries` (one row per coarse list — sumvec, cnt,
+    * ln2) and `pqCodes` (one row per vector — int8 codes + exact norm).
+    * Summaries materialize first and the code build READS the
+    * materialized summaries, so the corpus-side assign+summarize work is
+    * never duplicated across the two builds.
+    */
+  object VecIndex {
+    val DirConf = "spark.graft.index.dir"
+
+    private def mat(spark: SparkSession, key: String)(build: => DataFrame): DataFrame =
+      graft.sources.Checkpoints.materialize(spark, DirConf, "_graft_index", key)(build)
+
+    private def docsOf(spark: SparkSession, dir: String): DataFrame =
+      quantized(spark, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    def pqSummaries(spark: SparkSession, dir: String): DataFrame =
+      mat(spark, graft.sources.Checkpoints.digest(dir) + "_pqsums") {
+        val docs = docsOf(spark, dir)
+        listSummaries(docs.join(assignLists(docs), "vec_id"))
+      }
+
+    def pqCodes(spark: SparkSession, dir: String): DataFrame =
+      mat(spark, graft.sources.Checkpoints.digest(dir) + "_pqcodes") {
+        val docs = docsOf(spark, dir)
+        pqEncodeOn(docs.join(assignLists(docs), "vec_id"), pqSummaries(spark, dir))
+      }
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q_similarity_topk" -> topKOracle,
     "q_similarity_ivf" -> ivfOracle,
     "q_similarity_ivfpq" -> ivfPqOracle,
+    "q_similarity_ivfpq_apply" -> ivfPqOracle,
     "q_mean_embedding" -> meanEmbeddingOracle,
     "q_embedding_neardup" -> nearDupOracle,
     "q_ann_recall" -> annRecallOracle,

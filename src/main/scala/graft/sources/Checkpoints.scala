@@ -1,0 +1,85 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Shared machinery for session-lifetime parquet checkpoints of derived
+  * tables (near-dup pair tables, ANN index codes) — the build-once /
+  * read-many pattern `persist()` cannot provide because the consumers run
+  * as separate queries.
+  *
+  * Contract (each property carries its own failure mode):
+  *
+  *   - '''Shared-storage paths''': the base must be readable by every
+  *     executor — a driver-local temp dir silently loses partitions on a
+  *     real cluster. Default base is `<warehouse>/<subdir>`, overridable
+  *     per family via a conf key; all I/O goes through Spark's parquet
+  *     reader/writer, which resolves the path's own Hadoop `FileSystem`
+  *     (local, `file:`, HDFS, object store alike).
+  *   - '''Freshness''': the first caller in each JVM recomputes and
+  *     overwrites (the built-set is per-JVM), so a persistent base never
+  *     serves stale data across code or fixture changes; later callers in
+  *     the same JVM pay only a parquet scan.
+  *   - '''Cross-JVM isolation''': every path embeds a per-JVM nonce, so
+  *     two sessions sharing one warehouse never touch each other's files
+  *     (a shared path would let one JVM's `mode("overwrite")` delete
+  *     parquet another JVM is mid-read on).
+  *   - '''Cleanup''': this JVM's dirs are deleted by a shutdown hook
+  *     registered through Hadoop's `ShutdownHookManager` ABOVE the
+  *     FileSystem-close priority (a raw `Runtime` hook can lose the race
+  *     to the FS-cache finalizer and leak on every clean exit). A
+  *     hard-killed JVM leaves orphan dirs, which are inert — no later
+  *     run ever reads another nonce's path.
+  *   - '''Collision-free keys''': callers key by a full digest (e.g. md5
+  *     of the corpus dir), never a 32-bit hashCode, so two corpora can
+  *     never silently serve each other's tables.
+  */
+object Checkpoints {
+
+  private val jvmNonce: String = java.util.UUID.randomUUID().toString.take(12)
+
+  private val built = scala.collection.mutable.HashSet[String]()
+  private val cleanupRegistered = new java.util.concurrent.atomic.AtomicBoolean(false)
+
+  private def registerCleanup(spark: SparkSession): Unit =
+    if (cleanupRegistered.compareAndSet(false, true)) {
+      val conf = spark.sparkContext.hadoopConfiguration
+      org.apache.hadoop.util.ShutdownHookManager.get().addShutdownHook(
+        new Runnable {
+          def run(): Unit = built.synchronized {
+            built.foreach { p =>
+              try {
+                val hp = new org.apache.hadoop.fs.Path(p)
+                hp.getFileSystem(conf).delete(hp, true)
+              } catch { case _: Throwable => () } // best-effort; orphans are inert
+            }
+          }
+        },
+        org.apache.hadoop.fs.FileSystem.SHUTDOWN_HOOK_PRIORITY + 40)
+    }
+
+  /** md5 hex digest — the collision-safe checkpoint key for a corpus dir. */
+  def digest(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** Build-once/read-many: the first call per (resolved path) in this JVM
+    * evaluates `build` and writes it; every call returns a fresh reader
+    * over the parquet. `confKey` overrides the base dir; otherwise
+    * `<warehouse>/<defaultSubdir>`. synchronized: two racing first
+    * callers in THIS JVM must not interleave writes into one path.
+    */
+  def materialize(spark: SparkSession, confKey: String, defaultSubdir: String,
+                  key: String)(build: => DataFrame): DataFrame = {
+    registerCleanup(spark)
+    val base = spark.conf.getOption(confKey).getOrElse(
+      spark.conf.get("spark.sql.warehouse.dir").stripSuffix("/") + "/" + defaultSubdir)
+    val path = s"$base/${key}_$jvmNonce"
+    built.synchronized {
+      if (!built.contains(path)) {
+        build.write.mode("overwrite").parquet(path)
+        built += path
+      }
+    }
+    spark.read.parquet(path)
+  }
+}

@@ -79,6 +79,20 @@ class SimilaritySpec extends SparkSuite {
       s"cosine ADC must prefer the near-angle small vector; got ${out.toSeq}")
   }
 
+  test("serving from the materialized VecIndex equals the live IVF-PQ pipeline") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-index-test")
+    spark.conf.set(Similarity.VecIndex.DirConf, "file:" + tmp.toString)
+    try {
+      val viaIndex = Similarity.ivfPqTopKFromIndex(spark, Sf).collect().toSet
+      val direct = Similarity.ivfPqTopK(spark, Sf).collect().toSet
+      assert(viaIndex == direct)
+      val children = tmp.toFile.listFiles()
+      assert(children != null && children.map(_.getName).exists(_.contains("_pqcodes")) &&
+        children.map(_.getName).exists(_.contains("_pqsums")),
+        "index parquet (codes + summaries) must land under the configured base")
+    } finally spark.conf.unset(Similarity.VecIndex.DirConf)
+  }
+
   test("IVF-PQ output shape: K ranked rows per query with non-increasing ADC score") {
     val out = Similarity.ivfPqTopK(spark, Sf)
     // K rows per query, rank 1..K, adc_score non-increasing
