@@ -73,6 +73,14 @@ object ScaleProbe {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
 
+    // Min over passes, cold cache each pass — a single timed pass let a
+    // one-off stall (GC, page-cache eviction after a heavy neighbor)
+    // masquerade as super-linear growth: one run recorded q_asof_join's
+    // 10× at 22.0 s where an isolated re-measure gives 1.0 s. Two passes
+    // bound that noise the same way Bench's min-of-3 does.
+    def timedMin(spark: SparkSession, passes: Int)(f: => Unit): Double =
+      (1 to passes).map { _ => spark.catalog.clearCache(); timed(f) }.min
+
     println(s"rows: docs=${spark.read.parquet(s"$dst/documents.parquet").count()}, " +
       s"lineitem=${spark.read.parquet(s"$dst/lineitem.parquet").count()}")
 
@@ -85,12 +93,10 @@ object ScaleProbe {
         // super-linear ratio.
         spark.catalog.clearCache()
         fullEval(fn(spark, src))
-        spark.catalog.clearCache()
-        val t1 = timed(fullEval(fn(spark, src)))
+        val t1 = timedMin(spark, 2)(fullEval(fn(spark, src)))
         spark.catalog.clearCache()
         fullEval(fn(spark, dst))
-        spark.catalog.clearCache()
-        val t10 = timed(fullEval(fn(spark, dst)))
+        val t10 = timedMin(spark, 2)(fullEval(fn(spark, dst)))
         val ratio = t10 / math.max(t1, 1e-3)
         // Locale.ROOT: the default-locale f-interpolator renders 0,507 in
         // comma-decimal locales — invalid JSON

@@ -37,7 +37,8 @@ object Checkpoints {
 
   private val jvmNonce: String = java.util.UUID.randomUUID().toString.take(12)
 
-  private val built = scala.collection.mutable.HashSet[String]()
+  private val built = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private val locks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
   private val cleanupRegistered = new java.util.concurrent.atomic.AtomicBoolean(false)
 
   private def registerCleanup(spark: SparkSession): Unit =
@@ -45,14 +46,13 @@ object Checkpoints {
       val conf = spark.sparkContext.hadoopConfiguration
       org.apache.hadoop.util.ShutdownHookManager.get().addShutdownHook(
         new Runnable {
-          def run(): Unit = built.synchronized {
-            built.foreach { p =>
+          def run(): Unit =
+            built.forEach { p =>
               try {
                 val hp = new org.apache.hadoop.fs.Path(p)
                 hp.getFileSystem(conf).delete(hp, true)
               } catch { case _: Throwable => () } // best-effort; orphans are inert
             }
-          }
         },
         org.apache.hadoop.fs.FileSystem.SHUTDOWN_HOOK_PRIORITY + 40)
     }
@@ -65,8 +65,11 @@ object Checkpoints {
   /** Build-once/read-many: the first call per (resolved path) in this JVM
     * evaluates `build` and writes it; every call returns a fresh reader
     * over the parquet. `confKey` overrides the base dir; otherwise
-    * `<warehouse>/<defaultSubdir>`. synchronized: two racing first
-    * callers in THIS JVM must not interleave writes into one path.
+    * `<warehouse>/<defaultSubdir>`. Locking is PER PATH: two racing first
+    * callers of one table must not interleave writes, but a long index
+    * build must not block an unrelated family's materialization (a
+    * build may itself materialize a dependency — distinct path, distinct
+    * lock, so nesting cannot deadlock).
     */
   def materialize(spark: SparkSession, confKey: String, defaultSubdir: String,
                   key: String)(build: => DataFrame): DataFrame = {
@@ -74,10 +77,10 @@ object Checkpoints {
     val base = spark.conf.getOption(confKey).getOrElse(
       spark.conf.get("spark.sql.warehouse.dir").stripSuffix("/") + "/" + defaultSubdir)
     val path = s"$base/${key}_$jvmNonce"
-    built.synchronized {
+    locks.computeIfAbsent(path, _ => new Object).synchronized {
       if (!built.contains(path)) {
         build.write.mode("overwrite").parquet(path)
-        built += path
+        built.add(path)
       }
     }
     spark.read.parquet(path)
