@@ -76,9 +76,11 @@ object ScaleProbe {
     // Min over passes, cold cache each pass — a single timed pass let a
     // one-off stall (GC, page-cache eviction after a heavy neighbor)
     // masquerade as super-linear growth: one run recorded q_asof_join's
-    // 10× at 22.0 s where an isolated re-measure gives 1.0 s. Two passes
-    // bound that noise the same way Bench's min-of-3 does.
-    def timedMin(spark: SparkSession, passes: Int)(f: => Unit): Double =
+    // 10× at 22.0 s where an isolated re-measure gives 1.0 s. Three
+    // passes, matching Bench — whose measured evidence is that min-of-2
+    // is NOT enough on this host (a min-of-2 artifact still carried a
+    // stall-shaped q5_local_volume t1 4× its true cost).
+    def timedMin(passes: Int)(f: => Unit): Double =
       (1 to passes).map { _ => spark.catalog.clearCache(); timed(f) }.min
 
     println(s"rows: docs=${spark.read.parquet(s"$dst/documents.parquet").count()}, " +
@@ -93,10 +95,10 @@ object ScaleProbe {
         // super-linear ratio.
         spark.catalog.clearCache()
         fullEval(fn(spark, src))
-        val t1 = timedMin(spark, 2)(fullEval(fn(spark, src)))
+        val t1 = timedMin(3)(fullEval(fn(spark, src)))
         spark.catalog.clearCache()
         fullEval(fn(spark, dst))
-        val t10 = timedMin(spark, 2)(fullEval(fn(spark, dst)))
+        val t10 = timedMin(3)(fullEval(fn(spark, dst)))
         val ratio = t10 / math.max(t1, 1e-3)
         // Locale.ROOT: the default-locale f-interpolator renders 0,507 in
         // comma-decimal locales — invalid JSON

@@ -607,32 +607,31 @@ object Similarity {
     * `spark.graft.index.dir`, else `<warehouse>/_graft_index`.
     *
     * Two tables: `pqSummaries` (one row per coarse list — sumvec, cnt,
-    * ln2) and `pqCodes` (one row per vector — int8 codes + exact norm).
-    * Summaries materialize first and the code build READS the
-    * materialized summaries, so the corpus-side assign+summarize work is
-    * never duplicated across the two builds.
+    * ln2) and `pqCodes` (one row per vector — int8 codes + exact norm),
+    * built by ONE closure sharing persisted intermediates: the corpus is
+    * assigned once, the summary aggregate runs once (16 rows, cached),
+    * and the code write reads the cached assignment — then every shared
+    * intermediate is unpersisted, so a long-lived serve-many JVM keeps no
+    * corpus-sized cache entries after the build.
     */
   object VecIndex {
     val DirConf = "spark.graft.index.dir"
 
-    private def mat(spark: SparkSession, key: String)(build: => DataFrame): DataFrame =
-      graft.sources.Checkpoints.materialize(spark, DirConf, "_graft_index", key)(build)
-
-    private def docsOf(spark: SparkSession, dir: String): DataFrame =
-      quantized(spark, dir)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-
-    def pqSummaries(spark: SparkSession, dir: String): DataFrame =
-      mat(spark, graft.sources.Checkpoints.digest(dir) + "_pqsums") {
-        val docs = docsOf(spark, dir)
-        listSummaries(docs.join(assignLists(docs), "vec_id"))
+    private def tables(spark: SparkSession, dir: String): Seq[DataFrame] = {
+      val d = graft.sources.Checkpoints.digest(dir)
+      graft.sources.Checkpoints.materializeMany(spark, DirConf, "_graft_index",
+        Seq(d + "_pqsums", d + "_pqcodes")) {
+        val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+        val docs = quantized(spark, dir).persist(lvl)
+        val assigned = docs.join(assignLists(docs), "vec_id").persist(lvl)
+        val sums = listSummaries(assigned).persist(lvl)
+        (Seq(sums, pqEncodeOn(assigned, sums)),
+          () => { sums.unpersist(); assigned.unpersist(); docs.unpersist(); () })
       }
+    }
 
-    def pqCodes(spark: SparkSession, dir: String): DataFrame =
-      mat(spark, graft.sources.Checkpoints.digest(dir) + "_pqcodes") {
-        val docs = docsOf(spark, dir)
-        pqEncodeOn(docs.join(assignLists(docs), "vec_id"), pqSummaries(spark, dir))
-      }
+    def pqSummaries(spark: SparkSession, dir: String): DataFrame = tables(spark, dir).head
+    def pqCodes(spark: SparkSession, dir: String): DataFrame = tables(spark, dir)(1)
   }
 
   def oracleSql: Map[String, String] = Map(

@@ -72,17 +72,36 @@ object Checkpoints {
     * lock, so nesting cannot deadlock).
     */
   def materialize(spark: SparkSession, confKey: String, defaultSubdir: String,
-                  key: String)(build: => DataFrame): DataFrame = {
+                  key: String)(build: => DataFrame): DataFrame =
+    materializeMany(spark, confKey, defaultSubdir, Seq(key))(
+      (Seq(build), () => ())).head
+
+  /** Multi-table variant for index families whose tables share expensive
+    * upstream work: ONE build closure returns every table (aligned with
+    * `keys`) plus a cleanup thunk that runs after all writes land —
+    * typically unpersisting the shared intermediates the build cached so
+    * the corpus-side work runs once across the whole family instead of
+    * once per table. All-or-nothing: the family is built under one lock,
+    * and a partial build (some keys present, some not) is rebuilt whole.
+    */
+  def materializeMany(spark: SparkSession, confKey: String, defaultSubdir: String,
+                      keys: Seq[String])
+                     (build: => (Seq[DataFrame], () => Unit)): Seq[DataFrame] = {
     registerCleanup(spark)
     val base = spark.conf.getOption(confKey).getOrElse(
       spark.conf.get("spark.sql.warehouse.dir").stripSuffix("/") + "/" + defaultSubdir)
-    val path = s"$base/${key}_$jvmNonce"
-    locks.computeIfAbsent(path, _ => new Object).synchronized {
-      if (!built.contains(path)) {
-        build.write.mode("overwrite").parquet(path)
-        built.add(path)
+    val paths = keys.map(k => s"$base/${k}_$jvmNonce")
+    locks.computeIfAbsent(paths.head, _ => new Object).synchronized {
+      if (!paths.forall(built.contains)) {
+        val (dfs, cleanup) = build
+        require(dfs.length == paths.length,
+          s"build returned ${dfs.length} tables for ${paths.length} keys")
+        try dfs.zip(paths).foreach { case (df, p) =>
+          df.write.mode("overwrite").parquet(p)
+          built.add(p)
+        } finally cleanup()
       }
     }
-    spark.read.parquet(path)
+    paths.map(spark.read.parquet)
   }
 }

@@ -60,15 +60,25 @@ class SimilaritySpec extends SparkSuite {
     // Query (vec_id 0) points along +x. vec 5 is nearly parallel but short;
     // vec 6 is 40 degrees off but 20x longer, so dot(q, v6) >> dot(q, v5)
     // while cos(q, v6) << cos(q, v5). An inner-product ADC would rank 6
-    // first; the cosine ADC must rank 5 first. Seeds are vec_id < NumSeeds,
-    // so ids 0..4 pad the seed set and everything lands in few lists.
+    // first; the cosine ADC must rank 5 first. Ids 16+ are NON-seed
+    // members: 20 joins 5's list and 21 joins 6's, so the compared lists
+    // have cnt = 2 → nonzero residual codes → the dot(q, code)·a/127 term
+    // of the ADC is genuinely exercised, not just the summary term (an
+    // all-singleton corpus encodes every vector as the zero code).
     def vec(x: Double, y: Double, s: Double) = Array((x * s).toFloat, (y * s).toFloat)
+    val filler = (7L to 19L).map { i =>
+      val ang = math.toRadians(100 + 17 * (i - 7)) // back half-plane, away from +x
+      i -> vec(math.cos(ang), math.sin(ang), 0.6 + 0.1 * i)
+    }
     val rows = Seq(
       0L -> vec(1.0, 0.0, 1.0),       // query
       1L -> vec(0.0, 1.0, 1.0), 2L -> vec(-1.0, 0.3, 1.0),
       3L -> vec(0.3, -1.0, 1.0), 4L -> vec(-0.5, -0.5, 1.0),
       5L -> vec(0.99, 0.14, 0.3),     // near-parallel, small norm
-      6L -> vec(0.77, 0.64, 20.0))    // 40 degrees off, huge norm
+      6L -> vec(0.77, 0.64, 20.0)) ++ // 40 degrees off, huge norm
+      filler ++ Seq(
+      20L -> vec(0.98, 0.17, 0.5),    // near-dup of 5's direction → list 5
+      21L -> vec(0.75, 0.66, 10.0))   // near-dup of 6's direction → list 6
     val docs = rows.toDF("vec_id", "embedding")
       .select(col("vec_id"), Similarity.qvec(col("embedding")).as("q"))
       .withColumn("n2", Similarity.dotq(col("q"), col("q")))
