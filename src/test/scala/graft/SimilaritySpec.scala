@@ -150,6 +150,25 @@ class SimilaritySpec extends SparkSuite {
     }
   }
 
+  test("IVF-PQ runs the full encode+serve pipeline at 500-d (the ES mapping's width)") {
+    import spark.implicits._
+    // 20 deterministic pseudo-random 500-d vectors: enough ids that some
+    // land as non-seed list members (nonzero residual codes at full width)
+    val dims = 500
+    def vec(id: Int): Array[Float] =
+      Array.tabulate(dims)(i => (((id * 31 + i * 17) % 13) - 6) / 6.0f)
+    val docs = (0 until 20).map(id => (id.toLong, vec(id))).toDF("vec_id", "embedding")
+      .select(col("vec_id"), Similarity.qvec(col("embedding")).as("q"))
+      .withColumn("n2", Similarity.dotq(col("q"), col("q")))
+    val out = Similarity.ivfPqTopKOn(docs)
+    val perQuery = out.groupBy("query_id").count().collect()
+    assert(perQuery.nonEmpty && perQuery.forall(_.getLong(1) <= Similarity.K))
+    // scores are finite cosine estimates, not NaN/overflowed
+    val scores = out.select("adc_score").collect().map(_.getDouble(0))
+    assert(scores.forall(s => !s.isNaN && math.abs(s) <= 1.5),
+      s"ADC cosine estimates out of range at $dims-d: ${scores.take(5).toSeq}")
+  }
+
   test("near-dup pairs are symmetric-free (a<b), above threshold, and verified exact") {
     val pairs = Similarity.nearDupPairs(spark, Sf).cache()
     assert(pairs.filter(col("vec_a") >= col("vec_b")).count() === 0)
