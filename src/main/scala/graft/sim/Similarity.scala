@@ -144,6 +144,38 @@ object Similarity {
       .filter(col("list_id").isNotNull)
   }
 
+  /** One Lloyd (k-means) refinement of a coarse assignment: re-assign
+    * every vector to the list whose SUMMARY vector it is most
+    * cosine-similar to (Σ is the centroid times the list count — the
+    * count cancels in cosine, so centroid similarity stays in exact
+    * integer space; ties break to the smallest list_id). Seeds are an
+    * arbitrary sample, so one refinement pass is what turns them into a
+    * TRAINED quantizer — lists reshape around the data's actual
+    * directions, which is where IVF recall comes from. Same shuffle-free
+    * shape as [[assignLists]]: the ≤[[NumSeeds]] summaries fold into ONE
+    * broadcast row and the re-assignment is a scan-stage argmax.
+    */
+  def refineAssign(docs: DataFrame, assigned: DataFrame): DataFrame = {
+    val sumArr = listSummaries(assigned)
+      .agg(collect_list(
+        struct(col("list_id"), col("sumvec"), col("ln2"))).as("ls"))
+    val best = array_max(transform(col("ls"), s => struct(
+      cosFromInts(dotq(col("q"), s.getField("sumvec")), col("n2"), s.getField("ln2")).as("score"),
+      (-s.getField("list_id")).as("neg_list_id"))))
+    docs.crossJoin(broadcast(sumArr))
+      .select(col("vec_id"), (-best.getField("neg_list_id")).as("list_id"))
+      .filter(col("list_id").isNotNull)
+  }
+
+  /** Seed-assign then Lloyd-refine: the corpus joined to its trained
+    * coarse assignment — the shared front end of [[ivfTopK]],
+    * [[ivfPqTopKOn]] and the [[VecIndex]] build.
+    */
+  private[sim] def coarseAssigned(docs: DataFrame): DataFrame = {
+    val first = docs.join(assignLists(docs), "vec_id")
+    docs.join(refineAssign(docs, first), "vec_id")
+  }
+
   /** Per-list summary vectors: dim-wise integer sums via posexplode —
     * the shuffle carries (list_id, dim, partial-sum) longs with map-side
     * combine, never whole arrays. Returned long-form: (list_id, dim, s, c)
@@ -189,14 +221,16 @@ object Similarity {
       .select(col("query_id"), col("qq"), col("qn2"), col("list_id"), col("q_dot_sum"))
   }
 
-  /** IVF approximate top-k with a genuine coarse quantizer: vectors are
-    * assigned to their nearest of [[NumSeeds]] seed vectors; each query
-    * ranks list summaries and probes only the best [[NProbe]] lists.
+  /** IVF approximate top-k with a TRAINED coarse quantizer: vectors are
+    * assigned to their nearest of [[NumSeeds]] seed vectors, then one
+    * Lloyd refinement re-shapes the lists around the data
+    * ([[refineAssign]]); each query ranks list summaries and probes only
+    * the best [[NProbe]] lists.
     */
   def ivfTopK(spark: SparkSession, dir: String): DataFrame = {
     val docs = quantized(spark, dir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val assigned = docs.join(assignLists(docs), "vec_id")
+    val assigned = coarseAssigned(docs)
     val sums = listSummaries(assigned)
     val qs = docs.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("q").as("qq"), col("n2").as("qn2"))
@@ -256,8 +290,8 @@ object Similarity {
     */
   def ivfPqTopKOn(docs: DataFrame): DataFrame = {
     // assigned feeds the summary aggregate, the scale aggregate, and the
-    // residual computation — persist so coarse assignment runs once
-    val assigned = docs.join(assignLists(docs), "vec_id")
+    // residual computation — persist so the trained assignment runs once
+    val assigned = coarseAssigned(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sums = listSummaries(assigned)
     val codes = pqEncodeOn(assigned, sums)
@@ -402,27 +436,47 @@ object Similarity {
        |FROM scored
        |QUALIFY rank <= $K""".stripMargin
 
-  /** IVF oracle: nearest-seed assignment, per-list dim sums via an
-    * explicit unnest-regroup, probe ranking — exactly mirroring the Spark
-    * plan stage for stage.
-    */
-  /** Shared CTE prefix for the IVF family — coarse assignment, per-list
-    * summaries, probe selection. Both the flat and the PQ oracle append
-    * their own scoring stage to this chain.
+  /** Shared CTE prefix for the IVF family — nearest-seed assignment, one
+    * Lloyd refinement against the integer list summaries (mirroring
+    * [[refineAssign]] tie-break for tie-break), per-list dim sums via an
+    * explicit unnest-regroup, probe selection. Both the flat and the PQ
+    * oracle append their own scoring stage to this chain.
     */
   private def ivfCtes: String =
     s"""docs AS ($quantizedSql),
        |seeds AS (
        |  SELECT vec_id AS list_id, q AS sq, n2 AS sn2 FROM docs WHERE vec_id < $NumSeeds
        |),
-       |assigned_l AS (
+       |assigned0_l AS (
        |  SELECT d.vec_id, s.list_id,
        |    ${cosSql(dotSql("d.q", "s.sq"), "d.n2", "s.sn2")} AS seed_score
        |  FROM docs d CROSS JOIN seeds s
        |  QUALIFY row_number() OVER (PARTITION BY d.vec_id ORDER BY seed_score DESC, s.list_id) = 1
        |),
+       |assigned0 AS (
+       |  SELECT d.*, a.list_id FROM docs d JOIN assigned0_l a ON d.vec_id = a.vec_id
+       |),
+       |exploded0 AS (
+       |  SELECT list_id, i AS dim, q[i] AS v
+       |  FROM assigned0, unnest(range(1, len(q) + 1)) AS t(i)
+       |),
+       |sums_long0 AS (
+       |  SELECT list_id, dim, sum(v) AS s FROM exploded0 GROUP BY list_id, dim
+       |),
+       |sums0 AS (
+       |  SELECT list_id, list(s ORDER BY dim) AS sumvec FROM sums_long0 GROUP BY list_id
+       |),
+       |sums0n AS (
+       |  SELECT list_id, sumvec, ${dotSql("sumvec", "sumvec")} AS ln2 FROM sums0
+       |),
+       |reassigned_l AS (
+       |  SELECT d.vec_id, s.list_id,
+       |    ${cosSql(dotSql("d.q", "s.sumvec"), "d.n2", "s.ln2")} AS c_score
+       |  FROM docs d CROSS JOIN sums0n s
+       |  QUALIFY row_number() OVER (PARTITION BY d.vec_id ORDER BY c_score DESC, s.list_id) = 1
+       |),
        |assigned AS (
-       |  SELECT d.*, a.list_id FROM docs d JOIN assigned_l a ON d.vec_id = a.vec_id
+       |  SELECT d.*, a.list_id FROM docs d JOIN reassigned_l a ON d.vec_id = a.vec_id
        |),
        |exploded AS (
        |  SELECT list_id, i AS dim, q[i] AS v
@@ -623,7 +677,7 @@ object Similarity {
         Seq(d + "_pqsums", d + "_pqcodes")) {
         val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
         val docs = quantized(spark, dir).persist(lvl)
-        val assigned = docs.join(assignLists(docs), "vec_id").persist(lvl)
+        val assigned = coarseAssigned(docs).persist(lvl)
         val sums = listSummaries(assigned).persist(lvl)
         (Seq(sums, pqEncodeOn(assigned, sums)),
           () => { sums.unpersist(); assigned.unpersist(); docs.unpersist(); () })
