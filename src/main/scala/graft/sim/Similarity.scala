@@ -129,43 +129,50 @@ object Similarity {
     * which is what a real IVF assign step is (centroids always live on
     * the small/broadcast side).
     */
-  def assignLists(docs: DataFrame): DataFrame = {
-    val seedArr = docs.filter(col("vec_id") < NumSeeds)
+  def assignLists(docs: DataFrame): DataFrame =
+    argmaxAssign(docs, docs.filter(col("vec_id") < NumSeeds)
+      .select(col("vec_id").as("list_id"), col("q").as("rvec"), col("n2").as("rn2")))
+
+  /** The one broadcast-argmax assignment both quantizer passes share:
+    * fold the (≤ [[NumSeeds]]-row) reference frame (list_id, rvec, rn2)
+    * into ONE row, broadcast it, and assign every doc to the reference
+    * with the highest quantized cosine in a scan-stage projection —
+    * `array_max` over `struct(score, -list_id)` picks the best score and,
+    * on ties, the smallest list_id. No Exchange touches the corpus.
+    *
+    * Zero-norm references are excluded HERE, once for both passes: a
+    * directionless reference (rn2 = 0 — a zero seed, or a summary whose
+    * members cancel exactly) makes every cosine 0/0 = NaN, and Spark
+    * sorts NaN ABOVE all reals while DuckDB's NULL sorts below — one
+    * degenerate entry would capture the entire corpus on one engine and
+    * nothing on the other. With every reference degenerate (or none),
+    * the argmax is NULL and the row is dropped — the empty-assignment
+    * shape of a crossJoin against no rows.
+    */
+  private def argmaxAssign(docs: DataFrame, ref: DataFrame): DataFrame = {
+    val refArr = ref.filter(col("rn2") > 0)
       .agg(collect_list(
-        struct(col("vec_id").as("list_id"), col("q").as("sq"), col("n2").as("sn2"))).as("seeds"))
-    val best = array_max(transform(col("seeds"), s => struct(
-      cosFromInts(dotq(col("q"), s.getField("sq")), col("n2"), s.getField("sn2")).as("seed_score"),
+        struct(col("list_id"), col("rvec"), col("rn2"))).as("refs"))
+    val best = array_max(transform(col("refs"), s => struct(
+      cosFromInts(dotq(col("q"), s.getField("rvec")), col("n2"), s.getField("rn2")).as("score"),
       (-s.getField("list_id")).as("neg_list_id"))))
-    docs.crossJoin(broadcast(seedArr))
+    docs.crossJoin(broadcast(refArr))
       .select(col("vec_id"), (-best.getField("neg_list_id")).as("list_id"))
-      // zero seeds → empty `seeds` array → NULL argmax; drop those rows so
-      // the empty-seed case returns an empty assignment exactly like the
-      // old crossJoin-against-no-rows formulation did
       .filter(col("list_id").isNotNull)
   }
 
   /** One Lloyd (k-means) refinement of a coarse assignment: re-assign
-    * every vector to the list whose SUMMARY vector it is most
-    * cosine-similar to (Σ is the centroid times the list count — the
-    * count cancels in cosine, so centroid similarity stays in exact
-    * integer space; ties break to the smallest list_id). Seeds are an
-    * arbitrary sample, so one refinement pass is what turns them into a
-    * TRAINED quantizer — lists reshape around the data's actual
-    * directions, which is where IVF recall comes from. Same shuffle-free
-    * shape as [[assignLists]]: the ≤[[NumSeeds]] summaries fold into ONE
+    * every vector to the list whose quantized CENTROID it is most
+    * cosine-similar to. Seeds are an arbitrary sample, so one refinement
+    * pass is what turns them into a TRAINED quantizer — lists reshape
+    * around the data's actual directions, which is where IVF recall
+    * comes from. Same shuffle-free shape as [[assignLists]] (shared
+    * [[argmaxAssign]]): the ≤[[NumSeeds]] centroids fold into ONE
     * broadcast row and the re-assignment is a scan-stage argmax.
     */
-  def refineAssign(docs: DataFrame, assigned: DataFrame): DataFrame = {
-    val sumArr = listSummaries(assigned)
-      .agg(collect_list(
-        struct(col("list_id"), col("sumvec"), col("ln2"))).as("ls"))
-    val best = array_max(transform(col("ls"), s => struct(
-      cosFromInts(dotq(col("q"), s.getField("sumvec")), col("n2"), s.getField("ln2")).as("score"),
-      (-s.getField("list_id")).as("neg_list_id"))))
-    docs.crossJoin(broadcast(sumArr))
-      .select(col("vec_id"), (-best.getField("neg_list_id")).as("list_id"))
-      .filter(col("list_id").isNotNull)
-  }
+  def refineAssign(docs: DataFrame, assigned: DataFrame): DataFrame =
+    argmaxAssign(docs, listSummaries(assigned)
+      .select(col("list_id"), col("cvec").as("rvec"), col("cn2").as("rn2")))
 
   /** Seed-assign then Lloyd-refine: the corpus joined to its trained
     * coarse assignment — the shared front end of [[ivfTopK]],
@@ -190,8 +197,19 @@ object Similarity {
       .agg(sum(col("v")).as("s"), count(lit(1)).as("c"))
 
   /** Compact per-list summaries from an assigned frame:
-    * (list_id, sumvec, cnt, ln2) — one row per coarse list, from ONE
-    * corpus aggregate (cnt folds out of the dim-group counts).
+    * (list_id, sumvec, cnt, cvec, cn2) — one row per coarse list, from
+    * ONE corpus aggregate (cnt folds out of the dim-group counts).
+    *
+    * Every RANKING role (refinement, probe selection, the constant term
+    * of ADC scoring) uses `cvec` = floor(Σ_i / cnt) — the centroid
+    * quantized back to the VECTOR scale, so its self-dot `cn2` is
+    * bounded by the vector norm at ANY list size. The raw summary norm
+    * dot(Σ, Σ) wraps a long once a 64-d list holds ~400k vectors (the
+    * oracle's HUGEINT would NOT wrap, silently diverging the engines
+    * exactly at scale); the floor division is exact in doubles for
+    * |Σ_i| < 2^53, i.e. up to ~10^9 vectors per list at this
+    * quantization. `sumvec` itself is kept EXACT for the residual
+    * encoder, whose arithmetic is bounded by per-vector terms.
     */
   private[sim] def listSummaries(assigned: DataFrame): DataFrame =
     listSums(assigned)
@@ -199,26 +217,29 @@ object Similarity {
       .agg(array_sort(collect_list(struct(col("dim"), col("s")))).as("ds"),
         max(col("c")).as("cnt"))
       .select(col("list_id"), transform(col("ds"), _.getField("s")).as("sumvec"), col("cnt"))
-      .withColumn("ln2", dotq(col("sumvec"), col("sumvec")))
+      .withColumn("cvec", transform(col("sumvec"),
+        s => floor(s.cast("double") / col("cnt")).cast("long")))
+      .withColumn("cn2", dotq(col("cvec"), col("cvec")))
 
-  /** Probe selection: each query ranks list summaries by summary cosine
-    * (the list-size divisor cancels, so scoring stays in exact integer
-    * space) and keeps the best [[NProbe]]. Output (query_id, qq, qn2,
-    * list_id, q_dot_sum) — queries × nprobe rows, always the broadcast
-    * side. `q_dot_sum` = dot(q, Σ_list) is constant per (query, list), so
-    * it is computed HERE (queries × lists evaluations) rather than per
+  /** Probe selection: each query ranks lists by centroid cosine (exact
+    * integers, bounded at any list size — see [[listSummaries]]) and
+    * keeps the best [[NProbe]]. Output (query_id, qq, qn2, list_id,
+    * q_dot_cvec) — queries × nprobe rows, always the broadcast side.
+    * `q_dot_cvec` = dot(q, centroid) is constant per (query, list), so it
+    * is computed HERE (queries × lists evaluations) rather than per
     * candidate — the ADC consumer would otherwise redo a d-element dot on
-    * every scored row for one of 15 distinct values.
+    * every scored row for one of 15 distinct values. Zero-norm centroids
+    * are excluded for the same NaN-ordering reason as [[argmaxAssign]].
     */
   private[sim] def probesFor(qs: DataFrame, sums: DataFrame): DataFrame = {
     val wl = Window.partitionBy(col("query_id")).orderBy(desc("list_score"), asc("list_id"))
-    qs.crossJoin(broadcast(sums))
+    qs.crossJoin(broadcast(sums.filter(col("cn2") > 0)))
       .select(col("query_id"), col("qq"), col("qn2"), col("list_id"),
-        dotq(col("qq"), col("sumvec")).as("q_dot_sum"), col("ln2"))
-      .withColumn("list_score", cosFromInts(col("q_dot_sum"), col("qn2"), col("ln2")))
+        dotq(col("qq"), col("cvec")).as("q_dot_cvec"), col("cn2"))
+      .withColumn("list_score", cosFromInts(col("q_dot_cvec"), col("qn2"), col("cn2")))
       .withColumn("pr", row_number().over(wl))
       .filter(col("pr") <= NProbe)
-      .select(col("query_id"), col("qq"), col("qn2"), col("list_id"), col("q_dot_sum"))
+      .select(col("query_id"), col("qq"), col("qn2"), col("list_id"), col("q_dot_cvec"))
   }
 
   /** IVF approximate top-k with a TRAINED coarse quantizer: vectors are
@@ -230,7 +251,11 @@ object Similarity {
   def ivfTopK(spark: SparkSession, dir: String): DataFrame = {
     val docs = quantized(spark, dir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // trained assignment embeds a corpus aggregate + refine pass and
+    // feeds both the summary branch and the scoring join — persist, as
+    // the PQ path does
     val assigned = coarseAssigned(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sums = listSummaries(assigned)
     val qs = docs.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("q").as("qq"), col("n2").as("qn2"))
@@ -255,13 +280,15 @@ object Similarity {
     *   - scale a = max over the list of max|r_i|,
     *   - code_i = floor(r_i · 127 / a) ∈ [−127, 127] — int8 per dimension.
     * Asymmetric-distance scoring (query unquantized, data coded):
-    *   dot(q, x) ≈ (dot(q, Σ) + dot(q, code)·a/127) / cnt,
+    *   dot(q, x) ≈ dot(q, centroid) + dot(q, code)·a/(127·cnt),
     * then normalized by the EXACT stored norms — adc_score ≈
     * dot/√(‖x‖²·‖q‖²) — so the ranking metric is the same cosine the
     * exact baseline and flat IVF use, not an inner product that would
     * silently favor large-norm vectors on any corpus that is not
-    * unit-norm. dot(q, Σ) is read from the probe row (constant per
-    * (query, list)); only the d-element code dot runs per candidate.
+    * unit-norm. dot(q, centroid) is read from the probe row (constant
+    * per (query, list) — and bounded at any list size, where dot(q, Σ)
+    * would overflow a long on giant lists); only the d-element code dot
+    * runs per candidate.
     *
     * Memory per vector: d bytes of codes + 8 B exact norm (72 B at 64-d,
     * 508 B at the ES mapping's 500-d) against 8·d for the quantized-long
@@ -325,9 +352,9 @@ object Similarity {
     codes.join(broadcast(probes), "list_id")
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        (((col("q_dot_sum").cast("double")
-          + dotq(col("qq"), col("code")).cast("double") * col("a").cast("double") / lit(127.0))
-          / col("cnt").cast("double"))
+        ((col("q_dot_cvec").cast("double")
+          + dotq(col("qq"), col("code")).cast("double") * col("a").cast("double")
+            / (lit(127.0) * col("cnt").cast("double")))
           / sqrt(col("n2").cast("double") * col("qn2").cast("double"))).as("adc_score"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= K)
@@ -442,10 +469,38 @@ object Similarity {
     * explicit unnest-regroup, probe selection. Both the flat and the PQ
     * oracle append their own scoring stage to this chain.
     */
+  /** CTE block emitter: per-list summaries of `srcCte` as `sums$sfx`
+    * with columns (list_id, sumvec, cnt, cvec, cn2) — the SQL twin of
+    * [[listSummaries]], emitted ONCE and instantiated for both the
+    * first-pass and the refined assignment so the two blocks can never
+    * drift apart.
+    */
+  private def sumCtes(srcCte: String, sfx: String): String =
+    s"""exploded$sfx AS (
+       |  SELECT list_id, i AS dim, q[i] AS v
+       |  FROM $srcCte, unnest(range(1, len(q) + 1)) AS t(i)
+       |),
+       |sums_long$sfx AS (
+       |  SELECT list_id, dim, sum(v) AS s, count(*) AS c FROM exploded$sfx GROUP BY list_id, dim
+       |),
+       |sums_pre$sfx AS (
+       |  SELECT list_id, list(s ORDER BY dim) AS sumvec, max(c) AS cnt
+       |  FROM sums_long$sfx GROUP BY list_id
+       |),
+       |sums_cv$sfx AS (
+       |  SELECT list_id, sumvec, cnt,
+       |    list_transform(sumvec, s -> CAST(floor(CAST(s AS DOUBLE) / cnt) AS BIGINT)) AS cvec
+       |  FROM sums_pre$sfx
+       |),
+       |sums$sfx AS (
+       |  SELECT list_id, sumvec, cnt, cvec, ${dotSql("cvec", "cvec")} AS cn2 FROM sums_cv$sfx
+       |)""".stripMargin
+
   private def ivfCtes: String =
     s"""docs AS ($quantizedSql),
        |seeds AS (
-       |  SELECT vec_id AS list_id, q AS sq, n2 AS sn2 FROM docs WHERE vec_id < $NumSeeds
+       |  SELECT vec_id AS list_id, q AS sq, n2 AS sn2 FROM docs
+       |  WHERE vec_id < $NumSeeds AND n2 > 0
        |),
        |assigned0_l AS (
        |  SELECT d.vec_id, s.list_id,
@@ -456,48 +511,25 @@ object Similarity {
        |assigned0 AS (
        |  SELECT d.*, a.list_id FROM docs d JOIN assigned0_l a ON d.vec_id = a.vec_id
        |),
-       |exploded0 AS (
-       |  SELECT list_id, i AS dim, q[i] AS v
-       |  FROM assigned0, unnest(range(1, len(q) + 1)) AS t(i)
-       |),
-       |sums_long0 AS (
-       |  SELECT list_id, dim, sum(v) AS s FROM exploded0 GROUP BY list_id, dim
-       |),
-       |sums0 AS (
-       |  SELECT list_id, list(s ORDER BY dim) AS sumvec FROM sums_long0 GROUP BY list_id
-       |),
-       |sums0n AS (
-       |  SELECT list_id, sumvec, ${dotSql("sumvec", "sumvec")} AS ln2 FROM sums0
-       |),
+       |${sumCtes("assigned0", "0")},
        |reassigned_l AS (
        |  SELECT d.vec_id, s.list_id,
-       |    ${cosSql(dotSql("d.q", "s.sumvec"), "d.n2", "s.ln2")} AS c_score
-       |  FROM docs d CROSS JOIN sums0n s
+       |    ${cosSql(dotSql("d.q", "s.cvec"), "d.n2", "s.cn2")} AS c_score
+       |  FROM docs d CROSS JOIN (SELECT * FROM sums0 WHERE cn2 > 0) s
        |  QUALIFY row_number() OVER (PARTITION BY d.vec_id ORDER BY c_score DESC, s.list_id) = 1
        |),
        |assigned AS (
        |  SELECT d.*, a.list_id FROM docs d JOIN reassigned_l a ON d.vec_id = a.vec_id
        |),
-       |exploded AS (
-       |  SELECT list_id, i AS dim, q[i] AS v
-       |  FROM assigned, unnest(range(1, len(q) + 1)) AS t(i)
-       |),
-       |sums_long AS (
-       |  SELECT list_id, dim, sum(v) AS s FROM exploded GROUP BY list_id, dim
-       |),
-       |sums AS (
-       |  SELECT list_id, list(s ORDER BY dim) AS sumvec FROM sums_long GROUP BY list_id
-       |),
-       |sums2 AS (
-       |  SELECT list_id, sumvec, ${dotSql("sumvec", "sumvec")} AS ln2 FROM sums
-       |),
+       |${sumCtes("assigned", "")},
        |qs AS (SELECT vec_id AS query_id, q AS qq, n2 AS qn2 FROM docs WHERE vec_id < $NumQueries),
        |probes AS (
-       |  SELECT query_id, qq, qn2, list_id
+       |  SELECT query_id, qq, qn2, list_id, q_dot_cvec
        |  FROM (
        |    SELECT qs.query_id, qs.qq, qs.qn2, s.list_id,
-       |      ${cosSql(dotSql("qs.qq", "s.sumvec"), "qs.qn2", "s.ln2")} AS list_score
-       |    FROM qs CROSS JOIN sums2 s
+       |      ${dotSql("qs.qq", "s.cvec")} AS q_dot_cvec,
+       |      ${cosSql(dotSql("qs.qq", "s.cvec"), "qs.qn2", "s.cn2")} AS list_score
+       |    FROM qs CROSS JOIN (SELECT * FROM sums WHERE cn2 > 0) s
        |  )
        |  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY list_score DESC, list_id) <= $NProbe
        |)""".stripMargin
@@ -523,11 +555,10 @@ object Similarity {
     */
   def ivfPqOracle: String =
     s"""WITH $ivfCtes,
-       |cnts AS (SELECT list_id, count(*) AS cnt FROM assigned GROUP BY list_id),
        |resid AS (
-       |  SELECT a.vec_id, a.list_id, c.cnt, a.n2,
-       |    list_transform(range(1, len(a.q) + 1), i -> c.cnt * (a.q)[i] - (s.sumvec)[i]) AS r
-       |  FROM assigned a JOIN sums s ON a.list_id = s.list_id JOIN cnts c ON a.list_id = c.list_id
+       |  SELECT a.vec_id, a.list_id, s.cnt, a.n2,
+       |    list_transform(range(1, len(a.q) + 1), i -> s.cnt * (a.q)[i] - (s.sumvec)[i]) AS r
+       |  FROM assigned a JOIN sums s ON a.list_id = s.list_id
        |),
        |amax AS (
        |  SELECT list_id, max(list_aggregate(list_transform(r, x -> abs(x)), 'max')) AS a
@@ -541,13 +572,12 @@ object Similarity {
        |),
        |scored AS (
        |  SELECT p.query_id, cd.vec_id AS neighbor_id,
-       |    ((CAST(${dotSql("p.qq", "s.sumvec")} AS DOUBLE)
-       |      + CAST(${dotSql("p.qq", "cd.code")} AS DOUBLE) * CAST(cd.a AS DOUBLE) / 127.0)
-       |      / CAST(cd.cnt AS DOUBLE))
+       |    (CAST(p.q_dot_cvec AS DOUBLE)
+       |      + CAST(${dotSql("p.qq", "cd.code")} AS DOUBLE) * CAST(cd.a AS DOUBLE)
+       |        / (127.0 * CAST(cd.cnt AS DOUBLE)))
        |      / sqrt(CAST(cd.n2 AS DOUBLE) * CAST(p.qn2 AS DOUBLE)) AS adc_score
        |  FROM codes cd
        |  JOIN probes p ON cd.list_id = p.list_id
-       |  JOIN sums s ON cd.list_id = s.list_id
        |  WHERE cd.vec_id != p.query_id
        |)
        |SELECT query_id, neighbor_id,
@@ -660,8 +690,9 @@ object Similarity {
     * shutdown cleanup): [[graft.sources.Checkpoints]]. Base dir:
     * `spark.graft.index.dir`, else `<warehouse>/_graft_index`.
     *
-    * Two tables: `pqSummaries` (one row per coarse list — sumvec, cnt,
-    * ln2) and `pqCodes` (one row per vector — int8 codes + exact norm),
+    * Two tables: `pqSummaries` (one row per coarse list — exact sumvec,
+    * cnt, quantized centroid + its norm) and `pqCodes` (one row per
+    * vector — int8 codes + exact norm),
     * built by ONE closure sharing persisted intermediates: the corpus is
     * assigned once, the summary aggregate runs once (16 rows, cached),
     * and the code write reads the cached assignment — then every shared

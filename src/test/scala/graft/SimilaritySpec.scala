@@ -162,7 +162,11 @@ class SimilaritySpec extends SparkSuite {
       .withColumn("n2", Similarity.dotq(col("q"), col("q")))
     val out = Similarity.ivfPqTopKOn(docs)
     val perQuery = out.groupBy("query_id").count().collect()
-    assert(perQuery.nonEmpty && perQuery.forall(_.getLong(1) <= Similarity.K))
+    // every query must come back — a refinement bug emptying most probed
+    // lists would otherwise still pass a bare nonEmpty check
+    assert(perQuery.length == Similarity.NumQueries,
+      s"expected ${Similarity.NumQueries} queries, got ${perQuery.length}")
+    assert(perQuery.forall(_.getLong(1) <= Similarity.K))
     // scores are finite cosine estimates, not NaN/overflowed
     val scores = out.select("adc_score").collect().map(_.getDouble(0))
     assert(scores.forall(s => !s.isNaN && math.abs(s) <= 1.5),
