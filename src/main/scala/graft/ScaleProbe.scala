@@ -13,7 +13,9 @@ import java.nio.file.{Files, Paths}
   * operator — the probe that caught the 4-bit sign-LSH quadratic in
   * round 2.
   *
-  * Usage: `sbt "runMain graft.ScaleProbe [outFile]"`
+  * Usage: `sbt "runMain graft.ScaleProbe [outFile] [only=q_a,q_b]"` —
+  * `only=` restricts to the named queries (targeted re-measure after a
+  * fix, without the full-registry run).
   */
 object ScaleProbe {
 
@@ -26,7 +28,9 @@ object ScaleProbe {
   val GrowthBound = 20.0
 
   def main(args: Array[String]): Unit = {
-    val outFile = args.headOption.getOrElse("SCALE_r03.json")
+    val outFile = args.filterNot(_.startsWith("only=")).headOption.getOrElse("SCALE_r03.json")
+    val only: Option[Set[String]] = args.find(_.startsWith("only="))
+      .map(_.stripPrefix("only=").split(",").toSet)
     val spark = Graft.configure(SparkSession.builder()).master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false").getOrCreate()
@@ -86,7 +90,9 @@ object ScaleProbe {
     println(s"rows: docs=${spark.read.parquet(s"$dst/documents.parquet").count()}, " +
       s"lineitem=${spark.read.parquet(s"$dst/lineitem.parquet").count()}")
 
-    val rows = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+    val rows = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .flatMap { case (name, fn) =>
       try {
         // warm up EACH scale before timing it: JIT + codegen for t1, and
         // any per-corpus one-time materialization (e.g. Dedup.PairTable's

@@ -56,6 +56,19 @@ object Dedup {
        | i -> ($tk)[i] || ' ' || ($tk)[i+1] || ' ' || ($tk)[i+2]))""".stripMargin.replace("\n", "")
   }
 
+  /** n-parameterized DuckDB twin of [[shingles]] / the fused
+    * [[graft.plans.ShingleHashes]] tokenization+shingling — same
+    * range/concat shape as [[shinglesSql]] (which is the n=3 instance),
+    * for operators that need longer windows (e.g. decontamination's
+    * 5-grams).
+    */
+  def shinglesNSql(c: String, n: Int): String = {
+    val tk = TextOps.tokenizeSql(c)
+    val parts = (0 until n)
+      .map(k => if (k == 0) s"($tk)[i]" else s"($tk)[i+$k]").mkString(" || ' ' || ")
+    s"list_distinct(list_transform(range(1, greatest(len($tk) - ${n - 2}, 1)), i -> $parts))"
+  }
+
   /** Distinct character n-gram shingles — the sub-word near-dup signal
     * (robust to token-boundary edits).
     *
@@ -182,31 +195,70 @@ object Dedup {
       * Jaccard by < 1e-3 and both engines hash identically, so the gate
       * stays bit-exact. Hash arrays stay OUT of the band shuffle —
       * candidates re-join them by doc_id, so the wide data moves once.
+      *
+      * EXACT-COPY COLLAPSE (the production ordering: exact dedup before
+      * near-dup): a web-scale corpus is 30-50% byte-identical copies, and
+      * copies are poison for a pair join — a group of g identical
+      * documents shares every band, so it alone contributes g·(g-1)/2
+      * candidate pairs that the verify stage re-proves are jaccard 1.0.
+      * Instead, documents with an IDENTICAL hashed-shingle array collapse
+      * to one representative (min doc_id over a window partitioned by the
+      * array itself — exact equality, no fingerprint collision risk);
+      * banding and verification run over representatives only, and member
+      * pairs are expanded back afterwards. Bit-exact by construction:
+      * identical arrays ⇒ identical MinHash signatures ⇒ identical bands
+      * (every member pair is a candidate) and jaccard exactly 1.0, while
+      * cross-group pairs score the same jaccard as their representatives.
+      * Verified on the 10× probe (10 exact copies per doc): candidate and
+      * verify work stays at unique-content size instead of growing 100×.
       */
     def nearDupPairsOn(docsRaw: DataFrame, hvCol: Column, cfg: LshConfig): DataFrame = {
-      // The hashed-shingle set feeds four plan branches (both band sides,
-      // both verify joins) and the band rows feed two; persist both so the
-      // hash work runs once, not 4× — the C1 pattern the reference
-      // applies at the same fan-out points. At cluster scale the same role
-      // is played by checkpointing the signature table.
       // widen BEFORE hashing: the shingle/minhash computation is the
       // dominant per-row cost and must not serialize onto one task when
       // the source is a single-row-group file (see ScaleOps.widen)
-      val docs = graft.ops.ScaleOps.widen(docsRaw)
+      val hashed = graft.ops.ScaleOps.widen(docsRaw)
         .select(col("doc_id"), hvCol.as("hv"))
         .filter(size(col("hv")) > 0)
+      // one shuffle by hash(hv) labels every doc with its group min; the
+      // cached table then serves the membership expansions (narrow) and
+      // the representative set (filter) without re-running the hashing
+      val w = Window.partitionBy(col("hv"))
+      val withRep = hashed.withColumn("rep", min(col("doc_id")).over(w))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val b = banded(docs, cfg).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val membership = withRep.select(col("rep"), col("doc_id"))
+      // The representative table feeds four plan branches (both band
+      // sides, both verify joins); persist it and the band rows so the
+      // work runs once, not 4× — the C1 pattern the reference applies at
+      // the same fan-out points. At cluster scale the same role is played
+      // by checkpointing the signature table.
+      val uniq = withRep.filter(col("doc_id") === col("rep")).select(col("doc_id"), col("hv"))
+      val b = banded(uniq, cfg).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val candidates = b.as("x").join(b.as("y"),
           col("x.band") === col("y.band") && col("x.band_hash") === col("y.band_hash") &&
             col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
         .distinct()
-      candidates
-        .join(docs.select(col("doc_id").as("doc_a"), col("hv").as("hv_a")), "doc_a")
-        .join(docs.select(col("doc_id").as("doc_b"), col("hv").as("hv_b")), "doc_b")
+      val repPairs = candidates
+        .join(uniq.select(col("doc_id").as("doc_a"), col("hv").as("hv_a")), "doc_a")
+        .join(uniq.select(col("doc_id").as("doc_b"), col("hv").as("hv_b")), "doc_b")
         .select(col("doc_a"), col("doc_b"), jaccard(col("hv_a"), col("hv_b")).as("jaccard"))
         .filter(col("jaccard") >= cfg.threshold)
+      // expand representative pairs to member pairs (cross-group — the
+      // groups are disjoint so least/greatest re-orients without dups) …
+      val cross = repPairs
+        .join(membership.select(col("rep").as("doc_a"), col("doc_id").as("ma")), "doc_a")
+        .join(membership.select(col("rep").as("doc_b"), col("doc_id").as("mb")), "doc_b")
+        .select(least(col("ma"), col("mb")).as("doc_a"),
+          greatest(col("ma"), col("mb")).as("doc_b"), col("jaccard"))
+      // … and add within-group pairs: identical arrays share every band
+      // and score jaccard exactly 1.0, so every such pair is in the
+      // uncollapsed output unconditionally (threshold ≤ 1). Group-local
+      // self-join; its size is output size, not candidate blowup.
+      val intra = membership.as("ma").join(membership.as("mb"),
+          col("ma.rep") === col("mb.rep") && col("ma.doc_id") < col("mb.doc_id"))
+        .select(col("ma.doc_id").as("doc_a"), col("mb.doc_id").as("doc_b"),
+          lit(1.0).as("jaccard"))
+      cross.unionByName(intra)
     }
 
     /** The fused one-pass form of `array_distinct(baseHashes(shingles(c)))`
@@ -518,6 +570,15 @@ object Dedup {
       * of the shuffle — the band rows carry it and no re-join is needed.
       * Documents with no shingles (< 3 tokens) are excluded: a degenerate
       * all-zero signature would pair every short doc with every other.
+      *
+      * Signature-collapse (the SimHash form of [[MinHashLSH.nearDupPairsOn]]'s
+      * exact-copy collapse): banding and the pair join run over DISTINCT
+      * signatures only — band membership and Hamming distance are fully
+      * determined by the signature, so a group of g same-signature docs
+      * (exact copies, or hash-equivalent near-copies) is one banding row
+      * instead of g quadratic bucket-mates. Member pairs expand back
+      * afterwards: cross-group with the representatives' hamming,
+      * within-group with hamming 0 (≤ any verify threshold). Bit-exact.
       */
     def nearDupPairs48(spark: SparkSession, dir: String): DataFrame = {
       import graft.plans.SimHash48.{BandBits, BandMask, NumBands}
@@ -525,17 +586,32 @@ object Dedup {
         .select(col("doc_id"), shingles(col("text")).as("ft"))
         .filter(size(col("ft")) > 0)
         .select(col("doc_id"), simhash48Of(col("ft")).as("sh"))
+      val w = Window.partitionBy(col("sh"))
+      val withRep = sigs.withColumn("rep", min(col("doc_id")).over(w))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val membership = withRep.select(col("rep"), col("doc_id"))
+      val uniq = withRep.filter(col("doc_id") === col("rep")).select(col("doc_id"), col("sh"))
       val bandArr = array((0 until NumBands).map(j =>
         shiftright(col("sh"), j * BandBits).bitwiseAND(lit(BandMask))): _*)
-      val banded = sigs.select(col("doc_id"), col("sh"),
+      val banded = uniq.select(col("doc_id"), col("sh"),
         posexplode(bandArr).as(Seq("band", "bv")))
-      banded.as("x").join(banded.as("y"),
+      val repPairs = banded.as("x").join(banded.as("y"),
           col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
             col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
           hamming(col("x.sh"), col("y.sh")).cast("long").as("hamming"))
         .distinct()
         .filter(col("hamming") <= HammingMax)
+      val cross = repPairs
+        .join(membership.select(col("rep").as("doc_a"), col("doc_id").as("ma")), "doc_a")
+        .join(membership.select(col("rep").as("doc_b"), col("doc_id").as("mb")), "doc_b")
+        .select(least(col("ma"), col("mb")).as("doc_a"),
+          greatest(col("ma"), col("mb")).as("doc_b"), col("hamming"))
+      val intra = membership.as("ma").join(membership.as("mb"),
+          col("ma.rep") === col("mb.rep") && col("ma.doc_id") < col("mb.doc_id"))
+        .select(col("ma.doc_id").as("doc_a"), col("mb.doc_id").as("doc_b"),
+          lit(0L).as("hamming"))
+      cross.unionByName(intra)
     }
 
     def nearDup48Oracle: String = {

@@ -117,6 +117,72 @@ class DedupSpec extends SparkSuite {
     assert(viaClusters.toSeq == direct.toSeq && viaClusters.toSeq == Seq(1L, 4L))
   }
 
+  test("exact-copy collapse is bit-exact: pairs equal the uncollapsed band+verify join") {
+    import spark.implicits._
+    // 14 tokens → 12 shingles; a last-token edit leaves 11 shared of 13
+    // distinct (jaccard 0.846 ≥ 0.8), so the cross-group pair verifies
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa mu nu xi omicron"
+    val near = base.replace("omicron", "pi")
+    val other = "one two three four five six seven eight nine ten"
+    // group A = {10, 25} (25 sorts BETWEEN group B's ids — exercises the
+    // least/greatest re-orientation), group B = {20, 21}, 30 unrelated
+    val docs = Seq((10L, base), (25L, base), (20L, near), (21L, near), (30L, other))
+      .toDF("doc_id", "text")
+    val cfg = Dedup.MinHashLSH.WordConfig
+    val hv = Dedup.MinHashLSH.shingleHashes(col("text"))
+    val got = Dedup.MinHashLSH.nearDupPairsOn(docs, hv, cfg).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // uncollapsed reference: band + verify over ALL docs, no rep collapse
+    val hashed = docs.select(col("doc_id"), hv.as("hv")).filter(size(col("hv")) > 0)
+    val b = Dedup.MinHashLSH.banded(hashed, cfg)
+    val cand = b.as("x").join(b.as("y"),
+        col("x.band") === col("y.band") && col("x.band_hash") === col("y.band_hash") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b")).distinct()
+    val want = cand
+      .join(hashed.select(col("doc_id").as("doc_a"), col("hv").as("hv_a")), "doc_a")
+      .join(hashed.select(col("doc_id").as("doc_b"), col("hv").as("hv_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        Dedup.jaccard(col("hv_a"), col("hv_b")).as("jaccard"))
+      .filter(col("jaccard") >= cfg.threshold).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == want, s"collapse changed the pair set:\n got=$got\nwant=$want")
+    // and the copies really did produce intra pairs at jaccard exactly 1.0
+    assert(got.contains((10L, 25L, 1.0)) && got.contains((20L, 21L, 1.0)))
+    assert(got.exists(p => p._1 == 20L && p._2 == 25L), "cross pair must re-orient 25 vs 20")
+  }
+
+  test("simhash48 signature collapse is bit-exact vs the uncollapsed banded join") {
+    import spark.implicits._
+    import graft.plans.SimHash48.{BandBits, BandMask, NumBands}
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val near = base.replace("kappa", "lambda")
+    val docs = Seq((10L, base), (25L, base), (20L, near), (21L, near),
+      (30L, "one two three four five six seven eight nine ten")).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sh48").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = Dedup.SimHash.nearDupPairs48(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val sigs = docs
+      .select(col("doc_id"), Dedup.shingles(col("text")).as("ft"))
+      .filter(size(col("ft")) > 0)
+      .select(col("doc_id"), Dedup.SimHash.simhash48Of(col("ft")).as("sh"))
+    val bandArr = array((0 until NumBands).map(j =>
+      shiftright(col("sh"), j * BandBits).bitwiseAND(lit(BandMask))): _*)
+    val banded = sigs.select(col("doc_id"), col("sh"),
+      posexplode(bandArr).as(Seq("band", "bv")))
+    val want = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        Dedup.SimHash.hamming(col("x.sh"), col("y.sh")).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= Dedup.SimHash.HammingMax).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want, s"signature collapse changed the pair set:\n got=$got\nwant=$want")
+    assert(got.contains((10L, 25L, 0L)), "exact copies pair at hamming 0")
+  }
+
   test("simhash: identical token sets agree; near-dup hamming < dissimilar hamming") {
     import spark.implicits._
     val df = Seq(
