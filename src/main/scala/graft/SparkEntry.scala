@@ -30,6 +30,8 @@ object SparkEntry {
       (Similarity.queries, Similarity.oracleSql),
       (Events.queries, Events.oracleSql),
       (Keyword.queries, Keyword.oracleSql),
+      (graft.text.Contamination.queries, graft.text.Contamination.oracleSql),
+      (graft.text.Repetition.queries, graft.text.Repetition.oracleSql),
       (AsofJoin.queries, AsofJoin.oracleSql),
       (DateParse.queries, DateParse.oracleSql),
       (CorpusOps.queries, CorpusOps.oracleSql),
