@@ -74,6 +74,51 @@ object CorpusOps {
        |)""".stripMargin
   }
 
+  /** Per-language sampling percent for [[stratifiedSample]]; languages
+    * absent from the list fall back to [[DefaultSamplePct]]. The shape a
+    * corpus-mixing recipe takes ("keep all English, a quarter of X").
+    */
+  val SampleRates: Seq[(String, Int)] = Seq(
+    "en" -> 100, "de" -> 50, "fr" -> 50, "es" -> 25, "zh" -> 25)
+  val DefaultSamplePct = 10
+
+  /** Deterministic weighted per-stratum sampling: keep a row iff
+    * md5-fold(doc_id) mod 100 < its language's percent. Same key-hash
+    * discipline as [[stratifiedSplit]] — per-row, shuffle-free, and the
+    * sample is REPRODUCIBLE: same row → same verdict on every run,
+    * cluster size and partitioning, and appends never resample existing
+    * rows. (Spark's `stat.sampleBy` draws per-partition RNG — a
+    * repartition reshuffles who is sampled, which is unacceptable for a
+    * 100 TB corpus that must be re-derivable.) The sample hash is SALTED
+    * (`doc_id ⧺ "#sample"`) so it is independent of the split bucket:
+    * with the split's own hash, a 25% sample would fall entirely inside
+    * the train buckets and never contain a val/test document.
+    */
+  def stratifiedSample(docs: DataFrame): DataFrame = {
+    val rate = SampleRates.tail
+      .foldLeft(when(col("lang") === SampleRates.head._1, SampleRates.head._2)) {
+        case (acc, (l, r)) => acc.when(col("lang") === l, r)
+      }.otherwise(DefaultSamplePct)
+    docs.select(col("doc_id"), col("lang"), col("source"),
+        md5Bucket(concat(col("doc_id").cast("string"), lit(SampleSalt))).as("bucket"),
+        rate.as("sample_pct"))
+      .filter(col("bucket") < col("sample_pct"))
+      .drop("bucket")
+  }
+
+  val SampleSalt = "#sample"
+
+  def sampleOracle: String = {
+    val fold = TextOps.md5HexFold12Sql("d")
+    val cases = SampleRates.map { case (l, r) => s"WHEN '$l' THEN $r" }.mkString(" ")
+    s"""SELECT doc_id, lang, source, sample_pct FROM (
+       |  SELECT doc_id, lang, source, ($fold) % $Buckets AS bucket,
+       |    CASE lang $cases ELSE $DefaultSamplePct END AS sample_pct
+       |  FROM (SELECT doc_id, lang, source,
+       |        md5(CAST(doc_id AS VARCHAR) || '$SampleSalt') AS d FROM documents)
+       |) WHERE bucket < sample_pct""".stripMargin
+  }
+
   /** Top terms per document. */
   val TopK = 5
   val IdfScale = 1000000L
@@ -264,6 +309,7 @@ object CorpusOps {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_corpus_split" -> ((s, dir) => stratifiedSplit(Tables.documents(s, dir))),
+    "q_corpus_sample" -> ((s, dir) => stratifiedSample(Tables.documents(s, dir))),
     "q_tfidf_topterms" -> ((s, dir) => tfidfTopTerms(s, dir)),
     "q_corpus_pipeline" -> ((s, dir) => pipelineReport(s, dir)),
     "q_vocab_stats" -> ((s, dir) => vocabStats(s, dir)),
@@ -272,6 +318,7 @@ object CorpusOps {
 
   def oracleSql: Map[String, String] = Map(
     "q_corpus_split" -> splitOracle,
+    "q_corpus_sample" -> sampleOracle,
     "q_tfidf_topterms" -> tfidfOracle,
     "q_corpus_pipeline" -> pipelineOracle,
     "q_vocab_stats" -> vocabOracle,
