@@ -141,4 +141,28 @@ object Graft {
   def chunkCorpus(docs: DataFrame): DataFrame =
     ops.ScaleOps.widen(docs).select(col("doc_id"),
       posexplode(Dedup.Cdc.chunkCol(col("text"))).as(Seq("chunk_idx", "chunk")))
+
+  /** Strip line/segment boilerplate recurring across ≥k documents
+    * (CCNet-style); returns (doc_id, n_segments, n_boiler, clean_text).
+    */
+  def stripBoilerplate(spark: SparkSession, sfDir: String): DataFrame =
+    text.Boilerplate.lineDedup(spark, sfDir)
+
+  /** Cap documents per source/domain (deterministic salted-hash order,
+    * two-pass exact rank — no whole-domain window).
+    */
+  def capPerSource(docs: DataFrame, cap: Int = ops.CorpusOps.SourceCap): DataFrame =
+    ops.CorpusOps.capPerSource(docs, cap)
+
+  /** Integer-exact unigram surprisal per document (perplexity-proxy
+    * quality band).
+    */
+  def scoreSurprisal(spark: SparkSession, sfDir: String): DataFrame =
+    ops.CorpusOps.unigramSurprisal(spark, sfDir)
+
+  /** Keep only new-batch docs that are NOT near-dups of the indexed
+    * corpus — the incremental ingestion-cycle filter.
+    */
+  def dedupIncremental(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.MinHashLSH.incrementalKeep(spark, sfDir)
 }

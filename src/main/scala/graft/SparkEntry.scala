@@ -32,6 +32,7 @@ object SparkEntry {
       (Keyword.queries, Keyword.oracleSql),
       (graft.text.Contamination.queries, graft.text.Contamination.oracleSql),
       (graft.text.Repetition.queries, graft.text.Repetition.oracleSql),
+      (graft.text.Boilerplate.queries, graft.text.Boilerplate.oracleSql),
       (graft.text.Redact.queries, graft.text.Redact.oracleSql),
       (AsofJoin.queries, AsofJoin.oracleSql),
       (DateParse.queries, DateParse.oracleSql),

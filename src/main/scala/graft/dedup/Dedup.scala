@@ -337,6 +337,86 @@ object Dedup {
     def oracle: String = oracleOn(baseHashesSql(shinglesSql("text")), WordConfig)
     def charGramOracle: String =
       oracleOn(graft.plans.NGramPolyHash.sql("text", 5), CharConfig)
+
+    /** Incremental near-dup filter — the production "dedupe the new crawl
+      * batch against the already-indexed corpus" shape: every ingestion
+      * cycle after the first runs THIS, not the full corpus×corpus join.
+      * A batch document is dropped when it shares ≥1 LSH band with an
+      * index document AND verifies at jaccard ≥ threshold; surviving
+      * batch docs are what gets appended to the index.
+      *
+      * The scale property that makes it incremental: the candidate join
+      * is BATCH bands × INDEX bands — never index×index — so candidate
+      * work is proportional to the new batch, not the accumulated corpus,
+      * and the index side's signatures/bands are exactly what
+      * [[PairTable]]-style checkpoints would serve precomputed (here both
+      * sides derive from one fixture table, split on `doc_id % 10`). The
+      * verify join moves hashed-long arrays for candidate batch docs
+      * only. Within-batch near-dups are [[nearDupPairs]]' job
+      * (`dedupCorpus`), not this filter's — dropping them here would
+      * double-count against the index append.
+      */
+    def incrementalKeep(spark: SparkSession, dir: String): DataFrame = {
+      val hashed = graft.ops.ScaleOps.widen(Tables.documents(spark, dir))
+        .select(col("doc_id"), shingleHashes(col("text")).as("hv"))
+        .filter(size(col("hv")) > 0)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val isBatch = col("doc_id") % 10 === 0
+      val batch = hashed.filter(isBatch)
+      val index = hashed.filter(!isBatch)
+      val bandsB = banded(batch, WordConfig)
+      val bandsI = banded(index, WordConfig)
+      val candidates = bandsB.as("x").join(bandsI.as("y"),
+          col("x.band") === col("y.band") && col("x.band_hash") === col("y.band_hash"))
+        .select(col("x.doc_id").as("doc_b"), col("y.doc_id").as("doc_i"))
+        .distinct()
+      val dropped = candidates
+        .join(batch.select(col("doc_id").as("doc_b"), col("hv").as("hv_b")), "doc_b")
+        .join(index.select(col("doc_id").as("doc_i"), col("hv").as("hv_i")), "doc_i")
+        .filter(jaccard(col("hv_b"), col("hv_i")) >= WordConfig.threshold)
+        .select(col("doc_b").as("doc_id")).distinct()
+      batch.select(col("doc_id")).join(dropped, Seq("doc_id"), "left_anti")
+    }
+
+    /** DuckDB twin: same band/verify algebra as [[oracleOn]], restricted
+      * to batch×index candidate pairs, then batch ∖ dropped.
+      */
+    def incrementalOracle: String = {
+      val hvSql = baseHashesSql(shinglesSql("text"))
+      val cfg = WordConfig
+      val sigCols = (0 until cfg.numHashes).map { i =>
+        s"list_aggregate(list_transform(hv, h -> (h * ${hashA(i)} + ${hashB(i)}) % $P), 'min') AS h$i"
+      }.mkString(",\n    ")
+      val bandCols = (0 until cfg.bands).map { j =>
+        val parts = (0 until cfg.rowsPerBand)
+          .map(r => s"h${j * cfg.rowsPerBand + r}").mkString(" || '|' || ")
+        s"md5($parts)"
+      }.mkString(", ")
+      s"""WITH hashed AS (
+         |  SELECT doc_id, $hvSql AS hv FROM documents
+         |), nonempty AS (
+         |  SELECT * FROM hashed WHERE len(hv) > 0
+         |), sig AS (
+         |  SELECT doc_id, hv, $sigCols FROM nonempty
+         |), bandarr AS (
+         |  SELECT doc_id, [$bandCols] AS bands FROM sig
+         |), banded AS (
+         |  SELECT doc_id, i - 1 AS band, bands[i] AS band_hash
+         |  FROM bandarr, unnest(range(1, ${cfg.bands + 1})) AS t(i)
+         |), dropped AS (
+         |  SELECT DISTINCT x.doc_id
+         |  FROM banded x JOIN banded y
+         |    ON x.band = y.band AND x.band_hash = y.band_hash
+         |   AND x.doc_id % 10 = 0 AND y.doc_id % 10 <> 0
+         |  JOIN nonempty a ON a.doc_id = x.doc_id
+         |  JOIN nonempty b ON b.doc_id = y.doc_id
+         |  WHERE CAST(len(list_intersect(a.hv, b.hv)) AS DOUBLE)
+         |      / len(list_distinct(list_concat(a.hv, b.hv))) >= ${cfg.threshold}
+         |)
+         |SELECT doc_id FROM nonempty
+         |WHERE doc_id % 10 = 0
+         |  AND doc_id NOT IN (SELECT doc_id FROM dropped)""".stripMargin
+    }
   }
 
   /** Session-lifetime checkpoint of the word-shingle near-dup pair table.
@@ -706,7 +786,8 @@ object Dedup {
         .select(col("doc_id"), SimHash.simhashOf(col("dg")))),
     "q_simhash_neardup" -> ((s, dir) => SimHash.nearDupPairs48(s, dir)),
     "q_cdc_chunks" -> ((s, dir) => Cdc.chunkTable(s, dir)),
-    "q_cdc_shared_chunks" -> ((s, dir) => Cdc.sharedChunks(s, dir))
+    "q_cdc_shared_chunks" -> ((s, dir) => Cdc.sharedChunks(s, dir)),
+    "q_dedup_incremental" -> ((s, dir) => MinHashLSH.incrementalKeep(s, dir))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -721,6 +802,7 @@ object Dedup {
       s"SELECT doc_id, CAST(${SimHash.simhashSql("text")} AS BIGINT) AS simhash FROM documents",
     "q_simhash_neardup" -> SimHash.nearDup48Oracle,
     "q_cdc_chunks" -> Cdc.chunkTableOracle,
-    "q_cdc_shared_chunks" -> Cdc.sharedChunksOracle
+    "q_cdc_shared_chunks" -> Cdc.sharedChunksOracle,
+    "q_dedup_incremental" -> MinHashLSH.incrementalOracle
   )
 }

@@ -307,13 +307,137 @@ object CorpusOps {
        |FROM ranked GROUP BY lang""".stripMargin
   }
 
+  // ---- per-source document caps ----
+
+  /** Keep at most this many documents per source (domain). */
+  val SourceCap = 18
+
+  /** Salt decorrelating the cap-order hash from the split/sample hashes. */
+  val CapSalt = "#cap"
+
+  /** Sub-buckets per source for the two-pass exact rank — the windowed
+    * boundary work shrinks by this factor.
+    */
+  val CapBuckets = 256
+
+  /** Per-source document cap — the "domain cap" every crawl-derived corpus
+    * applies so no single site dominates training (C4/RefinedWeb drop or
+    * downsample overrepresented domains). Keeps the [[SourceCap]]
+    * lexicographically-first documents per source in md5-salted hash order:
+    * deterministic, content-independent, append-stable (a new crawl batch
+    * can only displace docs that hash later, never reshuffle the order).
+    *
+    * Scale shape — the naive form is `row_number() OVER (PARTITION BY
+    * source ORDER BY h)`, ONE task per source: a 100 TB crawl's largest
+    * domain funnels through a single executor (the same W1 pathology
+    * [[lengthPercentiles]] avoids). This is the two-pass exact-rank
+    * rewrite instead:
+    *   1. bucket = first byte of the hash ([[CapBuckets]] sub-buckets —
+    *      the bucket is a PREFIX of the order key, so bucket order refines
+    *      global order);
+    *   2. per-(source, bucket) counts + a running sum per source over the
+    *      tiny counts table → each bucket's global starting rank;
+    *   3. buckets entirely under the cap are kept with NO window; buckets
+    *      entirely past it are dropped with no window; only the ONE
+    *      boundary bucket per source ranks its rows, in a window
+    *      partitioned by (source, bucket) — 1/[[CapBuckets]] of the
+    *      domain per task instead of the whole domain.
+    */
+  def capPerSource(docs: DataFrame, cap: Int = SourceCap): DataFrame = {
+    val d = docs.select(col("doc_id"), col("source"),
+        md5(concat(col("doc_id").cast("string"), lit(CapSalt))).as("h"))
+      .withColumn("b", conv(substring(col("h"), 1, 2), 16, 10).cast("int"))
+    val cnts = d.groupBy(col("source"), col("b")).agg(count(lit(1)).as("k"))
+    val wStart = Window.partitionBy(col("source")).orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val starts = cnts.withColumn("start", coalesce(sum(col("k")).over(wStart), lit(0L)))
+    val joined = d.join(starts, Seq("source", "b"))
+    val keptFull = joined.filter(col("start") + col("k") <= cap)
+    val boundary = joined.filter(col("start") < cap && col("start") + col("k") > cap)
+    val wB = Window.partitionBy(col("source"), col("b")).orderBy(col("h"), col("doc_id"))
+    val keptBoundary = boundary
+      .withColumn("rn", row_number().over(wB))
+      .filter(col("start") + col("rn") <= cap)
+    keptFull.select(col("doc_id"), col("source"))
+      .unionByName(keptBoundary.select(col("doc_id"), col("source")))
+  }
+
+  /** Oracle states the SPEC (global per-source hash rank ≤ cap); the Spark
+    * side implements the bucketed equivalent.
+    */
+  def capOracle: String =
+    s"""WITH h AS (
+       |  SELECT doc_id, source,
+       |    md5(CAST(doc_id AS VARCHAR) || '$CapSalt') AS h
+       |  FROM documents
+       |), r AS (
+       |  SELECT doc_id, source,
+       |    row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rn
+       |  FROM h
+       |)
+       |SELECT doc_id, source FROM r WHERE rn <= $SourceCap""".stripMargin
+
+  // ---- unigram-LM surprisal scoring ----
+
+  /** Perplexity-proxy document scoring — the CCNet-style LM quality
+    * signal, with the KenLM n-gram model replaced by a corpus unigram
+    * table and the floating-point log by an EXACT integer surprisal:
+    *
+    *   surprisal(t) = msb(total_tokens) − msb(count(t)) = ⌊log₂ total⌋ − ⌊log₂ cnt⌋
+    *
+    * where msb(n) = `length(bin(n))` — the position of the highest set
+    * bit, a pure integer both engines compute identically (no libm, no
+    * rounding divergence). Rare tokens score high; a document whose mean
+    * surprisal is extreme (far above = OCR noise/gibberish, far below =
+    * boilerplate of ultra-common words) is a filter candidate, exactly
+    * how perplexity bands are used on web corpora.
+    *
+    * Scale: token counts are ONE hash aggregate (vocabulary-sized out);
+    * the token↔count join shuffles on the term like [[tfidfTopTerms]]
+    * (no broadcast hint — AQE chooses); the per-doc mean is a second
+    * hash aggregate. Total tokens rides in as a one-row broadcast.
+    */
+  def unigramSurprisal(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(TextOps.tokenize(col("text"))).as("t"))
+    val lm = toks.groupBy(col("t")).agg(count(lit(1)).as("cnt"))
+    val total = lm.agg(sum(col("cnt")).as("total"))
+    toks.join(lm, "t")
+      .crossJoin(broadcast(total))
+      .withColumn("s", length(bin(col("total"))) - length(bin(col("cnt"))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("s")).cast("long").as("surprisal_sum"),
+        round(sum(col("s")) / count(lit(1)), 4).as("surprisal_avg"))
+  }
+
+  def surprisalOracle: String = {
+    val tk = TextOps.tokenizeSql("text")
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest($tk) AS t FROM documents
+       |), lm AS (
+       |  SELECT t, count(*) AS cnt FROM toks GROUP BY t
+       |), tot AS (
+       |  SELECT sum(cnt) AS total FROM lm
+       |)
+       |SELECT doc_id,
+       |  count(*) AS n_tokens,
+       |  CAST(sum(length(bin(total)) - length(bin(cnt))) AS BIGINT) AS surprisal_sum,
+       |  round(CAST(sum(length(bin(total)) - length(bin(cnt))) AS DOUBLE) / count(*), 4)
+       |    AS surprisal_avg
+       |FROM toks JOIN lm USING (t) CROSS JOIN tot
+       |GROUP BY doc_id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_corpus_split" -> ((s, dir) => stratifiedSplit(Tables.documents(s, dir))),
     "q_corpus_sample" -> ((s, dir) => stratifiedSample(Tables.documents(s, dir))),
     "q_tfidf_topterms" -> ((s, dir) => tfidfTopTerms(s, dir)),
     "q_corpus_pipeline" -> ((s, dir) => pipelineReport(s, dir)),
     "q_vocab_stats" -> ((s, dir) => vocabStats(s, dir)),
-    "q_length_percentiles" -> ((s, dir) => lengthPercentiles(s, dir))
+    "q_length_percentiles" -> ((s, dir) => lengthPercentiles(s, dir)),
+    "q_source_cap" -> ((s, dir) => capPerSource(Tables.documents(s, dir))),
+    "q_lm_surprisal" -> ((s, dir) => unigramSurprisal(s, dir))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -322,6 +446,8 @@ object CorpusOps {
     "q_tfidf_topterms" -> tfidfOracle,
     "q_corpus_pipeline" -> pipelineOracle,
     "q_vocab_stats" -> vocabOracle,
-    "q_length_percentiles" -> lengthPercentilesOracle
+    "q_length_percentiles" -> lengthPercentilesOracle,
+    "q_source_cap" -> capOracle,
+    "q_lm_surprisal" -> surprisalOracle
   )
 }

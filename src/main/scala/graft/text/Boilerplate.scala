@@ -1,0 +1,127 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Line-level (segment-level) boilerplate removal — the CCNet/RefinedWeb
+  * dedup granularity between whole-document fingerprints
+  * ([[graft.dedup.Dedup.Exact]]) and content-defined chunks
+  * ([[graft.dedup.Dedup.Cdc]]): a "line" that recurs verbatim across many
+  * documents (nav bars, cookie banners, license headers) is boilerplate
+  * and is stripped from every document that carries it, while the
+  * documents themselves survive.
+  *
+  * The fixture corpus has no newlines, so the segmentation rule is
+  * deterministic fixed-width token windows ([[SegTokens]] tokens per
+  * segment, last segment ragged) — on real corpora the split would be
+  * `split(text, '\n')`; every stage downstream of segmentation is
+  * identical either way.
+  *
+  * Scale shape (the CCNet discipline, re-expressed Spark-first):
+  *   1. explode docs into (doc_id, pos, segment) — linear in the scan;
+  *   2. per-segment DISTINCT-document counts: dedup (md5(seg), doc_id)
+  *      pairs, then count per hash — two hash aggregates keyed by the
+  *      128-bit md5 (cross-engine identical, collision-free at corpus
+  *      scale where a 64-bit key would birthday near 4·10⁹ distinct
+  *      segments); the shuffle carries 32-char hex + a long, never the
+  *      segment text twice;
+  *   3. mark: left-join the exploded segments against the (small,
+  *      frequency-filtered) boilerplate hash set — AQE picks broadcast
+  *      when the set is small, shuffle-hash when a pathological corpus
+  *      makes it large;
+  *   4. rebuild: group by doc_id, order kept segments by position
+  *      (`sort_array` over collected (pos, seg) structs — bounded by
+  *      document size, never corpus size).
+  *
+  * No stage holds per-corpus state on one task: every aggregate is keyed
+  * by segment hash or doc_id, both high-cardinality.
+  */
+object Boilerplate {
+
+  /** Tokens per pseudo-line. */
+  val SegTokens = 5
+
+  /** A segment is boilerplate when it appears in at least this many
+    * DISTINCT documents.
+    */
+  val MinDocs = 3
+
+  /** Consecutive [[SegTokens]]-token windows of a token array, joined by
+    * single spaces; the tail segment keeps `len % SegTokens` tokens.
+    * Empty input ⇒ empty array (guard matters: Spark's integral `/`
+    * truncates toward zero while DuckDB's `//` floors, so `(0-1)/5`
+    * would disagree across engines without it).
+    */
+  def segmentsOf(tk: Column): Column =
+    when(size(tk) > 0,
+      transform(sequence(lit(0), floor((size(tk) - 1) / SegTokens).cast("int")),
+        i => array_join(slice(tk, i * SegTokens + 1, lit(SegTokens)), " ")))
+      .otherwise(array().cast("array<string>"))
+
+  /** doc_id → (n_segments, n_boiler, clean_text) with boilerplate
+    * segments removed. See object doc for the stage-by-stage scale notes.
+    */
+  def lineDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.ops.ScaleOps.widen(Tables.documents(spark, dir))
+    val segs = docs
+      .select(col("doc_id"), TextOps.tokenize(col("text")).as("tk"))
+      .select(col("doc_id"), posexplode(segmentsOf(col("tk"))).as(Seq("pos", "seg")))
+      .withColumn("h", md5(col("seg")))
+
+    val boiler = segs.select(col("h"), col("doc_id")).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("ndocs"))
+      .filter(col("ndocs") >= MinDocs)
+      .select(col("h"), lit(true).as("is_boiler"))
+
+    val marked = segs.join(boiler, Seq("h"), "left")
+    marked.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("n_segments"),
+      sum(when(col("is_boiler"), 1L).otherwise(0L)).as("n_boiler"),
+      array_join(
+        transform(
+          sort_array(collect_list(
+            when(col("is_boiler").isNull, struct(col("pos"), col("seg"))))),
+          s => s.getField("seg")),
+        " ").as("clean_text"))
+  }
+
+  /** DuckDB twin: same segmentation (1-based inclusive list slices), same
+    * distinct-doc counts keyed by md5, same ordered reassembly. Positions
+    * ride inside structs (DuckDB has no `WITH ORDINALITY`).
+    */
+  def lineDedupOracle: String = {
+    val tk = TextOps.tokenizeSql("text")
+    s"""WITH toks AS (
+       |  SELECT doc_id, $tk AS tk FROM documents
+       |), segx AS (
+       |  SELECT doc_id, unnest(
+       |    CASE WHEN len(tk) > 0 THEN
+       |      list_transform(range(0, (len(tk) - 1) // $SegTokens + 1),
+       |        i -> {'pos': i, 'seg': array_to_string(tk[i*$SegTokens+1 : i*$SegTokens+$SegTokens], ' ')})
+       |    ELSE [] END) AS u
+       |  FROM toks
+       |), segs AS (
+       |  SELECT doc_id, u.pos AS pos, u.seg AS seg, md5(u.seg) AS h FROM segx
+       |), boiler AS (
+       |  SELECT h FROM (SELECT DISTINCT h, doc_id FROM segs)
+       |  GROUP BY h HAVING count(*) >= $MinDocs
+       |)
+       |SELECT s.doc_id,
+       |  count(*) AS n_segments,
+       |  CAST(sum(CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+       |  coalesce(string_agg(CASE WHEN b.h IS NULL THEN s.seg END, ' ' ORDER BY s.pos), '')
+       |    AS clean_text
+       |FROM segs s LEFT JOIN boiler b ON s.h = b.h
+       |GROUP BY s.doc_id""".stripMargin
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_line_dedup" -> ((s, dir) => lineDedup(s, dir))
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_line_dedup" -> lineDedupOracle
+  )
+}

@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.text.Boilerplate
+
+class BoilerplateSpec extends SparkSuite {
+
+  test("segmentsOf windows tokens in fives with a ragged tail and empty-safe guard") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c d e f g"),
+      (2L, "a b c d e"),
+      (3L, "  ")
+    ).toDF("doc_id", "text")
+    val segs = df
+      .select(col("doc_id"),
+        Boilerplate.segmentsOf(graft.text.TextOps.tokenize(col("text"))).as("segs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(segs(1L) == Seq("a b c d e", "f g"))
+    assert(segs(2L) == Seq("a b c d e"))
+    assert(segs(3L) == Seq.empty)
+  }
+
+  test("lineDedup strips segments shared by >= MinDocs docs and rebuilds in order") {
+    import spark.implicits._
+    val boiler = "all rights reserved legal footer"
+    val docs = Seq(
+      (1L, s"alpha beta gamma delta epsilon $boiler"),
+      (2L, s"one two three four five $boiler tail words after footer x"),
+      (3L, s"$boiler unique closing words here now"),
+      (4L, "totally original text with no shared segments at all ok")
+    ).toDF("doc_id", "text")
+    docs.createOrReplaceTempView("boilerdocs")
+
+    // run the operator body against an in-memory table by round-tripping
+    // through parquet in a temp dir shaped like a fixture sfDir
+    val dir = java.nio.file.Files.createTempDirectory("graft-boiler").toString
+    docs.select(col("doc_id"), col("text"), lit("en").as("lang"),
+        lit("src0").as("source"), length(col("text")).cast("long").as("n_chars"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val out = Boilerplate.lineDedup(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+
+    // the shared 5-token boilerplate segment appears in docs 1,2,3 => stripped
+    assert(out(1L) == ((2L, 1L, "alpha beta gamma delta epsilon")))
+    assert(out(2L)._2 == 1L)
+    assert(out(2L)._3 == "one two three four five tail words after footer x")
+    assert(out(3L) == ((2L, 1L, "unique closing words here now")))
+    // doc 4 untouched
+    assert(out(4L)._2 == 0L)
+    assert(out(4L)._3 == "totally original text with no shared segments at all ok")
+  }
+}

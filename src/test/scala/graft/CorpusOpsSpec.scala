@@ -73,4 +73,47 @@ class CorpusOpsSpec extends SparkSuite {
       s"unexpected broadcast hint beyond the one-row N: $hinted")
     df.count() // still executes green without the hint
   }
+
+  test("capPerSource equals the global per-source hash rank and never exceeds the cap") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // skewed sources: src_a 40 docs, src_b 7, src_c 1
+    val docs = ((1 to 40).map(i => (i.toLong, "src_a")) ++
+      (41 to 47).map(i => (i.toLong, "src_b")) ++ Seq((48L, "src_c")))
+      .toDF("doc_id", "source")
+    val cap = 10
+    val got = CorpusOps.capPerSource(docs, cap)
+    val counts = got.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("src_a") == cap)
+    assert(counts("src_b") == 7)
+    assert(counts("src_c") == 1)
+    // equivalence with the one-window spec the oracle states
+    val h = md5(concat(col("doc_id").cast("string"), lit(CorpusOps.CapSalt)))
+    val spec = docs.withColumn("h", h)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id"))))
+      .filter(col("rn") <= cap)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got.select("doc_id").collect().map(_.getLong(0)).toSet == spec)
+    // determinism
+    assert(got.collect().map(_.getLong(0)).sorted.toSeq ==
+      CorpusOps.capPerSource(docs, cap).collect().map(_.getLong(0)).sorted.toSeq)
+  }
+
+  test("unigramSurprisal: rare tokens score msb(total)-msb(cnt), averaged per doc") {
+    import spark.implicits._
+    // corpus: 'the' x7, 'rare' x1 => total 8 tokens
+    // msb(8)=4; surprisal(the)=4-3=1 (cnt 7 -> msb 3); surprisal(rare)=4-1=3
+    val dir = java.nio.file.Files.createTempDirectory("graft-lm").toString
+    Seq((1L, "the the the the rare"), (2L, "the the the"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), col("text"), lit("en").as("lang"),
+        lit("src0").as("source"), length(col("text")).cast("long").as("n_chars"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = CorpusOps.unigramSurprisal(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1L) == ((5L, 4L * 1 + 3, 1.4)))   // 4 tokens of s=1, one of s=3
+    assert(out(2L) == ((3L, 3L, 1.0)))
+  }
 }

@@ -195,4 +195,28 @@ class DedupSpec extends SparkSuite {
     assert(ham(h(0L), h(1L)) < ham(h(0L), h(2L)),
       s"near-dup hamming ${ham(h(0L), h(1L))} should beat dissimilar ${ham(h(0L), h(2L))}")
   }
+
+  test("incrementalKeep drops batch docs near-dup of index docs, keeps within-batch pairs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val base = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val edited = (1 to 29).map(i => s"tok$i").mkString(" ") + " changed"
+    val other = (101 to 130).map(i => s"alt$i").mkString(" ")
+    val otherEdited = (101 to 129).map(i => s"alt$i").mkString(" ") + " changed"
+    val unique = (201 to 230).map(i => s"uniq$i").mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("graft-incr").toString
+    Seq(
+      (10L, edited),      // batch, near-dup of index doc 11 => dropped
+      (11L, base),        // index
+      (20L, unique),      // batch, unique => kept
+      (30L, other),       // batch \
+      (40L, otherEdited)  // batch  - within-batch pair: BOTH kept
+    ).toDF("doc_id", "text")
+      .select(col("doc_id"), col("text"), lit("en").as("lang"),
+        lit("src0").as("source"), length(col("text")).cast("long").as("n_chars"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val kept = Dedup.MinHashLSH.incrementalKeep(spark, dir)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(20L, 30L, 40L), s"got $kept")
+  }
 }
