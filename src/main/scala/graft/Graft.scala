@@ -165,4 +165,10 @@ object Graft {
     */
   def dedupIncremental(spark: SparkSession, sfDir: String): DataFrame =
     Dedup.MinHashLSH.incrementalKeep(spark, sfDir)
+
+  /** Winnowing fingerprints (guaranteed detection of shared runs
+    * ≥ k+w−1 chars) and the rare-fingerprint shared-pair report.
+    */
+  def winnowPairs(spark: SparkSession, sfDir: String): DataFrame =
+    dedup.Winnow.sharedPairs(spark, sfDir)
 }

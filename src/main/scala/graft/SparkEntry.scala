@@ -27,6 +27,7 @@ object SparkEntry {
       (Preprocess.queries, Preprocess.oracleSql),
       (DistinctUpsert.queries, DistinctUpsert.oracleSql),
       (Dedup.queries, Dedup.oracleSql),
+      (graft.dedup.Winnow.queries, graft.dedup.Winnow.oracleSql),
       (Similarity.queries, Similarity.oracleSql),
       (Events.queries, Events.oracleSql),
       (Keyword.queries, Keyword.oracleSql),

@@ -102,6 +102,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case _ => throw new IllegalArgumentException(
           "cdc_chunks(text) or cdc_chunks(text, <int literal w>, <int literal divisor>)")
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("winnow_hashes"),
+      new ExpressionInfo(classOf[WinnowHashes].getName, "winnow_hashes"),
+      (children: Seq[Expression]) => children match {
+        case Seq(c) => WinnowHashes(c, WinnowHashes.DefaultK, WinnowHashes.DefaultW)
+        case Seq(c, org.apache.spark.sql.catalyst.expressions.Literal(k: Int, _),
+                    org.apache.spark.sql.catalyst.expressions.Literal(w: Int, _)) =>
+          WinnowHashes(c, k, w)
+        case _ => throw new IllegalArgumentException(
+          "winnow_hashes(text) or winnow_hashes(text, <int literal k>, <int literal w>)")
+      }))
     ext.injectOptimizerRule(_ => SargableMonthRule)
   }
 }

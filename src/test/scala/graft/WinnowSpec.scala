@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+import graft.plans.WinnowHashes
+import graft.dedup.Winnow
+
+class WinnowSpec extends SparkSuite {
+
+  private def sel(s: String, k: Int, w: Int): Set[Long] =
+    WinnowHashes.selectedOf(UTF8String.fromString(s), k, w).toSet
+
+  test("selectedOf matches a straightforward reference winnower") {
+    // reference: positional hashes, each window's rightmost min, distinct
+    def ref(s: String, k: Int, w: Int): Set[Long] = {
+      val cps = s.codePoints().toArray
+      val m = cps.length - k + 1
+      if (m <= 0) return Set.empty
+      val kh = (0 until m).map { i =>
+        (0 until k).foldLeft(0L)((h, j) => (h * WinnowHashes.B + cps(i + j)) % WinnowHashes.P)
+      }
+      val ww = math.min(w, m)
+      (0 to m - ww).map { s0 =>
+        val win = kh.slice(s0, s0 + ww)
+        val minV = win.min
+        kh(s0 + win.lastIndexOf(minV))
+      }.toSet
+    }
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 50) {
+      val s = (1 to (5 + rnd.nextInt(60))).map(_ => ('a' + rnd.nextInt(4)).toChar).mkString
+      assert(sel(s, 5, 4) == ref(s, 5, 4), s"mismatch on '$s'")
+    }
+  }
+
+  test("winnowing guarantee: shared run of k+w-1 chars implies a shared fingerprint") {
+    val k = WinnowHashes.DefaultK
+    val w = WinnowHashes.DefaultW
+    val shared = "x" * 0 + "the quick brown fox jumps!" // 26 chars > k+w-1 = 23
+    assert(shared.length >= k + w - 1)
+    val rnd = new scala.util.Random(13)
+    for (trial <- 1 to 20) {
+      def noise(n: Int) = (1 to n).map(_ => ('A' + rnd.nextInt(26)).toChar).mkString
+      val a = noise(30 + rnd.nextInt(40)) + shared + noise(rnd.nextInt(40))
+      val b = noise(rnd.nextInt(50)) + shared + noise(30 + rnd.nextInt(30))
+      val inter = sel(a, k, w).intersect(sel(b, k, w))
+      assert(inter.nonEmpty, s"trial $trial: no shared fingerprint despite a $shared run")
+    }
+  }
+
+  test("degenerate inputs: shorter than k is empty, k-gram count below w still selects") {
+    assert(sel("abc", 16, 8).isEmpty)
+    val s = "abcdefghijklmnopq" // 17 chars -> m=2 kgrams < w
+    assert(sel(s, 16, 8).size == 1, "one window over all kgrams selects exactly its min")
+  }
+
+  test("sharedPairs finds planted shared runs and respects the ubiquity cap") {
+    import spark.implicits._
+    val run = "this exact licensed paragraph appears in multiple docs verbatim"
+    def soup(seed: Int, n: Int) = {
+      val r = new scala.util.Random(seed)
+      (1 to n).map(_ => ('a' + r.nextInt(26)).toChar).mkString
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-winnow").toString
+    (Seq(
+      (1L, soup(1, 80) + run + soup(2, 60)),
+      (2L, soup(3, 50) + run + soup(4, 90)),
+      (3L, soup(5, 120)),
+      (4L, soup(6, 140))
+    ).toDF("doc_id", "text"))
+      .select(col("doc_id"), col("text"), lit("en").as("lang"),
+        lit("src0").as("source"), length(col("text")).cast("long").as("n_chars"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val pairs = Winnow.sharedPairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set((1L, 2L)),
+      s"expected exactly the planted (1,2) pair, got ${pairs.toSeq}")
+    assert(pairs.head._3 >= Winnow.MinShared)
+  }
+}
