@@ -171,4 +171,26 @@ object Graft {
     */
   def winnowPairs(spark: SparkSession, sfDir: String): DataFrame =
     dedup.Winnow.sharedPairs(spark, sfDir)
+
+  /** RefinedWeb/Gopher hygiene recipe as one lazy plan: the 7-row
+    * per-stage funnel report (and [[hygieneAssignments]] for the
+    * per-document stage labels).
+    */
+  def hygieneFunnel(spark: SparkSession, sfDir: String): DataFrame =
+    pipelines.Hygiene.funnel(spark, sfDir)
+
+  def hygieneAssignments(spark: SparkSession, sfDir: String): DataFrame =
+    pipelines.Hygiene.assignments(spark, sfDir)
+
+  /** Exact heavy-hitter terms (count > n/K) without a vocabulary-sized
+    * shuffle — per-partition Misra-Gries candidates + exact re-count.
+    */
+  def heavyTerms(spark: SparkSession, sfDir: String): DataFrame =
+    text.HeavyHitters.heavyTerms(spark, sfDir)
+
+  /** Top BPE merge candidates (adjacent char pairs weighted by word
+    * frequency) — tokenizer-training statistics over the vocab table.
+    */
+  def bpeMergeCandidates(spark: SparkSession, sfDir: String): DataFrame =
+    text.Bpe.topPairs(spark, sfDir)
 }

@@ -35,6 +35,9 @@ object SparkEntry {
       (graft.text.Repetition.queries, graft.text.Repetition.oracleSql),
       (graft.text.Boilerplate.queries, graft.text.Boilerplate.oracleSql),
       (graft.text.Redact.queries, graft.text.Redact.oracleSql),
+      (graft.text.Bpe.queries, graft.text.Bpe.oracleSql),
+      (graft.text.HeavyHitters.queries, graft.text.HeavyHitters.oracleSql),
+      (graft.pipelines.Hygiene.queries, graft.pipelines.Hygiene.oracleSql),
       (AsofJoin.queries, AsofJoin.oracleSql),
       (DateParse.queries, DateParse.oracleSql),
       (CorpusOps.queries, CorpusOps.oracleSql),

@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.pipelines.Hygiene
+import graft.text.Bpe
+
+class HygieneBpeSpec extends SparkSuite {
+
+  test("hygiene funnel: chained invariants on the fixture corpus") {
+    val rows = Hygiene.funnel(spark, Sf)
+      .orderBy("stage_id")
+      .select("stage_id", "stage", "n_in", "n_dropped", "n_out")
+      .collect()
+    assert(rows.length == 7)
+    assert(rows.map(_.getString(1)).toSeq == Hygiene.Stages.map(_._2))
+    val total = spark.read.parquet(s"$Sf/documents.parquet").count()
+    // funnel enters with the whole corpus and every stage chains exactly
+    assert(rows.head.getLong(2) == total)
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getLong(4) == b.getLong(2),
+        s"n_out of ${a.getString(1)} must equal n_in of ${b.getString(1)}")
+    }
+    val kept = rows.last
+    assert(kept.getLong(3) == 0 && kept.getLong(2) == kept.getLong(4))
+    // thresholds are fixture-calibrated: the funnel must actually reject
+    assert(rows.map(_.getLong(3)).sum > 0)
+    assert(kept.getLong(4) > 0)
+  }
+
+  test("hygiene funnel: exact-dup stage drops copies, first doc wins") {
+    import spark.implicits._
+    // lang-marker-rich ('the' => en), 100 distinct tokens (full length
+    // bonus, ~zero stopword/dup penalty) so stages 1-5 all pass;
+    // docs 1 and 3 are identical => one must die at exact_dup
+    val good = "the " + (1 to 99).map(i => f"word$i%02d").mkString(" ")
+    val docs = Seq(
+      (1L, good), (2L, good + " extra tail words here"), (3L, good)
+    ).toDF("doc_id", "text")
+    // reuse the funnel's per-doc logic indirectly: run the real funnel on a
+    // temp dir with this corpus written as documents.parquet
+    val dir = java.nio.file.Files.createTempDirectory("hygiene-spec").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = Hygiene.funnel(spark, dir).orderBy("stage_id").collect()
+    val byStage = rows.map(r => r.getString(1) -> r.getLong(3)).toMap
+    assert(byStage("exact_dup") == 1L) // doc 3 dies, doc 1 kept
+    assert(rows.last.getLong(4) == 2L)
+  }
+
+  test("bpe pairs: weighted by word frequency, multiplicity preserved, deterministic order") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("bpe-spec").toString
+    // "aa aa aa ab" -> vocab {aa:3, ab:1}; pairs: "a a"->3, "a b"->1
+    Seq((1L, "aa aa aa ab")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = Bpe.topPairs(spark, dir).collect()
+    assert(rows.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("a a", 3L), ("a b", 1L)))
+  }
+
+  test("misra-gries: guaranteed superset of stream heavy hitters, bounded size") {
+    import graft.text.HeavyHitters
+    // adversarial stream: 1 dominant element amid k distinct spam tokens
+    val k = 5
+    val stream = (1 to 400).flatMap(i => Seq("heavy", s"spam${i % 37}"))
+    val out = HeavyHitters.misraGries(stream.iterator, k).toSet
+    assert(out.size <= k)
+    assert(out.contains("heavy")) // freq 400/800 > n/k => must survive
+  }
+
+  test("heavy hitters: exact counts match a direct groupBy, threshold honored") {
+    import org.apache.spark.sql.functions.{count => cnt}
+    val docs = spark.read.parquet(s"$Sf/documents.parquet")
+    val words = docs.select(explode(graft.text.TextOps.tokenize(col("text"))).as("term"))
+    val n = words.count()
+    val direct = words.groupBy("term").agg(cnt(lit(1)).as("c"))
+      .filter(col("c") * graft.text.HeavyHitters.K > n)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = graft.text.HeavyHitters.heavyTerms(spark, Sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == direct)
+    assert(got.nonEmpty)
+  }
+
+  test("bpe pairs: fixture top pair count matches a direct corpus count") {
+    // the vocab-first aggregation must equal naive per-document counting
+    val docs = spark.read.parquet(s"$Sf/documents.parquet")
+    val tk = graft.text.TextOps.tokenize(col("text"))
+    val naive = docs
+      .select(explode(tk).as("w"))
+      .select(explode(zip_with(
+        slice(split(col("w"), ""), lit(1), greatest(size(split(col("w"), "")) - 1, lit(0))),
+        slice(split(col("w"), ""), lit(2), greatest(size(split(col("w"), "")) - 1, lit(0))),
+        (a, b) => concat(a, lit(" "), b))).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("cnt"))
+    val top = Bpe.topPairs(spark, Sf).collect()
+    val naiveMap = naive.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    top.foreach { r =>
+      assert(naiveMap(r.getString(0)) == r.getLong(1),
+        s"pair ${r.getString(0)} disagrees with naive count")
+    }
+  }
+}
