@@ -73,23 +73,31 @@ object Hygiene {
     */
   def staged(spark: SparkSession, dir: String): DataFrame = {
     val docs = graft.ops.ScaleOps.widen(Tables.documents(spark, dir))
+    stagedOn(docs)
+  }
 
+  /** Input columns + `fp` + `pre_stage` over any documents frame —
+    * stages 1-5 as pure per-row expressions (works unchanged on a
+    * streaming frame; the stateless part of the recipe). `pre_stage`
+    * NULL = survived filters. The token/gram arrays are bound in
+    * intermediate projections (the [[Repetition]] lambda discipline) and
+    * dropped before return.
+    */
+  def withVerdict(docs: DataFrame): DataFrame = {
     // one scan: tokens + gram arrays bound once, every gate reads them
     val rep = Repetition.metricCols(col("tk"), col("bg"), col("tg")).toMap
     val feats = docs
-      .select(col("doc_id"), col("text"), TextOps.tokenize(col("text")).as("tk"))
-      .select(col("doc_id"), col("text"), col("tk"),
-        Repetition.bigramsOf(col("tk")).as("bg"),
-        Repetition.trigramsOf(col("tk")).as("tg"))
-      .select(col("doc_id"),
-        size(col("tk")).as("n"),
-        Analysis.langIdFromTokens(col("text"), col("tk")).as("lang_pred"),
-        rep("dup_token_frac").as("dup_tok"),
-        rep("top_bigram_frac").as("top_bg"),
-        rep("dup_trigram_frac").as("dup_tg"),
-        Analysis.qualityColumnsFromTokens(col("text"), col("tk"))
-          .toMap.apply("quality_score").as("score"),
-        Analysis.fingerprint(col("text")).as("fp"))
+      .withColumn("tk", TextOps.tokenize(col("text")))
+      .withColumn("bg", Repetition.bigramsOf(col("tk")))
+      .withColumn("tg", Repetition.trigramsOf(col("tk")))
+      .withColumn("n", size(col("tk")))
+      .withColumn("lang_pred", Analysis.langIdFromTokens(col("text"), col("tk")))
+      .withColumn("dup_tok", rep("dup_token_frac"))
+      .withColumn("top_bg", rep("top_bigram_frac"))
+      .withColumn("dup_tg", rep("dup_trigram_frac"))
+      .withColumn("score", Analysis.qualityColumnsFromTokens(col("text"), col("tk"))
+        .toMap.apply("quality_score"))
+      .withColumn("fp", Analysis.fingerprint(col("text")))
 
     val preStage = when(col("n") === 0, 1)
       .when(col("n") < MinTokens, 2)
@@ -98,11 +106,30 @@ object Hygiene {
             col("top_bg") > MaxTopBigramFrac ||
             col("dup_tg") > MaxDupTrigramFrac, 4)
       .when(col("score") < MinQuality, 5)
+    feats.withColumn("pre_stage", preStage)
+      .drop("tk", "bg", "tg", "n", "lang_pred", "dup_tok", "top_bg", "dup_tg", "score")
+  }
+
+  /** Narrow batch verdict table: (doc_id, fp, pre_stage). */
+  def preVerdicts(docs: DataFrame): DataFrame =
+    withVerdict(docs).select(col("doc_id"), col("fp"), col("pre_stage"))
+
+  /** Streaming ingest filter — stages 1-5 applied at the stream edge
+    * (stateless per-row expressions over each micro-batch: no join, no
+    * watermark, no state store). Exact dedup is deliberately NOT fused
+    * here: its streaming twin is `EventsStream.dedupStream`
+    * (`dropDuplicatesWithinWatermark`), which needs event-time state this
+    * filter should not impose on stateless consumers.
+    */
+  def filterStream(docs: DataFrame): DataFrame =
+    withVerdict(docs).filter(col("pre_stage").isNull).drop("fp", "pre_stage")
+
+  private def stagedOn(docs: DataFrame): DataFrame = {
     // persist the NARROW verdict table (doc_id, fp, pre_stage — no text,
     // no arrays): both downstream branches read it, so the text-feature
     // pipeline — the expensive part — runs exactly once per corpus scan
     // instead of once per branch
-    val pre = feats.select(col("doc_id"), col("fp"), preStage.as("pre_stage"))
+    val pre = preVerdicts(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // dedup over filter survivors only (production order); the exchange
