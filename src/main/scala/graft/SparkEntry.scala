@@ -41,6 +41,7 @@ object SparkEntry {
       (AsofJoin.queries, AsofJoin.oracleSql),
       (DateParse.queries, DateParse.oracleSql),
       (CorpusOps.queries, CorpusOps.oracleSql),
+      (graft.ops.Packing.queries, graft.ops.Packing.oracleSql),
       (Map[String, (SparkSession, String) => DataFrame](
         "q_range_join" -> ((s, dir) => graft.streaming.Sessionize.assignEventsToSessions(s, dir))),
         Map("q_range_join" -> graft.streaming.Sessionize.assignOracle)),

@@ -1,0 +1,101 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.text.TextOps
+
+/** Sequence packing — the training-batch assembly step after hygiene:
+  * concatenate the corpus in a deterministic order and cut it into
+  * fixed-token-budget sequences (GPT-style concat-then-chunk). A document
+  * belongs to the sequence its FIRST token falls in: `seq_id =
+  * cum_before div Budget`, where `cum_before` is the exact global running
+  * token count before the document. (Beyond the reference's own surface;
+  * generalizes the reference's global row-number + fixed-size chunk loop,
+  * `preprocess_and_store_parquets.py:212-230`, from row counts to token
+  * budgets.)
+  *
+  * A global running sum is the classic single-task window trap
+  * (`sum().over(Window.orderBy(...))` funnels the corpus through ONE
+  * task — the same W1 pathology `Preprocess.withRowNumFaithful`
+  * documents). The scalable shape is the two-pass prefix sum:
+  *
+  *   1. range-repartition by the order key (partitions are then globally
+  *      ordered) and MATERIALIZE the partition id — the persisted narrow
+  *      table ((doc_id, n_tokens, pid); no text) is read by both passes,
+  *      which is a correctness requirement, not a cache: the range
+  *      partitioner's sampled bounds are not guaranteed identical across
+  *      two separate evaluations, and divergent pids between the passes
+  *      would corrupt every offset;
+  *   2. per-partition token totals (≤ #partitions rows) prefix-sum into
+  *      partition offsets — the only ordered window runs over that tiny
+  *      table;
+  *   3. partition-local running sums (window PARTITIONED by pid — every
+  *      partition sums in parallel) + broadcast offsets = the exact
+  *      global `cum_before` for every document.
+  *
+  * Nothing corpus-sized crosses a single task; the result is bit-equal to
+  * the naive global window (the oracle computes exactly that).
+  */
+object Packing {
+
+  /** Tokens per packed training sequence (fixture docs run 10-99 tokens,
+    * so ~3-8 docs pack per sequence).
+    */
+  val Budget = 256L
+
+  /** (doc_id, n_tokens, cum_before, seq_id), deterministic under any
+    * cluster size / partition count.
+    */
+  def packSequences(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.ops.ScaleOps.widen(Tables.documents(spark, dir))
+      .select(col("doc_id"),
+        size(TextOps.tokenize(col("text"))).cast("long").as("n_tokens"))
+    val parts = spark.sessionState.conf.numShufflePartitions
+
+    val ranged = docs.repartitionByRange(parts, col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val offs = ranged.groupBy(col("pid")).agg(sum(col("n_tokens")).as("ptot"))
+      .withColumn("poff", coalesce(
+        sum(col("ptot")).over(Window.orderBy(col("pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("pid"), col("poff"))
+
+    val wLocal = Window.partitionBy(col("pid")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ranged.join(broadcast(offs), Seq("pid"))
+      .withColumn("cum_before",
+        col("poff") + coalesce(sum(col("n_tokens")).over(wLocal), lit(0L)))
+      .select(col("doc_id"), col("n_tokens"), col("cum_before"),
+        expr(s"cum_before div $Budget").as("seq_id"))
+  }
+
+  /** DuckDB twin — the semantic contract is the NAIVE global running sum
+    * (single-node, so the window is fine there); the Spark side must
+    * reproduce it exactly from partition-local arithmetic.
+    */
+  def packOracle: String = {
+    val tk = TextOps.tokenizeSql("text")
+    s"""WITH toks AS (
+       |  SELECT doc_id, CAST(len($tk) AS BIGINT) AS n_tokens FROM documents
+       |)
+       |SELECT doc_id, n_tokens,
+       |  coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before,
+       |  coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // $Budget AS seq_id
+       |FROM toks""".stripMargin
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pack_sequences" -> ((s, dir) => packSequences(s, dir))
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_pack_sequences" -> packOracle
+  )
+}
