@@ -636,9 +636,14 @@ object Similarity {
   /** Recall of the IVF-PQ ADC ranking against the exact top-k — the probe
     * budget is identical to [[annRecall]]'s (same lists probed), so any
     * difference between the two gates is pure quantization-ranking loss.
+    * Scores the SERVED index ([[ivfPqTopKFromIndex]] — output-identical to
+    * the inline build, which `q_similarity_ivfpq` gates separately):
+    * production recall monitoring measures the artifact queries actually
+    * hit, and the checkpoint makes the recall query pay ADC serving cost
+    * only after the first build per corpus.
     */
   def annRecallPq(spark: SparkSession, dir: String): DataFrame =
-    recallOf(topK(spark, dir), ivfPqTopK(spark, dir))
+    recallOf(topK(spark, dir), ivfPqTopKFromIndex(spark, dir))
 
   private def recallOf(exactK: DataFrame, approxK: DataFrame): DataFrame = {
     val exact = exactK.select(col("query_id"), col("neighbor_id"))
