@@ -19,18 +19,24 @@ object Profile {
     val spark = Bench.session() // same env defaults as Bench — comparable numbers
 
     names.foreach { name =>
-      val fn = SparkEntry.queries(name)
-      // one untimed warmup (JIT/codegen), then cold timed passes
-      Bench.fullEval(fn(spark, sfDir))
-      val times = (1 to passes).map { i =>
-        spark.catalog.clearCache()
-        val t0 = System.nanoTime()
-        Bench.fullEval(fn(spark, sfDir))
-        val dt = (System.nanoTime() - t0) / 1e9
-        println(f"$name pass$i: $dt%.2f s")
-        dt
+      SparkEntry.queries.get(name) match {
+        case None =>
+          // a mistyped/unknown arg (e.g. a path) must not crash the run
+          System.err.println(s"[profile] unknown query '$name' — skipping " +
+            "(names are SparkEntry.queries keys; sfDir comes from SPARK_GRAFT_SF_DIR)")
+        case Some(fn) =>
+          // one untimed warmup (JIT/codegen), then cold timed passes
+          Bench.fullEval(fn(spark, sfDir))
+          val times = (1 to passes).map { i =>
+            spark.catalog.clearCache()
+            val t0 = System.nanoTime()
+            Bench.fullEval(fn(spark, sfDir))
+            val dt = (System.nanoTime() - t0) / 1e9
+            println(f"$name pass$i: $dt%.2f s")
+            dt
+          }
+          println(f"$name MIN: ${times.min}%.2f s")
       }
-      println(f"$name MIN: ${times.min}%.2f s")
     }
     spark.stop()
   }

@@ -377,6 +377,69 @@ object CorpusOps {
        |)
        |SELECT doc_id, source FROM r WHERE rn <= $SourceCap""".stripMargin
 
+  // ---- data-mixture materialization (per-source up/downsampling) ----
+
+  /** Per-source mixture rate in PERCENT of one epoch: 300 = 3 full
+    * copies, 150 = one copy + a deterministic half, 25 = a quarter
+    * sample. The shape of a training mixture recipe ("3 epochs of
+    * curated source, a quarter of the crawl"); sources absent from the
+    * list run at 100.
+    */
+  val MixRates: Seq[(String, Int)] = Seq(
+    "src0" -> 300, "src1" -> 150, "src2" -> 60, "src3" -> 25)
+  val DefaultMixPct = 100
+  val MixSalt = "#mix"
+
+  /** Materialize the mixture: one output row per (doc, epoch), where
+    * `n_copies = rate div 100` full epochs plus one extra iff the doc's
+    * salted hash bucket < `rate mod 100` — the same deterministic
+    * key-hash discipline as [[stratifiedSample]] (reproducible across
+    * runs/partitioning, append-stable, salt-decorrelated from the split
+    * and sample hashes), extended UPWARD: upsampling is how mixtures
+    * overrepresent curated sources, and materializing the epoch column
+    * (rather than a weight) lets every downstream stage — packing,
+    * shuffling, sharding — treat copies as ordinary rows while `epoch`
+    * keeps them distinguishable.
+    *
+    * Scale: per-row expressions plus an explode bounded by
+    * max(rate) div 100 + 1 — linear in the scan, no shuffle, no state.
+    */
+  def mixCorpus(docs: DataFrame): DataFrame = {
+    val rate = MixRates.tail
+      .foldLeft(when(col("source") === MixRates.head._1, MixRates.head._2)) {
+        case (acc, (s, r)) => acc.when(col("source") === s, r)
+      }.otherwise(DefaultMixPct)
+    val withCopies = docs.select(col("doc_id"), col("source"),
+        md5Bucket(concat(col("doc_id").cast("string"), lit(MixSalt))).as("bucket"),
+        rate.as("r"))
+      .withColumn("n_copies",
+        (col("r") / 100).cast("int") + when(col("bucket") < col("r") % 100, 1).otherwise(0))
+    withCopies
+      .select(col("doc_id"), col("source"), col("n_copies").cast("long").as("n_copies"),
+        explode(when(col("n_copies") >= 1, sequence(lit(1), col("n_copies")))
+          .otherwise(array().cast("array<int>"))).as("epoch"))
+      .select(col("doc_id"), col("source"), col("epoch").cast("long").as("epoch"),
+        col("n_copies"))
+  }
+
+  def mixOracle: String = {
+    val fold = TextOps.md5HexFold12Sql("d")
+    val cases = MixRates.map { case (s, r) => s"WHEN '$s' THEN $r" }.mkString(" ")
+    s"""WITH m AS (
+       |  SELECT doc_id, source, ($fold) % $Buckets AS bucket,
+       |    CASE source $cases ELSE $DefaultMixPct END AS r
+       |  FROM (SELECT doc_id, source,
+       |        md5(CAST(doc_id AS VARCHAR) || '$MixSalt') AS d FROM documents)
+       |), c AS (
+       |  SELECT doc_id, source,
+       |    r // 100 + CASE WHEN bucket < r % 100 THEN 1 ELSE 0 END AS n_copies
+       |  FROM m
+       |)
+       |SELECT doc_id, source, CAST(unnest(range(1, n_copies + 1)) AS BIGINT) AS epoch,
+       |  CAST(n_copies AS BIGINT) AS n_copies
+       |FROM c""".stripMargin
+  }
+
   // ---- unigram-LM surprisal scoring ----
 
   /** Perplexity-proxy document scoring — the CCNet-style LM quality
@@ -432,6 +495,7 @@ object CorpusOps {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_corpus_split" -> ((s, dir) => stratifiedSplit(Tables.documents(s, dir))),
     "q_corpus_sample" -> ((s, dir) => stratifiedSample(Tables.documents(s, dir))),
+    "q_corpus_mix" -> ((s, dir) => mixCorpus(Tables.documents(s, dir))),
     "q_tfidf_topterms" -> ((s, dir) => tfidfTopTerms(s, dir)),
     "q_corpus_pipeline" -> ((s, dir) => pipelineReport(s, dir)),
     "q_vocab_stats" -> ((s, dir) => vocabStats(s, dir)),
@@ -443,6 +507,7 @@ object CorpusOps {
   def oracleSql: Map[String, String] = Map(
     "q_corpus_split" -> splitOracle,
     "q_corpus_sample" -> sampleOracle,
+    "q_corpus_mix" -> mixOracle,
     "q_tfidf_topterms" -> tfidfOracle,
     "q_corpus_pipeline" -> pipelineOracle,
     "q_vocab_stats" -> vocabOracle,

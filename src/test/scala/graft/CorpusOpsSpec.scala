@@ -116,4 +116,31 @@ class CorpusOpsSpec extends SparkSuite {
     assert(out(1L) == ((5L, 4L * 1 + 3, 1.4)))   // 4 tokens of s=1, one of s=3
     assert(out(2L) == ((3L, 3L, 1.0)))
   }
+
+  test("mixCorpus: epochs materialize rate div 100 copies plus a deterministic fraction") {
+    val docs = spark.read.parquet(s"$Sf/documents.parquet")
+    val out = CorpusOps.mixCorpus(docs)
+    val perSource = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val base = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    CorpusOps.MixRates.toMap.foreach { case (src, r) =>
+      val n = base(src)
+      val lo = n * (r / 100); val hi = lo + n // fractional part adds at most n
+      assert(perSource(src) >= lo && perSource(src) <= hi,
+        s"$src: ${perSource(src)} outside [$lo,$hi] for rate $r")
+    }
+    // unnamed sources run at exactly 100%
+    val unnamed = base.keySet -- CorpusOps.MixRates.map(_._1).toSet
+    unnamed.foreach(s => assert(perSource(s) == base(s)))
+    // epochs are 1..n_copies, dense per doc
+    val bad = out.groupBy("doc_id").agg(
+        org.apache.spark.sql.functions.max("epoch").as("mx"),
+        org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("c"),
+        org.apache.spark.sql.functions.max("n_copies").as("nc"))
+      .filter(org.apache.spark.sql.functions.expr("mx != c OR c != nc")).count()
+    assert(bad == 0L)
+    // determinism: a second evaluation is row-identical
+    assert(out.except(CorpusOps.mixCorpus(docs)).count() == 0L)
+  }
 }
