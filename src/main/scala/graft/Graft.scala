@@ -193,4 +193,19 @@ object Graft {
     */
   def bpeMergeCandidates(spark: SparkSession, sfDir: String): DataFrame =
     text.Bpe.topPairs(spark, sfDir)
+
+  /** Materialize a training mixture: (doc, epoch) rows per the per-source
+    * rate recipe — deterministic up/downsampling.
+    */
+  def mixCorpus(docs: DataFrame): DataFrame =
+    ops.CorpusOps.mixCorpus(docs)
+
+  /** Concat-then-chunk sequence packing (token-budget batch assembly);
+    * [[mixAndPack]] packs the mixed corpus in one plan.
+    */
+  def packCorpus(spark: SparkSession, sfDir: String): DataFrame =
+    ops.Packing.packSequences(spark, sfDir)
+
+  def mixAndPack(spark: SparkSession, sfDir: String): DataFrame =
+    ops.Packing.mixPack(spark, sfDir)
 }

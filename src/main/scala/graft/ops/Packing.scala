@@ -53,9 +53,18 @@ object Packing {
     val docs = graft.ops.ScaleOps.widen(Tables.documents(spark, dir))
       .select(col("doc_id"),
         size(TextOps.tokenize(col("text"))).cast("long").as("n_tokens"))
-    val parts = spark.sessionState.conf.numShufflePartitions
+    packOn(docs, Seq("doc_id"))
+  }
 
-    val ranged = docs.repartitionByRange(parts, col("doc_id"))
+  /** Width-agnostic core: exact global running sum of `n_tokens` in
+    * `orderKeys` order (keys must be jointly unique), via the two-pass
+    * prefix sum described above. Input keeps all its columns.
+    */
+  def packOn(df: DataFrame, orderKeys: Seq[String]): DataFrame = {
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val keyCols = orderKeys.map(col)
+
+    val ranged = df.repartitionByRange(parts, keyCols: _*)
       .withColumn("pid", spark_partition_id())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
@@ -65,13 +74,42 @@ object Packing {
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(col("pid"), col("poff"))
 
-    val wLocal = Window.partitionBy(col("pid")).orderBy(col("doc_id"))
+    val wLocal = Window.partitionBy(col("pid")).orderBy(keyCols: _*)
       .rowsBetween(Window.unboundedPreceding, -1)
     ranged.join(broadcast(offs), Seq("pid"))
       .withColumn("cum_before",
         col("poff") + coalesce(sum(col("n_tokens")).over(wLocal), lit(0L)))
-      .select(col("doc_id"), col("n_tokens"), col("cum_before"),
-        expr(s"cum_before div $Budget").as("seq_id"))
+      .withColumn("seq_id", expr(s"cum_before div $Budget"))
+      .drop("pid", "poff")
+  }
+
+  /** The composed finish line of the training-data pipeline: pack the
+    * MIXED corpus ([[CorpusOps.mixCorpus]] epochs) — upsampled copies are
+    * ordinary rows by construction, so packing composes with the mixture
+    * by widening the order key to (doc_id, epoch). One lazy plan: the
+    * mixture's per-row explode, a (doc_id)-keyed join attaching token
+    * counts (no text moves), then the same two-pass prefix sum.
+    */
+  def mixPack(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.ops.ScaleOps.widen(Tables.documents(spark, dir))
+    val toks = docs.select(col("doc_id"),
+      size(TextOps.tokenize(col("text"))).cast("long").as("n_tokens"))
+    val mixed = CorpusOps.mixCorpus(docs).select(col("doc_id"), col("epoch"))
+    packOn(mixed.join(toks, "doc_id"), Seq("doc_id", "epoch"))
+  }
+
+  def mixPackOracle: String = {
+    val tk = TextOps.tokenizeSql("text")
+    s"""WITH mixed AS (${CorpusOps.mixOracle}
+       |), toks AS (
+       |  SELECT doc_id, CAST(len($tk) AS BIGINT) AS n_tokens FROM documents
+       |)
+       |SELECT m.doc_id, m.epoch, t.n_tokens,
+       |  coalesce(sum(t.n_tokens) OVER (ORDER BY m.doc_id, m.epoch
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before,
+       |  coalesce(sum(t.n_tokens) OVER (ORDER BY m.doc_id, m.epoch
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // $Budget AS seq_id
+       |FROM mixed m JOIN toks t USING (doc_id)""".stripMargin
   }
 
   /** DuckDB twin — the semantic contract is the NAIVE global running sum
@@ -92,10 +130,12 @@ object Packing {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_pack_sequences" -> ((s, dir) => packSequences(s, dir))
+    "q_pack_sequences" -> ((s, dir) => packSequences(s, dir)),
+    "q_mix_pack" -> ((s, dir) => mixPack(s, dir))
   )
 
   def oracleSql: Map[String, String] = Map(
-    "q_pack_sequences" -> packOracle
+    "q_pack_sequences" -> packOracle,
+    "q_mix_pack" -> mixPackOracle
   )
 }
