@@ -21,6 +21,34 @@ class PackingSpec extends SparkSuite {
     assert(got.toSeq == naive.toSeq)
   }
 
+  test("packOn is partition-count independent: same result at 1, 3, and 17 partitions") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val docs = (1L to 997L).map(i => (i, 1L + rnd.nextInt(120).toLong))
+      .toDF("doc_id", "n_tokens")
+    val conf = spark.conf
+    val orig = conf.get("spark.sql.shuffle.partitions")
+    def run(parts: String): Seq[(Long, Long, Long)] =
+      try {
+        conf.set("spark.sql.shuffle.partitions", parts)
+        graft.ops.Packing.packOn(docs, Seq("doc_id"))
+          .orderBy("doc_id").collect()
+          .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cum_before"),
+            r.getAs[Long]("seq_id"))).toSeq
+      } finally conf.set("spark.sql.shuffle.partitions", orig)
+    val at1 = run("1")
+    assert(run("3") == at1 && run("17") == at1)
+    // and equal to the naive serial cumsum
+    val tok = docs.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    var cum = 0L
+    val naive = (1L to 997L).map { i =>
+      val row = (i, cum, cum / graft.ops.Packing.Budget)
+      cum += tok(i)
+      row
+    }
+    assert(at1 == naive)
+  }
+
   test("packing invariants: cumulative order, contiguous non-decreasing sequences") {
     val rows = Packing.packSequences(spark, Sf).orderBy("doc_id").collect()
     var cum = 0L
