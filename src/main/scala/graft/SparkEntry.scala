@@ -42,6 +42,7 @@ object SparkEntry {
       (DateParse.queries, DateParse.oracleSql),
       (CorpusOps.queries, CorpusOps.oracleSql),
       (graft.ops.Packing.queries, graft.ops.Packing.oracleSql),
+      (graft.ops.ScaleOps.queries, graft.ops.ScaleOps.oracleSql),
       (Map[String, (SparkSession, String) => DataFrame](
         "q_range_join" -> ((s, dir) => graft.streaming.Sessionize.assignEventsToSessions(s, dir))),
         Map("q_range_join" -> graft.streaming.Sessionize.assignOracle)),
