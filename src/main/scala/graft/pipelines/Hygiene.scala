@@ -30,9 +30,10 @@ import graft.text.{Analysis, Normalize, Repetition, TextOps}
   *     all-pairs, and the shuffle rows are (fingerprint, doc_id) pairs,
   *     never document text;
   *   - the funnel arithmetic (reverse-cumulative n_in) runs on the
-  *     7-row stage dimension — the only window in the plan orders a
-  *     constant-size table, so its single task is bounded by the stage
-  *     count, never the corpus.
+  *     7-row stage dimension — the only GLOBALLY-ordered window in the
+  *     plan, so its single task is bounded by the stage count, never the
+  *     corpus (the corpus-sized keep-first window is partitioned by the
+  *     fingerprint).
   *
   * Thresholds are fixture-calibrated so most stages reject a nonzero
   * share at sf0.01 (the `exact_dup` stage rejects 0 on the copy-free
