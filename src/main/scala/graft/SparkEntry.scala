@@ -44,8 +44,10 @@ object SparkEntry {
       (graft.ops.Packing.queries, graft.ops.Packing.oracleSql),
       (graft.ops.ScaleOps.queries, graft.ops.ScaleOps.oracleSql),
       (Map[String, (SparkSession, String) => DataFrame](
-        "q_range_join" -> ((s, dir) => graft.streaming.Sessionize.assignEventsToSessions(s, dir))),
-        Map("q_range_join" -> graft.streaming.Sessionize.assignOracle)),
+        "q_range_join" -> ((s, dir) => graft.streaming.Sessionize.assignEventsToSessions(s, dir)),
+        "q_session_window" -> ((s, dir) => graft.streaming.Sessionize.sessionWindowSummaries(s, dir))),
+        Map("q_range_join" -> graft.streaming.Sessionize.assignOracle,
+          "q_session_window" -> graft.streaming.Sessionize.sessionWindowOracle)),
       (Multimodal.queries, Multimodal.oracleSql)
     )
 

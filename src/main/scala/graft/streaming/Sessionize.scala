@@ -126,6 +126,57 @@ object Sessionize {
        |  ON e.user_id = s.user_id
        | AND e.ts >= s.session_start AND e.ts <= s.session_end""".stripMargin
 
+  /** Batch sessionization via Spark's NATIVE `session_window` — the
+    * idiomatic form of what [[sessionizeBatch]] hand-rolls and the
+    * stateful stream computes incrementally. One hash shuffle by
+    * `user_id`; merging runs inside each user's sorted group, parallel
+    * across users — no global state.
+    *
+    * Boundary semantics differ from [[GapMs]]'s stateful rule BY DESIGN:
+    * session windows are half-open `[start, last_ts + gap)` and merge on
+    * OVERLAP, so an event exactly `gap` after the previous one starts a
+    * NEW session (the stateful op's `<= GapMs` keeps it). The oracle
+    * mirrors the native rule (`>=` break) — fixture timestamps are
+    * microsecond-random so the two rules agree there, but the gate pins
+    * the native semantic exactly.
+    */
+  def sessionWindowSummaries(spark: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    graft.ops.ScaleOps.widen(graft.Tables.events(spark, dir))
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(floor(col("value") * 100).cast("long")).as("sum_value_cents"))
+      .select(col("user_id"),
+        col("sw").getField("start").as("session_start"),
+        col("sw").getField("end").as("session_end"),
+        col("n_events"), col("sum_value_cents"))
+  }
+
+  /** DuckDB twin: gaps-and-islands with the native break rule (`>=` gap)
+    * and `end = max(ts) + gap`.
+    */
+  def sessionWindowOracle: String =
+    s"""WITH base AS (
+       |  SELECT user_id, ts, value,
+       |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+       |  FROM events
+       |), flagged AS (
+       |  SELECT user_id, ts, value,
+       |    CASE WHEN prev_ts IS NULL
+       |              OR epoch_ms(ts) - epoch_ms(prev_ts) >= $GapMs THEN 1 ELSE 0 END AS brk
+       |  FROM base
+       |), numbered AS (
+       |  SELECT user_id, ts, value,
+       |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+       |  FROM flagged
+       |)
+       |SELECT user_id, min(ts) AS session_start,
+       |  max(ts) + INTERVAL '$GapMs' MILLISECOND AS session_end,
+       |  count(*) AS n_events,
+       |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+       |FROM numbered GROUP BY user_id, sid""".stripMargin
+
   /** Batch twin over the fixture for cross-checking: classic gap
     * sessionization via lag + cumulative session ids.
     */
