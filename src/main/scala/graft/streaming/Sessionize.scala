@@ -126,6 +126,27 @@ object Sessionize {
        |  ON e.user_id = s.user_id
        | AND e.ts >= s.session_start AND e.ts <= s.session_end""".stripMargin
 
+  /** STREAMING twin of [[sessionWindowSummaries]]: the same native
+    * `session_window` aggregate over a stream — watermark bounds how long
+    * an open session can wait for stragglers; a session emits (append
+    * mode) once the watermark passes its close. State per user is the
+    * open session's bounds — the built-in form of what
+    * [[sessionize]] maintains by hand, kept alongside it because
+    * `flatMapGroupsWithState` remains the extension point for semantics
+    * session_window cannot express (per-session custom payloads,
+    * mid-session emission).
+    */
+  def sessionWindowStream(events: org.apache.spark.sql.DataFrame,
+                          lateness: String = "1 hour"): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    events.withWatermark("ts", lateness)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        col("sw").getField("start").as("session_start"),
+        col("n_events"))
+  }
+
   /** Batch sessionization via Spark's NATIVE `session_window` — the
     * idiomatic form of what [[sessionizeBatch]] hand-rolls and the
     * stateful stream computes incrementally. One hash shuffle by

@@ -40,6 +40,27 @@ class SessionizeSpec extends SparkSuite {
     assert(u2(0).n_events == 1 && u2(0).sum_value == 5.00)
   }
 
+  test("streaming session_window: sessions emit once the watermark passes their close") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, java.sql.Timestamp)]
+    val q = Sessionize.sessionWindowStream(mem.toDF().toDF("user_id", "ts"))
+      .writeStream.format("memory").queryName("sw_stream").outputMode("append").start()
+    // user 1: two events 10 min apart (one session), then one 2 h later (new session)
+    mem.addData((1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-01 10:10:00")))
+    q.processAllAvailable()
+    mem.addData((1L, ts("2024-01-01 12:00:00")))
+    q.processAllAvailable()
+    mem.addData((9L, ts("2024-01-02 00:00:00"))) // advance watermark far past both
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.sql("SELECT user_id, session_start, n_events FROM sw_stream")
+      .collect().filter(_.getLong(0) == 1L)
+      .map(r => r.getTimestamp(1) -> r.getLong(2)).toMap
+    assert(out == Map(ts("2024-01-01 10:00:00") -> 2L, ts("2024-01-01 12:00:00") -> 1L))
+  }
+
   test("batch twin sessionizes the fixture with positive session lengths") {
     val s = Sessionize.sessionizeBatch(spark, Sf).cache()
     assert(s.count() > 0)
