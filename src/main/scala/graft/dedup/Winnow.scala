@@ -47,50 +47,125 @@ object Winnow {
 
   /** Doc pairs sharing ≥ [[MinShared]] rare fingerprints, with the count —
     * the match-candidate report a plagiarism pipeline hands to alignment.
+    *
+    * EXACT-COPY COLLAPSE (same discipline as
+    * [[Dedup.MinHashLSH.nearDupPairsOn]], but here it protects RECALL,
+    * not just cost): identical documents share every fingerprint, so a
+    * copy group of size g both (a) multiplies pair work by g² and —
+    * worse — (b) inflates every one of its fingerprints' doc counts by
+    * g, pushing genuinely RARE fingerprints over the [[MaxDocsPerFp]]
+    * ubiquity cap: on a corpus where each doc has ~10 copies, every
+    * fingerprint looks ubiquitous and the report silently empties.
+    * Collapsing identical fingerprint arrays to one representative makes
+    * rarity mean "across distinct contents" (the intent of the cap —
+    * boilerplate is boilerplate because many DIFFERENT documents carry
+    * it), keeps pair work at unique-content size, and re-expands
+    * member pairs afterwards: within a copy group every pair shares all
+    * of the representative's rare fingerprints; across groups the pair
+    * shares exactly what the representatives share.
     */
   def sharedPairs(spark: SparkSession, dir: String): DataFrame = {
-    val fps = fingerprints(spark, dir)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val rare = fps.groupBy(col("fp")).agg(count(lit(1)).as("ndocs"))
+    import org.apache.spark.sql.expressions.Window
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val docsFps = graft.ops.ScaleOps.widen(Tables.documents(spark, dir))
+      .select(col("doc_id"), winnowCol(col("text")).as("fps"))
+      .filter(size(col("fps")) > 0)
+    val withRep = docsFps
+      .withColumn("rep", min(col("doc_id")).over(Window.partitionBy(col("fps"))))
+      .persist(lvl)
+    val membership = withRep.select(col("rep"), col("doc_id"))
+    val uniq = withRep.filter(col("doc_id") === col("rep"))
+      .select(col("doc_id"), explode(col("fps")).as("fp"))
+    val rare = uniq.groupBy(col("fp")).agg(count(lit(1)).as("ndocs"))
       .filter(col("ndocs") <= MaxDocsPerFp)
       .select(col("fp"))
-    val kept = fps.join(rare, "fp")
-    kept.as("a").join(kept.as("b"),
+    val kept = uniq.join(rare, "fp").persist(lvl)
+    val repPairs = kept.as("a").join(kept.as("b"),
         col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= MinShared)
+    // cross-group expansion (groups disjoint: least/greatest re-orients)
+    val cross = repPairs
+      .join(membership.select(col("rep").as("doc_a"), col("doc_id").as("ma")), "doc_a")
+      .join(membership.select(col("rep").as("doc_b"), col("doc_id").as("mb")), "doc_b")
+      .select(least(col("ma"), col("mb")).as("doc_a"),
+        greatest(col("ma"), col("mb")).as("doc_b"), col("shared"))
+    // within-group pairs share ALL of the representative's rare fps
+    val repCounts = kept.groupBy(col("doc_id").as("rep")).agg(count(lit(1)).as("nrare"))
+    val intra = membership.as("ma").join(membership.as("mb"),
+        col("ma.rep") === col("mb.rep") && col("ma.doc_id") < col("mb.doc_id"))
+      .select(col("ma.rep").as("rep"), col("ma.doc_id").as("doc_a"), col("mb.doc_id").as("doc_b"))
+      .join(repCounts, "rep")
+      .filter(col("nrare") >= MinShared)
+      .select(col("doc_a"), col("doc_b"), col("nrare").as("shared"))
+    cross.unionByName(intra)
   }
 
-  private def fpsCte: String = {
+  /** CTE chain ending in `arr(doc_id, fps)` — the per-doc DISTINCT
+    * fingerprint ARRAY (pre-unnest form; the collapse groups on it).
+    */
+  private def fpArrCte: String = {
     val kh = WinnowHashes.sql("text")
     s"""WITH kh AS (
        |  SELECT doc_id, $kh AS kh FROM documents
        |), p AS (
        |  SELECT doc_id, kh, least(${WinnowHashes.DefaultW}, len(kh)) AS ww
        |  FROM kh WHERE len(kh) > 0
-       |), fps AS (
-       |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(kh) - ww + 2), s ->
+       |), arr AS (
+       |  SELECT doc_id, list_distinct(list_transform(range(1, len(kh) - ww + 2), s ->
        |    kh[s - 1 + list_max(list_transform(range(1, ww + 1), j ->
        |      CASE WHEN kh[s + j - 1] = list_min(kh[s : s + ww - 1]) THEN j ELSE 0 END))]
-       |  ))) AS fp
+       |  )) AS fps
        |  FROM p
        |)""".stripMargin
   }
+
+  private def fpsCte: String =
+    s"""$fpArrCte, fps AS (
+       |  SELECT doc_id, unnest(fps) AS fp FROM arr
+       |)""".stripMargin
 
   def fingerprintsOracle: String =
     s"""$fpsCte
        |SELECT doc_id, fp FROM fps""".stripMargin
 
+  /** Mirrors the collapsed plan: group identical fingerprint ARRAYS
+    * (md5 of the comma-joined list = element-wise array equality,
+    * matching Spark's partition-by-array), measure rarity over
+    * representatives, pair reps, expand members, add within-group pairs.
+    */
   def sharedPairsOracle: String =
-    s"""$fpsCte, rare AS (
-       |  SELECT fp FROM fps GROUP BY fp HAVING count(*) <= $MaxDocsPerFp
+    s"""$fpArrCte, grp AS (
+       |  SELECT doc_id, fps,
+       |    min(doc_id) OVER (PARTITION BY md5(array_to_string(fps, ','))) AS rep
+       |  FROM arr WHERE len(fps) > 0
+       |), uniq AS (
+       |  SELECT doc_id, unnest(fps) AS fp FROM grp WHERE doc_id = rep
+       |), rare AS (
+       |  SELECT fp FROM uniq GROUP BY fp HAVING count(*) <= $MaxDocsPerFp
        |), kept AS (
-       |  SELECT f.doc_id, f.fp FROM fps f JOIN rare USING (fp)
+       |  SELECT u.doc_id, u.fp FROM uniq u JOIN rare USING (fp)
+       |), rep_pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+       |  FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2 HAVING count(*) >= $MinShared
+       |), cross_pairs AS (
+       |  SELECT least(ma.doc_id, mb.doc_id) AS doc_a,
+       |         greatest(ma.doc_id, mb.doc_id) AS doc_b, p.shared
+       |  FROM rep_pairs p
+       |  JOIN grp ma ON ma.rep = p.doc_a
+       |  JOIN grp mb ON mb.rep = p.doc_b
+       |), rep_counts AS (
+       |  SELECT doc_id AS rep, count(*) AS nrare FROM kept GROUP BY doc_id
+       |), intra_pairs AS (
+       |  SELECT ma.doc_id AS doc_a, mb.doc_id AS doc_b, c.nrare AS shared
+       |  FROM grp ma JOIN grp mb ON ma.rep = mb.rep AND ma.doc_id < mb.doc_id
+       |  JOIN rep_counts c ON c.rep = ma.rep
+       |  WHERE c.nrare >= $MinShared
        |)
-       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
-       |FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
-       |GROUP BY 1, 2 HAVING count(*) >= $MinShared""".stripMargin
+       |SELECT doc_a, doc_b, shared FROM cross_pairs
+       |UNION ALL SELECT doc_a, doc_b, shared FROM intra_pairs""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_winnow" -> ((s, dir) => fingerprints(s, dir)),

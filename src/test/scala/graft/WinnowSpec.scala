@@ -77,4 +77,51 @@ class WinnowSpec extends SparkSuite {
       s"expected exactly the planted (1,2) pair, got ${pairs.toSeq}")
     assert(pairs.head._3 >= Winnow.MinShared)
   }
+
+  test("exact-copy collapse: copies neither inflate the ubiquity cap nor vanish from the report") {
+    import spark.implicits._
+    def soup(seed: Int, n: Int) = {
+      val r = new scala.util.Random(seed)
+      (1 to n).map(_ => ('a' + r.nextInt(26)).toChar).mkString
+    }
+    val baseA = soup(11, 260)                 // unique content A
+    val docB = baseA.take(200) + soup(12, 90) // shares a 200-char run with A
+    val dir = java.nio.file.Files.createTempDirectory("graft-winnow-cp").toString
+    // doc 1 = A, docs 100-108 = NINE byte-identical copies of A, doc 2 = B.
+    // Raw-doc rarity would see A's fingerprints in 10-11 docs > cap 8 and
+    // silently drop every pair; collapsed rarity counts distinct contents
+    // (2), keeping the report intact.
+    val rows = Seq(1L -> baseA, 2L -> docB) ++ (100L to 108L).map(_ -> baseA)
+    rows.toDF("doc_id", "text")
+      .select(col("doc_id"), col("text"), lit("en").as("lang"),
+        lit("src0").as("source"), length(col("text")).cast("long").as("n_chars"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val pairs = Winnow.sharedPairs(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    val copyIds = Seq(1L) ++ (100L to 108L)
+    // every copy pair reported (45 intra pairs), all with the same count
+    val intraExpected = (for {
+      a <- copyIds; b <- copyIds if a < b
+    } yield (a, b)).toSet
+    assert(intraExpected.subsetOf(pairs.keySet),
+      s"missing copy pairs: ${(intraExpected -- pairs.keySet).take(5)}")
+    assert(intraExpected.map(pairs).size == 1, "intra-group counts must be identical")
+    // the cross-content (A, B) pair survives for EVERY copy of A
+    copyIds.foreach { a =>
+      val key = if (a < 2L) (a, 2L) else (2L, a)
+      assert(pairs.contains(key), s"copy $a lost its pair with B")
+    }
+    // the naive uncollapsed rarity (over raw docs) caps away every
+    // SHARED fingerprint (each appears in 10-11 raw docs), so the naive
+    // pair join reports NOTHING — the hazard the collapse prevents
+    val fps = Winnow.fingerprints(spark, dir)
+    val rareNaive = fps.groupBy(col("fp")).agg(count(lit(1)).as("n"))
+      .filter(col("n") <= Winnow.MaxDocsPerFp).select("fp")
+    val keptNaive = fps.join(rareNaive, "fp")
+    val naivePairs = keptNaive.as("a").join(keptNaive.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id")).count()
+    assert(naivePairs == 0L,
+      "test premise: raw-doc rarity must lose every shared fingerprint here")
+  }
 }
