@@ -44,7 +44,11 @@ object Boilerplate {
   val SegTokens = 5
 
   /** A segment is boilerplate when it appears in at least this many
-    * DISTINCT documents.
+    * DISTINCT document CONTENTS (not raw doc ids: a document with many
+    * byte-identical copies would otherwise make its every segment look
+    * recurring and be stripped to nothing — the same copy-inflation
+    * hazard the winnow pair report guards against; boilerplate is
+    * boilerplate because many DIFFERENT documents carry it).
     */
   val MinDocs = 3
 
@@ -66,11 +70,13 @@ object Boilerplate {
   def lineDedup(spark: SparkSession, dir: String): DataFrame = {
     val docs = graft.ops.ScaleOps.widen(Tables.documents(spark, dir))
     val segs = docs
-      .select(col("doc_id"), TextOps.tokenize(col("text")).as("tk"))
-      .select(col("doc_id"), posexplode(segmentsOf(col("tk"))).as(Seq("pos", "seg")))
+      .select(col("doc_id"), md5(col("text")).as("content_fp"),
+        TextOps.tokenize(col("text")).as("tk"))
+      .select(col("doc_id"), col("content_fp"),
+        posexplode(segmentsOf(col("tk"))).as(Seq("pos", "seg")))
       .withColumn("h", md5(col("seg")))
 
-    val boiler = segs.select(col("h"), col("doc_id")).distinct()
+    val boiler = segs.select(col("h"), col("content_fp")).distinct()
       .groupBy(col("h")).agg(count(lit(1)).as("ndocs"))
       .filter(col("ndocs") >= MinDocs)
       .select(col("h"), lit(true).as("is_boiler"))
@@ -94,18 +100,18 @@ object Boilerplate {
   def lineDedupOracle: String = {
     val tk = TextOps.tokenizeSql("text")
     s"""WITH toks AS (
-       |  SELECT doc_id, $tk AS tk FROM documents
+       |  SELECT doc_id, text, $tk AS tk FROM documents
        |), segx AS (
-       |  SELECT doc_id, unnest(
+       |  SELECT doc_id, md5(text) AS content_fp, unnest(
        |    CASE WHEN len(tk) > 0 THEN
        |      list_transform(range(0, (len(tk) - 1) // $SegTokens + 1),
        |        i -> {'pos': i, 'seg': array_to_string(tk[i*$SegTokens+1 : i*$SegTokens+$SegTokens], ' ')})
        |    ELSE [] END) AS u
        |  FROM toks
        |), segs AS (
-       |  SELECT doc_id, u.pos AS pos, u.seg AS seg, md5(u.seg) AS h FROM segx
+       |  SELECT doc_id, content_fp, u.pos AS pos, u.seg AS seg, md5(u.seg) AS h FROM segx
        |), boiler AS (
-       |  SELECT h FROM (SELECT DISTINCT h, doc_id FROM segs)
+       |  SELECT h FROM (SELECT DISTINCT h, content_fp FROM segs)
        |  GROUP BY h HAVING count(*) >= $MinDocs
        |)
        |SELECT s.doc_id,

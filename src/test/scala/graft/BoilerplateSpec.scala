@@ -51,4 +51,23 @@ class BoilerplateSpec extends SparkSuite {
     assert(out(4L)._2 == 0L)
     assert(out(4L)._3 == "totally original text with no shared segments at all ok")
   }
+
+  test("copies of one document do not turn its segments into boilerplate") {
+    import spark.implicits._
+    val unique = "totally original words that exist nowhere else in corpus body"
+    // doc 1 plus four byte-identical copies: raw-doc counting would see
+    // every segment in 5 "documents" >= MinDocs and strip doc 1 empty
+    val docs = (Seq(1L, 11L, 12L, 13L, 14L).map(_ -> unique) :+
+      (2L -> "different content entirely here with its own words okay"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-boiler-cp").toString
+    docs.select(col("doc_id"), col("text"), lit("en").as("lang"),
+        lit("src0").as("source"), length(col("text")).cast("long").as("n_chars"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Boilerplate.lineDedup(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((0L, unique)), "copy inflation must not strip the doc")
+    assert(out(11L) == ((0L, unique)))
+    assert(out(2L)._1 == 0L)
+  }
 }
