@@ -221,7 +221,77 @@ object Relational {
     spark.sql(ExistsSql)
   }
 
+  /** Exact distributed second-moment statistics — grouped covariance /
+    * correlation WITHOUT floating-point order-dependence. Spark's native
+    * `corr`/`covar_samp` stream doubles, so partial-aggregation order
+    * changes the last ulps and no cross-engine (or even cross-run-plan)
+    * hash can gate them. Instead the five moments are summed as EXACT
+    * integers over cent-quantized inputs — order-independent under any
+    * parallelism — widened to decimal(38,0) because Σx² at 100 TB row
+    * counts overflows a long (price_cents² ≈ 10¹⁴ per row). The final
+    * correlation is ONE identical expression over identical decimals on
+    * both engines:  (nΣxy − ΣxΣy) / √((nΣx² − (Σx)²)(nΣy² − (Σy)²)),
+    * rounded at 6 places. The moments themselves are also emitted — they
+    * are the mergeable state a moment sketch would checkpoint.
+    */
+  def qMomentStats(spark: SparkSession, dir: String): DataFrame = {
+    // floor, not cast: Spark's double→long cast truncates toward zero
+    // while DuckDB's rounds half-even — floor(x·100) is the one shared
+    // quantization both engines state identically (house discipline)
+    val x = floor(col("l_quantity") * 100).cast("long")      // qty cents
+    val y = floor(col("l_extendedprice") * 100).cast("long") // price cents
+    val d = "decimal(38,0)"
+    val m = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), x.as("x"), y.as("y"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast(d)).as("sx"), sum(col("y").cast(d)).as("sy"),
+        sum((col("x") * col("x")).cast(d)).as("sxx"),
+        sum((col("y") * col("y")).cast(d)).as("syy"),
+        sum((col("x") * col("y")).cast(d)).as("sxy"))
+    val n = col("n").cast(d)
+    val cov = (n * col("sxy") - col("sx") * col("sy")).cast("double")
+    val vx = (n * col("sxx") - col("sx") * col("sx")).cast("double")
+    val vy = (n * col("syy") - col("sy") * col("sy")).cast("double")
+    m.select(col("l_returnflag"), col("n"),
+      col("sx"), col("sy"), col("sxx"), col("syy"), col("sxy"),
+      round(cov / sqrt(vx * vy), 6).as("corr_qty_price"))
+  }
+
+  /** The oracle does the same exact-integer algebra in HUGEINT (int128 —
+    * DuckDB's decimal multiply caps combined width at 38, HUGEINT holds
+    * every moment product here: n·Σxy ≈ 10²⁴, ΣxΣy ≈ 10³⁰ ≪ 2¹²⁷);
+    * output moments are cast to DECIMAL(38,0) to match Spark's column
+    * type, and both engines round the same exact integers through the
+    * same correctly-rounded int→double conversion before the identical
+    * final expression.
+    */
+  def momentOracle: String =
+    s"""WITH q AS (
+       |  SELECT l_returnflag,
+       |    CAST(floor(l_quantity * 100) AS BIGINT) AS x,
+       |    CAST(floor(l_extendedprice * 100) AS BIGINT) AS y
+       |  FROM lineitem
+       |), m AS (
+       |  SELECT l_returnflag, count(*) AS n,
+       |    CAST(sum(x) AS HUGEINT) AS hsx, CAST(sum(y) AS HUGEINT) AS hsy,
+       |    CAST(sum(x * x) AS HUGEINT) AS hsxx,
+       |    CAST(sum(y * y) AS HUGEINT) AS hsyy,
+       |    CAST(sum(x * y) AS HUGEINT) AS hsxy
+       |  FROM q GROUP BY l_returnflag
+       |)
+       |SELECT l_returnflag, n,
+       |  CAST(hsx AS DECIMAL(38,0)) AS sx, CAST(hsy AS DECIMAL(38,0)) AS sy,
+       |  CAST(hsxx AS DECIMAL(38,0)) AS sxx, CAST(hsyy AS DECIMAL(38,0)) AS syy,
+       |  CAST(hsxy AS DECIMAL(38,0)) AS sxy,
+       |  round(CAST(CAST(n AS HUGEINT) * hsxy - hsx * hsy AS DOUBLE)
+       |    / sqrt(CAST(CAST(n AS HUGEINT) * hsxx - hsx * hsx AS DOUBLE)
+       |         * CAST(CAST(n AS HUGEINT) * hsyy - hsy * hsy AS DOUBLE)), 6)
+       |    AS corr_qty_price
+       |FROM m""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_moment_stats"     -> ((s, dir) => qMomentStats(s, dir)),
     "q_exists_subquery"  -> ((s, dir) => qExistsSubquery(s, dir)),
     "q1_pricing_summary" -> ((s, dir) => q1PricingSummary(s, dir)),
     "q3_top_revenue"     -> ((s, dir) => q3TopRevenue(s, dir)),
@@ -231,6 +301,7 @@ object Relational {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_moment_stats"     -> momentOracle,
     "q_exists_subquery"  -> ExistsSql,
     "q1_pricing_summary" -> q1Oracle,
     "q3_top_revenue"     -> q3Oracle,
