@@ -208,4 +208,16 @@ object Graft {
 
   def mixAndPack(spark: SparkSession, sfDir: String): DataFrame =
     ops.Packing.mixPack(spark, sfDir)
+
+  /** Exact grouped second-moment statistics (covariance/correlation from
+    * integer moments — order-independent, mergeable).
+    */
+  def momentStats(spark: SparkSession, sfDir: String): DataFrame =
+    ops.Relational.qMomentStats(spark, sfDir)
+
+  /** Native session-window sessionization (batch; streaming twin:
+    * `streaming.Sessionize.sessionWindowStream`).
+    */
+  def sessionize(spark: SparkSession, sfDir: String): DataFrame =
+    streaming.Sessionize.sessionWindowSummaries(spark, sfDir)
 }
