@@ -17,18 +17,23 @@ import graft.plans.WinnowHashes
   * Scale shape:
   *   - fingerprinting is per-row codegen'd ([[WinnowHashes]]), linear in
   *     the scan, no shuffle;
-  *   - the pair join first drops fingerprints present in more than
-  *     [[MaxDocsPerFp]] documents (ubiquitous boilerplate hashes — the
-  *     exact analogue of a stopword list, and the bound that keeps
-  *     per-fingerprint groups, hence candidate pairs, O(MaxDocsPerFp²)
-  *     instead of corpus²);
-  *   - surviving (fp → doc list) groups pair-join within the group and
-  *     aggregate per pair — work ∝ Σ group², bounded by the cap.
+  *   - identical fingerprint arrays collapse to one representative
+  *     BEFORE anything else (see [[sharedPairs]] — protects both cost
+  *     and recall under byte-identical copies);
+  *   - the pair join then drops fingerprints present in more than
+  *     [[MaxDocsPerFp]] DISTINCT CONTENTS (ubiquitous boilerplate
+  *     hashes — the exact analogue of a stopword list, and the bound
+  *     that keeps per-fingerprint groups, hence candidate pairs,
+  *     O(MaxDocsPerFp²) instead of corpus²);
+  *   - surviving (fp → rep list) groups pair-join within the group,
+  *     aggregate per pair — work ∝ Σ group², bounded by the cap — and
+  *     expand back to member pairs.
   */
 object Winnow {
 
-  /** Drop fingerprints appearing in more than this many docs (ubiquity
-    * cap — bounds pair-join group size).
+  /** Drop fingerprints appearing in more than this many DISTINCT document
+    * contents (ubiquity cap — bounds pair-join group size; counted after
+    * the exact-copy collapse so copies cannot inflate it).
     */
   val MaxDocsPerFp = 8
 
