@@ -377,6 +377,37 @@ object CorpusOps {
        |)
        |SELECT doc_id, source FROM r WHERE rn <= $SourceCap""".stripMargin
 
+  // ---- incremental distinct-term sketches (mergeable vocab stats) ----
+
+  /** Per-batch HLL sketches of the term set, mergeable across batches —
+    * the incremental form of [[vocabStats]]'s distinct counts: a corpus
+    * that arrives in ingestion cycles keeps ONE small sketch per (lang,
+    * batch) and answers "distinct terms so far" by union, never
+    * re-scanning history (the same every-cycle shape as the X42
+    * incremental dedup and X5c index serve). Sketches are Spark's
+    * DataSketches HLL (`hll_sketch_agg`) — a few KB each regardless of
+    * corpus size, exactly what a stats checkpoint table stores per batch.
+    */
+  def vocabSketchPerBatch(docs: DataFrame, batchMod: Int = 4): DataFrame =
+    docs
+      .select(col("lang"), (col("doc_id") % batchMod).as("batch"),
+        explode(TextOps.tokenize(col("text"))).as("term"))
+      .groupBy(col("lang"), col("batch"))
+      .agg(hll_sketch_agg(col("term")).as("sketch"),
+        count(lit(1)).as("n_tokens"))
+
+  /** Merge the per-batch sketches to per-lang totals: `hll_union_agg`
+    * over the sketch column + the estimate. The merge reads ONLY the
+    * sketch table (rows = langs × batches), never the corpus.
+    */
+  def vocabSketchMerged(perBatch: DataFrame): DataFrame =
+    perBatch.groupBy(col("lang"))
+      .agg(hll_union_agg(col("sketch")).as("sketch"),
+        sum(col("n_tokens")).as("n_tokens"))
+      .select(col("lang"),
+        hll_sketch_estimate(col("sketch")).as("distinct_terms_est"),
+        col("n_tokens"))
+
   // ---- data-mixture materialization (per-source up/downsampling) ----
 
   /** Per-source mixture rate in PERCENT of one epoch: 300 = 3 full

@@ -117,6 +117,29 @@ class CorpusOpsSpec extends SparkSuite {
     assert(out(2L) == ((3L, 3L, 1.0)))
   }
 
+  test("vocab sketches: batch union estimates equal the one-shot sketch, near exact counts") {
+    val docs = spark.read.parquet(s"$Sf/documents.parquet")
+    val merged = CorpusOps.vocabSketchMerged(CorpusOps.vocabSketchPerBatch(docs))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // one-shot sketch over the whole corpus (no batching) — union of the
+    // per-batch sketches must estimate identically (mergeability)
+    val oneShot = docs
+      .select(col("lang"), explode(graft.text.TextOps.tokenize(col("text"))).as("term"))
+      .groupBy(col("lang"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("term"))).as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(merged == oneShot, "batch-unioned sketches must match the one-shot sketch")
+    // and land within 5% of the exact distinct counts
+    val exact = docs
+      .select(col("lang"), explode(graft.text.TextOps.tokenize(col("text"))).as("term"))
+      .groupBy(col("lang")).agg(countDistinct(col("term")).as("d"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (lang, d) =>
+      val est = merged(lang).toDouble
+      assert(math.abs(est - d) / d <= 0.05, s"$lang: est $est vs exact $d")
+    }
+  }
+
   test("mixCorpus: epochs materialize rate div 100 copies plus a deterministic fraction") {
     val docs = spark.read.parquet(s"$Sf/documents.parquet")
     val out = CorpusOps.mixCorpus(docs)
