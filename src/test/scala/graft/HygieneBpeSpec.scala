@@ -47,6 +47,22 @@ class HygieneBpeSpec extends SparkSuite {
     assert(rows.last.getLong(4) == 2L)
   }
 
+  test("html extraction: comments, script/style blocks, tags, entities — in order") {
+    import spark.implicits._
+    val cases = Seq(
+      "<p>hello <b>world</b></p>" -> "hello world",
+      "<!-- <p>commented tag must not leak</p> -->ok" -> "ok",
+      "<script>var x = '<p>not text</p>';</script>after" -> "after",
+      "<style>p { color: red }</style>text" -> "text",
+      "a &amp; b &lt;kept&gt;" -> "a & b <kept>",
+      "  spaced   out  " -> "spaced out")
+    val out = cases.map(_._1).toDF("html")
+      .select(graft.text.Html.extractText(col("html"))).as[String].collect()
+    out.zip(cases.map(_._2)).foreach { case (got, want) =>
+      assert(got == want, s"got '$got', want '$want'")
+    }
+  }
+
   test("bpe pairs: weighted by word frequency, multiplicity preserved, deterministic order") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("bpe-spec").toString
