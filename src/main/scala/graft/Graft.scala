@@ -220,4 +220,10 @@ object Graft {
     */
   def sessionize(spark: SparkSession, sfDir: String): DataFrame =
     streaming.Sessionize.sessionWindowSummaries(spark, sfDir)
+
+  /** HTML → clean text with the markup-density report — the extraction
+    * step ahead of every text filter.
+    */
+  def extractHtml(spark: SparkSession, sfDir: String): DataFrame =
+    text.Html.extraction(spark, sfDir)
 }
