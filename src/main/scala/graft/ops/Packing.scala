@@ -105,16 +105,19 @@ object Packing {
        |  SELECT doc_id, CAST(len($tk) AS BIGINT) AS n_tokens FROM documents
        |)
        |SELECT m.doc_id, m.epoch, t.n_tokens,
-       |  coalesce(sum(t.n_tokens) OVER (ORDER BY m.doc_id, m.epoch
-       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before,
-       |  coalesce(sum(t.n_tokens) OVER (ORDER BY m.doc_id, m.epoch
-       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // $Budget AS seq_id
+       |  CAST(coalesce(sum(t.n_tokens) OVER (ORDER BY m.doc_id, m.epoch
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before,
+       |  CAST(coalesce(sum(t.n_tokens) OVER (ORDER BY m.doc_id, m.epoch
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // $Budget AS BIGINT) AS seq_id
        |FROM mixed m JOIN toks t USING (doc_id)""".stripMargin
   }
 
   /** DuckDB twin — the semantic contract is the NAIVE global running sum
     * (single-node, so the window is fine there); the Spark side must
-    * reproduce it exactly from partition-local arithmetic.
+    * reproduce it exactly from partition-local arithmetic. DuckDB widens
+    * `sum(BIGINT) OVER` to HUGEINT (and `//` keeps the width), so both
+    * window expressions CAST back to BIGINT to keep the gated schema
+    * int64 on both engines.
     */
   def packOracle: String = {
     val tk = TextOps.tokenizeSql("text")
@@ -122,10 +125,10 @@ object Packing {
        |  SELECT doc_id, CAST(len($tk) AS BIGINT) AS n_tokens FROM documents
        |)
        |SELECT doc_id, n_tokens,
-       |  coalesce(sum(n_tokens) OVER (ORDER BY doc_id
-       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before,
-       |  coalesce(sum(n_tokens) OVER (ORDER BY doc_id
-       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // $Budget AS seq_id
+       |  CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before,
+       |  CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // $Budget AS BIGINT) AS seq_id
        |FROM toks""".stripMargin
   }
 

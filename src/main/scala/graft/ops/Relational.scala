@@ -228,11 +228,15 @@ object Relational {
     * hash can gate them. Instead the five moments are summed as EXACT
     * integers over cent-quantized inputs — order-independent under any
     * parallelism — widened to decimal(38,0) because Σx² at 100 TB row
-    * counts overflows a long (price_cents² ≈ 10¹⁴ per row). The final
-    * correlation is ONE identical expression over identical decimals on
-    * both engines:  (nΣxy − ΣxΣy) / √((nΣx² − (Σx)²)(nΣy² − (Σy)²)),
-    * rounded at 6 places. The moments themselves are also emitted — they
-    * are the mergeable state a moment sketch would checkpoint.
+    * counts overflows a long (price_cents² ≈ 10¹⁴ per row). The gated
+    * output is ONLY these exact integers: the derived correlation
+    * involves round(DOUBLE) whose half-way behavior is not contractually
+    * identical across engines (Spark rounds the exact binary double via
+    * BigDecimal HALF_UP; DuckDB rounds in floating point), and an exact
+    * integer corr² would need ~10⁴⁰ — past int128. [[qMomentCorr]]
+    * derives the double from the gated moments and is asserted in
+    * RelationalSpec instead. The moments are the mergeable state a
+    * moment sketch would checkpoint.
     */
   def qMomentStats(spark: SparkSession, dir: String): DataFrame = {
     // floor, not cast: Spark's double→long cast truncates toward zero
@@ -241,7 +245,7 @@ object Relational {
     val x = floor(col("l_quantity") * 100).cast("long")      // qty cents
     val y = floor(col("l_extendedprice") * 100).cast("long") // price cents
     val d = "decimal(38,0)"
-    val m = Tables.lineitem(spark, dir)
+    Tables.lineitem(spark, dir)
       .select(col("l_returnflag"), x.as("x"), y.as("y"))
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n"),
@@ -249,22 +253,31 @@ object Relational {
         sum((col("x") * col("x")).cast(d)).as("sxx"),
         sum((col("y") * col("y")).cast(d)).as("syy"),
         sum((col("x") * col("y")).cast(d)).as("sxy"))
+  }
+
+  /** Pearson correlation derived from [[qMomentStats]]'s exact moments:
+    * (nΣxy − ΣxΣy) / √((nΣx² − (Σx)²)(nΣy² − (Σy)²)). Deterministic
+    * given the moments (plain scalar arithmetic, no aggregation order),
+    * but a DOUBLE — so it lives outside the hash gate and is asserted
+    * against known fixtures in RelationalSpec.
+    */
+  def qMomentCorr(spark: SparkSession, dir: String): DataFrame = {
+    val d = "decimal(38,0)"
+    val m = qMomentStats(spark, dir)
     val n = col("n").cast(d)
     val cov = (n * col("sxy") - col("sx") * col("sy")).cast("double")
     val vx = (n * col("sxx") - col("sx") * col("sx")).cast("double")
     val vy = (n * col("syy") - col("sy") * col("sy")).cast("double")
     m.select(col("l_returnflag"), col("n"),
       col("sx"), col("sy"), col("sxx"), col("syy"), col("sxy"),
-      round(cov / sqrt(vx * vy), 6).as("corr_qty_price"))
+      (cov / sqrt(vx * vy)).as("corr_qty_price"))
   }
 
   /** The oracle does the same exact-integer algebra in HUGEINT (int128 —
     * DuckDB's decimal multiply caps combined width at 38, HUGEINT holds
-    * every moment product here: n·Σxy ≈ 10²⁴, ΣxΣy ≈ 10³⁰ ≪ 2¹²⁷);
-    * output moments are cast to DECIMAL(38,0) to match Spark's column
-    * type, and both engines round the same exact integers through the
-    * same correctly-rounded int→double conversion before the identical
-    * final expression.
+    * every moment product here: Σy² ≈ 10¹⁸·rows ≪ 2¹²⁷); output moments
+    * are cast to DECIMAL(38,0) to match Spark's column type. No floating
+    * column in the gated output (see [[qMomentStats]]).
     */
   def momentOracle: String =
     s"""WITH q AS (
@@ -283,11 +296,7 @@ object Relational {
        |SELECT l_returnflag, n,
        |  CAST(hsx AS DECIMAL(38,0)) AS sx, CAST(hsy AS DECIMAL(38,0)) AS sy,
        |  CAST(hsxx AS DECIMAL(38,0)) AS sxx, CAST(hsyy AS DECIMAL(38,0)) AS syy,
-       |  CAST(hsxy AS DECIMAL(38,0)) AS sxy,
-       |  round(CAST(CAST(n AS HUGEINT) * hsxy - hsx * hsy AS DOUBLE)
-       |    / sqrt(CAST(CAST(n AS HUGEINT) * hsxx - hsx * hsx AS DOUBLE)
-       |         * CAST(CAST(n AS HUGEINT) * hsyy - hsy * hsy AS DOUBLE)), 6)
-       |    AS corr_qty_price
+       |  CAST(hsxy AS DECIMAL(38,0)) AS sxy
        |FROM m""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -21,6 +21,39 @@ class SparkEntrySpec extends SparkSuite {
     assert(empty.isEmpty, s"queries with empty smoke results: $empty")
   }
 
+  test("gated schemas carry no floating-point column unless whitelisted") {
+    // The driver's hash gate is type- and bit-sensitive; a DOUBLE in a
+    // gated output is only safe when both engines derive it from exact
+    // integers through one identical expression (no rounding of
+    // engine-streamed aggregates, no round(DOUBLE, n)). Each whitelist
+    // entry documents why its doubles are bit-stable; anything new
+    // must either stay integer or argue its way in here.
+    val whitelisted: Set[String] = Set(
+      // TPC-H money/ratio aggregates: both engines sum the same parquet
+      // doubles; green since r1 and kept under watch rather than frozen
+      "q1_pricing_summary", "q3_top_revenue", "q5_local_volume",
+      "q14_promo_share", "q_events_json",
+      // ratios of exact integer counts through one identical division —
+      // no rounding, no streamed-double aggregation
+      "q_text_quality", "q_repetition", "q_html_extract", "q_lm_surprisal",
+      "q_dedup_chargram", "q_dedup_neardup",
+      // similarity scores: identical dot-product expressions over the
+      // same float32 inputs, evaluated per-row (order-free)
+      "q_embedding_neardup", "q_mean_embedding", "q_similarity_ivf",
+      "q_similarity_ivfpq", "q_similarity_ivfpq_apply", "q_similarity_topk")
+    import org.apache.spark.sql.types.{DoubleType, FloatType}
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) if !whitelisted(name) =>
+        val floats = fn(spark, Sf).schema.fields.collect {
+          case f if f.dataType == DoubleType || f.dataType == FloatType => f.name
+        }
+        if (floats.nonEmpty) Some(s"$name: ${floats.mkString(",")}") else None
+      case _ => None
+    }
+    assert(offenders.isEmpty,
+      s"floating-point columns in gated outputs:\n  ${offenders.mkString("\n  ")}")
+  }
+
   test("query names are unique across module registries (no silent overwrite)") {
     // Map ++ would mask a duplicate key; recompute with collision detection
     val perModule = Seq(
