@@ -75,8 +75,12 @@ object Winnow {
     val docsFps = graft.ops.ScaleOps.widen(Tables.documents(spark, dir))
       .select(col("doc_id"), winnowCol(col("text")).as("fps"))
       .filter(size(col("fps")) > 0)
+    // collapse key = md5 of the canonical array rendering (what the
+    // oracle groups on too): the exchange partitions/sorts on a 16-byte
+    // fixed-width key instead of comparing whole fingerprint arrays
+    val fpsKey = md5(concat_ws(",", col("fps").cast("array<string>")))
     val withRep = docsFps
-      .withColumn("rep", min(col("doc_id")).over(Window.partitionBy(col("fps"))))
+      .withColumn("rep", min(col("doc_id")).over(Window.partitionBy(fpsKey)))
       .persist(lvl)
     val membership = withRep.select(col("rep"), col("doc_id"))
     val uniq = withRep.filter(col("doc_id") === col("rep"))
@@ -135,10 +139,10 @@ object Winnow {
     s"""$fpsCte
        |SELECT doc_id, fp FROM fps""".stripMargin
 
-  /** Mirrors the collapsed plan: group identical fingerprint ARRAYS
-    * (md5 of the comma-joined list = element-wise array equality,
-    * matching Spark's partition-by-array), measure rarity over
-    * representatives, pair reps, expand members, add within-group pairs.
+  /** Mirrors the collapsed plan: group identical fingerprint ARRAYS by
+    * md5 of the comma-joined list (the same 16-byte collapse key the
+    * Spark side partitions on), measure rarity over representatives,
+    * pair reps, expand members, add within-group pairs.
     */
   def sharedPairsOracle: String =
     s"""$fpArrCte, grp AS (

@@ -52,6 +52,41 @@ object ScaleOps {
       .drop(s(key)).drop(b("__salt")).drop(s("__salt"))
   }
 
+  /** Oracle-gated use of [[saltedJoin]]: per-nation item counts and
+    * quantity cents over lineitem ⋈ supplier, joined SALTED on the Spark
+    * side while the DuckDB twin states the plain join — the gate proves
+    * the salt algebra (replica per salt value, exactly-one-match) changes
+    * nothing about the result, which is the entire point of the tactic.
+    * `l_suppkey` is the hot-key shape at scale (one giant supplier);
+    * integer-cents sums keep the compare exact (floor(x·100), the house
+    * quantization — Spark's bare double→long cast truncates while
+    * DuckDB's rounds half-even).
+    */
+  def saltedNationVolume(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_suppkey").as("suppkey"),
+        floor(col("l_quantity") * 100).cast("long").as("qty_cents"))
+    val sup = spark.read.parquet(s"$dir/supplier.parquet")
+      .select(col("s_suppkey").as("suppkey"), col("s_nationkey"))
+    saltedJoin(li, sup, "suppkey", salts = 8)
+      .groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n_items"), sum(col("qty_cents")).as("qty_cents"))
+  }
+
+  def saltedNationVolumeOracle: String =
+    s"""SELECT s_nationkey, count(*) AS n_items,
+       |  CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_cents
+       |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+       |GROUP BY s_nationkey""".stripMargin
+
+  def queries: Map[String, (org.apache.spark.sql.SparkSession, String) => DataFrame] = Map(
+    "q_salted_join" -> ((s, dir) => saltedNationVolume(s, dir))
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_salted_join" -> saltedNationVolumeOracle
+  )
+
   /** Widen an under-split source before a compute-bound stage.
     *
     * A parquet file is splittable only at row-group boundaries; a small
@@ -66,39 +101,6 @@ object ScaleOps {
     * already yields at least the cluster's parallelism — every real
     * 100 TB table — this is the identity and the plan is untouched.
     */
-  /** Oracle-gated use of [[saltedJoin]]: per-nation item counts and
-    * quantity cents over lineitem ⋈ supplier, joined SALTED on the Spark
-    * side while the DuckDB twin states the plain join — the gate proves
-    * the salt algebra (replica per salt value, exactly-one-match) changes
-    * nothing about the result, which is the entire point of the tactic.
-    * `l_suppkey` is the hot-key shape at scale (one giant supplier);
-    * integer-cents sums keep the compare exact.
-    */
-  def saltedNationVolume(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
-    val li = spark.read.parquet(s"$dir/lineitem.parquet")
-      .select(col("l_suppkey").as("suppkey"),
-        (col("l_quantity") * 100).cast("long").as("qty_cents"))
-    val sup = spark.read.parquet(s"$dir/supplier.parquet")
-      .select(col("s_suppkey").as("suppkey"), col("s_nationkey"))
-    saltedJoin(li, sup, "suppkey", salts = 8)
-      .groupBy(col("s_nationkey"))
-      .agg(count(lit(1)).as("n_items"), sum(col("qty_cents")).as("qty_cents"))
-  }
-
-  def saltedNationVolumeOracle: String =
-    s"""SELECT s_nationkey, count(*) AS n_items,
-       |  CAST(sum(CAST(l_quantity * 100 AS BIGINT)) AS BIGINT) AS qty_cents
-       |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
-       |GROUP BY s_nationkey""".stripMargin
-
-  def queries: Map[String, (org.apache.spark.sql.SparkSession, String) => DataFrame] = Map(
-    "q_salted_join" -> ((s, dir) => saltedNationVolume(s, dir))
-  )
-
-  def oracleSql: Map[String, String] = Map(
-    "q_salted_join" -> saltedNationVolumeOracle
-  )
-
   def widen(df: DataFrame): DataFrame = {
     val slots = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < slots) df.repartition(slots) else df

@@ -33,14 +33,19 @@ object Html {
   val TagRe = "</?[A-Za-z][^>]*>"
 
   /** Strip order: comments → script/style blocks → tags → entities →
-    * whitespace squeeze.
+    * whitespace squeeze. Within the entities, `&amp;` decodes LAST:
+    * decoding it first would re-feed its output to the later passes, so
+    * a stacked entity like `&amp;lt;` would double-decode to `<` instead
+    * of the literal `&lt;` its author wrote.
     */
+  val Entities = Seq("&lt;" -> "<", "&gt;" -> ">",
+    "&quot;" -> "\"", "&nbsp;" -> " ", "&amp;" -> "&")
+
   def extractText(c: Column): Column = {
     val noComment = regexp_replace(c, CommentRe, " ")
     val noScript = regexp_replace(regexp_replace(noComment, ScriptRe, " "), StyleRe, " ")
     val noTags = regexp_replace(noScript, TagRe, " ")
-    val decoded = Seq("&amp;" -> "&", "&lt;" -> "<", "&gt;" -> ">",
-        "&quot;" -> "\"", "&nbsp;" -> " ")
+    val decoded = Entities
       .foldLeft(noTags) { case (col0, (e, r)) => regexp_replace(col0, e, r) }
     trim(regexp_replace(decoded, "\\s+", " "))
   }
@@ -49,8 +54,7 @@ object Html {
     val noComment = s"regexp_replace($c, '$CommentRe', ' ', 'g')"
     val noScript = s"regexp_replace(regexp_replace($noComment, '$ScriptRe', ' ', 'g'), '$StyleRe', ' ', 'g')"
     val noTags = s"regexp_replace($noScript, '$TagRe', ' ', 'g')"
-    val decoded = Seq("&amp;" -> "&", "&lt;" -> "<", "&gt;" -> ">",
-        "&quot;" -> "\"", "&nbsp;" -> " ")
+    val decoded = Entities
       .foldLeft(noTags) { case (s, (e, r)) =>
         s"replace($s, '$e', '$r')" }
     s"trim(regexp_replace($decoded, '\\s+', ' ', 'g'))"
@@ -92,25 +96,31 @@ object Html {
     */
   def extraction(spark: SparkSession, dir: String): DataFrame = {
     val docs = graft.ops.ScaleOps.widen(Tables.documents(spark, dir))
+    // clean_text bound in its own projection so the regex chain runs once
+    // per row, not once more for markup_frac
     docs.select(col("doc_id"), plantHtml.as("html"))
-      .select(col("doc_id"),
+      .select(col("doc_id"), col("html"),
         extractText(col("html")).as("clean_text"),
         size(regexp_extract_all(col("html"), lit(TagRe), lit(0))).cast("long").as("n_tags"),
-        size(regexp_extract_all(col("html"), lit(ScriptRe), lit(0))).cast("long").as("n_scripts"),
+        size(regexp_extract_all(col("html"), lit(ScriptRe), lit(0))).cast("long").as("n_scripts"))
+      .select(col("doc_id"), col("clean_text"), col("n_tags"), col("n_scripts"),
         when(length(col("html")) > 0,
-          round(lit(1.0) - length(extractText(col("html"))).cast("double")
+          round(lit(1.0) - length(col("clean_text")).cast("double")
             / length(col("html")), 4)).as("markup_frac"))
   }
 
   def oracle: String =
-    s"""SELECT doc_id,
-       |  ${extractTextSql("html")} AS clean_text,
-       |  CAST(len(regexp_extract_all(html, '$TagRe')) AS BIGINT) AS n_tags,
-       |  CAST(len(regexp_extract_all(html, '$ScriptRe')) AS BIGINT) AS n_scripts,
+    s"""SELECT doc_id, clean_text, n_tags, n_scripts,
        |  CASE WHEN length(html) > 0 THEN
-       |    round(1.0 - CAST(length(${extractTextSql("html")}) AS DOUBLE) / length(html), 4)
+       |    round(1.0 - CAST(length(clean_text) AS DOUBLE) / length(html), 4)
        |  END AS markup_frac
-       |FROM ($plantHtmlSql)""".stripMargin
+       |FROM (
+       |  SELECT doc_id, html,
+       |    ${extractTextSql("html")} AS clean_text,
+       |    CAST(len(regexp_extract_all(html, '$TagRe')) AS BIGINT) AS n_tags,
+       |    CAST(len(regexp_extract_all(html, '$ScriptRe')) AS BIGINT) AS n_scripts
+       |  FROM ($plantHtmlSql)
+       |)""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_html_extract" -> ((s, dir) => extraction(s, dir))
