@@ -226,4 +226,12 @@ object Graft {
     */
   def extractHtml(spark: SparkSession, sfDir: String): DataFrame =
     text.Html.extraction(spark, sfDir)
+
+  /** Real image-container header decode over a binary payload column:
+    * (format, width, height, channels) without any codec library — the
+    * cheap first filter of a media pipeline (see
+    * `multimodal.Multimodal.decodeHeader`).
+    */
+  def imageHeader(content: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    multimodal.Multimodal.decodeHeader(content)
 }

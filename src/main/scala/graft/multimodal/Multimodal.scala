@@ -10,13 +10,16 @@ import graft.Tables
   * `binary` columns with typed metadata, and run decode / feature-extract /
   * frame-sample stages as per-row transformations.
   *
-  * The real decoders (JPEG/PNG, PCM, H.264) are external native libraries
-  * not present in this environment, so the DECODE STEP IS A DETERMINISTIC
-  * STUB — `fakeFeatures` derives pseudo-features from the payload's md5 —
-  * while everything Spark-level is real and tested: the binary column
-  * schema, metadata struct, batch shape, partitioning behavior, and the
-  * feature pipeline that a swapped-in real decoder would feed.
-  * `decodeReal` marks the swap point.
+  * Two decode tiers. HEADER decode is REAL: [[decodeHeader]] parses
+  * PNG/GIF/JPEG container bytes (magic, IHDR, screen descriptor, SOF
+  * marker walk) into (format, width, height, channels) — pure JVM, the
+  * cheap first filter a media pipeline runs on every blob. PIXEL decode
+  * (JPEG entropy decode, PCM, H.264) needs native codec libraries not
+  * present in this environment, so that step is a DETERMINISTIC STUB —
+  * `fakeFeatures` derives pseudo-features from the payload's md5 — while
+  * everything Spark-level is real and tested: the binary column schema,
+  * metadata struct, batch shape, partitioning behavior, and the feature
+  * pipeline that a swapped-in real codec would feed.
   *
   * Scale notes: payload bytes traverse the plan exactly once (scan →
   * per-row features), no shuffle touches the binary column; only the small
@@ -34,13 +37,18 @@ object Multimodal {
       .add("source", StringType)
       .add("n_bytes", LongType))
 
-  /** Swap point for a real decoder (JVM codec on the cluster). Kept
-    * unimplemented on purpose — calling it is a deliberate error; the
-    * fixture pipeline uses [[fakeFeatures]].
+  /** REAL decode of the container header: magic bytes → (format, width,
+    * height, channels) via the codegen'd [[graft.plans.ImageHeader]]
+    * expression — PNG IHDR, GIF screen descriptor, and the JPEG marker
+    * walk to SOF are genuine byte-level parsing, no codec libraries
+    * needed. Pixel-level decode (the part that DOES need libjpeg et al.)
+    * remains stubbed by [[fakeFeatures]]; a cluster with codecs swaps
+    * that, keeping this header pass as the cheap first filter.
     */
-  def decodeReal(content: Column): Column =
-    throw new UnsupportedOperationException(
-      "real media decode needs codec libraries; use fakeFeatures in this environment")
+  def decodeHeader(content: Column): Column =
+    org.apache.spark.sql.GraftColumnShim.column(
+      graft.plans.ImageHeader(
+        org.apache.spark.sql.GraftColumnShim.expression(content)))
 
   /** Deterministic stub "decode": 4 pseudo-features from the payload md5
     * (ascii codes of hex chars 1,9,17,25) plus the byte length. Identical
@@ -112,7 +120,76 @@ object Multimodal {
       col("meta").getField("n_bytes").as("n_bytes"),
       fakeFeatures(col("content")).as("features"))
 
+  /** Deterministic image-header planting (the [[graft.text.Html.plantHtml]]
+    * pattern, but emitting REAL container bytes): each doc_id constructs a
+    * syntactically valid PNG, GIF, or JPEG header whose dimensions and
+    * channel layout derive from doc_id — byte strings assembled hex-wise
+    * with `unhex`, so the gate feeds [[decodeHeader]] genuine binaries and
+    * the oracle can state the planted parameters arithmetically. The JPEG
+    * plant includes APP0 and COM segments BEFORE the SOF so the marker
+    * walk (skip-by-length) is exercised, not just the happy first-segment
+    * path.
+    */
+  def plantImage: Column = {
+    val w = (lit(16) + col("doc_id") % 317).cast("int")
+    val h = (lit(16) + col("doc_id") % 211).cast("int")
+    def be32(c: Column) = lpad(hex(c), 8, "0")
+    def be16(c: Column) = lpad(hex(c), 4, "0")
+    def le16(c: Column) = concat(substring(be16(c), 3, 2), substring(be16(c), 1, 2))
+    // PNG color type cycles gray / rgb / gray+alpha / rgba
+    val colorType = element_at(array(lit("00"), lit("02"), lit("04"), lit("06")),
+      (col("doc_id") % 4 + 1).cast("int"))
+    val png = concat(
+      lit("89504E470D0A1A0A"),           // signature
+      lit("0000000D49484452"),           // IHDR length=13 + type
+      be32(w), be32(h),
+      lit("08"), colorType,              // bit depth 8, planted color type
+      lit("000000"),                     // compression, filter, interlace
+      lit("DEADBEEF"))                   // CRC (not validated by header parse)
+    val gif = concat(
+      lit("474946383961"),               // "GIF89a"
+      le16(w), le16(h),                  // little-endian screen descriptor
+      lit("F7000000"))                   // packed fields, bg color, aspect, pad
+    val jpeg = concat(
+      lit("FFD8"),                       // SOI
+      lit("FFE000104A46494600010100000100010000"), // APP0/JFIF, len 16
+      lit("FFFE0004ABCD"),               // COM segment, len 4
+      lit("FFC00011"),                   // SOF0, len 17 (3 components)
+      lit("08"), be16(h), be16(w),       // precision, height, width
+      lit("03011100021101031101"),       // ncomp=3 + component specs
+      lit("FFD9"))                       // EOI
+    unhex(when(col("doc_id") % 3 === 0, png)
+      .when(col("doc_id") % 3 === 1, gif)
+      .otherwise(jpeg))
+  }
+
+  /** (media_id, format, width, height, channels) — plant real header
+    * bytes, parse them back with the codegen'd expression. The oracle
+    * states the planted parameters directly, so any parsing error
+    * (endianness, offset, marker-walk slip) breaks the gate.
+    */
+  def headerDecode(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.ScaleOps.widen(Tables.documents(spark, dir))
+      .select(col("doc_id").as("media_id"), plantImage.as("content"))
+      .select(col("media_id"), decodeHeader(col("content")).as("hdr"))
+      .select(col("media_id"),
+        col("hdr").getField("format").as("format"),
+        col("hdr").getField("width").as("width"),
+        col("hdr").getField("height").as("height"),
+        col("hdr").getField("channels").as("channels"))
+
+  def headerOracle: String =
+    s"""SELECT doc_id AS media_id,
+       |  CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'gif' ELSE 'jpeg' END AS format,
+       |  CAST(16 + doc_id % 317 AS INTEGER) AS width,
+       |  CAST(16 + doc_id % 211 AS INTEGER) AS height,
+       |  CAST(CASE WHEN doc_id % 3 = 0 THEN
+       |         CASE doc_id % 4 WHEN 0 THEN 1 WHEN 1 THEN 3 WHEN 2 THEN 2 ELSE 4 END
+       |       ELSE 3 END AS INTEGER) AS channels
+       |FROM documents""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_multimodal_decode" -> ((s, dir) => headerDecode(s, dir)),
     "q_multimodal_features" -> ((s, dir) =>
       mediaFeatures(s, dir).select(
         col("media_id"), col("media_type"), col("n_bytes"),
@@ -124,6 +201,7 @@ object Multimodal {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_multimodal_decode" -> headerOracle,
     "q_multimodal_features" ->
       s"""SELECT doc_id AS media_id,
          |  'text/plain' AS media_type,

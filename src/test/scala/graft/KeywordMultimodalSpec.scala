@@ -70,9 +70,67 @@ class KeywordMultimodalSpec extends SparkSuite {
     }
   }
 
-  test("real decoder entry point is a marked stub that refuses to run here") {
-    intercept[UnsupportedOperationException] {
-      Multimodal.decodeReal(col("x"))
+  // --- real header decode, against GENUINE encoder output: the JDK's
+  // ImageIO writes real PNG/JPEG/GIF files, so these golden tests parse
+  // bytes produced by an independent implementation, not hand-assembled
+  // fixtures that could share the parser's own misconceptions.
+
+  private def encoded(fmt: String, imgType: Int, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, imgType)
+    var x = 0
+    while (x < w) { img.setRGB(x, x % h, 0xff3366 + x); x += 1 } // non-trivial content
+    val baos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, fmt, baos), s"JDK has no $fmt writer")
+    baos.toByteArray
+  }
+
+  private def parsed(bytes: Array[Byte]): (String, Option[Int], Option[Int], Option[Int]) = {
+    val r = graft.plans.ImageHeader.parse(bytes)
+    def opt(i: Int) = if (r.isNullAt(i)) None else Some(r.getInt(i))
+    (r.getUTF8String(0).toString, opt(1), opt(2), opt(3))
+  }
+
+  test("header decode reads dims and channels from JDK-encoded images") {
+    import java.awt.image.BufferedImage._
+    assert(parsed(encoded("png", TYPE_3BYTE_BGR, 37, 23)) === (("png", Some(37), Some(23), Some(3))))
+    assert(parsed(encoded("png", TYPE_INT_ARGB, 5, 9)) === (("png", Some(5), Some(9), Some(4))))
+    assert(parsed(encoded("png", TYPE_BYTE_GRAY, 640, 480)) === (("png", Some(640), Some(480), Some(1))))
+    assert(parsed(encoded("jpg", TYPE_3BYTE_BGR, 128, 64)) === (("jpeg", Some(128), Some(64), Some(3))))
+    assert(parsed(encoded("jpg", TYPE_BYTE_GRAY, 31, 17)) === (("jpeg", Some(31), Some(17), Some(1))))
+    val (gf, gw, gh, _) = parsed(encoded("gif", TYPE_3BYTE_BGR, 77, 13))
+    assert((gf, gw, gh) === (("gif", Some(77), Some(13))))
+  }
+
+  test("header decode yields unknown/null on garbage and truncation") {
+    assert(parsed("not an image at all".getBytes)._1 === "unknown")
+    assert(parsed(Array[Byte]()) === (("unknown", None, None, None)))
+    // valid JPEG SOI but truncated before any SOF: format detected, dims null
+    val trunc = encoded("jpg", java.awt.image.BufferedImage.TYPE_3BYTE_BGR, 10, 10).take(6)
+    assert(parsed(trunc) === (("jpeg", None, None, None)))
+  }
+
+  test("header decode participates in whole-stage codegen (no silent fallback)") {
+    // AQE's unexecuted adaptive wrapper reports zero codegen subtrees
+    // whatever the stages contain — pin the static plan for this check
+    val code = try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      org.apache.spark.sql.execution.debug.codegenString(
+        Multimodal.headerDecode(spark, Sf).queryExecution.executedPlan)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert(code.contains("graft.plans.ImageHeader.parse"),
+      "generated code must call the static parser — interpreted fallback means doGenCode broke")
+    assert(!code.contains("Found 0 WholeStageCodegen subtrees"), code.linesIterator.take(3).mkString("\n"))
+  }
+
+  test("planted headers decode through the codegen'd expression end-to-end") {
+    val out = Multimodal.headerDecode(spark, Sf)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getString(1) === Seq("png", "gif", "jpeg")((id % 3).toInt))
+      assert(r.getInt(2) === 16 + (id % 317).toInt)
+      assert(r.getInt(3) === 16 + (id % 211).toInt)
     }
   }
 }
