@@ -109,6 +109,13 @@ object Graft {
   def searchTopKCompressed(spark: SparkSession, sfDir: String): DataFrame =
     Similarity.ivfPqTopK(spark, sfDir)
 
+  /** Serve top-k from the stored base index plus an appended batch —
+    * incremental index maintenance: the batch is encoded against the
+    * frozen quantizer (work ∝ batch), never a full rebuild.
+    */
+  def searchTopKIncremental(spark: SparkSession, sfDir: String): DataFrame =
+    Similarity.ivfPqIncremental(spark, sfDir)
+
   // ---- corpus preparation (round-3 surface) ----
 
   /** Deterministic train/val/test assignment by key hash — reproducible

@@ -89,7 +89,7 @@ object Similarity {
     dot.cast("double") / sqrt(n1.cast("double") * n2.cast("double"))
 
   /** (vec_id, label, q, n2) — quantized vectors with cached squared norm. */
-  private[sim] def quantized(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def quantized(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label"), qvec(col("embedding")).as("q"))
       .withColumn("n2", dotq(col("q"), col("q")))
@@ -178,7 +178,7 @@ object Similarity {
     * coarse assignment — the shared front end of [[ivfTopK]],
     * [[ivfPqTopKOn]] and the [[VecIndex]] build.
     */
-  private[sim] def coarseAssigned(docs: DataFrame): DataFrame = {
+  private[graft] def coarseAssigned(docs: DataFrame): DataFrame = {
     val first = docs.join(assignLists(docs), "vec_id")
     docs.join(refineAssign(docs, first), "vec_id")
   }
@@ -211,7 +211,7 @@ object Similarity {
     * quantization. `sumvec` itself is kept EXACT for the residual
     * encoder, whose arithmetic is bounded by per-vector terms.
     */
-  private[sim] def listSummaries(assigned: DataFrame): DataFrame =
+  private[graft] def listSummaries(assigned: DataFrame): DataFrame =
     listSums(assigned)
       .groupBy(col("list_id"))
       .agg(array_sort(collect_list(struct(col("dim"), col("s")))).as("ds"),
@@ -330,7 +330,7 @@ object Similarity {
   /** Residual-encode an assigned frame against its list summaries —
     * the index-build stage: (vec_id, list_id, cnt, n2, a, code).
     */
-  private[sim] def pqEncodeOn(assigned: DataFrame, sums: DataFrame): DataFrame = {
+  private[graft] def pqEncodeOn(assigned: DataFrame, sums: DataFrame): DataFrame = {
     val resid = assigned
       .join(broadcast(sums.select(col("list_id"), col("sumvec"), col("cnt"))), "list_id")
       .select(col("vec_id"), col("list_id"), col("cnt"), col("n2"),
@@ -342,6 +342,62 @@ object Similarity {
         when(col("a") === 0, transform(col("r"), _ => lit(0L)))
           .otherwise(transform(col("r"),
             x => floor(x.cast("double") * 127 / col("a")).cast("long"))).as("code"))
+  }
+
+  /** Incremental-batch split of the fixture: vec_id % [[BatchMod]] ==
+    * [[BatchRem]] plays the newly-arrived batch (~1/7 of the corpus);
+    * the rest is the already-indexed base.
+    */
+  val BatchMod = 7
+  val BatchRem = 3
+
+  private[graft] def isIncBatch: Column = col("vec_id") % BatchMod === BatchRem
+
+  /** Frozen per-list code scales recovered from an existing codes table —
+    * `a` is constant within a list, so this is a list-count-sized
+    * aggregate over a column-pruned scan of the codes.
+    */
+  private[graft] def scalesOf(codes: DataFrame): DataFrame =
+    codes.groupBy(col("list_id")).agg(max(col("a")).as("a"))
+
+  /** Encode a NEW batch against a FROZEN index — the append half of
+    * incremental index maintenance (the [[graft.dedup.Dedup]] X42
+    * batch×index discipline applied to the ANN index): batch vectors
+    * assign to the nearest EXISTING centroid (no retraining — appended
+    * codes must stay ADC-comparable with the stored ones, so the
+    * quantizer, per-list (Σ, cnt) and scale all stay frozen), residuals
+    * encode with the same closed form, clamped to ±127 where a batch
+    * residual exceeds the frozen per-list scale (SQ8 saturation).
+    *
+    * Work ∝ batch: the centroid table and scales are broadcast;
+    * nothing base-sized is recomputed or shuffled.
+    */
+  private[graft] def pqAppendOn(batch: DataFrame, sums: DataFrame, scales: DataFrame): DataFrame = {
+    val assignedL = argmaxAssign(batch,
+      sums.select(col("list_id"), col("cvec").as("rvec"), col("cn2").as("rn2")))
+    val resid = batch.join(assignedL, "vec_id")
+      .join(broadcast(sums.select(col("list_id"), col("sumvec"), col("cnt"))), "list_id")
+      .select(col("vec_id"), col("list_id"), col("cnt"), col("n2"),
+        zip_with(col("q"), col("sumvec"), (x, sv) => col("cnt") * x - sv).as("r"))
+    resid.join(broadcast(scales), "list_id")
+      .select(col("vec_id"), col("list_id"), col("cnt"), col("n2"), col("a"),
+        when(col("a") === 0, transform(col("r"), _ => lit(0L)))
+          .otherwise(transform(col("r"), x =>
+            greatest(lit(-127L), least(lit(127L),
+              floor(x.cast("double") * 127 / col("a")).cast("long"))))).as("code"))
+  }
+
+  /** Serve top-k from the base index PLUS an appended batch — base build
+    * and batch delta are both checkpointed ([[VecIndex]]); a serving
+    * query pays probe selection over the frozen summaries and ADC over
+    * (stored ∪ appended) codes. Queries come from the full corpus.
+    */
+  def ivfPqIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val sums = VecIndex.basePqSummaries(spark, dir)
+    val qs = quantized(spark, dir).filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"), col("n2").as("qn2"))
+    scoreAdc(VecIndex.basePqCodes(spark, dir).unionByName(VecIndex.incPqCodes(spark, dir)),
+      probesFor(qs, sums))
   }
 
   /** The serving stage: ADC-score coded vectors in probed lists, top-k
@@ -496,30 +552,35 @@ object Similarity {
        |  SELECT list_id, sumvec, cnt, cvec, ${dotSql("cvec", "cvec")} AS cn2 FROM sums_cv$sfx
        |)""".stripMargin
 
-  private def ivfCtes: String =
-    s"""docs AS ($quantizedSql),
-       |seeds AS (
-       |  SELECT vec_id AS list_id, q AS sq, n2 AS sn2 FROM docs
+  /** The IVF train + probe CTE chain over training source `$src` (a CTE
+    * name): seeds → assign → one Lloyd refinement → summaries → probe
+    * selection. Queries always come from the FULL `docs` corpus —
+    * parameterizing only the TRAINING side is what lets the incremental
+    * oracle train on the base subset while serving every query.
+    */
+  private def ivfCtesFrom(src: String): String =
+    s"""seeds AS (
+       |  SELECT vec_id AS list_id, q AS sq, n2 AS sn2 FROM $src
        |  WHERE vec_id < $NumSeeds AND n2 > 0
        |),
        |assigned0_l AS (
        |  SELECT d.vec_id, s.list_id,
        |    ${cosSql(dotSql("d.q", "s.sq"), "d.n2", "s.sn2")} AS seed_score
-       |  FROM docs d CROSS JOIN seeds s
+       |  FROM $src d CROSS JOIN seeds s
        |  QUALIFY row_number() OVER (PARTITION BY d.vec_id ORDER BY seed_score DESC, s.list_id) = 1
        |),
        |assigned0 AS (
-       |  SELECT d.*, a.list_id FROM docs d JOIN assigned0_l a ON d.vec_id = a.vec_id
+       |  SELECT d.*, a.list_id FROM $src d JOIN assigned0_l a ON d.vec_id = a.vec_id
        |),
        |${sumCtes("assigned0", "0")},
        |reassigned_l AS (
        |  SELECT d.vec_id, s.list_id,
        |    ${cosSql(dotSql("d.q", "s.cvec"), "d.n2", "s.cn2")} AS c_score
-       |  FROM docs d CROSS JOIN (SELECT * FROM sums0 WHERE cn2 > 0) s
+       |  FROM $src d CROSS JOIN (SELECT * FROM sums0 WHERE cn2 > 0) s
        |  QUALIFY row_number() OVER (PARTITION BY d.vec_id ORDER BY c_score DESC, s.list_id) = 1
        |),
        |assigned AS (
-       |  SELECT d.*, a.list_id FROM docs d JOIN reassigned_l a ON d.vec_id = a.vec_id
+       |  SELECT d.*, a.list_id FROM $src d JOIN reassigned_l a ON d.vec_id = a.vec_id
        |),
        |${sumCtes("assigned", "")},
        |qs AS (SELECT vec_id AS query_id, q AS qq, n2 AS qn2 FROM docs WHERE vec_id < $NumQueries),
@@ -533,6 +594,10 @@ object Similarity {
        |  )
        |  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY list_score DESC, list_id) <= $NProbe
        |)""".stripMargin
+
+  private def ivfCtes: String =
+    s"""docs AS ($quantizedSql),
+       |${ivfCtesFrom("docs")}""".stripMargin
 
   def ivfOracle: String =
     s"""WITH $ivfCtes,
@@ -553,9 +618,12 @@ object Similarity {
     * expression — operation for operation the Spark plan (gated as
     * `q_similarity_ivfpq`).
     */
-  def ivfPqOracle: String =
-    s"""WITH $ivfCtes,
-       |resid AS (
+  /** The residual-encode CTE chain (resid → amax → codes) over the
+    * trained `assigned`/`sums` pair — shared by the PQ oracle and the
+    * incremental oracle's base build.
+    */
+  private def pqCodeCtes: String =
+    s"""resid AS (
        |  SELECT a.vec_id, a.list_id, s.cnt, a.n2,
        |    list_transform(range(1, len(a.q) + 1), i -> s.cnt * (a.q)[i] - (s.sumvec)[i]) AS r
        |  FROM assigned a JOIN sums s ON a.list_id = s.list_id
@@ -569,14 +637,17 @@ object Similarity {
        |    CASE WHEN a = 0 THEN list_transform(r, x -> CAST(0 AS BIGINT))
        |         ELSE list_transform(r, x -> CAST(floor(CAST(x AS DOUBLE) * 127 / a) AS BIGINT)) END AS code
        |  FROM resid JOIN amax USING (list_id)
-       |),
-       |scored AS (
+       |)""".stripMargin
+
+  /** ADC scoring + top-k tail over a coded CTE named `$codesCte`. */
+  private def adcTail(codesCte: String): String =
+    s"""scored AS (
        |  SELECT p.query_id, cd.vec_id AS neighbor_id,
        |    (CAST(p.q_dot_cvec AS DOUBLE)
        |      + CAST(${dotSql("p.qq", "cd.code")} AS DOUBLE) * CAST(cd.a AS DOUBLE)
        |        / (127.0 * CAST(cd.cnt AS DOUBLE)))
        |      / sqrt(CAST(cd.n2 AS DOUBLE) * CAST(p.qn2 AS DOUBLE)) AS adc_score
-       |  FROM codes cd
+       |  FROM $codesCte cd
        |  JOIN probes p ON cd.list_id = p.list_id
        |  WHERE cd.vec_id != p.query_id
        |)
@@ -585,6 +656,46 @@ object Similarity {
        |  adc_score
        |FROM scored
        |QUALIFY rank <= $K""".stripMargin
+
+  def ivfPqOracle: String =
+    s"""WITH $ivfCtes,
+       |$pqCodeCtes,
+       |${adcTail("codes")}""".stripMargin
+
+  /** Incremental twin: train + encode on the BASE subset only, then
+    * assign/encode the batch against the FROZEN quantizer (existing
+    * centroids, sums, counts, scales — no retraining, the production
+    * append discipline), serve the union. Batch codes clamp to ±127
+    * where a batch residual exceeds the frozen per-list scale.
+    */
+  def ivfPqIncrementalOracle: String =
+    s"""WITH docs AS ($quantizedSql),
+       |base AS (SELECT * FROM docs WHERE vec_id % $BatchMod != $BatchRem),
+       |batch AS (SELECT * FROM docs WHERE vec_id % $BatchMod = $BatchRem),
+       |${ivfCtesFrom("base")},
+       |$pqCodeCtes,
+       |b_assigned AS (
+       |  SELECT d.vec_id, s.list_id, d.q, d.n2,
+       |    ${cosSql(dotSql("d.q", "s.cvec"), "d.n2", "s.cn2")} AS c_score
+       |  FROM batch d CROSS JOIN (SELECT * FROM sums WHERE cn2 > 0) s
+       |  QUALIFY row_number() OVER (PARTITION BY d.vec_id ORDER BY c_score DESC, s.list_id) = 1
+       |),
+       |b_resid AS (
+       |  SELECT b.vec_id, b.list_id, s.cnt, b.n2,
+       |    list_transform(range(1, len(b.q) + 1), i -> s.cnt * (b.q)[i] - (s.sumvec)[i]) AS r
+       |  FROM b_assigned b JOIN sums s ON b.list_id = s.list_id
+       |),
+       |b_codes AS (
+       |  SELECT vec_id, list_id, cnt, n2, a,
+       |    CASE WHEN a = 0 THEN list_transform(r, x -> CAST(0 AS BIGINT))
+       |         ELSE list_transform(r, x ->
+       |           CAST(greatest(-127, least(127, floor(CAST(x AS DOUBLE) * 127 / a))) AS BIGINT)) END AS code
+       |  FROM b_resid JOIN amax USING (list_id)
+       |),
+       |all_codes AS (
+       |  SELECT * FROM codes UNION ALL SELECT * FROM b_codes
+       |),
+       |${adcTail("all_codes")}""".stripMargin
 
   def meanEmbeddingOracle: String =
     s"""WITH docs AS ($quantizedSql),
@@ -681,7 +792,10 @@ object Similarity {
     "q_mean_embedding" -> ((s, dir) => meanEmbedding(s, dir)),
     "q_embedding_neardup" -> ((s, dir) => nearDupPairs(s, dir)),
     "q_ann_recall" -> ((s, dir) => annRecall(s, dir)),
-    "q_ann_recall_pq" -> ((s, dir) => annRecallPq(s, dir))
+    "q_ann_recall_pq" -> ((s, dir) => annRecallPq(s, dir)),
+    // base index + frozen-quantizer batch append, served as one union —
+    // the X42 incremental discipline applied to the ANN index
+    "q_similarity_ivfpq_incremental" -> ((s, dir) => ivfPqIncremental(s, dir))
   )
 
   // ---- persisted ANN index ----
@@ -722,6 +836,42 @@ object Similarity {
 
     def pqSummaries(spark: SparkSession, dir: String): DataFrame = tables(spark, dir).head
     def pqCodes(spark: SparkSession, dir: String): DataFrame = tables(spark, dir)(1)
+
+    /** Base-subset build (everything but the incremental batch) — the
+      * "index as of yesterday" an append lands on. Same one-closure
+      * family build as [[tables]].
+      */
+    private def baseTables(spark: SparkSession, dir: String): Seq[DataFrame] = {
+      val d = graft.sources.Checkpoints.digest(dir)
+      graft.sources.Checkpoints.materializeMany(spark, DirConf, "_graft_index",
+        Seq(d + "_pqsums_base", d + "_pqcodes_base")) {
+        val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+        val docs = quantized(spark, dir).filter(!isIncBatch).persist(lvl)
+        val assigned = coarseAssigned(docs).persist(lvl)
+        val sums = listSummaries(assigned).persist(lvl)
+        (Seq(sums, pqEncodeOn(assigned, sums)),
+          () => { sums.unpersist(); assigned.unpersist(); docs.unpersist(); () })
+      }
+    }
+
+    def basePqSummaries(spark: SparkSession, dir: String): DataFrame = baseTables(spark, dir).head
+    def basePqCodes(spark: SparkSession, dir: String): DataFrame = baseTables(spark, dir)(1)
+
+    /** The APPEND: encode the incremental batch against the STORED base
+      * index (frozen centroids/sums/scales — [[pqAppendOn]]) and land the
+      * delta codes beside it. Work ∝ batch; the base tables are only
+      * read (summaries whole, codes column-pruned to the per-list
+      * scales). Nested materialization is deadlock-free by the per-path
+      * locking contract ([[graft.sources.Checkpoints]]).
+      */
+    def incPqCodes(spark: SparkSession, dir: String): DataFrame = {
+      val d = graft.sources.Checkpoints.digest(dir)
+      graft.sources.Checkpoints.materialize(spark, DirConf, "_graft_index",
+        d + "_pqcodes_inc") {
+        pqAppendOn(quantized(spark, dir).filter(isIncBatch),
+          basePqSummaries(spark, dir), scalesOf(basePqCodes(spark, dir)))
+      }
+    }
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -732,6 +882,7 @@ object Similarity {
     "q_mean_embedding" -> meanEmbeddingOracle,
     "q_embedding_neardup" -> nearDupOracle,
     "q_ann_recall" -> annRecallOracle,
-    "q_ann_recall_pq" -> annRecallPqOracle
+    "q_ann_recall_pq" -> annRecallPqOracle,
+    "q_similarity_ivfpq_incremental" -> ivfPqIncrementalOracle
   )
 }

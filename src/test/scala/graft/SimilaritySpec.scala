@@ -178,4 +178,50 @@ class SimilaritySpec extends SparkSuite {
     assert(pairs.filter(col("vec_a") >= col("vec_b")).count() === 0)
     assert(pairs.filter(col("cos_sim") < Similarity.NearDupThreshold).count() === 0)
   }
+
+  test("incremental append: batch codes comparable to stored ones; serving quality holds") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-index-inc")
+    spark.conf.set(Similarity.VecIndex.DirConf, "file:" + tmp.toString)
+    try {
+      val inc = Similarity.ivfPqIncremental(spark, Sf).cache()
+      // every query still gets K ranked rows, and batch members are servable
+      assert(inc.groupBy("query_id").count().filter(col("count") =!= Similarity.K).count() === 0)
+      val batchServed = inc.filter(
+        col("neighbor_id") % Similarity.BatchMod === Similarity.BatchRem).count()
+      assert(batchServed > 0, "appended batch vectors must be reachable in served top-k")
+      // frozen-quantizer append is lossy vs a full retrain — but recall
+      // against the exact baseline must stay in the rebuilt index's band
+      val brute = Similarity.topK(spark, Sf).select("query_id", "neighbor_id")
+      val rebuilt = Similarity.ivfPqTopK(spark, Sf).select("query_id", "neighbor_id")
+      val incRecall = brute.intersect(inc.select("query_id", "neighbor_id")).count().toDouble / brute.count()
+      val rebuiltRecall = brute.intersect(rebuilt).count().toDouble / brute.count()
+      assert(incRecall >= rebuiltRecall - 0.15 && incRecall >= 0.3,
+        s"incremental recall $incRecall too far below rebuilt $rebuiltRecall")
+      // append codes carry the FROZEN per-list scale — ADC comparability
+      val baseScales = Similarity.scalesOf(Similarity.VecIndex.basePqCodes(spark, Sf))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      Similarity.VecIndex.incPqCodes(spark, Sf)
+        .select("list_id", "a").distinct().collect().foreach { r =>
+          assert(baseScales(r.getLong(0)) === r.getLong(1),
+            s"appended codes must reuse the stored scale for list ${r.getLong(0)}")
+        }
+    } finally spark.conf.unset(Similarity.VecIndex.DirConf)
+  }
+
+  test("incremental append plan: batch-sized work, base side broadcast, codes never shuffle") {
+    val docs = Similarity.quantized(spark, Sf)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val assigned = Similarity.coarseAssigned(docs.filter(!Similarity.isIncBatch))
+      val sums = Similarity.listSummaries(assigned)
+      val codes = Similarity.pqEncodeOn(assigned, sums)
+      val appended = Similarity.pqAppendOn(
+        docs.filter(Similarity.isIncBatch), sums, Similarity.scalesOf(codes))
+      val plan = appended.queryExecution.executedPlan.toString
+      // summaries and scales join the batch as broadcasts — the batch side
+      // must not hash-exchange for a list-count-sized right side
+      assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+        s"append joins must broadcast the frozen index side:\n$plan")
+    } finally docs.unpersist()
+  }
 }
