@@ -189,6 +189,13 @@ object Graft {
   def hygieneAssignments(spark: SparkSession, sfDir: String): DataFrame =
     pipelines.Hygiene.assignments(spark, sfDir)
 
+  /** Funnel report with the mergeable distinct-terms column — per-depth
+    * vocabulary from HLL sketch unions over the 7-row sketch table
+    * (spec-asserted; the gated funnel stays exact).
+    */
+  def hygieneFunnelWithVocab(spark: SparkSession, sfDir: String): DataFrame =
+    pipelines.Hygiene.funnelWithVocab(spark, sfDir)
+
   /** Exact heavy-hitter terms (count > n/K) without a vocabulary-sized
     * shuffle — per-partition Misra-Gries candidates + exact re-count.
     */

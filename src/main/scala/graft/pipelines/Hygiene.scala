@@ -259,6 +259,40 @@ object Hygiene {
        |SELECT s.doc_id, s.stage AS stage_id, d.stage_name AS stage
        |FROM staged s JOIN dim d ON d.stage_id = s.stage""".stripMargin
 
+  /** Per-stage HLL term sketches — ONE pass over (text ⋈ stage); the
+    * funnel's vocabulary analytics then run on this ≤7-row table.
+    */
+  def stageTermSketches(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.ops.ScaleOps.widen(Tables.documents(spark, dir))
+    docs.join(staged(spark, dir), "doc_id")
+      .select(col("stage"), explode(TextOps.tokenize(col("text"))).as("term"))
+      .groupBy(col("stage"))
+      .agg(hll_sketch_agg(col("term")).as("sketch"))
+  }
+
+  /** [[funnel]] extended with the X53 mergeable-vocab column:
+    * `distinct_terms_in` ≈ distinct terms in the population ENTERING each
+    * stage. Stage buckets partition the corpus (each doc lands in its
+    * first rejecting stage), so the entering population of stage i is
+    * exactly the union of buckets ≥ i — and its vocabulary is the HLL
+    * UNION of the per-stage sketches ([[stageTermSketches]]): the merge
+    * reads only the ≤7-row sketch table, never the corpus, the same
+    * union-not-rescan shape as
+    * [[graft.ops.CorpusOps.vocabSketchMerged]]. Sketch estimates are
+    * approximate and DataSketches-specific, so this surface is
+    * spec-asserted against exact distinct counts rather than
+    * DuckDB-gated; the gated [[funnel]] stays exact.
+    */
+  def funnelWithVocab(spark: SparkSession, dir: String): DataFrame = {
+    val sk = stageTermSketches(spark, dir)
+    val dim = { import spark.implicits._; Stages.toDF("stage_id", "stage") }
+    val vocabIn = dim.select(col("stage_id"))
+      .join(sk, sk("stage") >= col("stage_id"))
+      .groupBy(col("stage_id"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sketch"))).as("distinct_terms_in"))
+    funnel(spark, dir).join(vocabIn, Seq("stage_id"), "left")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_hygiene_funnel" -> ((s, dir) => funnel(s, dir)),
     "q_hygiene_assign" -> ((s, dir) => assignments(s, dir))

@@ -168,9 +168,20 @@ object Analysis {
     * built on. Explicit modulus keeps every intermediate ≤ ~3.1e16, exact
     * in long arithmetic on both engines (natural 2^64 wraparound would trip
     * ANSI overflow and differ from DuckDB's checked BIGINT). Per-row,
-    * shuffle-free, codegen'd.
+    * shuffle-free: runs as the codegen'd
+    * [[graft.plans.RollingPolyHash]] — a primitive loop over code points
+    * in the scan stage; [[rollingHashHof]] is the builtin-only twin
+    * (per-char array + lambda outside codegen — length-proportional
+    * per-row garbage), kept for the equivalence spec and as the porting
+    * reference, the [[graft.sim.Similarity.dotqHof]] pattern.
     */
-  def rollingHash(c: Column): Column = {
+  def rollingHash(c: Column): Column =
+    org.apache.spark.sql.GraftColumnShim.column(
+      graft.plans.RollingPolyHash(
+        org.apache.spark.sql.GraftColumnShim.expression(c)))
+
+  /** Builtin-only twin of [[rollingHash]]. */
+  def rollingHashHof(c: Column): Column = {
     val chars = split(c, "")
     aggregate(chars, lit(0L), (h, ch) => (h * 31 + ascii(ch).cast("long")) % 1000000007L)
   }

@@ -28,6 +28,29 @@ class HygieneBpeSpec extends SparkSuite {
     assert(kept.getLong(4) > 0)
   }
 
+  test("hygiene funnel vocab: sketch-union estimates track exact per-depth distinct terms") {
+    import graft.text.TextOps
+    val withVocab = Hygiene.funnelWithVocab(spark, Sf)
+      .orderBy("stage_id")
+      .select("stage_id", "n_in", "distinct_terms_in")
+      .collect()
+    assert(withVocab.length == 7)
+    // exact per-depth distinct terms for comparison (test-only re-scan;
+    // the operator itself merges the 7-row sketch table)
+    val docs = spark.read.parquet(s"$Sf/documents.parquet")
+    val st = Hygiene.assignments(spark, Sf).select("doc_id", "stage_id")
+    val terms = docs.join(st, "doc_id")
+      .select(col("stage_id"), explode(TextOps.tokenize(col("text"))).as("term"))
+      .persist()
+    try withVocab.foreach { r =>
+      val sid = r.getInt(0)
+      val exact = terms.filter(col("stage_id") >= sid).select("term").distinct().count()
+      val est = r.getLong(2).toDouble
+      assert(math.abs(est - exact) <= exact * 0.05 + 1,
+        s"stage $sid: estimate $est vs exact $exact") // HLL lgK default ≈ ±2.6%
+    } finally terms.unpersist()
+  }
+
   test("hygiene funnel: exact-dup stage drops copies, first doc wins") {
     import spark.implicits._
     // lang-marker-rich ('the' => en), 100 distinct tokens (full length

@@ -106,6 +106,17 @@ class TextPropertySpec extends SparkSuite {
     assert(fromSpark.toSeq == samples.map(preprocessScala))
   }
 
+  test("rolling hash: codegen expression equals the builtin-only HOF twin") {
+    import spark.implicits._
+    val samples = Gen.listOfN(60, textGen).sample.get ++
+      Seq("", "a", "exact ascii words 123", "tabs\tand\nnewlines  doubled")
+    val rows = samples.toDF("text")
+      .select(graft.text.Analysis.rollingHash(col("text")).as("cg"),
+        graft.text.Analysis.rollingHashHof(col("text")).as("hof"))
+      .collect()
+    rows.foreach(r => assert(r.getLong(0) === r.getLong(1), r.toString))
+  }
+
   test("keyword normalizer: every fold-table char maps to lowercase ASCII") {
     import spark.implicits._
     import graft.text.Keyword
