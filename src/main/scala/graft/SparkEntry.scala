@@ -38,6 +38,7 @@ object SparkEntry {
       (graft.text.Bpe.queries, graft.text.Bpe.oracleSql),
       (graft.text.HeavyHitters.queries, graft.text.HeavyHitters.oracleSql),
       (graft.text.Html.queries, graft.text.Html.oracleSql),
+      (graft.text.Urls.queries, graft.text.Urls.oracleSql),
       (graft.pipelines.Hygiene.queries, graft.pipelines.Hygiene.oracleSql),
       (AsofJoin.queries, AsofJoin.oracleSql),
       (DateParse.queries, DateParse.oracleSql),

@@ -188,7 +188,70 @@ object Multimodal {
        |       ELSE 3 END AS INTEGER) AS channels
        |FROM documents""".stripMargin
 
+  /** Audio twin of [[decodeHeader]]: RIFF/WAVE `fmt `/`data` chunk walk
+    * via the codegen'd [[graft.plans.WavHeader]].
+    */
+  def decodeWavHeader(content: Column): Column =
+    org.apache.spark.sql.GraftColumnShim.column(
+      graft.plans.WavHeader(
+        org.apache.spark.sql.GraftColumnShim.expression(content)))
+
+  /** Deterministic RIFF/WAVE header planting (the [[plantImage]] pattern
+    * for audio): sample rate / channels / bit depth / frame count derive
+    * from doc_id; a LIST chunk sits before `fmt ` so the chunk walk is
+    * exercised, and the `data` chunk declares its size with no payload
+    * (header-only blob — the parser reads frame count from the
+    * declaration). All multi-byte fields little-endian per the spec.
+    */
+  def plantWav: Column = {
+    def le16(c: Column) = {
+      val h = lpad(hex(c), 4, "0")
+      concat(substring(h, 3, 2), substring(h, 1, 2))
+    }
+    def le32(c: Column) = {
+      val h = lpad(hex(c), 8, "0")
+      concat(substring(h, 7, 2), substring(h, 5, 2), substring(h, 3, 2), substring(h, 1, 2))
+    }
+    val rate = (lit(8000) + (col("doc_id") % 4) * 8000).cast("long")
+    val ch = (lit(1) + col("doc_id") % 2).cast("long")
+    val bits = (lit(8) * (lit(1) + col("doc_id") % 3)).cast("long")
+    val blockAlign = ch * bits / 8
+    val frames = (lit(100) + col("doc_id") % 900).cast("long")
+    val dataSize = frames * blockAlign
+    unhex(concat(
+      lit("52494646"), le32(lit(36L) + dataSize), lit("57415645"), // RIFF size WAVE
+      lit("4C495354"), le32(lit(4L)), lit("494E464F"),             // LIST(4) "INFO"
+      lit("666D7420"), le32(lit(16L)),                             // fmt (16)
+      le16(lit(1L)), le16(ch), le32(rate), le32(rate * blockAlign),
+      le16(blockAlign), le16(bits),
+      lit("64617461"), le32(dataSize)))                            // data(size), no payload
+  }
+
+  /** (media_id, sample_rate, channels, bits_per_sample, n_frames) —
+    * plant real RIFF bytes, parse them back. Oracle states the planted
+    * parameters arithmetically, so endianness/offset/chunk-walk slips
+    * break the gate.
+    */
+  def audioHeaderDecode(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.ScaleOps.widen(Tables.documents(spark, dir))
+      .select(col("doc_id").as("media_id"), plantWav.as("content"))
+      .select(col("media_id"), decodeWavHeader(col("content")).as("hdr"))
+      .select(col("media_id"),
+        col("hdr").getField("sample_rate").as("sample_rate"),
+        col("hdr").getField("channels").as("channels"),
+        col("hdr").getField("bits_per_sample").as("bits_per_sample"),
+        col("hdr").getField("n_frames").as("n_frames"))
+
+  def audioHeaderOracle: String =
+    s"""SELECT doc_id AS media_id,
+       |  CAST(8000 + (doc_id % 4) * 8000 AS INTEGER) AS sample_rate,
+       |  CAST(1 + doc_id % 2 AS INTEGER) AS channels,
+       |  CAST(8 * (1 + doc_id % 3) AS INTEGER) AS bits_per_sample,
+       |  CAST(100 + doc_id % 900 AS BIGINT) AS n_frames
+       |FROM documents""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_multimodal_audio" -> ((s, dir) => audioHeaderDecode(s, dir)),
     "q_multimodal_decode" -> ((s, dir) => headerDecode(s, dir)),
     "q_multimodal_features" -> ((s, dir) =>
       mediaFeatures(s, dir).select(
@@ -201,6 +264,7 @@ object Multimodal {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_multimodal_audio" -> audioHeaderOracle,
     "q_multimodal_decode" -> headerOracle,
     "q_multimodal_features" ->
       s"""SELECT doc_id AS media_id,

@@ -111,7 +111,46 @@ object Events {
        |FROM events
        |GROUP BY ROLLUP (CAST(ts AS DATE), event_type)""".stripMargin
 
+  /** The analytic-window family over per-user event sequences —
+    * lag/lead (inter-event gaps), rank and dense_rank (per-user spend
+    * ordering), ntile (quartile bucketing) — one shuffle keyed by
+    * user_id; every window shares that partitioning so Spark plans ONE
+    * exchange + sort for all five functions. Gaps are exact epoch-ms
+    * integers; spend ranks order by exact cents (ties broken by ts via
+    * the ORDER BY, identical both engines).
+    */
+  def userWindowStats(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byTs = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val bySpend = Window.partitionBy(col("user_id"))
+      .orderBy(desc("value_cents"), col("ts"), col("event_id"))
+    ScaleOps.widen(Tables.events(spark, dir))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        floor(col("value") * 100).cast("long").as("value_cents"))
+      .select(col("event_id"), col("user_id"), col("value_cents"),
+        (unix_millis(col("ts")) - unix_millis(lag(col("ts"), 1).over(byTs))).as("ms_since_prev"),
+        (unix_millis(lead(col("ts"), 1).over(byTs)) - unix_millis(col("ts"))).as("ms_until_next"),
+        rank().over(bySpend).cast("long").as("spend_rank"),
+        dense_rank().over(bySpend).cast("long").as("spend_dense_rank"),
+        ntile(4).over(bySpend).cast("long").as("spend_quartile"))
+  }
+
+  def userWindowStatsOracle: String =
+    s"""SELECT event_id, user_id,
+       |  CAST(floor(value * 100) AS BIGINT) AS value_cents,
+       |  epoch_ms(ts) - epoch_ms(lag(ts, 1) OVER w_ts) AS ms_since_prev,
+       |  epoch_ms(lead(ts, 1) OVER w_ts) - epoch_ms(ts) AS ms_until_next,
+       |  CAST(rank() OVER w_spend AS BIGINT) AS spend_rank,
+       |  CAST(dense_rank() OVER w_spend AS BIGINT) AS spend_dense_rank,
+       |  CAST(ntile(4) OVER w_spend AS BIGINT) AS spend_quartile
+       |FROM events
+       |WINDOW
+       |  w_ts AS (PARTITION BY user_id ORDER BY ts, event_id),
+       |  w_spend AS (PARTITION BY user_id
+       |    ORDER BY CAST(floor(value * 100) AS BIGINT) DESC, ts, event_id)""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_events_window_stats" -> ((s, dir) => userWindowStats(s, dir)),
     "q_events_json" -> ((s, dir) => hourlyJsonAgg(s, dir)),
     "q_events_pivot" -> ((s, dir) => dailyTypePivot(s, dir)),
     "q_events_unpivot" -> ((s, dir) => dailyTypeUnpivot(s, dir)),
@@ -119,6 +158,7 @@ object Events {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_events_window_stats" -> userWindowStatsOracle,
     "q_events_json" -> hourlyJsonAggOracle,
     "q_events_pivot" -> dailyTypePivotOracle,
     "q_events_unpivot" -> dailyTypeUnpivotOracle,

@@ -221,6 +221,41 @@ object Relational {
     spark.sql(ExistsSql)
   }
 
+  /** Dormancy cutoff for the anti join — every fixture customer has SOME
+    * order (dense TPC-H-ish keys), so the interesting anti-join
+    * population is "no order since": late enough that a nonzero segment
+    * of customers has gone quiet.
+    */
+  val DormantSince = "1998-06-01"
+
+  /** Anti-join surface: customers with NO order on/after
+    * [[DormantSince]], aggregated per market segment — `left_anti` is
+    * the plan-level dual of the EXISTS semi join ([[qExistsSubquery]]);
+    * Spark broadcasts the filtered order-key side when it fits and
+    * otherwise plans a shuffled anti hash join, either way never
+    * materializing the non-matches. The date filter sits on the right
+    * side BEFORE the join (pushed to the orders scan). Account balances
+    * sum as exact cents (house quantization).
+    */
+  def qAntiJoin(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir)
+          .filter(col("o_orderdate") >= lit(DormantSince).cast("timestamp"))
+          .select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_custs"),
+        sum(floor(col("c_acctbal") * 100).cast("long")).as("acctbal_cents"))
+
+  def antiJoinOracle: String =
+    s"""SELECT c_mktsegment,
+       |  count(*) AS n_custs,
+       |  CAST(sum(CAST(floor(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS acctbal_cents
+       |FROM customer
+       |WHERE NOT EXISTS (SELECT 1 FROM orders
+       |  WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '$DormantSince 00:00:00')
+       |GROUP BY c_mktsegment""".stripMargin
+
   /** Exact distributed second-moment statistics — grouped covariance /
     * correlation WITHOUT floating-point order-dependence. Spark's native
     * `corr`/`covar_samp` stream doubles, so partial-aggregation order
@@ -301,6 +336,7 @@ object Relational {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_moment_stats"     -> ((s, dir) => qMomentStats(s, dir)),
+    "q_anti_join"        -> ((s, dir) => qAntiJoin(s, dir)),
     "q_exists_subquery"  -> ((s, dir) => qExistsSubquery(s, dir)),
     "q1_pricing_summary" -> ((s, dir) => q1PricingSummary(s, dir)),
     "q3_top_revenue"     -> ((s, dir) => q3TopRevenue(s, dir)),
@@ -311,6 +347,7 @@ object Relational {
 
   def oracleSql: Map[String, String] = Map(
     "q_moment_stats"     -> momentOracle,
+    "q_anti_join"        -> antiJoinOracle,
     "q_exists_subquery"  -> ExistsSql,
     "q1_pricing_summary" -> q1Oracle,
     "q3_top_revenue"     -> q3Oracle,

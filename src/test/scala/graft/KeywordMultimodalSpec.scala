@@ -122,6 +122,40 @@ class KeywordMultimodalSpec extends SparkSuite {
     assert(!code.contains("Found 0 WholeStageCodegen subtrees"), code.linesIterator.take(3).mkString("\n"))
   }
 
+  test("wav header decode reads rate/channels/bits/frames from JDK-encoded audio") {
+    import javax.sound.sampled._
+    def wav(rate: Float, bits: Int, chans: Int, nFrames: Int): Array[Byte] = {
+      val fmt = new AudioFormat(rate, bits, chans, true, false)
+      val pcm = new Array[Byte](nFrames * fmt.getFrameSize)
+      val ais = new AudioInputStream(new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+      val baos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, baos)
+      baos.toByteArray
+    }
+    def parsed(bytes: Array[Byte]) = {
+      val r = graft.plans.WavHeader.parse(bytes)
+      (if (r.isNullAt(0)) -1 else r.getInt(0), if (r.isNullAt(1)) -1 else r.getInt(1),
+        if (r.isNullAt(2)) -1 else r.getInt(2), if (r.isNullAt(3)) -1L else r.getLong(3))
+    }
+    assert(parsed(wav(44100f, 16, 2, 500)) === ((44100, 2, 16, 500L)))
+    assert(parsed(wav(8000f, 8, 1, 123)) === ((8000, 1, 8, 123L)))
+    assert(parsed(wav(48000f, 24, 2, 7)) === ((48000, 2, 24, 7L)))
+    assert(parsed("RIFFxxxxnope".getBytes) === ((-1, -1, -1, -1L)))
+    assert(parsed(Array[Byte]()) === ((-1, -1, -1, -1L)))
+  }
+
+  test("planted wav headers decode end-to-end with the planted parameters") {
+    val rows = Multimodal.audioHeaderDecode(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getInt(1) === 8000 + (id % 4).toInt * 8000)
+      assert(r.getInt(2) === 1 + (id % 2).toInt)
+      assert(r.getInt(3) === 8 * (1 + (id % 3).toInt))
+      assert(r.getLong(4) === 100 + id % 900)
+    }
+  }
+
   test("planted headers decode through the codegen'd expression end-to-end") {
     val out = Multimodal.headerDecode(spark, Sf)
     val rows = out.collect()
