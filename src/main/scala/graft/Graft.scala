@@ -223,6 +223,18 @@ object Graft {
   def mixAndPack(spark: SparkSession, sfDir: String): DataFrame =
     ops.Packing.mixPack(spark, sfDir)
 
+  /** Exact (doc, sequence) membership with mid-document cuts — the
+    * overflow-splitting refinement of [[packCorpus]].
+    */
+  def packMembership(spark: SparkSession, sfDir: String): DataFrame =
+    ops.Packing.packOverflow(spark, sfDir)
+
+  /** Deterministic per-shard export manifest (counts, tokens, content
+    * checksum) — what a loader validates each training shard against.
+    */
+  def shardManifest(spark: SparkSession, sfDir: String): DataFrame =
+    sources.Layout.shardManifest(spark, sfDir)
+
   /** Exact grouped second-moment statistics (covariance/correlation from
     * integer moments — order-independent, mergeable).
     */

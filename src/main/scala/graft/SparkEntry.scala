@@ -45,6 +45,7 @@ object SparkEntry {
       (CorpusOps.queries, CorpusOps.oracleSql),
       (graft.ops.Packing.queries, graft.ops.Packing.oracleSql),
       (graft.ops.ScaleOps.queries, graft.ops.ScaleOps.oracleSql),
+      (graft.sources.Layout.queries, graft.sources.Layout.oracleSql),
       (Map[String, (SparkSession, String) => DataFrame](
         "q_range_join" -> ((s, dir) => graft.streaming.Sessionize.assignEventsToSessions(s, dir)),
         "q_session_window" -> ((s, dir) => graft.streaming.Sessionize.sessionWindowSummaries(s, dir))),

@@ -132,13 +132,47 @@ object Packing {
        |FROM toks""".stripMargin
   }
 
+  /** Overflow-splitting refinement of [[packSequences]]: a document whose
+    * token interval [cum_before, cum_before + n) crosses sequence
+    * boundaries contributes its overlap to EVERY covered sequence —
+    * `(doc_id, seq_id, n_tokens_in_seq)` is the exact membership table a
+    * trainer's sequence assembler materializes (GPT-style packing cuts
+    * mid-document; [[packSequences]]' whole-doc `seq_id` is the
+    * first-token simplification). Per-row explode bounded by
+    * ceil(n/Budget)+1 sequences per doc — linear in total tokens, no new
+    * shuffle beyond the prefix sum it builds on.
+    *
+    * Invariants (spec-pinned): per-doc splits sum to n_tokens; every
+    * interior sequence holds exactly [[Budget]] tokens.
+    */
+  def packOverflow(spark: SparkSession, dir: String): DataFrame = {
+    val b = lit(Budget)
+    packSequences(spark, dir)
+      .filter(col("n_tokens") > 0)
+      .withColumn("last_seq", expr(s"(cum_before + n_tokens - 1) div $Budget"))
+      .withColumn("seq", explode(sequence(col("seq_id"), col("last_seq"))))
+      .select(col("doc_id"), col("seq").as("seq_id"),
+        (least((col("seq") + 1) * b, col("cum_before") + col("n_tokens"))
+          - greatest(col("seq") * b, col("cum_before"))).as("n_tokens_in_seq"))
+  }
+
+  def packOverflowOracle: String =
+    s"""WITH packed AS ($packOracle)
+       |SELECT doc_id, s AS seq_id,
+       |  CAST(least((s + 1) * $Budget, cum_before + n_tokens)
+       |     - greatest(s * $Budget, cum_before) AS BIGINT) AS n_tokens_in_seq
+       |FROM packed, unnest(range(seq_id, (cum_before + n_tokens - 1) // $Budget + 1)) AS t(s)
+       |WHERE n_tokens > 0""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pack_sequences" -> ((s, dir) => packSequences(s, dir)),
+    "q_pack_overflow" -> ((s, dir) => packOverflow(s, dir)),
     "q_mix_pack" -> ((s, dir) => mixPack(s, dir))
   )
 
   def oracleSql: Map[String, String] = Map(
     "q_pack_sequences" -> packOracle,
+    "q_pack_overflow" -> packOverflowOracle,
     "q_mix_pack" -> mixPackOracle
   )
 }

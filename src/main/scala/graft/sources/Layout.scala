@@ -48,4 +48,75 @@ object Layout {
       .select(input_file_name().as("file"), col(key))
       .groupBy(col("file"))
       .agg(min(col(key)).as("lo"), max(col(key)).as("hi"), count(lit(1)).as("rows"))
+
+  // ---- deterministic output sharding + manifest ----
+
+  /** Shard fan-out for training-data export. */
+  val NumShards = 16
+
+  /** Salt decorrelating the shard hash from the split/sample/mix hashes
+    * (the [[graft.ops.CorpusOps]] salting discipline): a shard must be a
+    * uniform slice of EVERY split, not aligned with one.
+    */
+  val ShardSalt = "#shard"
+
+  private def fold12(c: org.apache.spark.sql.Column) =
+    conv(substring(md5(c), 1, 12), 16, 10).cast("long")
+
+  /** Deterministic shard id: md5-fold(doc_id ⧺ salt) mod [[NumShards]] —
+    * key-hash, so the same doc lands in the same shard on every run,
+    * cluster size, and partitioning, and appends never reshuffle
+    * existing docs (the [[graft.ops.CorpusOps.stratifiedSplit]]
+    * contract applied to output layout).
+    */
+  def shardOf(key: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    fold12(concat(key.cast("string"), lit(ShardSalt))) % NumShards
+
+  /** (shard, n_docs, n_tokens, checksum) — the manifest a training-data
+    * loader validates each shard against before a run: row and token
+    * counts plus an order-independent content checksum (sum of per-doc
+    * 48-bit key folds, widened to decimal so 10⁹-doc shards cannot wrap,
+    * reduced mod 1e9+7). One scan, one hash aggregate by shard.
+    */
+  def shardManifest(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.ops.ScaleOps.widen(
+      spark.read.parquet(s"$dir/documents.parquet"))
+    docs.select(
+        shardOf(col("doc_id")).as("shard"),
+        size(graft.text.TextOps.tokenize(col("text"))).cast("long").as("n_tokens"),
+        fold12(col("doc_id").cast("string")).as("idfold"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        (sum(col("idfold").cast("decimal(38,0)")) % lit(1000000007L))
+          .cast("long").as("checksum"))
+  }
+
+  def shardManifestOracle: String = {
+    val fold = graft.text.TextOps.md5HexFold12Sql _
+    val tk = graft.text.TextOps.tokenizeSql("text")
+    s"""WITH keys AS (
+       |  SELECT doc_id, text,
+       |    md5(CAST(doc_id AS VARCHAR)) AS d,
+       |    md5(CAST(doc_id AS VARCHAR) || '$ShardSalt') AS ds
+       |  FROM documents
+       |), sharded AS (
+       |  SELECT (${fold("ds")}) % $NumShards AS shard,
+       |    CAST(len($tk) AS BIGINT) AS n_tokens,
+       |    ${fold("d")} AS idfold
+       |  FROM keys
+       |)
+       |SELECT shard, count(*) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       |  CAST(CAST(sum(idfold) AS HUGEINT) % 1000000007 AS BIGINT) AS checksum
+       |FROM sharded GROUP BY shard""".stripMargin
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_shard_manifest" -> ((s, dir) => shardManifest(s, dir))
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_shard_manifest" -> shardManifestOracle
+  )
 }

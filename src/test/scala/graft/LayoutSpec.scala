@@ -48,4 +48,27 @@ class LayoutSpec extends SparkSuite {
       .select(input_file_name()).distinct().count()
     assert(files == 1L) // all hits clustered in a single file
   }
+
+  test("sharded write: partition dirs agree with the manifest; assignment is append-stable") {
+    import graft.sources.Layout
+    val tmp = java.nio.file.Files.createTempDirectory("graft-shards").toString
+    val docs = spark.read.parquet(s"$Sf/documents.parquet")
+      .withColumn("shard", Layout.shardOf(col("doc_id")))
+    docs.write.mode("overwrite").partitionBy("shard").parquet(tmp)
+    val back = spark.read.parquet(tmp)
+      .groupBy("shard").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getAs[Number]("shard").longValue() -> r.getLong(1)).toMap
+    val manifest = Layout.shardManifest(spark, Sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(back === manifest.filter(_._2 > 0))
+    // append stability: assignment depends only on the key, so a re-read
+    // subset maps identically (no rand(), no partition-id dependence)
+    val twice = docs.select("doc_id", "shard").limit(50).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val again = spark.read.parquet(s"$Sf/documents.parquet").repartition(7)
+      .select(col("doc_id"), Layout.shardOf(col("doc_id")).as("shard"))
+      .filter(col("doc_id").isin(twice.keys.toSeq.map(Long.box): _*))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again === twice)
+  }
 }

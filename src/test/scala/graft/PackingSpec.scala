@@ -21,6 +21,24 @@ class PackingSpec extends SparkSuite {
     assert(got.toSeq == naive.toSeq)
   }
 
+  test("overflow splits: per-doc parts sum to n_tokens; interior sequences exactly full") {
+    val parts = Packing.packOverflow(spark, Sf).persist()
+    try {
+      val perDoc = parts.groupBy("doc_id").agg(sum("n_tokens_in_seq").as("s"))
+        .join(Packing.packSequences(spark, Sf).select(col("doc_id"), col("n_tokens")), "doc_id")
+      assert(perDoc.filter(col("s") =!= col("n_tokens")).count() === 0)
+      assert(parts.filter(col("n_tokens_in_seq") <= 0).count() === 0)
+      val perSeq = parts.groupBy("seq_id").agg(sum("n_tokens_in_seq").as("s"))
+      val lastSeq = perSeq.agg(max("seq_id")).collect()(0).getLong(0)
+      assert(perSeq.filter(col("seq_id") < lastSeq)
+        .filter(col("s") =!= Packing.Budget).count() === 0,
+        "every interior sequence must hold exactly Budget tokens")
+      // docs really do cross boundaries on the fixture (10-99-token docs,
+      // 256-token budget) — the refinement must not degenerate to 1 part/doc
+      assert(parts.groupBy("doc_id").count().filter(col("count") > 1).count() > 0)
+    } finally parts.unpersist()
+  }
+
   test("packOn is partition-count independent: same result at 1, 3, and 17 partitions") {
     import spark.implicits._
     val rnd = new scala.util.Random(42)
