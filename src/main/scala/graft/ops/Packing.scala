@@ -164,15 +164,58 @@ object Packing {
        |FROM packed, unnest(range(seq_id, (cum_before + n_tokens - 1) // $Budget + 1)) AS t(s)
        |WHERE n_tokens > 0""".stripMargin
 
+  /** Salt for the shuffle order hash — decorrelated from the split /
+    * sample / mix / shard hashes (house salting discipline).
+    */
+  val ShuffleSalt = "#shuffle"
+
+  /** Deterministic corpus SHUFFLE + pack: training runs pack in random
+    * document order (id order correlates with crawl time/source and
+    * would seed every batch with neighboring docs), but the shuffle must
+    * be REPRODUCIBLE — so the order key is a salted md5-fold of doc_id
+    * (the [[graft.ops.CorpusOps.stratifiedSplit]] key-hash discipline
+    * applied to ordering), not `rand()`. Same two-pass prefix sum,
+    * order keys (h, doc_id) — jointly unique, so the packing is
+    * bit-reproducible on any cluster while documents land in
+    * hash-shuffled sequence order.
+    */
+  def shuffledPack(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.ops.ScaleOps.widen(Tables.documents(spark, dir))
+      .select(col("doc_id"),
+        conv(substring(md5(concat(col("doc_id").cast("string"), lit(ShuffleSalt))), 1, 12), 16, 10)
+          .cast("long").as("h"),
+        size(TextOps.tokenize(col("text"))).cast("long").as("n_tokens"))
+    packOn(docs, Seq("h", "doc_id"))
+  }
+
+  def shuffledPackOracle: String = {
+    val tk = TextOps.tokenizeSql("text")
+    val fold = graft.text.TextOps.md5HexFold12Sql("hs")
+    s"""WITH toks AS (
+       |  SELECT doc_id, $fold AS h, CAST(len($tk) AS BIGINT) AS n_tokens
+       |  FROM (SELECT doc_id, text,
+       |          md5(CAST(doc_id AS VARCHAR) || '$ShuffleSalt') AS hs
+       |        FROM documents)
+       |)
+       |SELECT doc_id, h, n_tokens,
+       |  CAST(coalesce(sum(n_tokens) OVER (ORDER BY h, doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before,
+       |  CAST(coalesce(sum(n_tokens) OVER (ORDER BY h, doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // $Budget AS BIGINT) AS seq_id
+       |FROM toks""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pack_sequences" -> ((s, dir) => packSequences(s, dir)),
     "q_pack_overflow" -> ((s, dir) => packOverflow(s, dir)),
+    "q_pack_shuffled" -> ((s, dir) => shuffledPack(s, dir)),
     "q_mix_pack" -> ((s, dir) => mixPack(s, dir))
   )
 
   def oracleSql: Map[String, String] = Map(
     "q_pack_sequences" -> packOracle,
     "q_pack_overflow" -> packOverflowOracle,
+    "q_pack_shuffled" -> shuffledPackOracle,
     "q_mix_pack" -> mixPackOracle
   )
 }

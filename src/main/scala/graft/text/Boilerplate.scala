@@ -123,11 +123,69 @@ object Boilerplate {
        |GROUP BY s.doc_id""".stripMargin
   }
 
+  /** In-DOCUMENT consecutive-duplicate collapse (CCNet's "drop repeated
+    * consecutive lines" normalization) — the per-row complement of
+    * [[lineDedup]]'s cross-document pass: runs of identical adjacent
+    * lines collapse to their first occurrence. Pure per-row list work,
+    * shuffle-free. The keep predicate is ONE null-safe comparison
+    * against the predecessor (`NOT (x <=> lines[i-1])`, 0-based `get`
+    * returns null at -1, so element 0 always survives) — no i=0 special
+    * case to drift between engines.
+    *
+    * The fixture has no repeated lines, so the gate PLANTS runs: every
+    * segment whose (doc_id + pos) ≡ 0 (mod 4) is doubled before the
+    * collapse; the collapse must remove exactly the planted copies.
+    */
+  def collapseRuns(lines: Column): Column =
+    filter(lines, (x, i) => !(x <=> get(lines, i - 1)))
+
+  def runCollapse(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.ops.ScaleOps.widen(Tables.documents(spark, dir))
+    val planted = docs
+      .select(col("doc_id"), segmentsOf(TextOps.tokenize(col("text"))).as("segs"))
+      .select(col("doc_id"), flatten(transform(col("segs"), (s, i) =>
+        when((col("doc_id") + i) % 4 === 0, array(s, s)).otherwise(array(s)))).as("lines"))
+    planted.select(col("doc_id"),
+        size(col("lines")).cast("long").as("n_lines_in"),
+        collapseRuns(col("lines")).as("kept"))
+      .select(col("doc_id"), col("n_lines_in"),
+        size(col("kept")).cast("long").as("n_lines_out"),
+        array_join(col("kept"), " ").as("clean_text"))
+  }
+
+  def runCollapseOracle: String = {
+    val tk = TextOps.tokenizeSql("text")
+    s"""WITH toks AS (
+       |  SELECT doc_id, $tk AS tk FROM documents
+       |), segd AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(tk) > 0 THEN
+       |      list_transform(range(0, (len(tk) - 1) // $SegTokens + 1),
+       |        i -> array_to_string(tk[i*$SegTokens+1 : i*$SegTokens+$SegTokens], ' '))
+       |    ELSE [] END AS segs
+       |  FROM toks
+       |), planted AS (
+       |  SELECT doc_id, flatten(list_transform(segs,
+       |    (s, i) -> CASE WHEN (doc_id + i - 1) % 4 = 0 THEN [s, s] ELSE [s] END)) AS lines
+       |  FROM segd
+       |), collapsed AS (
+       |  SELECT doc_id, CAST(len(lines) AS BIGINT) AS n_lines_in,
+       |    list_filter(lines, (x, i) -> i = 1 OR x IS DISTINCT FROM lines[i - 1]) AS kept
+       |  FROM planted
+       |)
+       |SELECT doc_id, n_lines_in,
+       |  CAST(len(kept) AS BIGINT) AS n_lines_out,
+       |  array_to_string(kept, ' ') AS clean_text
+       |FROM collapsed""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_line_dedup" -> ((s, dir) => lineDedup(s, dir))
+    "q_line_dedup" -> ((s, dir) => lineDedup(s, dir)),
+    "q_run_collapse" -> ((s, dir) => runCollapse(s, dir))
   )
 
   def oracleSql: Map[String, String] = Map(
-    "q_line_dedup" -> lineDedupOracle
+    "q_line_dedup" -> lineDedupOracle,
+    "q_run_collapse" -> runCollapseOracle
   )
 }

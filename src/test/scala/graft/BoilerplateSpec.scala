@@ -70,4 +70,25 @@ class BoilerplateSpec extends SparkSuite {
     assert(out(11L) == ((0L, unique)))
     assert(out(2L)._1 == 0L)
   }
+
+  test("run collapse removes exactly the planted consecutive duplicates") {
+    import spark.implicits._
+    // hand-check the collapse on known arrays, incl. a triple run and nulls-free tail
+    val got = Seq(Seq("a", "a", "b", "a", "c", "c", "c"), Seq("x"), Seq[String]())
+      .toDF("lines").select(Boilerplate.collapseRuns(col("lines")).as("kept"))
+      .collect().map(_.getSeq[String](0).toList)
+    assert(got.toList == List(List("a", "b", "a", "c"), List("x"), Nil))
+    // on the planted fixture, removed count equals the planted-double count
+    val rows = Boilerplate.runCollapse(spark, Sf)
+      .select(col("doc_id"), (col("n_lines_in") - col("n_lines_out")).as("removed"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = spark.read.parquet(s"$Sf/documents.parquet")
+      .select(col("doc_id"),
+        Boilerplate.segmentsOf(graft.text.TextOps.tokenize(col("text"))).as("segs"))
+      .select(col("doc_id"), size(filter(col("segs"), (_, i) =>
+        (col("doc_id") + i) % 4 === 0)).cast("long").as("planted"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows === expected)
+    assert(rows.values.sum > 0, "the plant must actually create runs")
+  }
 }
