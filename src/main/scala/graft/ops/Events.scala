@@ -111,6 +111,20 @@ object Events {
        |FROM events
        |GROUP BY ROLLUP (CAST(ts AS DATE), event_type)""".stripMargin
 
+  /** Cube: the full grouping-sets lattice over (day, type) — rollup's
+    * superset (adds the per-type-across-days slice). Same single
+    * expand+aggregate plan shape; completes the grouping-sets surface.
+    */
+  def dailyCube(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .cube(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+
+  def dailyCubeOracle: String =
+    s"""SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n_events
+       |FROM events
+       |GROUP BY CUBE (CAST(ts AS DATE), event_type)""".stripMargin
+
   /** The analytic-window family over per-user event sequences —
     * lag/lead (inter-event gaps), rank and dense_rank (per-user spend
     * ordering), ntile (quartile bucketing) — one shuffle keyed by
@@ -154,7 +168,8 @@ object Events {
     "q_events_json" -> ((s, dir) => hourlyJsonAgg(s, dir)),
     "q_events_pivot" -> ((s, dir) => dailyTypePivot(s, dir)),
     "q_events_unpivot" -> ((s, dir) => dailyTypeUnpivot(s, dir)),
-    "q_events_rollup" -> ((s, dir) => dailyRollup(s, dir))
+    "q_events_rollup" -> ((s, dir) => dailyRollup(s, dir)),
+    "q_events_cube" -> ((s, dir) => dailyCube(s, dir))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -162,6 +177,7 @@ object Events {
     "q_events_json" -> hourlyJsonAggOracle,
     "q_events_pivot" -> dailyTypePivotOracle,
     "q_events_unpivot" -> dailyTypeUnpivotOracle,
-    "q_events_rollup" -> dailyRollupOracle
+    "q_events_rollup" -> dailyRollupOracle,
+    "q_events_cube" -> dailyCubeOracle
   )
 }

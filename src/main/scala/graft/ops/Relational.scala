@@ -221,6 +221,46 @@ object Relational {
     spark.sql(ExistsSql)
   }
 
+  /** TPC-H Q10 shape — the returned-item customer report: which
+    * customers returned the most revenue in a quarter. lineitem filtered
+    * to returns ⋈ orders (quarter) ⋈ customer ⋈ nation (broadcast);
+    * revenue per row quantized once to cents (floor(x·100)) so the
+    * per-customer sum is an exact integer (the round-6 gate discipline —
+    * no streamed-double aggregate in a gated output); top 20 by it.
+    */
+  def q10ReturnedItems(spark: SparkSession, dir: String): DataFrame = {
+    val qStart = lit("1997-10-01").cast("timestamp")
+    val qEnd = lit("1998-01-01").cast("timestamp")
+    val l = Tables.lineitem(spark, dir).filter(col("l_returnflag") === "R")
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= qStart && col("o_orderdate") < qEnd)
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+        .cast("long")).as("revenue_cents"))
+      .orderBy(col("revenue_cents").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  val q10Oracle: String =
+    """SELECT c_custkey, c_name, n_name,
+      |  CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+      |    AS revenue_cents
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE l_returnflag = 'R'
+      |  AND o_orderdate >= TIMESTAMP '1997-10-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY c_custkey, c_name, n_name
+      |ORDER BY revenue_cents DESC, c_custkey
+      |LIMIT 20""".stripMargin
+
   /** Dormancy cutoff for the anti join — every fixture customer has SOME
     * order (dense TPC-H-ish keys), so the interesting anti-join
     * population is "no order since": late enough that a nonzero segment
@@ -340,6 +380,7 @@ object Relational {
     "q_exists_subquery"  -> ((s, dir) => qExistsSubquery(s, dir)),
     "q1_pricing_summary" -> ((s, dir) => q1PricingSummary(s, dir)),
     "q3_top_revenue"     -> ((s, dir) => q3TopRevenue(s, dir)),
+    "q10_returned_items" -> ((s, dir) => q10ReturnedItems(s, dir)),
     "q5_local_volume"    -> ((s, dir) => q5LocalVolume(s, dir)),
     "q14_promo_share"    -> ((s, dir) => q14PromoShare(s, dir)),
     "q22_set_ops"        -> ((s, dir) => q22SetOps(s, dir))
@@ -351,6 +392,7 @@ object Relational {
     "q_exists_subquery"  -> ExistsSql,
     "q1_pricing_summary" -> q1Oracle,
     "q3_top_revenue"     -> q3Oracle,
+    "q10_returned_items" -> q10Oracle,
     "q5_local_volume"    -> q5Oracle,
     "q14_promo_share"    -> q14Oracle,
     "q22_set_ops"        -> q22Oracle
