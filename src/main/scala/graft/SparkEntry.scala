@@ -43,6 +43,7 @@ object SparkEntry {
       (AsofJoin.queries, AsofJoin.oracleSql),
       (DateParse.queries, DateParse.oracleSql),
       (CorpusOps.queries, CorpusOps.oracleSql),
+      (graft.ops.FuzzyJoin.queries, graft.ops.FuzzyJoin.oracleSql),
       (graft.ops.Packing.queries, graft.ops.Packing.oracleSql),
       (graft.ops.ScaleOps.queries, graft.ops.ScaleOps.oracleSql),
       (graft.sources.Layout.queries, graft.sources.Layout.oracleSql),

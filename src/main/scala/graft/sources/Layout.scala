@@ -49,6 +49,59 @@ object Layout {
       .groupBy(col("file"))
       .agg(min(col(key)).as("lo"), max(col(key)).as("hi"), count(lit(1)).as("rows"))
 
+  // ---- Z-order (Morton) layout for multi-column pruning ----
+
+  /** 16-bit × 16-bit Morton interleave: bit i of x lands at position 2i,
+    * bit i of y at 2i+1, so sorting by z clusters rows that are close in
+    * BOTH keys — the layout trick for tables probed by two independent
+    * range predicates, where a single-key sort ([[writeRangeSorted]])
+    * prunes one dimension and scans the other in full. Plain shift/mask
+    * arithmetic (one shared term construction, Spark and SQL emitted
+    * from the same loop); production keys wider than 16 bits first
+    * quantize into 65536 rank buckets — same construction, coarser
+    * cells. Per-row, codegen'd, shuffle-free.
+    */
+  def zOf(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (0 until 16).flatMap { i =>
+      Seq(
+        shiftrightunsigned(x.bitwiseAND(lit(0xFFFFL)), i).bitwiseAND(lit(1L)) * lit(1L << (2 * i)),
+        shiftrightunsigned(y.bitwiseAND(lit(0xFFFFL)), i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1)))
+    }.reduce(_ + _)
+
+  def zOfSql(x: String, y: String): String =
+    (0 until 16).flatMap { i =>
+      Seq(s"((($x & 65535) >> $i) & 1) * ${1L << (2 * i)}",
+          s"((($y & 65535) >> $i) & 1) * ${1L << (2 * i + 1)}")
+    }.mkString(" + ")
+
+  /** Write `df` as `numFiles` files range-partitioned and sorted by the
+    * Morton code of (xCol, yCol) — each file then covers a compact
+    * rectangle-ish region of the key plane, so parquet min/max stats
+    * prune on EITHER column.
+    */
+  def writeZOrdered(df: DataFrame, xCol: String, yCol: String,
+                    numFiles: Int, path: String): Unit =
+    df.withColumn("__z", zOf(col(xCol), col(yCol)))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+
+  /** Gate for the interleave arithmetic itself (the layout effect is
+    * asserted in LayoutSpec): Morton codes over lineitem's
+    * (l_partkey, l_suppkey).
+    */
+  def zOrderCodes(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey"), col("l_suppkey"),
+        zOf(col("l_partkey"), col("l_suppkey")).as("z"))
+
+  def zOrderOracle: String =
+    s"""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+       |  CAST(${zOfSql("l_partkey", "l_suppkey")} AS BIGINT) AS z
+       |FROM lineitem""".stripMargin
+
   // ---- deterministic output sharding + manifest ----
 
   /** Shard fan-out for training-data export. */
@@ -113,10 +166,12 @@ object Layout {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_shard_manifest" -> ((s, dir) => shardManifest(s, dir))
+    "q_shard_manifest" -> ((s, dir) => shardManifest(s, dir)),
+    "q_zorder_codes" -> ((s, dir) => zOrderCodes(s, dir))
   )
 
   def oracleSql: Map[String, String] = Map(
-    "q_shard_manifest" -> shardManifestOracle
+    "q_shard_manifest" -> shardManifestOracle,
+    "q_zorder_codes" -> zOrderOracle
   )
 }

@@ -49,6 +49,34 @@ class LayoutSpec extends SparkSuite {
     assert(files == 1L) // all hits clustered in a single file
   }
 
+  test("z-order layout: a box predicate on BOTH keys touches a fraction of files") {
+    import graft.sources.Layout
+    val li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+      .select("l_orderkey", "l_partkey", "l_suppkey")
+    val zdir = java.nio.file.Files.createTempDirectory("graft-zorder").toString
+    val sdir = java.nio.file.Files.createTempDirectory("graft-singlekey").toString
+    val files = 16
+    Layout.writeZOrdered(li, "l_partkey", "l_suppkey", files, zdir)
+    Layout.writeRangeSorted(li, "l_orderkey", files, sdir) // layout sorted by an UNRELATED key
+    def touched(path: String): Long = {
+      val df = spark.read.parquet(path)
+      df.filter(col("l_partkey").between(100, 180) && col("l_suppkey").between(10, 40))
+        .select(input_file_name()).distinct().count()
+    }
+    val zTouched = touched(zdir)
+    val sTouched = touched(sdir)
+    // the z-layout clusters the box into few files; the unrelated-key
+    // layout scatters it across essentially all of them
+    assert(zTouched < files / 2, s"z-order touched $zTouched of $files files")
+    assert(zTouched < sTouched,
+      s"z-order ($zTouched files) must beat an unrelated-key sort ($sTouched files)")
+    // morton sanity: x=0b101 → z bits 0,4; y=0b11 → z bits 1,3 → z=27
+    import spark.implicits._
+    val z = Seq((5L, 3L)).toDF("x", "y")
+      .select(Layout.zOf(col("x"), col("y"))).collect()(0).getLong(0)
+    assert(z === 27L, s"z=$z")
+  }
+
   test("sharded write: partition dirs agree with the manifest; assignment is append-stable") {
     import graft.sources.Layout
     val tmp = java.nio.file.Files.createTempDirectory("graft-shards").toString
