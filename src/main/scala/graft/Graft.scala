@@ -235,6 +235,18 @@ object Graft {
   def shardManifest(spark: SparkSession, sfDir: String): DataFrame =
     sources.Layout.shardManifest(spark, sfDir)
 
+  /** Blocking-first fuzzy name matching (edit-distance join that never
+    * goes all-pairs).
+    */
+  def fuzzyNameJoin(spark: SparkSession, sfDir: String): DataFrame =
+    ops.FuzzyJoin.fuzzyNamePairs(spark, sfDir)
+
+  /** Morton-interleave two key columns — the sort key for Z-ordered
+    * writes (`sources.Layout.writeZOrdered`), pruning on either key.
+    */
+  def zOrderKey(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    sources.Layout.zOf(x, y)
+
   /** Exact grouped second-moment statistics (covariance/correlation from
     * integer moments — order-independent, mergeable).
     */
