@@ -247,6 +247,19 @@ object Graft {
   def zOrderKey(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     sources.Layout.zOf(x, y)
 
+  /** Small-file compaction: rewrite a parquet dir into ~targetBytes
+    * files (scan cost back to per-byte, not per-file).
+    */
+  def compactTable(spark: SparkSession, path: String, targetBytes: Long): (Int, Int) =
+    sources.Maintenance.compact(spark, path, targetBytes)
+
+  /** Targeted erasure from a shard-partitioned table: rewrites ONLY the
+    * partitions that can contain the doomed keys (work ∝ affected
+    * shards, never table size).
+    */
+  def deleteKeys(spark: SparkSession, tablePath: String, keyCol: String, keys: Seq[Long]): Int =
+    sources.Maintenance.deleteKeys(spark, tablePath, keyCol, keys)
+
   /** Exact grouped second-moment statistics (covariance/correlation from
     * integer moments — order-independent, mergeable).
     */
