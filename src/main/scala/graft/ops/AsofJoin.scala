@@ -91,11 +91,47 @@ object AsofJoin {
        |  SELECT user_id, ts, event_id FROM events WHERE event_type = 'error'
        |) x ON e.user_id = x.user_id AND e.ts >= x.ts""".stripMargin
 
+  /** Staleness bound for [[eventsAsofErrorsTolerant]]: matches older
+    * than this are discarded (kdb's `wj` window / pandas `merge_asof
+    * tolerance` semantic — "the last reading, unless it's stale").
+    */
+  val ToleranceMs = 3600000L // 1 hour
+
+  /** As-of with tolerance: the composed as-of join, then payload
+    * nullified where the matched right row is older than [[ToleranceMs]]
+    * — a per-row projection on top of the same one-shuffle plan (the
+    * match is still the latest-at-or-before row; tolerance only decides
+    * whether it counts).
+    */
+  def eventsAsofErrorsTolerant(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select("event_id", "user_id", "ts", "event_type")
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("prev_err_id"), col("ts").as("prev_err_ts"))
+    val fresh = unix_millis(col("ts")) - unix_millis(col("prev_err_ts")) <= ToleranceMs
+    asofJoin(ev.select("event_id", "user_id", "ts"), errors, "user_id", "ts")
+      .select(col("event_id"), col("user_id"),
+        when(fresh, col("prev_err_id")).as("prev_err_id"),
+        when(fresh, col("prev_err_ts")).as("prev_err_ts"))
+  }
+
+  def eventsAsofErrorsTolerantOracle: String =
+    s"""SELECT e.event_id, e.user_id,
+       |  CASE WHEN epoch_ms(e.ts) - epoch_ms(x.ts) <= $ToleranceMs
+       |       THEN x.event_id END AS prev_err_id,
+       |  CASE WHEN epoch_ms(e.ts) - epoch_ms(x.ts) <= $ToleranceMs
+       |       THEN x.ts END AS prev_err_ts
+       |FROM events e ASOF LEFT JOIN (
+       |  SELECT user_id, ts, event_id FROM events WHERE event_type = 'error'
+       |) x ON e.user_id = x.user_id AND e.ts >= x.ts""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_asof_join" -> ((s, dir) => eventsAsofErrors(s, dir))
+    "q_asof_join" -> ((s, dir) => eventsAsofErrors(s, dir)),
+    "q_asof_tolerance" -> ((s, dir) => eventsAsofErrorsTolerant(s, dir))
   )
 
   def oracleSql: Map[String, String] = Map(
-    "q_asof_join" -> eventsAsofErrorsOracle
+    "q_asof_join" -> eventsAsofErrorsOracle,
+    "q_asof_tolerance" -> eventsAsofErrorsTolerantOracle
   )
 }

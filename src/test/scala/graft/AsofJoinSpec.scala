@@ -62,6 +62,23 @@ class AsofJoinSpec extends SparkSuite {
     }
   }
 
+  test("tolerance: stale matches nullify, fresh ones survive, match itself unchanged") {
+    val plain = AsofJoin.eventsAsofErrors(spark, Sf)
+      .select("event_id", "prev_err_ts").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    val tol = AsofJoin.eventsAsofErrorsTolerant(spark, Sf)
+      .select("event_id", "prev_err_ts").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(plain.keySet === tol.keySet)
+    // tolerance only ever REMOVES a match, never changes or invents one
+    tol.foreach { case (id, v) =>
+      assert(v.isEmpty || v === plain(id), s"event $id: tolerant match differs")
+    }
+    val kept = tol.values.count(_.nonEmpty)
+    val had = plain.values.count(_.nonEmpty)
+    assert(kept > 0 && kept < had, s"tolerance must both keep ($kept) and drop (of $had)")
+  }
+
   test("plan shape: one hash exchange by key, no range explosion join") {
     val plan = AsofJoin.eventsAsofErrors(spark, Sf).queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
