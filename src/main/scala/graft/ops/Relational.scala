@@ -303,17 +303,14 @@ object Relational {
     * hash can gate them. Instead the five moments are summed as EXACT
     * integers over cent-quantized inputs — order-independent under any
     * parallelism — widened to decimal(38,0) because Σx² at 100 TB row
-    * counts overflows a long (price_cents² ≈ 10¹⁴ per row). The gated
-    * output is ONLY these exact integers: the derived correlation
-    * involves round(DOUBLE) whose half-way behavior is not contractually
-    * identical across engines (Spark rounds the exact binary double via
-    * BigDecimal HALF_UP; DuckDB rounds in floating point), and an exact
-    * integer corr² would need ~10⁴⁰ — past int128. [[qMomentCorr]]
-    * derives the double from the gated moments and is asserted in
-    * RelationalSpec instead. The moments are the mergeable state a
-    * moment sketch would checkpoint.
+    * counts overflows a long (price_cents² ≈ 10¹⁴ per row). The derived
+    * correlation involves round(DOUBLE) whose half-way behavior is not
+    * contractually identical across engines, so [[qMomentCorr]] derives
+    * the double from these moments and is asserted in RelationalSpec
+    * instead. The moments are the mergeable state a moment sketch would
+    * checkpoint.
     */
-  def qMomentStats(spark: SparkSession, dir: String): DataFrame = {
+  def momentsExact(spark: SparkSession, dir: String): DataFrame = {
     // floor, not cast: Spark's double→long cast truncates toward zero
     // while DuckDB's rounds half-even — floor(x·100) is the one shared
     // quantization both engines state identically (house discipline)
@@ -330,7 +327,26 @@ object Relational {
         sum((col("x") * col("y")).cast(d)).as("sxy"))
   }
 
-  /** Pearson correlation derived from [[qMomentStats]]'s exact moments:
+  /** The moment checksums both engines gate on. DECIMAL(38,0) must not
+    * itself be a *gated* column type — it is the one type the driver's
+    * hasher canonicalizes differently across engines even when values
+    * are bit-exact (the round-6 lesson, second typing hazard class after
+    * HUGEINT) — so the gated output reduces each exact moment mod
+    * 1 000 000 007 down to BIGINT, the same fold [[graft.sources.Layout]]
+    * uses for shard-manifest checksums. All moments are sums of
+    * non-negative products, so `%` agrees across engines (no sign
+    * ambiguity), and the reduction is scale-invariant: it stays a valid
+    * gate at any SF while the full-width decimal math stays internal for
+    * the 100 TB argument ([[momentsExact]]).
+    */
+  def qMomentStats(spark: SparkSession, dir: String): DataFrame = {
+    val m = lit(1000000007L)
+    def fold(c: String) = (col(c) % m).cast("long").as(c)
+    momentsExact(spark, dir).select(col("l_returnflag"), col("n"),
+      fold("sx"), fold("sy"), fold("sxx"), fold("syy"), fold("sxy"))
+  }
+
+  /** Pearson correlation derived from [[momentsExact]]'s exact moments:
     * (nΣxy − ΣxΣy) / √((nΣx² − (Σx)²)(nΣy² − (Σy)²)). Deterministic
     * given the moments (plain scalar arithmetic, no aggregation order),
     * but a DOUBLE — so it lives outside the hash gate and is asserted
@@ -338,7 +354,7 @@ object Relational {
     */
   def qMomentCorr(spark: SparkSession, dir: String): DataFrame = {
     val d = "decimal(38,0)"
-    val m = qMomentStats(spark, dir)
+    val m = momentsExact(spark, dir)
     val n = col("n").cast(d)
     val cov = (n * col("sxy") - col("sx") * col("sy")).cast("double")
     val vx = (n * col("sxx") - col("sx") * col("sx")).cast("double")
@@ -350,9 +366,10 @@ object Relational {
 
   /** The oracle does the same exact-integer algebra in HUGEINT (int128 —
     * DuckDB's decimal multiply caps combined width at 38, HUGEINT holds
-    * every moment product here: Σy² ≈ 10¹⁸·rows ≪ 2¹²⁷); output moments
-    * are cast to DECIMAL(38,0) to match Spark's column type. No floating
-    * column in the gated output (see [[qMomentStats]]).
+    * every moment product here: Σy² ≈ 10¹⁸·rows ≪ 2¹²⁷), then folds each
+    * moment mod 1e9+7 down to BIGINT exactly like the Spark side — no
+    * DECIMAL or HUGEINT column in the gated output (see
+    * [[qMomentStats]]).
     */
   def momentOracle: String =
     s"""WITH q AS (
@@ -369,9 +386,11 @@ object Relational {
        |  FROM q GROUP BY l_returnflag
        |)
        |SELECT l_returnflag, n,
-       |  CAST(hsx AS DECIMAL(38,0)) AS sx, CAST(hsy AS DECIMAL(38,0)) AS sy,
-       |  CAST(hsxx AS DECIMAL(38,0)) AS sxx, CAST(hsyy AS DECIMAL(38,0)) AS syy,
-       |  CAST(hsxy AS DECIMAL(38,0)) AS sxy
+       |  CAST(hsx % 1000000007 AS BIGINT) AS sx,
+       |  CAST(hsy % 1000000007 AS BIGINT) AS sy,
+       |  CAST(hsxx % 1000000007 AS BIGINT) AS sxx,
+       |  CAST(hsyy % 1000000007 AS BIGINT) AS syy,
+       |  CAST(hsxy % 1000000007 AS BIGINT) AS sxy
        |FROM m""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

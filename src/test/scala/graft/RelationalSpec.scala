@@ -35,10 +35,27 @@ class RelationalSpec extends SparkSuite {
     assert(a === b) // exact-integer moments → one scalar expression: no ulp drift
   }
 
-  test("gated moment output carries only exact integer/decimal columns") {
-    import org.apache.spark.sql.types.{DoubleType, FloatType}
-    val floats = ops.Relational.qMomentStats(spark, Sf).schema.fields
-      .filter(f => f.dataType == DoubleType || f.dataType == FloatType)
-    assert(floats.isEmpty)
+  test("gated moment output is string + BIGINT only (no decimal, no float)") {
+    // DECIMAL is banned from gated outputs outright (round-6 lesson: the
+    // driver hasher canonicalizes decimal128 differently across engines
+    // even for bit-exact values), so the gate folds each decimal(38,0)
+    // moment mod 1e9+7 to LongType.
+    import org.apache.spark.sql.types.{LongType, StringType}
+    val bad = ops.Relational.qMomentStats(spark, Sf).schema.fields
+      .filterNot(f => f.dataType == LongType || f.dataType == StringType)
+    assert(bad.isEmpty, s"non-string/long gated columns: ${bad.mkString(",")}")
+  }
+
+  test("gated moments are the mod-1e9+7 fold of the exact decimal moments") {
+    val M = BigInt(1000000007L)
+    val cols = Seq("sx", "sy", "sxx", "syy", "sxy")
+    val exact = ops.Relational.momentsExact(spark, Sf).collect()
+      .map(r => r.getString(0) -> cols.map(c =>
+        BigInt(r.getDecimal(r.fieldIndex(c)).toBigInteger) mod M)).toMap
+    val gated = ops.Relational.qMomentStats(spark, Sf).collect()
+      .map(r => r.getString(0) -> cols.map(c =>
+        BigInt(r.getLong(r.fieldIndex(c))))).toMap
+    assert(exact === gated)
+    gated.values.flatten.foreach(v => assert(v >= 0 && v < M))
   }
 }

@@ -42,17 +42,31 @@ class SparkEntrySpec extends SparkSuite {
       "q_embedding_neardup", "q_mean_embedding", "q_similarity_ivf",
       "q_similarity_ivfpq", "q_similarity_ivfpq_apply",
       "q_similarity_ivfpq_incremental", "q_similarity_topk")
-    import org.apache.spark.sql.types.{DoubleType, FloatType}
+    import org.apache.spark.sql.types.{DataType, DecimalType, DoubleType, FloatType, StructType}
+    // DECIMAL is banned with NO whitelist: the driver hasher canonicalizes
+    // decimal128 differently across engines even when values are bit-exact
+    // (q_moment_stats, round 6 — second typing hazard class after HUGEINT).
+    // Fold decimals mod 1e9+7 to BIGINT before gating instead.
+    def hazards(dt: DataType, path: String): Seq[String] = dt match {
+      case _: DecimalType               => Seq(s"$path(decimal)")
+      case DoubleType | FloatType       => Seq(s"$path(float)")
+      case s: StructType                => s.fields.flatMap(f => hazards(f.dataType, s"$path.${f.name}")).toSeq
+      case a: org.apache.spark.sql.types.ArrayType => hazards(a.elementType, s"$path[]")
+      case m: org.apache.spark.sql.types.MapType =>
+        hazards(m.keyType, s"$path<k>") ++ hazards(m.valueType, s"$path<v>")
+      case _                            => Nil
+    }
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
-      case (name, fn) if !whitelisted(name) =>
-        val floats = fn(spark, Sf).schema.fields.collect {
-          case f if f.dataType == DoubleType || f.dataType == FloatType => f.name
+      case (name, fn) =>
+        val bad = fn(spark, Sf).schema.fields.flatMap { f =>
+          val h = hazards(f.dataType, f.name)
+          // floats may be whitelisted per-query; decimals never are
+          if (whitelisted(name)) h.filter(_.endsWith("(decimal)")) else h
         }
-        if (floats.nonEmpty) Some(s"$name: ${floats.mkString(",")}") else None
-      case _ => None
+        if (bad.nonEmpty) Some(s"$name: ${bad.mkString(",")}") else None
     }
     assert(offenders.isEmpty,
-      s"floating-point columns in gated outputs:\n  ${offenders.mkString("\n  ")}")
+      s"hash-hazardous column types in gated outputs:\n  ${offenders.mkString("\n  ")}")
   }
 
   test("query names are unique across module registries (no silent overwrite)") {
