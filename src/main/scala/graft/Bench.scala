@@ -107,7 +107,20 @@ object Bench {
     val errJson =
       if (errors.isEmpty) ""
       else s""","errors":${errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")}"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","pass_spread_median":$noise,"queries":$qs,"sf":${jstr(sfDir)}$errJson}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","pass_spread_median":$noise,"queries":$qs,"sf":${jstr(sfDir)}$errJson}"""
+    println(json)
+    // The driver's stdout capture keeps only a ~2 KB tail, which truncated
+    // BENCH_r06.json to 61 of 85 queries ("parsed": null). Persist the full
+    // line to a file too so the artifact can never be cut short. Path is
+    // overridable for tests; failures to write must not fail the bench.
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_out.json")
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get(outFile),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: java.io.IOException =>
+      System.err.println(s"bench: could not write $outFile: ${e.getMessage}")
+    }
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

@@ -179,6 +179,14 @@ object Graft {
   def winnowPairs(spark: SparkSession, sfDir: String): DataFrame =
     dedup.Winnow.sharedPairs(spark, sfDir)
 
+  /** The scale-safe winnow report: copy-group membership in linear
+    * (rep, member, shared) form — what a 100 TB run should consume
+    * instead of the O(g²) member-pair expansion, which [[winnowPairs]]
+    * caps at [[dedup.Winnow.MaxExpandGroup]] members per group.
+    */
+  def winnowClusters(spark: SparkSession, sfDir: String): DataFrame =
+    dedup.Winnow.sharedClusters(spark, sfDir)
+
   /** RefinedWeb/Gopher hygiene recipe as one lazy plan: the 7-row
     * per-stage funnel report (and [[hygieneAssignments]] for the
     * per-document stage labels).

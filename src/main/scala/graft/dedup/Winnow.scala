@@ -40,6 +40,21 @@ object Winnow {
   /** Report doc pairs sharing at least this many surviving fingerprints. */
   val MinShared = 4
 
+  /** Per-copy-group cap on PAIR expansion (both the intra g·(g−1)/2
+    * expansion and each side of the cross |gₐ|·|g_b| expansion).
+    *
+    * THE O(g²) HAZARD THIS BOUNDS: nothing else in the pipeline limits a
+    * copy group's size — the ubiquity cap bounds how many DISTINCT
+    * CONTENTS share a fingerprint, but one viral document with 10⁶
+    * byte-identical copies at 100 TB is a single content, and expanding
+    * its intra pairs would emit 5×10¹¹ rows. The pair REPORT is
+    * inherently quadratic in copies, so groups larger than this cap are
+    * excluded from [[sharedPairs]] entirely (not truncated — a partial
+    * pair list would be silently wrong) and surface through the linear
+    * [[sharedClusters]] form instead, which is the scale-safe default.
+    */
+  val MaxExpandGroup = 64
+
   def winnowCol(c: Column): Column =
     org.apache.spark.sql.GraftColumnShim.column(
       WinnowHashes(org.apache.spark.sql.GraftColumnShim.expression(c),
@@ -69,7 +84,16 @@ object Winnow {
     * of the representative's rare fingerprints; across groups the pair
     * shares exactly what the representatives share.
     */
-  def sharedPairs(spark: SparkSession, dir: String): DataFrame = {
+  /** The collapse pipeline shared by every winnow report: membership =
+    * (rep, doc_id) copy-group mapping; kept = each REPRESENTATIVE's rare
+    * fingerprints; repCounts = rare-fingerprint count per representative;
+    * sizes = copy-group cardinality. Both persisted frames are reused by
+    * at least two downstream joins in every caller.
+    */
+  private final case class Collapsed(membership: DataFrame, kept: DataFrame,
+      repCounts: DataFrame, sizes: DataFrame)
+
+  private def collapse(spark: SparkSession, dir: String): Collapsed = {
     import org.apache.spark.sql.expressions.Window
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val docsFps = graft.ops.ScaleOps.widen(Tables.documents(spark, dir))
@@ -89,23 +113,68 @@ object Winnow {
       .filter(col("ndocs") <= MaxDocsPerFp)
       .select(col("fp"))
     val kept = uniq.join(rare, "fp").persist(lvl)
-    val repPairs = kept.as("a").join(kept.as("b"),
+    val repCounts = kept.groupBy(col("doc_id").as("rep")).agg(count(lit(1)).as("nrare"))
+    val sizes = membership.groupBy(col("rep")).agg(count(lit(1)).as("g"))
+    Collapsed(membership, kept, repCounts, sizes)
+  }
+
+  /** Representative-level shared pairs — one row per pair of DISTINCT
+    * CONTENTS sharing ≥ [[MinShared]] rare fingerprints. Always linear:
+    * per-fingerprint groups are bounded by [[MaxDocsPerFp]], so this
+    * relation is bounded regardless of copy-group sizes. Together with
+    * [[sharedClusters]] it is the complete lossless report; member-level
+    * pairs are a derived (and quadratic) view.
+    */
+  private def repSharedPairsOf(kept: DataFrame): DataFrame =
+    kept.as("a").join(kept.as("b"),
         col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= MinShared)
+
+  def repSharedPairs(spark: SparkSession, dir: String): DataFrame =
+    repSharedPairsOf(collapse(spark, dir).kept)
+
+  /** SCALE-SAFE DEFAULT REPORT — the copy-cluster membership in linear
+    * form: one row (rep, member, shared) per document of every
+    * byte-identical copy group of size ≥ 2 whose content carries
+    * ≥ [[MinShared]] rare fingerprints (every within-group pair shares
+    * all `nrare` of them, so one number describes the whole group). The
+    * rep itself is listed as a member, mirroring the X36 cluster-table
+    * convention where the representative carries its own label. Output
+    * is O(corpus), never O(g²) — this is what a 100 TB run should
+    * consume; [[sharedPairs]]' member-pair expansion exists for
+    * group-bounded reporting and is capped at [[MaxExpandGroup]].
+    */
+  def sharedClusters(spark: SparkSession, dir: String): DataFrame = {
+    val c = collapse(spark, dir)
+    c.membership
+      .join(c.sizes.filter(col("g") >= 2).select("rep"), "rep")
+      .join(c.repCounts.filter(col("nrare") >= MinShared), "rep")
+      .select(col("rep"), col("doc_id").as("member"), col("nrare").as("shared"))
+  }
+
+  def sharedPairs(spark: SparkSession, dir: String): DataFrame = {
+    val c = collapse(spark, dir)
+    // PAIR-EXPANSION CAP (see [[MaxExpandGroup]]): only members of copy
+    // groups with ≤ cap members expand to pairs; a rep pair touching a
+    // larger group is withheld from this report entirely (partial pair
+    // lists would be silently wrong) and remains visible through
+    // [[repSharedPairs]] + [[sharedClusters]].
+    val memberSmall = c.membership
+      .join(c.sizes.filter(col("g") <= MaxExpandGroup).select("rep"), "rep")
+    val repPairs = repSharedPairsOf(c.kept)
     // cross-group expansion (groups disjoint: least/greatest re-orients)
     val cross = repPairs
-      .join(membership.select(col("rep").as("doc_a"), col("doc_id").as("ma")), "doc_a")
-      .join(membership.select(col("rep").as("doc_b"), col("doc_id").as("mb")), "doc_b")
+      .join(memberSmall.select(col("rep").as("doc_a"), col("doc_id").as("ma")), "doc_a")
+      .join(memberSmall.select(col("rep").as("doc_b"), col("doc_id").as("mb")), "doc_b")
       .select(least(col("ma"), col("mb")).as("doc_a"),
         greatest(col("ma"), col("mb")).as("doc_b"), col("shared"))
     // within-group pairs share ALL of the representative's rare fps
-    val repCounts = kept.groupBy(col("doc_id").as("rep")).agg(count(lit(1)).as("nrare"))
-    val intra = membership.as("ma").join(membership.as("mb"),
+    val intra = memberSmall.as("ma").join(memberSmall.as("mb"),
         col("ma.rep") === col("mb.rep") && col("ma.doc_id") < col("mb.doc_id"))
       .select(col("ma.rep").as("rep"), col("ma.doc_id").as("doc_a"), col("mb.doc_id").as("doc_b"))
-      .join(repCounts, "rep")
+      .join(c.repCounts, "rep")
       .filter(col("nrare") >= MinShared)
       .select(col("doc_a"), col("doc_b"), col("nrare").as("shared"))
     cross.unionByName(intra)
@@ -144,7 +213,10 @@ object Winnow {
     * Spark side partitions on), measure rarity over representatives,
     * pair reps, expand members, add within-group pairs.
     */
-  def sharedPairsOracle: String =
+  /** The collapse CTE chain shared by both oracles: grp (copy-group
+    * membership), kept (representatives' rare fps), rep_counts, sizes.
+    */
+  private def collapseCte: String =
     s"""$fpArrCte, grp AS (
        |  SELECT doc_id, fps,
        |    min(doc_id) OVER (PARTITION BY md5(array_to_string(fps, ','))) AS rep
@@ -155,6 +227,16 @@ object Winnow {
        |  SELECT fp FROM uniq GROUP BY fp HAVING count(*) <= $MaxDocsPerFp
        |), kept AS (
        |  SELECT u.doc_id, u.fp FROM uniq u JOIN rare USING (fp)
+       |), rep_counts AS (
+       |  SELECT doc_id AS rep, count(*) AS nrare FROM kept GROUP BY doc_id
+       |), sizes AS (
+       |  SELECT rep, count(*) AS g FROM grp GROUP BY rep
+       |)""".stripMargin
+
+  def sharedPairsOracle: String =
+    s"""$collapseCte, member_small AS (
+       |  SELECT m.rep, m.doc_id FROM grp m
+       |  JOIN sizes s ON s.rep = m.rep AND s.g <= $MaxExpandGroup
        |), rep_pairs AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
        |  FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
@@ -163,26 +245,34 @@ object Winnow {
        |  SELECT least(ma.doc_id, mb.doc_id) AS doc_a,
        |         greatest(ma.doc_id, mb.doc_id) AS doc_b, p.shared
        |  FROM rep_pairs p
-       |  JOIN grp ma ON ma.rep = p.doc_a
-       |  JOIN grp mb ON mb.rep = p.doc_b
-       |), rep_counts AS (
-       |  SELECT doc_id AS rep, count(*) AS nrare FROM kept GROUP BY doc_id
+       |  JOIN member_small ma ON ma.rep = p.doc_a
+       |  JOIN member_small mb ON mb.rep = p.doc_b
        |), intra_pairs AS (
        |  SELECT ma.doc_id AS doc_a, mb.doc_id AS doc_b, c.nrare AS shared
-       |  FROM grp ma JOIN grp mb ON ma.rep = mb.rep AND ma.doc_id < mb.doc_id
+       |  FROM member_small ma JOIN member_small mb
+       |    ON ma.rep = mb.rep AND ma.doc_id < mb.doc_id
        |  JOIN rep_counts c ON c.rep = ma.rep
        |  WHERE c.nrare >= $MinShared
        |)
        |SELECT doc_a, doc_b, shared FROM cross_pairs
        |UNION ALL SELECT doc_a, doc_b, shared FROM intra_pairs""".stripMargin
 
+  def sharedClustersOracle: String =
+    s"""$collapseCte
+       |SELECT m.rep, m.doc_id AS member, c.nrare AS shared
+       |FROM grp m
+       |JOIN sizes s ON s.rep = m.rep AND s.g >= 2
+       |JOIN rep_counts c ON c.rep = m.rep AND c.nrare >= $MinShared""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_winnow" -> ((s, dir) => fingerprints(s, dir)),
-    "q_winnow_pairs" -> ((s, dir) => sharedPairs(s, dir))
+    "q_winnow_pairs" -> ((s, dir) => sharedPairs(s, dir)),
+    "q_winnow_clusters" -> ((s, dir) => sharedClusters(s, dir))
   )
 
   def oracleSql: Map[String, String] = Map(
     "q_winnow" -> fingerprintsOracle,
-    "q_winnow_pairs" -> sharedPairsOracle
+    "q_winnow_pairs" -> sharedPairsOracle,
+    "q_winnow_clusters" -> sharedClustersOracle
   )
 }

@@ -42,7 +42,13 @@ object Urls {
           lit(".org/q\">link</a>"))).otherwise(lit("")),
       when(col("doc_id") % 3 === 0,
         concat(lit(" and https://cdn.assets"), (col("doc_id") % 5).cast("string"),
-          lit(".net"))).otherwise(lit("")))
+          lit(".net"))).otherwise(lit("")),
+      // multi-label public suffix: a naive last-two-labels split would
+      // call this domain "co.uk" — the case the PSL join exists for
+      when(col("doc_id") % 5 === 0,
+        concat(lit(" shop at https://store"), (col("doc_id") % 4).cast("string"),
+          lit(".brand"), (col("doc_id") % 6).cast("string"),
+          lit(".co.uk/sale"))).otherwise(lit("")))
   }
 
   def plantUrlsSql: String =
@@ -54,26 +60,96 @@ object Urls {
        |       ELSE '' END ||
        |  CASE WHEN doc_id % 3 = 0
        |       THEN ' and https://cdn.assets' || CAST(doc_id % 5 AS VARCHAR) || '.net'
+       |       ELSE '' END ||
+       |  CASE WHEN doc_id % 5 = 0
+       |       THEN ' shop at https://store' || CAST(doc_id % 4 AS VARCHAR) ||
+       |            '.brand' || CAST(doc_id % 6 AS VARCHAR) || '.co.uk/sale'
        |       ELSE '' END AS t
        |FROM documents""".stripMargin
 
-  /** host = authority up to the first `/`; registrable domain = last two
-    * dot-labels (the heuristic form — a public-suffix list is a lookup
-    * TABLE joined in at deploy time, not different plumbing).
-    */
+  /** host = authority up to the first `/`. */
   def hostOf(url: Column): Column =
     regexp_extract(url, "^https?://([^/]+)", 1)
-  def domainOf(host: Column): Column =
-    regexp_extract(host, "([A-Za-z0-9-]+\\.[A-Za-z0-9-]+)$", 1)
 
-  /** (doc_id, url, host, domain) — one row per extracted URL. */
-  def extracted(spark: SparkSession, dir: String): DataFrame =
-    graft.ops.ScaleOps.widen(Tables.documents(spark, dir))
+  /** Public-suffix list — the lookup TABLE that defines where the
+    * registrable domain starts. The real PSL is a ~10k-entry published
+    * file refreshed out-of-band; this deterministic subset carries the
+    * structural cases (1-, 2-, and 3-label suffixes) so the plumbing —
+    * a BROADCAST join per suffix depth, never a per-row driver lookup —
+    * is exactly what a deploy with the full list runs. Swapping in the
+    * full list is a data change, not a code change.
+    */
+  val PublicSuffixList: Seq[String] = Seq(
+    // generic + common country TLDs
+    "com", "net", "org", "edu", "gov", "mil", "int", "io", "ai", "co",
+    "uk", "de", "fr", "jp", "au", "br", "in", "cn", "us", "ca", "ch",
+    "nl", "se", "no", "es", "it", "eu", "nz", "za", "kr", "mx", "sg",
+    // 2-label public suffixes
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au",
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp",
+    "com.br", "net.br", "org.br", "co.in", "net.in", "org.in",
+    "com.cn", "net.cn", "org.cn", "gov.cn", "co.nz", "net.nz", "org.nz",
+    "co.za", "org.za", "co.kr", "or.kr", "com.mx", "com.sg",
+    // private-registry entries (PSL "PRIVATE" section shapes)
+    "github.io", "gitlab.io", "blogspot.com", "herokuapp.com",
+    // 3-label suffix — exercises the deepest join
+    "s3.amazonaws.com")
+
+  /** The PSL as a one-column DataFrame (`suffix`) — broadcast into the
+    * resolution joins below.
+    */
+  def psl(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    PublicSuffixList.toDF("suffix")
+  }
+
+  /** Last `k` dot-labels of the host ("" when the host has fewer). */
+  private def lastLabels(host: Column, k: Int): Column =
+    regexp_extract(host, s"([^.]+${"(?:\\.[^.]+)" * (k - 1)})$$", 1)
+
+  /** Resolve the registrable domain by longest-public-suffix match:
+    * candidate suffixes are the host's last 1/2/3 labels; each depth is
+    * a LEFT join against the broadcast PSL; the registrable domain is
+    * one label + the deepest matching suffix. A host that IS a public
+    * suffix has no registrable domain (NULL — the PSL semantic, not "").
+    * Hosts under an unknown TLD fall back to the last-two-labels
+    * heuristic. Cost shape: three broadcast hash joins, no shuffle, no
+    * per-row driver lookup — at 100 TB the PSL rides once per executor.
+    */
+  private def resolveDomains(urls: DataFrame, pslDf: DataFrame): DataFrame = {
+    val host = col("host")
+    val withCands = urls
+      .withColumn("last1", lastLabels(host, 1))
+      .withColumn("last2", lastLabels(host, 2))
+      .withColumn("last3", lastLabels(host, 3))
+      .withColumn("last4", lastLabels(host, 4))
+    val joined = withCands
+      .join(broadcast(pslDf.select(col("suffix").as("sfx3"))),
+        col("last3") === col("sfx3"), "left")
+      .join(broadcast(pslDf.select(col("suffix").as("sfx2"))),
+        col("last2") === col("sfx2"), "left")
+      .join(broadcast(pslDf.select(col("suffix").as("sfx1"))),
+        col("last1") === col("sfx1"), "left")
+    def nonEmpty(c: Column): Column = when(length(c) > 0, c)
+    joined.withColumn("domain",
+        when(col("sfx3").isNotNull, nonEmpty(col("last4")))
+          .when(col("sfx2").isNotNull, nonEmpty(col("last3")))
+          .when(col("sfx1").isNotNull, nonEmpty(col("last2")))
+          .otherwise(coalesce(nonEmpty(col("last2")), nonEmpty(col("last1")))))
+      .select(col("doc_id"), col("url"), col("host"), col("domain"))
+  }
+
+  /** (doc_id, url, host, domain) — one row per extracted URL; domain is
+    * the PSL-resolved registrable domain.
+    */
+  def extracted(spark: SparkSession, dir: String): DataFrame = {
+    val urls = graft.ops.ScaleOps.widen(Tables.documents(spark, dir))
       .select(col("doc_id"), plantUrls.as("t"))
       .select(col("doc_id"), explode(regexp_extract_all(col("t"), lit(UrlRe), lit(0))).as("url"))
-      .select(col("doc_id"), col("url"),
-        hostOf(col("url")).as("host"))
-      .withColumn("domain", domainOf(col("host")))
+      .select(col("doc_id"), col("url"), hostOf(col("url")).as("host"))
+    resolveDomains(urls, psl(spark))
+  }
 
   /** Per-domain in-degree: distinct linking docs + total links — the
     * link-graph aggregate crawl caps and popularity priors read.
@@ -90,17 +166,40 @@ object Urls {
     */
   private def sqlRe(re: String): String = re.replace("'", "''")
 
+  /** The PSL as a SQL VALUES list — generated from [[PublicSuffixList]]
+    * so both engines read ONE definition.
+    */
+  private def pslValues: String =
+    PublicSuffixList.map(s => s"('$s')").mkString(", ")
+
   private def extractedSql: String =
     s"""WITH planted AS ($plantUrlsSql),
+       |psl AS (
+       |  SELECT * FROM (VALUES $pslValues) AS t(suffix)
+       |),
        |urls AS (
        |  SELECT doc_id, unnest(regexp_extract_all(t, '${sqlRe(UrlRe)}')) AS url FROM planted
        |),
        |hosts AS (
        |  SELECT doc_id, url, regexp_extract(url, '^https?://([^/]+)', 1) AS host FROM urls
+       |),
+       |cands AS (
+       |  SELECT doc_id, url, host,
+       |    regexp_extract(host, '([^.]+)$$', 1) AS last1,
+       |    regexp_extract(host, '([^.]+(?:\\.[^.]+){1})$$', 1) AS last2,
+       |    regexp_extract(host, '([^.]+(?:\\.[^.]+){2})$$', 1) AS last3,
+       |    regexp_extract(host, '([^.]+(?:\\.[^.]+){3})$$', 1) AS last4
+       |  FROM hosts
        |)
        |SELECT doc_id, url, host,
-       |  regexp_extract(host, '([A-Za-z0-9-]+\\.[A-Za-z0-9-]+)$$', 1) AS domain
-       |FROM hosts""".stripMargin
+       |  CASE WHEN p3.suffix IS NOT NULL THEN NULLIF(last4, '')
+       |       WHEN p2.suffix IS NOT NULL THEN NULLIF(last3, '')
+       |       WHEN p1.suffix IS NOT NULL THEN NULLIF(last2, '')
+       |       ELSE COALESCE(NULLIF(last2, ''), NULLIF(last1, '')) END AS domain
+       |FROM cands
+       |LEFT JOIN psl p3 ON cands.last3 = p3.suffix
+       |LEFT JOIN psl p2 ON cands.last2 = p2.suffix
+       |LEFT JOIN psl p1 ON cands.last1 = p1.suffix""".stripMargin
 
   def extractedOracle: String = extractedSql
 

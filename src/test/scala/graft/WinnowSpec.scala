@@ -124,4 +124,67 @@ class WinnowSpec extends SparkSuite {
     assert(naivePairs == 0L,
       "test premise: raw-doc rarity must lose every shared fingerprint here")
   }
+
+  test("pair-expansion cap: a viral copy group reports in cluster form, never O(g²) pairs") {
+    import spark.implicits._
+    def soup(seed: Int, n: Int) = {
+      val r = new scala.util.Random(seed)
+      (1 to n).map(_ => ('a' + r.nextInt(26)).toChar).mkString
+    }
+    val viral = soup(21, 300)  // one content, copied far past MaxExpandGroup
+    val other = soup(22, 250)  // a small copy group, within the cap
+    val cross = viral.take(220) + soup(23, 80) // shares a run with viral
+    val viralN = Winnow.MaxExpandGroup + 6
+    val rows =
+      (1000L until 1000L + viralN).map(_ -> viral) ++
+        Seq(1L -> other, 2L -> other, 3L -> other) ++
+        Seq(5L -> cross)
+    val dir = java.nio.file.Files.createTempDirectory("graft-winnow-cap").toString
+    rows.toDF("doc_id", "text")
+      .select(col("doc_id"), col("text"), lit("en").as("lang"),
+        lit("src0").as("source"), length(col("text")).cast("long").as("n_chars"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val pairs = Winnow.sharedPairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the viral group (g = cap+6) must contribute NO member pairs at all —
+    // neither its (cap+6 choose 2) intra pairs nor cross pairs with doc 5
+    assert(!pairs.exists { case (a, b) => a >= 1000L || b >= 1000L },
+      s"viral group leaked into the pair report: ${pairs.filter(p => p._1 >= 1000L || p._2 >= 1000L).take(5)}")
+    // the small copy group still pair-expands normally
+    assert(Set((1L, 2L), (1L, 3L), (2L, 3L)).subsetOf(pairs),
+      s"small group lost its intra pairs: $pairs")
+
+    // the linear report carries the viral group in full: one row per member
+    val clusters = Winnow.sharedClusters(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val viralRows = clusters.filter(_._1 == 1000L)
+    assert(viralRows.length == viralN, s"expected $viralN viral members, got ${viralRows.length}")
+    assert(viralRows.map(_._3).distinct.length == 1, "one shared count describes the whole group")
+    assert(clusters.count(_._1 == 1L) == 3, "small group present in cluster form too")
+    // rep-level relation keeps the withheld cross link visible (linear form)
+    val repPairs = Winnow.repSharedPairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(repPairs.contains((5L, 1000L)),
+      s"rep-level pair (5, 1000) must survive the cap: $repPairs")
+
+    // bounded growth, the X36 probe methodology: 10× more copies of the
+    // viral content must grow the PAIR report not at all and the cluster
+    // report exactly linearly (+10× the viral membership rows).
+    val dir10 = java.nio.file.Files.createTempDirectory("graft-winnow-cap10").toString
+    val rows10 =
+      (1000L until 1000L + viralN * 10).map(_ -> viral) ++
+        Seq(1L -> other, 2L -> other, 3L -> other) ++
+        Seq(5L -> cross)
+    rows10.toDF("doc_id", "text")
+      .select(col("doc_id"), col("text"), lit("en").as("lang"),
+        lit("src0").as("source"), length(col("text")).cast("long").as("n_chars"))
+      .write.mode("overwrite").parquet(s"$dir10/documents.parquet")
+    val pairs10 = Winnow.sharedPairs(spark, dir10).count()
+    val clusters10 = Winnow.sharedClusters(spark, dir10).count()
+    assert(pairs10 == pairs.size.toLong,
+      s"pair report must be copy-count-invariant past the cap: ${pairs.size} -> $pairs10")
+    assert(clusters10 == clusters.length + viralN * 9L,
+      s"cluster report must grow linearly: ${clusters.length} -> $clusters10")
+  }
 }
