@@ -173,6 +173,13 @@ object Graft {
   def dedupIncremental(spark: SparkSession, sfDir: String): DataFrame =
     Dedup.MinHashLSH.incrementalKeep(spark, sfDir)
 
+  /** Token→word-vector document embedding (the reference's
+    * `MeanEmbeddings` semantic): UD2 preprocess → broadcast vocab-table
+    * lookup → per-dim integer-quantized mean pool, in exact long form.
+    */
+  def docEmbedding(spark: SparkSession, sfDir: String): DataFrame =
+    sim.DocEmbedding.docEmbedding(spark, sfDir)
+
   /** Winnowing fingerprints (guaranteed detection of shared runs
     * ≥ k+w−1 chars) and the rare-fingerprint shared-pair report.
     */

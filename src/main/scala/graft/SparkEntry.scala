@@ -29,6 +29,7 @@ object SparkEntry {
       (Dedup.queries, Dedup.oracleSql),
       (graft.dedup.Winnow.queries, graft.dedup.Winnow.oracleSql),
       (Similarity.queries, Similarity.oracleSql),
+      (graft.sim.DocEmbedding.queries, graft.sim.DocEmbedding.oracleSql),
       (Events.queries, Events.oracleSql),
       (Keyword.queries, Keyword.oracleSql),
       (graft.text.Contamination.queries, graft.text.Contamination.oracleSql),
