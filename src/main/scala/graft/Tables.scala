@@ -32,12 +32,27 @@ object Tables {
       "events requires spark.sql.legacy.parquet.nanosAsLong=true at session build " +
         "(use Graft.session() or Graft.configure(builder))")
     val raw = table(spark, dir, "events")
-    // only nano-typed files need the conversion — re-written event tables
-    // (e.g. ScaleProbe's synthetic copies) already carry micro timestamps
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts DIV 1000")))
-    else raw
+    // normalize ts to session-local TIMESTAMP whatever the file carries:
+    //   - TIMESTAMP(NANOS) files arrive as raw INT64 nanos (nanosAsLong);
+    //     truncate to micros with integral division — the same floor
+    //     DuckDB applies (ts / 1000 in double would corrupt: 1.7e18
+    //     nanos exceeds 2^53)
+    //   - plain micro files without isAdjustedToUTC infer as
+    //     TIMESTAMP_NTZ; the session timezone is pinned UTC (asserted by
+    //     Graft.configure), so the cast maps wall-clock to the same
+    //     instant DuckDB's naive TIMESTAMP arithmetic assumes
+    //   - re-written event tables (e.g. ScaleProbe's synthetic copies)
+    //     already carry micro TIMESTAMP and pass through unchanged
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts DIV 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast(
+            org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")

@@ -218,8 +218,10 @@ object Multimodal {
     val blockAlign = ch * bits / 8
     val frames = (lit(100) + col("doc_id") % 900).cast("long")
     val dataSize = frames * blockAlign
+    // RIFF size counts everything after the 8-byte RIFF header:
+    // "WAVE"(4) + LIST chunk(12) + fmt chunk(24) + data header(8) = 48
     unhex(concat(
-      lit("52494646"), le32(lit(36L) + dataSize), lit("57415645"), // RIFF size WAVE
+      lit("52494646"), le32(lit(48L) + dataSize), lit("57415645"), // RIFF size WAVE
       lit("4C495354"), le32(lit(4L)), lit("494E464F"),             // LIST(4) "INFO"
       lit("666D7420"), le32(lit(16L)),                             // fmt (16)
       le16(lit(1L)), le16(ch), le32(rate), le32(rate * blockAlign),
