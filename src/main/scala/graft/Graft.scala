@@ -180,6 +180,13 @@ object Graft {
   def docEmbedding(spark: SparkSession, sfDir: String): DataFrame =
     sim.DocEmbedding.docEmbedding(spark, sfDir)
 
+  /** The ES `english`-analyzer twin: the (doc_id, pos, term) stream a
+    * search sink would index for analyzed-text fields — tokenize →
+    * possessive strip → stopwords → Porter-lite stem.
+    */
+  def englishAnalyze(spark: SparkSession, sfDir: String): DataFrame =
+    text.Stemmer.englishTerms(spark, sfDir)
+
   /** Winnowing fingerprints (guaranteed detection of shared runs
     * ≥ k+w−1 chars) and the rare-fingerprint shared-pair report.
     */

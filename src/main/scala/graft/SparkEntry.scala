@@ -32,6 +32,7 @@ object SparkEntry {
       (graft.sim.DocEmbedding.queries, graft.sim.DocEmbedding.oracleSql),
       (Events.queries, Events.oracleSql),
       (Keyword.queries, Keyword.oracleSql),
+      (graft.text.Stemmer.queries, graft.text.Stemmer.oracleSql),
       (graft.text.Contamination.queries, graft.text.Contamination.oracleSql),
       (graft.text.Repetition.queries, graft.text.Repetition.oracleSql),
       (graft.text.Boilerplate.queries, graft.text.Boilerplate.oracleSql),

@@ -34,17 +34,39 @@ object Maintenance {
   def compact(spark: SparkSession, path: String, targetBytes: Long): (Int, Int) = {
     val hp = new Path(path)
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(hp.getParent, hp.getName + "_compact_tmp")
+    val bak = new Path(hp.getParent, hp.getName + "_compact_old")
+    // crash recovery from a prior interrupted run, keyed on which swap
+    // step died (write tmp → rename live→bak → rename tmp→live → rm bak):
+    //   - live missing + tmp & bak present: died between the two renames;
+    //     tmp holds the complete rewrite — finish the swap
+    //   - live present + tmp present: died mid-write; tmp is garbage
+    //   - live present + bak present: died before the final delete
+    if (!fs.exists(hp) && fs.exists(tmp) && fs.exists(bak)) {
+      require(fs.rename(tmp, hp), s"recovery rename $tmp -> $hp failed")
+      fs.delete(bak, true)
+    } else {
+      if (fs.exists(tmp)) fs.delete(tmp, true)
+      if (fs.exists(bak)) fs.delete(bak, true)
+    }
+    // a partitionBy layout has key= subdirectories; listStatus would see
+    // zero top-level data bytes (n=1) and the rewrite would flatten the
+    // partition structure — compact each partition directory individually
+    require(!fs.listStatus(hp).exists(_.isDirectory),
+      s"compact requires an unpartitioned table directory; $path contains " +
+        "subdirectories — run compact on each partition directory instead")
     def dataFiles(p: Path) =
       fs.listStatus(p).filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
     val before = dataFiles(hp)
     val totalBytes = before.map(_.getLen).sum
     val n = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
-    val tmp = new Path(hp.getParent, hp.getName + "_compact_tmp")
     spark.read.parquet(path).repartition(n)
       .write.mode("overwrite").parquet(tmp.toString)
-    // swap: the rename pair is not atomic as a unit, but the data is
-    // never lost — the rewritten copy exists before the original goes
-    val bak = new Path(hp.getParent, hp.getName + "_compact_old")
+    // swap: the rename pair is not atomic as a unit — readers racing the
+    // swap can observe a missing path for the instant between renames —
+    // but data is never lost: the rewritten copy exists before the
+    // original goes, and the recovery block above completes a torn swap
+    // on the next run
     require(fs.rename(hp, bak), s"rename $hp -> $bak failed")
     require(fs.rename(tmp, hp), s"rename $tmp -> $hp failed")
     fs.delete(bak, true)
@@ -60,8 +82,17 @@ object Maintenance {
                  keys: Seq[Long]): Int = {
     import spark.implicits._
     val doomed = keys.toDF(keyCol)
+    val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // shards actually on disk: a doomed key may hash to a shard the table
+    // never wrote — counting or "rewriting" those would report work that
+    // did not happen (and a spurious delete of a non-existent dir)
+    val present = fs.listStatus(new Path(tablePath))
+      .filter(_.isDirectory).map(_.getPath.getName)
+      .collect { case n if n.startsWith("shard=") => n.stripPrefix("shard=").toLong }
+      .toSet
     val affected = doomed.select(Layout.shardOf(col(keyCol)).as("shard"))
       .distinct().as[Long].collect().sorted // bounded by NumShards
+      .filter(present)
     if (affected.isEmpty) return 0
     val survivors = spark.read.parquet(tablePath)
       .filter(col("shard").isin(affected.map(Long.box): _*)) // partition-pruned read
@@ -77,9 +108,19 @@ object Maintenance {
       case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
       case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
     }
-    val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
     affected.filterNot(surviving).foreach { s =>
       fs.delete(new Path(tablePath, s"shard=$s"), true)
+    }
+    // post-condition: erasure must not be silently incomplete (a crash
+    // between the overwrite and the empty-shard deletes above would leave
+    // a fully-doomed shard's old files live). Work ∝ affected shards.
+    val remaining = affected.filter(s => fs.exists(new Path(tablePath, s"shard=$s")))
+    if (remaining.nonEmpty) {
+      val leftover = spark.read.parquet(tablePath)
+        .filter(col("shard").isin(remaining.map(Long.box): _*))
+        .join(broadcast(doomed), Seq(keyCol), "left_semi").count()
+      require(leftover == 0,
+        s"erasure incomplete: $leftover doomed rows remain under $tablePath — retry deleteKeys")
     }
     affected.length
   }

@@ -139,7 +139,10 @@ object Stemmer {
     "caresses",      // sses    → caress
     "cats",          // s       → cat
     "happy",         // y       → happi
-    "john's")        // possessive → john
+    "john's",        // possessive → john
+    "donation",      // ation   → donate
+    "operator",      // ator    → operate
+    "formalism")     // alism   → formal
 
   /** text + one planted probe word, cycled by doc_id. */
   def plantProbe: Column =

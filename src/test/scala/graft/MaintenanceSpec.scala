@@ -60,6 +60,55 @@ class MaintenanceSpec extends SparkSuite {
     assert(got === expect)
   }
 
+  test("compact refuses a partitionBy layout instead of flattening it") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-compact-part").toString + "/t"
+    (0L until 40L).toDF("doc_id")
+      .withColumn("shard", Layout.shardOf(col("doc_id")))
+      .write.partitionBy("shard").parquet(tmp)
+    intercept[IllegalArgumentException] {
+      Maintenance.compact(spark, tmp, targetBytes = 64L * 1024 * 1024)
+    }
+    // and the table is untouched — still partitioned, rows intact
+    assert(spark.read.parquet(tmp).count() === 40)
+  }
+
+  test("compact recovers a torn swap left by a prior crash") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-compact-crash").toString
+    val t = s"$base/t"
+    (0L until 100L).toDF("doc_id").repartition(8).write.parquet(t)
+    val content = spark.read.parquet(t).orderBy("doc_id").collect().toSeq
+    val fs = new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // simulate a crash between the two renames: the complete rewrite sits
+    // in _compact_tmp, the original moved to _compact_old, live path gone
+    spark.read.parquet(t).repartition(2).write.parquet(s"${t}_compact_tmp")
+    require(fs.rename(new org.apache.hadoop.fs.Path(t),
+      new org.apache.hadoop.fs.Path(s"${t}_compact_old")))
+    Maintenance.compact(spark, t, targetBytes = 64L * 1024 * 1024)
+    assert(spark.read.parquet(t).orderBy("doc_id").collect().toSeq === content)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"${t}_compact_tmp")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"${t}_compact_old")))
+  }
+
+  test("deleteKeys counts only shards actually present in the table") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-delete-absent").toString + "/t"
+    // a table holding ONE shard's worth of keys: every other shard dir absent
+    val all = (0L until 200L).toDF("doc_id")
+      .withColumn("shard", Layout.shardOf(col("doc_id")))
+    val keptShard = all.select("shard").collect()(0).getAs[Number](0).longValue()
+    all.filter(col("shard") === keptShard).write.partitionBy("shard").parquet(tmp)
+    // doom keys across many shards; only the present shard may be counted
+    val doomed = (0L until 200L).toSeq
+    val rewritten = Maintenance.deleteKeys(spark, tmp, "doc_id", doomed)
+    assert(rewritten === 1, "absent shards must not count as rewritten")
+    val fs = new org.apache.hadoop.fs.Path(tmp)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(tmp, s"shard=$keptShard")))
+  }
+
   test("deleteKeys removes a fully-doomed shard's directory outright") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft-delete-all").toString + "/t"
