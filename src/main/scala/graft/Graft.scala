@@ -187,6 +187,16 @@ object Graft {
   def englishAnalyze(spark: SparkSession, sfDir: String): DataFrame =
     text.Stemmer.englishTerms(spark, sfDir)
 
+  /** The word2vec-style phrase pipeline (the reference's `build_bi` /
+    * `build_tri` declaration): PMI-lift collocation model + greedy
+    * token-stream merge; two passes finish trigrams.
+    */
+  def phraseBigrams(spark: SparkSession, sfDir: String): DataFrame =
+    text.Phrases.applyBigrams(spark, sfDir)
+
+  def phraseTrigrams(spark: SparkSession, sfDir: String): DataFrame =
+    text.Phrases.applyTrigrams(spark, sfDir)
+
   /** Winnowing fingerprints (guaranteed detection of shared runs
     * ≥ k+w−1 chars) and the rare-fingerprint shared-pair report.
     */

@@ -33,6 +33,7 @@ object SparkEntry {
       (Events.queries, Events.oracleSql),
       (Keyword.queries, Keyword.oracleSql),
       (graft.text.Stemmer.queries, graft.text.Stemmer.oracleSql),
+      (graft.text.Phrases.queries, graft.text.Phrases.oracleSql),
       (graft.text.Contamination.queries, graft.text.Contamination.oracleSql),
       (graft.text.Repetition.queries, graft.text.Repetition.oracleSql),
       (graft.text.Boilerplate.queries, graft.text.Boilerplate.oracleSql),

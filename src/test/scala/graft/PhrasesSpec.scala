@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.text.Phrases
+
+class PhrasesSpec extends SparkSuite {
+
+  test("mergeTokens is greedy, left-to-right, non-overlapping") {
+    import spark.implicits._
+    val phrases = Seq("new york", "york times", "a b")
+    val cases = Seq(
+      (Seq("new", "york", "times"), Seq("new_york", "times")), // greedy eats the left pair
+      (Seq("x", "new", "york", "y"), Seq("x", "new_york", "y")),
+      (Seq("a", "b", "a", "b"), Seq("a_b", "a_b")),            // non-overlap: pairs chain
+      (Seq("a", "a", "b"), Seq("a", "a_b")),
+      (Seq("york", "times"), Seq("york_times")),               // no left competitor
+      (Seq("plain", "words"), Seq("plain", "words")),
+      (Seq.empty[String], Seq.empty[String]))
+    val got = cases.map(_._1).toDF("toks")
+      .select(Phrases.mergeTokens(col("toks"), phrases).as("m"))
+      .collect().map(_.getSeq[String](0).toSeq)
+    assert(got === cases.map(_._2))
+  }
+
+  test("planted collocations qualify; random co-occurrence does not") {
+    val m = Phrases.model(Phrases.tokenArrays(spark, Sf))
+      .select(concat_ws(" ", col("a"), col("b"))).collect().map(_.getString(0)).toSet
+    // every planted bigram (and the trigram's two halves) is in the model
+    val expected = Phrases.ProbePhrases.flatMap { p =>
+      val w = p.split(' '); w.sliding(2).map(_.mkString(" "))
+    }.toSet
+    assert(expected.subsetOf(m), s"planted phrases missing from model: ${expected -- m}")
+    // random fixture pairs (uniform word salad, lift ≈ 1) never qualify:
+    // no model pair has BOTH sides from the fixture vocabulary
+    val probeWords = Phrases.ProbePhrases.flatMap(_.split(' ')).toSet
+    val fixtureOnly = m.filter(_.split(' ').forall(w => !probeWords(w)))
+    assert(fixtureOnly.isEmpty, s"chance pairs qualified: $fixtureOnly")
+  }
+
+  test("two passes finish the planted trigram") {
+    val terms = Phrases.applyTrigrams(spark, Sf)
+      .filter(col("term") === "new_york_times")
+    assert(terms.count() > 0)
+    // and pass 1 alone cannot
+    val bi = Phrases.applyBigrams(spark, Sf)
+      .filter(col("term") === "new_york_times")
+    assert(bi.count() === 0)
+    // pass 1 merges the left pair of the trigram greedily
+    assert(Phrases.applyBigrams(spark, Sf)
+      .filter(col("term") === "new_york").count() > 0)
+  }
+
+  test("merge positions are dense per document") {
+    val rows = Phrases.applyBigrams(spark, Sf)
+      .filter(col("doc_id") === 4) // residue 4: new york times planted
+      .orderBy("pos").collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getLong(1)).toSeq === (0L until rows.length).toSeq)
+  }
+
+  test("the merge itself adds no shuffle: model-sized collect, per-row fold") {
+    // the apply plan's exchanges all come from the model build (counts) —
+    // the merged-stream side is the widen round-robin + per-row fold only
+    val tokDf = Phrases.tokenArrays(spark, Sf)
+    val merged = tokDf.select(col("doc_id"),
+      Phrases.mergeTokens(col("toks"), Seq("machine learning")).as("toks"))
+    val plan = merged.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"), s"merge grew a shuffle:\n$plan")
+  }
+}

@@ -78,6 +78,8 @@ class SparkEntrySpec extends SparkSuite {
       graft.pipelines.DistinctUpsert.queries, graft.dedup.Dedup.queries,
       graft.sim.Similarity.queries, graft.ops.Events.queries,
       graft.text.Keyword.queries, graft.ops.AsofJoin.queries,
+      graft.text.Stemmer.queries, graft.text.Phrases.queries,
+      graft.sim.DocEmbedding.queries,
       graft.multimodal.Multimodal.queries)
     val all = perModule.flatMap(_.keys)
     assert(all.size === all.distinct.size, "duplicate query name across modules")
