@@ -113,6 +113,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case _ => throw new IllegalArgumentException(
           "winnow_hashes(text) or winnow_hashes(text, <int literal k>, <int literal w>)")
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("phrase_merge"),
+      new ExpressionInfo(classOf[PhraseMerge].getName, "phrase_merge"),
+      (children: Seq[Expression]) => children match {
+        case Seq(t, p) => PhraseMerge(t, p)
+        case _ => throw new IllegalArgumentException(
+          "phrase_merge(tokens array<string>, phrases array<string>)")
+      }))
     ext.injectOptimizerRule(_ => SargableMonthRule)
   }
 }

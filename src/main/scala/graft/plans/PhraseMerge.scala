@@ -1,0 +1,88 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Greedy left-to-right non-overlapping phrase merge:
+  * `phrase_merge(tokens, phrases)` rewrites a token array joining each
+  * adjacent pair whose `"a b"` string is in `phrases` into one `"a_b"`
+  * token, consuming both (a merged token never participates in a second
+  * merge in the same pass — the word2vec/gensim Phrases semantics).
+  *
+  * This is the codegen'd primitive behind [[graft.text.Phrases]]: the
+  * composable twin (an `aggregate` fold) evaluates OUTSIDE whole-stage
+  * codegen and allocates an accumulator array per step — O(n²)
+  * per-row allocation that a 50 k-doc fixture tolerates but 100 TB does
+  * not (the RollingPolyHash precedent). Here the row is scanned once,
+  * each step is one hash-set probe, and output strings are shared
+  * UTF8String concats. The phrase side is expected to be a small model
+  * literal (≤ [[graft.text.Phrases.MaxPhrases]] rows); the per-row set
+  * build is m inserts, negligible against the fold it replaces.
+  *
+  * The SEMANTICS (not the implementation) are the cross-engine contract:
+  * the DuckDB oracle computes the identical greedy merge relationally
+  * (run-parity over islands of consecutive qualifying pairs), so the
+  * gate stays bit-exact — see `Phrases.mergeCte`.
+  */
+case class PhraseMerge(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  private def isStringArray(dt: DataType): Boolean = dt match {
+    case ArrayType(StringType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (isStringArray(left.dataType) && isStringArray(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"phrase_merge requires (array<string>, array<string>), got " +
+        s"${left.dataType}, ${right.dataType}")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "phrase_merge"
+
+  override def nullSafeEval(toks: Any, phrases: Any): Any =
+    PhraseMerge.compute(toks.asInstanceOf[ArrayData], phrases.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, p) => s"graft.plans.PhraseMerge.compute($t, $p)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object PhraseMerge {
+
+  private val Space = UTF8String.fromString(" ")
+  private val Under = UTF8String.fromString("_")
+
+  /** Static so generated code can call it. One scan, one set probe per
+    * position, no per-step accumulator allocation.
+    */
+  def compute(toks: ArrayData, phrases: ArrayData): ArrayData = {
+    val m = phrases.numElements()
+    val set = new java.util.HashSet[UTF8String](math.max(4, m * 2))
+    var j = 0
+    while (j < m) { set.add(phrases.getUTF8String(j)); j += 1 }
+    val n = toks.numElements()
+    val out = new java.util.ArrayList[UTF8String](n)
+    var i = 0
+    while (i < n) {
+      val t = toks.getUTF8String(i)
+      if (i + 1 < n && set.contains(UTF8String.concat(t, Space, toks.getUTF8String(i + 1)))) {
+        out.add(UTF8String.concat(t, Under, toks.getUTF8String(i + 1)))
+        i += 2
+      } else {
+        out.add(t)
+        i += 1
+      }
+    }
+    new GenericArrayData(out.toArray(new Array[UTF8String](out.size())))
+  }
+}

@@ -108,11 +108,24 @@ object Phrases {
   }
 
   /** Greedy left-to-right non-overlapping merge of `phrases` ("a b"
-    * strings) inside one token array — a per-row fold, no shuffle at any
-    * scale. `get()` (0-based) is null past the end under ANSI, so the
-    * last position can never start a merge.
+    * strings) inside one token array — one codegen'd scan per row
+    * ([[graft.plans.PhraseMerge]]), no shuffle at any scale.
     */
-  def mergeTokens(toks: Column, phrases: Seq[String]): Column = {
+  def mergeTokens(toks: Column, phrases: Seq[String]): Column =
+    org.apache.spark.sql.GraftColumnShim.column(
+      graft.plans.PhraseMerge(
+        org.apache.spark.sql.GraftColumnShim.expression(toks),
+        org.apache.spark.sql.GraftColumnShim.expression(array(phrases.map(lit): _*))))
+
+  /** The composable twin of [[mergeTokens]] — the same greedy semantics
+    * as an `aggregate` fold over builtin HOFs, equivalence-pinned against
+    * the codegen'd primitive in `PhrasesSpec` (the RollingPolyHash
+    * discipline: the primitive earns its keep only while provably equal
+    * to the composition). Not on the gated path: the fold evaluates
+    * outside whole-stage codegen and allocates an accumulator array per
+    * step — O(n²) per-row allocation 100 TB cannot absorb.
+    */
+  def mergeTokensFold(toks: Column, phrases: Seq[String]): Column = {
     val pset = array(phrases.map(lit): _*)
     val empty = array().cast("array<string>")
     def folded(tk: Column): Column = {

@@ -58,6 +58,37 @@ class PhrasesSpec extends SparkSuite {
     assert(rows.map(_.getLong(1)).toSeq === (0L until rows.length).toSeq)
   }
 
+  test("codegen'd merge equals the HOF-fold twin on the fixture and edge cases") {
+    import spark.implicits._
+    val phrases = Seq("machine learning", "new york", "york times", "a b")
+    // fixture arrays (probed corpus) + adversarial hand cases
+    val fixture = Phrases.tokenArrays(spark, Sf).select(col("toks"))
+    val edges = Seq(
+      Seq.empty[String], Seq("a"), Seq("a", "b"), Seq("a", "b", "a", "b"),
+      Seq("new", "york", "times"), Seq("_", "a b", "a_b"), Seq("a", "a", "b", "b"))
+      .toDF("toks")
+    for (df <- Seq(fixture, edges)) {
+      val both = df.select(
+        Phrases.mergeTokens(col("toks"), phrases).as("fast"),
+        Phrases.mergeTokensFold(col("toks"), phrases).as("slow"))
+      assert(both.filter(!(col("fast") <=> col("slow"))).count() === 0,
+        "codegen'd phrase_merge diverged from the fold twin")
+    }
+  }
+
+  test("phrase_merge participates in whole-stage codegen (no silent fallback)") {
+    val code = try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      org.apache.spark.sql.execution.debug.codegenString(
+        Phrases.tokenArrays(spark, Sf)
+          .select(Phrases.mergeTokens(col("toks"), Seq("machine learning")))
+          .queryExecution.executedPlan)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert(code.contains("graft.plans.PhraseMerge.compute"),
+      "generated code must call the static merge — interpreted fallback means doGenCode broke")
+    assert(!code.contains("Found 0 WholeStageCodegen subtrees"), code.linesIterator.take(3).mkString("\n"))
+  }
+
   test("the merge itself adds no shuffle: model-sized collect, per-row fold") {
     // the apply plan's exchanges all come from the model build (counts) —
     // the merged-stream side is the widen round-robin + per-row fold only
