@@ -197,6 +197,13 @@ object Graft {
   def phraseTrigrams(spark: SparkSession, sfDir: String): DataFrame =
     text.Phrases.applyTrigrams(spark, sfDir)
 
+  /** Model-based quality filtering: fasttext-style hashed bag-of-words
+    * linear scorer against a broadcast weight table; exact integer
+    * score + keep verdict per document.
+    */
+  def qualityModelScore(spark: SparkSession, sfDir: String): DataFrame =
+    text.QualityModel.score(spark, sfDir)
+
   /** Winnowing fingerprints (guaranteed detection of shared runs
     * ≥ k+w−1 chars) and the rare-fingerprint shared-pair report.
     */

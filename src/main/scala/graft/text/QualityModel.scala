@@ -1,0 +1,96 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.sim.DocEmbedding
+
+/** Model-based quality filtering — the linear-classifier scoring step the
+  * big training-data pipelines run after heuristic hygiene (GPT-3's
+  * LR-against-WebText filter, Llama's fasttext quality classifier; the
+  * companion to [[Analysis]]'s heuristic quality score, which stays the
+  * features-only baseline). Inference only: training such a classifier is
+  * offline, model-sized work; what must scale is scoring 100 TB of
+  * documents against a fixed weight table.
+  *
+  * Model shape = a fasttext-style linear bag-of-words scorer:
+  * hashed-token features (the [[DocEmbedding.slotOf]] feature-hash trick,
+  * same 48-bit md5 fold — every token in- or out-of-vocabulary lands on a
+  * deterministic weight slot) → per-slot integer weights → document score
+  * is the mean slot weight (sum/count over BIGINTs, one IEEE division).
+  * Weights derive deterministically from the embeddings fixture (first
+  * dimension, house floor(x·1000) quantization) — a deploy swaps the
+  * table for real trained weights; the plumbing does not change.
+  *
+  * Scale shape (identical to [[DocEmbedding]], the point of reusing its
+  * hash): the weight table is VOCAB-sized and BROADCASTS; the token
+  * stream never shuffles to meet it; the one exchange is the per-doc
+  * aggregate, collapsed map-side by scan-order doc locality. The keep
+  * verdict is a pure per-row comparison against [[KeepThreshold]].
+  */
+object QualityModel {
+
+  /** Integer keep threshold on the x1000-scaled mean weight: documents
+    * whose mean slot weight clears it are kept. Chosen mid-range for the
+    * fixture-derived weights so the gate exercises BOTH verdicts at
+    * every scale factor (asserted in `QualityModelSpec`).
+    */
+  val KeepThreshold = 0L
+
+  /** (slot, w) — one quantized weight per vocabulary slot: dimension 0 of
+    * the embeddings fixture vector, floor(x·1000).
+    */
+  def weights(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .filter(col("vec_id") < DocEmbedding.VocabSlots)
+      .select(col("vec_id").as("slot"),
+        floor(element_at(col("embedding"), 1).cast("double") * graft.sim.Similarity.Scale)
+          .cast("long").as("w"))
+
+  /** (doc_id, n_toks, sum_w, score_q, keep): the classifier verdict per
+    * document. `score_q` = floor(1000·sum_w/n_toks) — BIGINT on both
+    * engines, so `keep` is an exact integer comparison, never a float
+    * boundary. Docs with no tokens are absent (no features, no verdict)
+    * — same contract as [[DocEmbedding.docEmbedding]].
+    */
+  def score(spark: SparkSession, dir: String): DataFrame = {
+    val toks = graft.ops.ScaleOps.widen(Tables.documents(spark, dir))
+      .select(col("doc_id"), explode(TextOps.preprocess(col("text"))).as("token"))
+      .select(col("doc_id"), DocEmbedding.slotOf(col("token")).as("slot"))
+    toks.join(broadcast(weights(spark, dir)), "slot")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_toks"), sum(col("w")).as("sum_w"))
+      .select(col("doc_id"), col("n_toks"), col("sum_w"),
+        expr("(1000 * sum_w) DIV n_toks").as("score_q"),
+        (expr("(1000 * sum_w) DIV n_toks") > KeepThreshold).as("keep"))
+  }
+
+  def scoreOracle: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(${TextOps.preprocessSql("text")}) AS token FROM documents
+       |), hashed AS (
+       |  SELECT doc_id, md5(token) AS h FROM toks
+       |), slots AS (
+       |  SELECT doc_id, (${TextOps.md5HexFold12Sql("h")}) % ${DocEmbedding.VocabSlots} AS slot FROM hashed
+       |), wt AS (
+       |  SELECT vec_id AS slot,
+       |    CAST(floor(CAST(embedding[1] AS DOUBLE) * ${graft.sim.Similarity.Scale}) AS BIGINT) AS w
+       |  FROM embeddings WHERE vec_id < ${DocEmbedding.VocabSlots}
+       |), agg AS (
+       |  SELECT doc_id, count(*) AS n_toks, CAST(sum(w) AS BIGINT) AS sum_w
+       |  FROM slots JOIN wt USING (slot) GROUP BY doc_id
+       |)
+       |SELECT doc_id, n_toks, sum_w,
+       |  (1000 * sum_w) // n_toks AS score_q,
+       |  ((1000 * sum_w) // n_toks) > $KeepThreshold AS keep
+       |FROM agg""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_quality_model" -> ((s, dir) => score(s, dir))
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_quality_model" -> scoreOracle
+  )
+}
