@@ -204,6 +204,15 @@ object Graft {
   def qualityModelScore(spark: SparkSession, sfDir: String): DataFrame =
     text.QualityModel.score(spark, sfDir)
 
+  /** SemDeDup semantic deduplication: IVF-cluster-bucketed cosine
+    * near-dup pairs and the keep-one-representative corpus.
+    */
+  def semanticNearDupPairs(spark: SparkSession, sfDir: String): DataFrame =
+    sim.SemDedup.pairs(spark, sfDir)
+
+  def semanticDedup(spark: SparkSession, sfDir: String): DataFrame =
+    sim.SemDedup.kept(spark, sfDir)
+
   /** Winnowing fingerprints (guaranteed detection of shared runs
     * ≥ k+w−1 chars) and the rare-fingerprint shared-pair report.
     */

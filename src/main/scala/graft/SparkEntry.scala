@@ -30,6 +30,7 @@ object SparkEntry {
       (graft.dedup.Winnow.queries, graft.dedup.Winnow.oracleSql),
       (Similarity.queries, Similarity.oracleSql),
       (graft.sim.DocEmbedding.queries, graft.sim.DocEmbedding.oracleSql),
+      (graft.sim.SemDedup.queries, graft.sim.SemDedup.oracleSql),
       (Events.queries, Events.oracleSql),
       (Keyword.queries, Keyword.oracleSql),
       (graft.text.Stemmer.queries, graft.text.Stemmer.oracleSql),

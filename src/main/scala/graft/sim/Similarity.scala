@@ -514,13 +514,13 @@ object Similarity {
     * vectors; 1-based indexing, fixed order — order is irrelevant for
     * integer sums anyway).
     */
-  private def dotSql(a: String, b: String): String =
+  private[sim] def dotSql(a: String, b: String): String =
     s"list_sum(list_transform(range(1, len($a) + 1), i -> ($a)[i] * ($b)[i]))"
 
-  private def cosSql(dot: String, n1: String, n2: String): String =
+  private[sim] def cosSql(dot: String, n1: String, n2: String): String =
     s"(CAST($dot AS DOUBLE) / sqrt(CAST($n1 AS DOUBLE) * CAST($n2 AS DOUBLE)))"
 
-  private val quantizedSql =
+  private[sim] val quantizedSql =
     s"""SELECT vec_id, label, $qSql AS q,
        |  ${dotSql(qSql, qSql)} AS n2
        |FROM embeddings""".stripMargin
@@ -579,7 +579,7 @@ object Similarity {
     * parameterizing only the TRAINING side is what lets the incremental
     * oracle train on the base subset while serving every query.
     */
-  private def ivfCtesFrom(src: String): String =
+  private[sim] def ivfCtesFrom(src: String): String =
     s"""seeds AS (
        |  SELECT vec_id AS list_id, q AS sq, n2 AS sn2 FROM $src
        |  WHERE vec_id < $NumSeeds AND n2 > 0
