@@ -66,6 +66,42 @@ object QualityModel {
         (expr("(1000 * sum_w) DIV n_toks") > KeepThreshold).as("keep"))
   }
 
+  /** The weight table as a driver map — the model artifact a deploy
+    * ships to the stream edge (vocab-sized by construction, exactly like
+    * a fasttext model file; the [[graft.text.Phrases]] model-collect
+    * discipline).
+    */
+  def collectWeights(spark: SparkSession, dir: String): Map[Long, Long] =
+    weights(spark, dir).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  /** Streaming ingest filter — the same verdict as [[score]] computed as
+    * ONE stateless per-row expression (no explode, no aggregate, no
+    * state store): token weights come from a literal map of the
+    * collected model, summed with a fold over the token array. Keeps
+    * rows whose score clears [[KeepThreshold]]; docs with no tokens have
+    * no features and are dropped, matching the batch contract (absent =
+    * no verdict = not kept). `StreamParity` in `QualityModelSpec` pins
+    * the stream verdict equal to the batch gate's per doc.
+    */
+  def filterStream(docs: DataFrame, model: Map[Long, Long]): DataFrame = {
+    val ks = model.keys.toArray.sorted
+    val wmap = map_from_arrays(lit(ks), lit(ks.map(model)))
+    val toks = TextOps.preprocess(col("text"))
+    val sumw = aggregate(
+      transform(toks, t => element_at(wmap, DocEmbedding.slotOf(t))),
+      lit(0L), (a, v) => a + v)
+    def longCol(c: Column) = org.apache.spark.sql.GraftColumnShim.expression(c)
+    // exact integral division (truncate toward zero — the batch DIV),
+    // via Catalyst's IntegralDivide rather than a double round-trip
+    // greatest(n,1): the n=0 row is dropped by the filter either way,
+    // but the divide must never see a zero under ANSI evaluation order
+    val scoreQ = org.apache.spark.sql.GraftColumnShim.column(
+      new org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        longCol(lit(1000L) * sumw),
+        longCol(greatest(size(toks), lit(1)).cast("long"))))
+    docs.filter(size(toks) > 0 && scoreQ > KeepThreshold)
+  }
+
   def scoreOracle: String =
     s"""WITH toks AS (
        |  SELECT doc_id, unnest(${TextOps.preprocessSql("text")}) AS token FROM documents
