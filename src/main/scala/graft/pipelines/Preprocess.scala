@@ -216,13 +216,43 @@ object Preprocess {
        |GROUP BY chunk_id""".stripMargin
   }
 
+  /** O2 — the reference's commented-out `ORDER BY row_num LIMIT n`
+    * pagination (`preprocess_and_store_parquets.py:219-230`: one query
+    * per page, each re-sorting and re-limiting the numbered frame). The
+    * Spark-first twin computes EVERY page in one plan: the global
+    * numbering (same machinery as W1) makes page id and in-page position
+    * pure per-row arithmetic — no per-chunk job, no re-sort, no LIMIT
+    * funnel through a single task. Page semantics identical: pages are
+    * ordered, disjoint, ≤ chunkSize, covering the frame.
+    */
+  def orderedChunkPages(spark: SparkSession, dir: String, chunkSize: Int): DataFrame = {
+    val keys = graft.Tables.table(spark, dir, "orders").select(col("o_orderkey"))
+    withGlobalRowNum(keys, "o_orderkey")
+      .select(
+        ((col("row_num") - 1) / lit(chunkSize.toLong)).cast("bigint").as("chunk_id"),
+        (col("row_num") - ((col("row_num") - 1) / lit(chunkSize.toLong)).cast("bigint") * chunkSize)
+          .cast("bigint").as("pos"),
+        col("o_orderkey"))
+  }
+
+  def orderedChunkPagesOracle(chunkSize: Int): String =
+    s"""WITH numbered AS (
+       |  SELECT o_orderkey, row_number() OVER (ORDER BY o_orderkey) AS rn FROM orders
+       |)
+       |SELECT CAST((rn - 1) // $chunkSize AS BIGINT) AS chunk_id,
+       |  CAST(rn - ((rn - 1) // $chunkSize) * $chunkSize AS BIGINT) AS pos,
+       |  o_orderkey
+       |FROM numbered""".stripMargin
+
   // ---- query registry ----
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_preprocess_monthly" -> ((s, dir) => preprocessMonthly(s, dir, "3-1997", 100))
+    "q_preprocess_monthly" -> ((s, dir) => preprocessMonthly(s, dir, "3-1997", 100)),
+    "q_order_limit_chunks" -> ((s, dir) => orderedChunkPages(s, dir, 1000))
   )
 
   def oracleSql: Map[String, String] = Map(
-    "q_preprocess_monthly" -> preprocessMonthlyOracle("3-1997", 100)
+    "q_preprocess_monthly" -> preprocessMonthlyOracle("3-1997", 100),
+    "q_order_limit_chunks" -> orderedChunkPagesOracle(1000)
   )
 }

@@ -7,6 +7,28 @@ class PreprocessSpec extends SparkSuite {
 
   private val bucket = "3-1997"
 
+  test("ordered chunk pages: disjoint, ordered, <= chunkSize, equal to the per-page loop") {
+    val n = 100
+    val pages = Preprocess.orderedChunkPages(spark, Sf, n).cache()
+    val total = Tables.table(spark, Sf, "orders").count()
+    assert(pages.count() === total)
+    // page sizes: all full except possibly the last
+    val sizes = pages.groupBy("chunk_id").count().orderBy("chunk_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(sizes.init.forall(_._2 == n) && sizes.last._2 <= n)
+    // faithful per-page twin (the reference's dead code) for two pages
+    import org.apache.spark.sql.functions._
+    val keys = Tables.table(spark, Sf, "orders")
+      .orderBy("o_orderkey").select("o_orderkey")
+      .collect().map(_.getLong(0))
+    for (page <- Seq(0, 2)) {
+      val expect = keys.slice(page * n, (page + 1) * n).toSeq
+      val got = pages.filter(col("chunk_id") === page).orderBy("pos")
+        .select("o_orderkey").collect().map(_.getLong(0)).toSeq
+      assert(got === expect, s"page $page diverged from ORDER BY/LIMIT semantics")
+    }
+  }
+
   test("scalable global row numbering equals the faithful constant-key window") {
     val b = Preprocess.base(spark, Sf, bucket)
     val faithful = Preprocess.withRowNumFaithful(b, "Incident_Number")
