@@ -213,6 +213,12 @@ object Graft {
   def semanticDedup(spark: SparkSession, sfDir: String): DataFrame =
     sim.SemDedup.kept(spark, sfDir)
 
+  /** BPE-encode the corpus vocabulary with the rank-ordered merge table
+    * learned from the gated pair statistics — subword tokens per word.
+    */
+  def bpeEncode(spark: SparkSession, sfDir: String): DataFrame =
+    text.Bpe.encode(spark, sfDir)
+
   /** Winnowing fingerprints (guaranteed detection of shared runs
     * ≥ k+w−1 chars) and the rare-fingerprint shared-pair report.
     */

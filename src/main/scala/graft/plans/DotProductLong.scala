@@ -118,8 +118,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[PhraseMerge].getName, "phrase_merge"),
       (children: Seq[Expression]) => children match {
         case Seq(t, p) => PhraseMerge(t, p)
+        case Seq(t, p, org.apache.spark.sql.catalyst.expressions.Literal(s: org.apache.spark.unsafe.types.UTF8String, _)) =>
+          PhraseMerge(t, p, s.toString)
         case _ => throw new IllegalArgumentException(
-          "phrase_merge(tokens array<string>, phrases array<string>)")
+          "phrase_merge(tokens array<string>, phrases array<string>[, <string literal sep>])")
       }))
     ext.injectOptimizerRule(_ => SargableMonthRule)
   }

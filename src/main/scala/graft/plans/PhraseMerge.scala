@@ -28,7 +28,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * (run-parity over islands of consecutive qualifying pairs), so the
   * gate stays bit-exact — see `Phrases.mergeCte`.
   */
-case class PhraseMerge(left: Expression, right: Expression)
+case class PhraseMerge(left: Expression, right: Expression, sep: String = "_")
   extends BinaryExpression {
 
   private def isStringArray(dt: DataType): Boolean = dt match {
@@ -47,10 +47,13 @@ case class PhraseMerge(left: Expression, right: Expression)
   override def prettyName: String = "phrase_merge"
 
   override def nullSafeEval(toks: Any, phrases: Any): Any =
-    PhraseMerge.compute(toks.asInstanceOf[ArrayData], phrases.asInstanceOf[ArrayData])
+    PhraseMerge.compute(toks.asInstanceOf[ArrayData], phrases.asInstanceOf[ArrayData],
+      UTF8String.fromString(sep))
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (t, p) => s"graft.plans.PhraseMerge.compute($t, $p)")
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val sepRef = ctx.addReferenceObj("sep", UTF8String.fromString(sep))
+    defineCodeGen(ctx, ev, (t, p) => s"graft.plans.PhraseMerge.compute($t, $p, $sepRef)")
+  }
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
@@ -60,12 +63,13 @@ case class PhraseMerge(left: Expression, right: Expression)
 object PhraseMerge {
 
   private val Space = UTF8String.fromString(" ")
-  private val Under = UTF8String.fromString("_")
 
   /** Static so generated code can call it. One scan, one set probe per
-    * position, no per-step accumulator allocation.
+    * position, no per-step accumulator allocation. `sep` joins the
+    * merged pair: "_" for word phrases (new_york), "" for BPE subword
+    * merges (t+h → th).
     */
-  def compute(toks: ArrayData, phrases: ArrayData): ArrayData = {
+  def compute(toks: ArrayData, phrases: ArrayData, sep: UTF8String): ArrayData = {
     val m = phrases.numElements()
     val set = new java.util.HashSet[UTF8String](math.max(4, m * 2))
     var j = 0
@@ -76,7 +80,7 @@ object PhraseMerge {
     while (i < n) {
       val t = toks.getUTF8String(i)
       if (i + 1 < n && set.contains(UTF8String.concat(t, Space, toks.getUTF8String(i + 1)))) {
-        out.add(UTF8String.concat(t, Under, toks.getUTF8String(i + 1)))
+        out.add(UTF8String.concat(t, sep, toks.getUTF8String(i + 1)))
         i += 2
       } else {
         out.add(t)

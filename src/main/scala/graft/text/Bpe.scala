@@ -73,11 +73,124 @@ object Bpe {
        |ORDER BY cnt DESC, pair LIMIT $TopK""".stripMargin
   }
 
+  // ---- BPE ENCODE: apply a merge table to the vocabulary ----
+
+  /** Merges applied by [[encode]] — the top of the [[topPairs]] table.
+    * Kept below [[TopK]] so the oracle's chained merge blocks stay
+    * readable; raising it changes SQL length, not structure.
+    */
+  val UseMerges = 8
+
+  /** Deterministic merge list: the [[UseMerges]] most frequent pairs in
+    * (count DESC, pair ASC) rank order — collected like every model in
+    * this repo (merge tables are vocab²-bounded and tiny in practice;
+    * a real tokenizer ships ~50k merges, still model-sized).
+    */
+  def mergeTable(spark: SparkSession, dir: String): Seq[String] =
+    topPairs(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .sortBy { case (p, c) => (-c, p) }
+      .take(UseMerges).map(_._1).toSeq
+
+  /** Tokenize the VOCABULARY with the merge table — the encode half of
+    * BPE (the [[topPairs]] statistics are the train half): split each
+    * word to characters, then apply each merge in rank order as ONE
+    * greedy left-to-right pass ([[graft.plans.PhraseMerge]] with an
+    * empty joiner — a single scan reaches that merge's fixpoint, since
+    * a merged token can never re-form its own pair).
+    *
+    * Declared deviation from priority-queue BPE: merges apply strictly
+    * in rank order, one pass each (the published-spec discipline —
+    * UD2's lemmatizer, X72's stemmer). For merge tables learned by BPE
+    * training the two orders agree; for adversarial tables they can
+    * differ, and the rank-order rule is the contract both engines
+    * implement.
+    *
+    * 100 TB shape — same as [[topPairs]]: encoding touches the VOCAB,
+    * never the corpus; the corpus joins the encoded vocab by word when
+    * it needs true token counts. Output: (w, wcnt, n_tok, toks).
+    */
+  def encode(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.ops.ScaleOps.widen(Tables.documents(spark, dir))
+    val vocab = docs
+      .select(explode(TextOps.tokenize(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("wcnt"))
+    val merges = mergeTable(spark, dir)
+    def mergeOnce(toks: org.apache.spark.sql.Column, pair: String) =
+      org.apache.spark.sql.GraftColumnShim.column(
+        graft.plans.PhraseMerge(
+          org.apache.spark.sql.GraftColumnShim.expression(toks),
+          org.apache.spark.sql.GraftColumnShim.expression(array(lit(pair))),
+          sep = ""))
+    val encoded = merges.foldLeft(split(col("w"), ""): org.apache.spark.sql.Column)(mergeOnce)
+    vocab.select(col("w"), col("wcnt"),
+      size(encoded).cast("long").as("n_tok"),
+      concat_ws(" ", encoded).as("toks"))
+  }
+
+  /** DuckDB twin: the merge table CTE (same rank order), then one
+    * run-parity greedy-merge block per rank — the same relational
+    * formulation `graft.text.Phrases.mergeCte` uses, instantiated per
+    * merge with an empty joiner.
+    */
+  def encodeOracle: String = {
+    val tk = TextOps.tokenizeSql("text")
+    def block(i: Int, in: String, out: String): String =
+      s"""${out}_m AS (
+         |  SELECT w, pos, tok, lead(tok) OVER win AS nxt,
+         |    CASE WHEN (tok || ' ' || lead(tok) OVER win)
+         |         IN (SELECT pair FROM merges WHERE rnk = $i) THEN 1 ELSE 0 END AS mm
+         |  FROM $in WINDOW win AS (PARTITION BY w ORDER BY pos)
+         |), ${out}_isl AS (
+         |  SELECT *, SUM(CASE WHEN mm = 1 THEN 0 ELSE 1 END)
+         |    OVER (PARTITION BY w ORDER BY pos) AS island FROM ${out}_m
+         |), ${out}_st AS (
+         |  SELECT *, CASE WHEN mm = 1 AND (ROW_NUMBER()
+         |      OVER (PARTITION BY w, island, mm ORDER BY pos) - 1) % 2 = 0
+         |    THEN 1 ELSE 0 END AS strt FROM ${out}_isl
+         |), ${out}_em AS (
+         |  SELECT w, pos, CASE WHEN strt = 1 THEN tok || nxt ELSE tok END AS tok,
+         |    COALESCE(LAG(strt) OVER (PARTITION BY w ORDER BY pos), 0) AS consumed
+         |  FROM ${out}_st
+         |), $out AS (
+         |  SELECT w, ROW_NUMBER() OVER (PARTITION BY w ORDER BY pos) - 1 AS pos, tok
+         |  FROM ${out}_em WHERE consumed = 0
+         |)""".stripMargin
+    val blocks = (1 to UseMerges)
+      .map(i => block(i, if (i == 1) "chars" else s"m${i - 1}", s"m$i")).mkString(",\n")
+    s"""WITH words AS (
+       |  SELECT unnest($tk) AS w FROM documents
+       |), vocab AS (
+       |  SELECT w, count(*) AS wcnt FROM words GROUP BY w
+       |), vpairs AS (
+       |  SELECT unnest(list_transform(
+       |      range(1, greatest(len(string_split(w, '')), 1)),
+       |      i -> string_split(w, '')[i] || ' ' || string_split(w, '')[i+1]))
+       |    AS pair, wcnt
+       |  FROM vocab
+       |), pcnt AS (
+       |  SELECT pair, sum(wcnt) AS cnt FROM vpairs GROUP BY pair
+       |), merges AS (
+       |  SELECT pair, row_number() OVER (ORDER BY cnt DESC, pair) AS rnk
+       |  FROM pcnt QUALIFY rnk <= $UseMerges
+       |), chars AS (
+       |  SELECT w, i - 1 AS pos, string_split(w, '')[i] AS tok
+       |  FROM vocab, unnest(range(1, len(string_split(w, '')) + 1)) AS u(i)
+       |),
+       |$blocks
+       |SELECT v.w, v.wcnt, e.n_tok, e.toks FROM vocab v JOIN (
+       |  SELECT w, count(*) AS n_tok, string_agg(tok, ' ' ORDER BY pos) AS toks
+       |  FROM m$UseMerges GROUP BY w
+       |) e ON e.w = v.w""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_bpe_pairs" -> ((s, dir) => topPairs(s, dir))
+    "q_bpe_pairs" -> ((s, dir) => topPairs(s, dir)),
+    "q_bpe_encode" -> ((s, dir) => encode(s, dir))
   )
 
   def oracleSql: Map[String, String] = Map(
-    "q_bpe_pairs" -> topPairsOracle
+    "q_bpe_pairs" -> topPairsOracle,
+    "q_bpe_encode" -> encodeOracle
   )
 }

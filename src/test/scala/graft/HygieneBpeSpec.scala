@@ -116,6 +116,42 @@ class HygieneBpeSpec extends SparkSuite {
     assert(ids == Set(1L))
   }
 
+  test("bpe encode: subwords reassemble each word; merges shrink the token count") {
+    import org.apache.spark.sql.functions._
+    val enc = graft.text.Bpe.encode(spark, Sf).cache()
+    // round trip: dropping the separators reproduces the word exactly
+    assert(enc.filter(regexp_replace(col("toks"), " ", "") =!= col("w")).count() === 0)
+    // the merge table is non-trivial on the fixture: some words compress
+    assert(enc.filter(col("n_tok") < length(col("w"))).count() > 0)
+    // and encoding never exceeds character count
+    assert(enc.filter(col("n_tok") > length(col("w"))).count() === 0)
+  }
+
+  test("bpe merge pass: one greedy scan reaches the merge's fixpoint") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    def mergeOnce(pair: String)(c: org.apache.spark.sql.Column) =
+      org.apache.spark.sql.GraftColumnShim.column(
+        graft.plans.PhraseMerge(
+          org.apache.spark.sql.GraftColumnShim.expression(c),
+          org.apache.spark.sql.GraftColumnShim.expression(array(lit(pair))),
+          sep = ""))
+    val cases = Seq(
+      (Seq("a", "a", "a"), Seq("aa", "a")),       // leftmost-first, no re-merge
+      (Seq("a", "a", "a", "a"), Seq("aa", "aa")),
+      (Seq("t", "h", "e"), Seq("th", "e")),
+      (Seq("x"), Seq("x")),
+      (Seq.empty[String], Seq.empty[String]))
+    val pair = Map(0 -> "a a", 1 -> "a a", 2 -> "t h", 3 -> "a a", 4 -> "a a")
+    cases.zipWithIndex.foreach { case ((in, want), i) =>
+      val got = Seq(in).toDF("toks").select(mergeOnce(pair(i))(col("toks"))).head().getSeq[String](0)
+      assert(got.toSeq === want, s"case $i")
+      // fixpoint: applying the same merge again changes nothing
+      val again = Seq(got.toSeq).toDF("toks").select(mergeOnce(pair(i))(col("toks"))).head().getSeq[String](0)
+      assert(again.toSeq === want, s"case $i not at fixpoint after one scan")
+    }
+  }
+
   test("misra-gries: guaranteed superset of stream heavy hitters, bounded size") {
     import graft.text.HeavyHitters
     // adversarial stream: 1 dominant element amid k distinct spam tokens
