@@ -393,7 +393,43 @@ object Relational {
        |  CAST(hsxy % 1000000007 AS BIGINT) AS sxy
        |FROM m""".stripMargin
 
+  /** TPC-H Q18 (large-volume orders), HAVING-subquery family: orders
+    * whose total quantity clears [[Q18MinQty]], with their customer.
+    * Spark-first: ONE aggregate produces both the HAVING verdict and the
+    * reported sum (TPC-H's re-aggregation after the semi-join is
+    * redundant when the subquery already carries the measure — the
+    * optimizer can't always see that; declaring it removes a second
+    * corpus-wide exchange). Quantities are integral doubles in the
+    * fixture — quantized per-row to BIGINT before summing, so the gated
+    * sum is exact (the q10 cents discipline). Top-100 by (sum_qty desc,
+    * o_orderkey) = TakeOrderedAndProject, no global sort.
+    */
+  val Q18MinQty = 200L
+
+  def q18LargeOrders(spark: SparkSession, dir: String): DataFrame = {
+    val big = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_quantity").cast("long").as("qty"))
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("qty")).as("sum_qty"))
+      .filter(col("sum_qty") > Q18MinQty)
+    big.join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("c_custkey"), col("c_name"), col("sum_qty"))
+      .orderBy(col("sum_qty").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  val q18Oracle: String =
+    s"""SELECT o_orderkey, c_custkey, c_name, sum_qty FROM (
+       |  SELECT l_orderkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+       |  FROM lineitem GROUP BY l_orderkey HAVING sum_qty > $Q18MinQty
+       |)
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |ORDER BY sum_qty DESC, o_orderkey LIMIT 100""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q18_large_orders"   -> ((s, dir) => q18LargeOrders(s, dir)),
     "q_moment_stats"     -> ((s, dir) => qMomentStats(s, dir)),
     "q_anti_join"        -> ((s, dir) => qAntiJoin(s, dir)),
     "q_exists_subquery"  -> ((s, dir) => qExistsSubquery(s, dir)),
@@ -406,6 +442,7 @@ object Relational {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q18_large_orders"   -> q18Oracle,
     "q_moment_stats"     -> momentOracle,
     "q_anti_join"        -> antiJoinOracle,
     "q_exists_subquery"  -> ExistsSql,

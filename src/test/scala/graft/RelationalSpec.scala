@@ -58,4 +58,17 @@ class RelationalSpec extends SparkSuite {
     assert(exact === gated)
     gated.values.flatten.foreach(v => assert(v >= 0 && v < M))
   }
+
+  test("q18: one aggregate, top-k as TakeOrdered, every row clears the HAVING bound") {
+    import org.apache.spark.sql.functions._
+    val df = graft.ops.Relational.q18LargeOrders(spark, Sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"top-100 must not global-sort:\n$plan")
+    // exactly one corpus-wide aggregate: the lineitem quantity rollup
+    assert("HashAggregate".r.findAllIn(plan).size <= 4, // partial+final, no re-aggregation pair
+      s"Q18 re-aggregated after the join:\n$plan")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getLong(3) > graft.ops.Relational.Q18MinQty))
+  }
 }
