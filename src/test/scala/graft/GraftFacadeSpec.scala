@@ -53,4 +53,13 @@ class GraftFacadeSpec extends SparkSuite {
       .toDF("s").select(Graft.parseTimestamp(col("s"))).collect()
     assert(ok.forall(!_.isNullAt(0)))
   }
+
+  test("round-7 delegates return rows: analyzer, phrases, quality, semdedup, bpe") {
+    assert(Graft.englishAnalyze(spark, Sf).limit(1).count() === 1)
+    assert(Graft.phraseBigrams(spark, Sf).limit(1).count() === 1)
+    assert(Graft.qualityModelScore(spark, Sf).limit(1).count() === 1)
+    assert(Graft.semanticDedup(spark, Sf).limit(1).count() === 1)
+    assert(Graft.bpeEncode(spark, Sf).limit(1).count() === 1)
+    assert(Graft.docEmbedding(spark, Sf).limit(1).count() === 1)
+  }
 }
