@@ -428,7 +428,63 @@ object Relational {
        |JOIN customer ON o_custkey = c_custkey
        |ORDER BY sum_qty DESC, o_orderkey LIMIT 100""".stripMargin
 
+  /** TPC-H Q7 (volume shipping) — the two-nation trade report: revenue
+    * between a nation PAIR in either direction, by supplier nation,
+    * customer nation, and ship year. The plan worth demonstrating: the
+    * nation dim joins twice under different roles (both BROADCAST — the
+    * J1-J3 alias discipline), the disjunctive pair filter collapses
+    * AFTER both joins (predicate needs both sides), and the fact table
+    * shuffles once for the final rollup. Revenue per row quantized to
+    * cents (q10 discipline); ship year via `year()` on the
+    * session-normalized timestamp — identical on both engines.
+    */
+  def q7VolumeShipping(spark: SparkSession, dir: String): DataFrame = {
+    // pair chosen populated at EVERY fixture scale (sf0.001 has sparse
+    // supplier×customer nation coverage; 11/12 trades at all three)
+    val (na, nb) = ("NATION_11", "NATION_12")
+    val l = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .withColumn("rev_cents",
+        floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100).cast("long"))
+    val sn = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val cn = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+    l.join(Tables.supplier(spark, dir), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(sn), col("s_nationkey") === col("s_nk"))
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(cn), col("c_nationkey") === col("c_nk"))
+      .filter((col("supp_nation") === na && col("cust_nation") === nb) ||
+        (col("supp_nation") === nb && col("cust_nation") === na))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(sum(col("rev_cents")).as("revenue_cents"))
+  }
+
+  val q7Oracle: String =
+    """SELECT supp_nation, cust_nation, l_year,
+      |  CAST(sum(rev_cents) AS BIGINT) AS revenue_cents
+      |FROM (
+      |  SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+      |    CAST(year(l_shipdate) AS BIGINT) AS l_year,
+      |    CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS rev_cents
+      |  FROM lineitem
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation cn ON c_nationkey = cn.n_nationkey
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      |    AND ((sn.n_name = 'NATION_11' AND cn.n_name = 'NATION_12')
+      |      OR (sn.n_name = 'NATION_12' AND cn.n_name = 'NATION_11'))
+      |)
+      |GROUP BY supp_nation, cust_nation, l_year""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q7_volume_shipping" -> ((s, dir) => q7VolumeShipping(s, dir)),
     "q18_large_orders"   -> ((s, dir) => q18LargeOrders(s, dir)),
     "q_moment_stats"     -> ((s, dir) => qMomentStats(s, dir)),
     "q_anti_join"        -> ((s, dir) => qAntiJoin(s, dir)),
@@ -442,6 +498,7 @@ object Relational {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q7_volume_shipping" -> q7Oracle,
     "q18_large_orders"   -> q18Oracle,
     "q_moment_stats"     -> momentOracle,
     "q_anti_join"        -> antiJoinOracle,
