@@ -483,7 +483,37 @@ object Relational {
       |)
       |GROUP BY supp_nation, cust_nation, l_year""".stripMargin
 
+  /** TPC-H Q12 (shipping priority classes) — the conditional-aggregation
+    * family: one fact-dim join, then CASE-gated counts split each group
+    * into high- vs low-priority lines in a single pass (no second scan,
+    * no pivot). Declared deviation: the fixture carries no `l_shipmode`,
+    * so the grouping key is `l_linestatus` — the aggregation pattern
+    * (Q12's point) is unchanged. Counts are exact integers.
+    */
+  def q12PriorityShipping(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+    val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    l.join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_linestatus"))
+      .agg(sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(!high, 1L).otherwise(0L)).as("low_line_count"))
+  }
+
+  val q12Oracle: String =
+    """SELECT l_linestatus,
+      |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS high_line_count,
+      |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT)
+      |    AS low_line_count
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY l_linestatus""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q12_priority_classes" -> ((s, dir) => q12PriorityShipping(s, dir)),
     "q7_volume_shipping" -> ((s, dir) => q7VolumeShipping(s, dir)),
     "q18_large_orders"   -> ((s, dir) => q18LargeOrders(s, dir)),
     "q_moment_stats"     -> ((s, dir) => qMomentStats(s, dir)),
@@ -498,6 +528,7 @@ object Relational {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q12_priority_classes" -> q12Oracle,
     "q7_volume_shipping" -> q7Oracle,
     "q18_large_orders"   -> q18Oracle,
     "q_moment_stats"     -> momentOracle,
