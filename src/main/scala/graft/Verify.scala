@@ -25,6 +25,11 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // C2 discipline at the harness boundary: queries that persist
+      // model inputs (Phrases.pass, SemDedup.pairs, Similarity.serve*)
+      // release them here, so a full-registry run never accumulates
+      // more than one query's caches
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

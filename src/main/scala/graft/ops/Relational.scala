@@ -498,7 +498,10 @@ object Relational {
     l.join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("l_linestatus"))
       .agg(sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
-        sum(when(!high, 1L).otherwise(0L)).as("low_line_count"))
+        // NULL priority counts as low on BOTH engines: when(high,0).otherwise(1)
+        // sends NULL to the otherwise branch exactly like SQL's ELSE 1, whereas
+        // when(!high,1) would send NULL to 0 (NOT(null) is null) and diverge
+        sum(when(high, 0L).otherwise(1L)).as("low_line_count"))
   }
 
   val q12Oracle: String =

@@ -94,7 +94,9 @@ object Preprocess {
     * bounds `row_num > i AND row_num <= i + onelakh`, `:219-230`).
     */
   def withChunkId(df: DataFrame, chunkSize: Int): DataFrame =
-    df.withColumn("chunk_id", ((col("row_num") - 1) / lit(chunkSize.toLong)).cast("bigint"))
+    // IntegralDivide, not double division: exact at any row count (a
+    // double round-trip is only exact below ~2^52 rows)
+    df.withColumn("chunk_id", expr(s"(row_num - 1) DIV ${chunkSize.toLong}"))
 
   /** Scalable A3: gather each chunk's ids and docs as ordered arrays in one
     * shuffle — replaces the reference's collect/re-parallelize round trip
@@ -227,11 +229,13 @@ object Preprocess {
     */
   def orderedChunkPages(spark: SparkSession, dir: String, chunkSize: Int): DataFrame = {
     val keys = graft.Tables.table(spark, dir, "orders").select(col("o_orderkey"))
+    // both engines on integral division (Spark DIV ↔ DuckDB //), exact at
+    // any row count — no double round-trip in the page arithmetic
     withGlobalRowNum(keys, "o_orderkey")
-      .select(
-        ((col("row_num") - 1) / lit(chunkSize.toLong)).cast("bigint").as("chunk_id"),
-        (col("row_num") - ((col("row_num") - 1) / lit(chunkSize.toLong)).cast("bigint") * chunkSize)
-          .cast("bigint").as("pos"),
+      .select(expr(s"(row_num - 1) DIV ${chunkSize.toLong}").as("chunk_id"),
+        col("row_num"), col("o_orderkey"))
+      .select(col("chunk_id"),
+        (col("row_num") - col("chunk_id") * chunkSize).cast("bigint").as("pos"),
         col("o_orderkey"))
   }
 

@@ -33,22 +33,39 @@ object SemDedup {
     * (list_id, vec_a, vec_b, cos_sim), vec_a < vec_b. The self-join key
     * is the coarse list — vectors never meet outside their cluster.
     */
-  def pairs(spark: SparkSession, dir: String): DataFrame = {
+  def pairs(spark: SparkSession, dir: String,
+      k: Int = Similarity.NumSeeds): DataFrame =
+    pairsManaged(spark, dir, k)._1
+
+  /** [[pairs]] plus the cleanup for its persist (the
+    * [[Similarity.serveMany]] thunk contract); gate invocations lean on
+    * the `Verify`/`Bench` clearCache sweep instead.
+    *
+    * `k` is THE scale knob (the SemDeDup paper's own answer): growing it
+    * with the corpus keeps per-cluster size c bounded, so candidate work
+    * Σc² ≈ n²/k stays near-linear and the self-join key count k never
+    * degenerates into a few-key skew. Gated at the default AND at k=64
+    * (`q_semantic_neardup_k64`); `SemDedupSpec` pins that larger k
+    * strictly shrinks candidate-pair work on the fixture.
+    */
+  def pairsManaged(spark: SparkSession, dir: String,
+      k: Int = Similarity.NumSeeds): (DataFrame, () => Unit) = {
     // quantized vectors feed assignment AND both pair sides — persist so
     // quantization and the assignment's two passes run once
     val docs = Similarity.quantized(spark, dir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val assigned = Similarity.coarseAssigned(docs)
+    val assigned = Similarity.coarseAssigned(docs, k)
     def side(n: String) = assigned.select(
       col("list_id"), col("vec_id").as(s"vec_$n"),
       col("q").as(s"q_$n"), col("n2").as(s"n2_$n"))
-    side("a").join(side("b"), "list_id")
+    val out = side("a").join(side("b"), "list_id")
       .filter(col("vec_a") < col("vec_b"))
       .select(col("list_id"), col("vec_a"), col("vec_b"),
         Similarity.cosFromInts(
           Similarity.dotq(col("q_a"), col("q_b")),
           col("n2_a"), col("n2_b")).as("cos_sim"))
       .filter(col("cos_sim") >= Similarity.NearDupThreshold)
+    (out, () => { docs.unpersist(); () })
   }
 
   /** The kept corpus: every vector that is not the GREATER member of a
@@ -64,9 +81,9 @@ object SemDedup {
 
   // ---- DuckDB oracle (the gated IVF assignment chain, then plain joins) ----
 
-  private def pairsCte: String =
+  private def pairsCte(k: Int = Similarity.NumSeeds): String =
     s"""docs AS (${Similarity.quantizedSql}),
-       |${Similarity.ivfCtesFrom("docs")},
+       |${Similarity.ivfCtesFrom("docs", k)},
        |sem_pairs AS (
        |  SELECT a.list_id, a.vec_id AS vec_a, b.vec_id AS vec_b,
        |    ${Similarity.cosSql(Similarity.dotSql("a.q", "b.q"), "a.n2", "b.n2")} AS cos_sim
@@ -76,22 +93,30 @@ object SemDedup {
        |    >= ${Similarity.NearDupThreshold}
        |)""".stripMargin
 
-  def pairsOracle: String =
-    s"""WITH $pairsCte
+  def pairsOracle(k: Int = Similarity.NumSeeds): String =
+    s"""WITH ${pairsCte(k)}
        |SELECT list_id, vec_a, vec_b, cos_sim FROM sem_pairs""".stripMargin
 
   def keptOracle: String =
-    s"""WITH $pairsCte
+    s"""WITH ${pairsCte()}
        |SELECT vec_id, label FROM docs
        |WHERE vec_id NOT IN (SELECT vec_b FROM sem_pairs)""".stripMargin
 
+  /** The grown-k gate: same operator, quadruple the clusters — the knob a
+    * 100 TB run turns. k=64 on the fixture proves the parameterized path
+    * end-to-end against the oracle's k=64 chain.
+    */
+  val GrownK = 64
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_semantic_neardup" -> ((s, dir) => pairs(s, dir)),
+    "q_semantic_neardup_k64" -> ((s, dir) => pairs(s, dir, GrownK)),
     "q_semantic_dedup" -> ((s, dir) => kept(s, dir))
   )
 
   def oracleSql: Map[String, String] = Map(
-    "q_semantic_neardup" -> pairsOracle,
+    "q_semantic_neardup" -> pairsOracle(),
+    "q_semantic_neardup_k64" -> pairsOracle(GrownK),
     "q_semantic_dedup" -> keptOracle
   )
 }

@@ -112,7 +112,14 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "cos_sim")
   }
 
-  /** Number of IVF coarse-quantizer seeds (vec_id < NumSeeds). */
+  /** Default number of IVF coarse-quantizer seeds (vec_id < NumSeeds) —
+    * sized for the fixture. The training path takes k as a PARAMETER
+    * ([[assignLists]]/[[coarseAssigned]]/[[ivfCtesFrom]]): the SemDeDup
+    * scale rule is that k grows with the corpus so per-cluster size c
+    * stays bounded and intra-cluster candidate work Σc² ≈ n²/k stays
+    * linear-ish — a 100 TB run turns THIS knob, nothing else changes
+    * (gated at k=64 as `q_semantic_neardup_k64`).
+    */
   val NumSeeds = 16
 
   /** Coarse quantization: assign every vector to its nearest seed by
@@ -129,8 +136,8 @@ object Similarity {
     * which is what a real IVF assign step is (centroids always live on
     * the small/broadcast side).
     */
-  def assignLists(docs: DataFrame): DataFrame =
-    argmaxAssign(docs, docs.filter(col("vec_id") < NumSeeds)
+  def assignLists(docs: DataFrame, k: Int = NumSeeds): DataFrame =
+    argmaxAssign(docs, docs.filter(col("vec_id") < k)
       .select(col("vec_id").as("list_id"), col("q").as("rvec"), col("n2").as("rn2")))
 
   /** The one broadcast-argmax assignment both quantizer passes share:
@@ -178,8 +185,8 @@ object Similarity {
     * coarse assignment — the shared front end of [[ivfTopK]],
     * [[ivfPqTopKOn]] and the [[VecIndex]] build.
     */
-  private[graft] def coarseAssigned(docs: DataFrame): DataFrame = {
-    val first = docs.join(assignLists(docs), "vec_id")
+  private[graft] def coarseAssigned(docs: DataFrame, k: Int = NumSeeds): DataFrame = {
+    val first = docs.join(assignLists(docs, k), "vec_id")
     docs.join(refineAssign(docs, first), "vec_id")
   }
 
@@ -579,10 +586,10 @@ object Similarity {
     * parameterizing only the TRAINING side is what lets the incremental
     * oracle train on the base subset while serving every query.
     */
-  private[sim] def ivfCtesFrom(src: String): String =
+  private[sim] def ivfCtesFrom(src: String, k: Int = NumSeeds): String =
     s"""seeds AS (
        |  SELECT vec_id AS list_id, q AS sq, n2 AS sn2 FROM $src
-       |  WHERE vec_id < $NumSeeds AND n2 > 0
+       |  WHERE vec_id < $k AND n2 > 0
        |),
        |assigned0_l AS (
        |  SELECT d.vec_id, s.list_id,

@@ -86,11 +86,23 @@ object Bpe {
     * this repo (merge tables are vocab²-bounded and tiny in practice;
     * a real tokenizer ships ~50k merges, still model-sized).
     */
-  def mergeTable(spark: SparkSession, dir: String): Seq[String] =
+  def mergeTable(spark: SparkSession, dir: String): Seq[String] = {
+    // tie-break equal counts by UTF-8 BYTES, not Scala's UTF-16 code-unit
+    // compare: the oracle's ORDER BY pair is a binary (UTF-8) collation,
+    // and the two orders differ for supplementary-plane characters
+    val utf8 = Ordering.fromLessThan[String] { (a, b) =>
+      val (x, y) = (a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val n = math.min(x.length, y.length)
+      var i = 0
+      while (i < n && x(i) == y(i)) i += 1
+      if (i < n) (x(i) & 0xff) < (y(i) & 0xff) else x.length < y.length
+    }
     topPairs(spark, dir).collect()
       .map(r => (r.getString(0), r.getLong(1)))
-      .sortBy { case (p, c) => (-c, p) }
+      .sortBy { case (p, c) => (-c, p) }(Ordering.Tuple2(Ordering.Long, utf8))
       .take(UseMerges).map(_._1).toSeq
+  }
 
   /** Tokenize the VOCABULARY with the merge table — the encode half of
     * BPE (the [[topPairs]] statistics are the train half): split each

@@ -166,11 +166,21 @@ object Phrases {
     * 100 TB the equivalent is checkpointing the merged stream between
     * passes (the X5b build-once index discipline).
     */
-  def pass(tokDf: DataFrame): DataFrame = {
+  def pass(tokDf: DataFrame): DataFrame = passManaged(tokDf)._1
+
+  /** [[pass]] plus the cleanup for its persist (the
+    * [[graft.sim.Similarity.serveMany]] thunk contract): the caller
+    * releases the input cache once the merged output is materialized.
+    * Gate invocations lean on the harness sweep instead —
+    * `Verify`/`Bench` clearCache between queries — so a long-lived JVM
+    * retains at most one query's caches either way.
+    */
+  def passManaged(tokDf: DataFrame): (DataFrame, () => Unit) = {
     val in = tokDf.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val phrases = model(in).select(concat_ws(" ", col("a"), col("b")))
       .collect().map(_.getString(0)).toSeq
-    in.select(col("doc_id"), mergeTokens(col("toks"), phrases).as("toks"))
+    (in.select(col("doc_id"), mergeTokens(col("toks"), phrases).as("toks")),
+      () => { in.unpersist(); () })
   }
 
   /** Streaming ingest twin: rewrite each arriving document's token
@@ -197,9 +207,18 @@ object Phrases {
   def applyBigrams(spark: SparkSession, dir: String): DataFrame =
     stream(pass(tokenArrays(spark, dir)))
 
-  /** Gate: the stream after two passes — trigrams finished. */
-  def applyTrigrams(spark: SparkSession, dir: String): DataFrame =
-    stream(pass(pass(tokenArrays(spark, dir))))
+  /** Gate: the stream after two passes — trigrams finished. Pass 2's
+    * model collect materializes pass 1's output cache, after which pass
+    * 1's INPUT cache is unreachable from the final plan — released
+    * eagerly here, so the invocation retains one cache (the merged
+    * pass-1 stream), swept by the harness clearCache.
+    */
+  def applyTrigrams(spark: SparkSession, dir: String): DataFrame = {
+    val (m1, release1) = passManaged(tokenArrays(spark, dir))
+    val (m2, _) = passManaged(m1) // persists + (via the collect) materializes m1
+    release1()
+    stream(m2)
+  }
 
   // ---- DuckDB oracle (generated from the same constants) ----
 

@@ -86,20 +86,34 @@ object QualityModel {
   def filterStream(docs: DataFrame, model: Map[Long, Long]): DataFrame = {
     val ks = model.keys.toArray.sorted
     val wmap = map_from_arrays(lit(ks), lit(ks.map(model)))
-    val toks = TextOps.preprocess(col("text"))
-    val sumw = aggregate(
-      transform(toks, t => element_at(wmap, DocEmbedding.slotOf(t))),
-      lit(0L), (a, v) => a + v)
+    // WEIGHTED tokens only — the exact batch contract: score's inner join
+    // excludes tokens whose slot has no weight row from BOTH n_toks and
+    // sum_w, so the stream drops unweighted tokens too (element_at is
+    // NULL for a missing slot → filtered out, never summed as NULL) and
+    // divides by the weighted count, not size(toks). Docs with zero
+    // weighted tokens have no batch verdict and are dropped here alike.
+    val ws = filter(
+      transform(TextOps.preprocess(col("text")),
+        t => element_at(wmap, DocEmbedding.slotOf(t))),
+      w => w.isNotNull)
     def longCol(c: Column) = org.apache.spark.sql.GraftColumnShim.expression(c)
-    // exact integral division (truncate toward zero — the batch DIV),
-    // via Catalyst's IntegralDivide rather than a double round-trip
-    // greatest(n,1): the n=0 row is dropped by the filter either way,
-    // but the divide must never see a zero under ANSI evaluation order
-    val scoreQ = org.apache.spark.sql.GraftColumnShim.column(
-      new org.apache.spark.sql.catalyst.expressions.IntegralDivide(
-        longCol(lit(1000L) * sumw),
-        longCol(greatest(size(toks), lit(1)).cast("long"))))
-    docs.filter(size(toks) > 0 && scoreQ > KeepThreshold)
+    // bind the weighted-weight array ONCE as a lambda variable so the
+    // preprocess→transform→filter producer is evaluated once per row, not
+    // once per reference (the CollapseProject HOF-inlining trap —
+    // [[graft.text.Phrases.mergeTokens]] documents the failure mode)
+    val keep = element_at(transform(array(ws), a => {
+      val sumw = aggregate(a, lit(0L), (acc, v) => acc + v)
+      // exact integral division (truncate toward zero — the batch DIV),
+      // via Catalyst's IntegralDivide rather than a double round-trip.
+      // greatest(n,1): the n=0 row fails the size(a)>0 conjunct either
+      // way, but the divide must never see a zero under ANSI evaluation
+      val scoreQ = org.apache.spark.sql.GraftColumnShim.column(
+        new org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+          longCol(lit(1000L) * sumw),
+          longCol(greatest(size(a), lit(1)).cast("long"))))
+      size(a) > 0 && scoreQ > KeepThreshold
+    }), 1)
+    docs.filter(keep)
   }
 
   def scoreOracle: String =

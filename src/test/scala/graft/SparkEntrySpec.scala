@@ -40,7 +40,7 @@ class SparkEntrySpec extends SparkSuite {
       // similarity scores: identical dot-product expressions over the
       // same float32 inputs, evaluated per-row (order-free)
       "q_embedding_neardup", "q_mean_embedding", "q_doc_embedding",
-      "q_semantic_neardup", "q_similarity_ivf",
+      "q_semantic_neardup", "q_semantic_neardup_k64", "q_similarity_ivf",
       "q_similarity_ivfpq", "q_similarity_ivfpq_apply",
       "q_similarity_ivfpq_incremental", "q_similarity_topk")
     import org.apache.spark.sql.types.{DataType, DecimalType, DoubleType, FloatType, StructType}
