@@ -33,10 +33,12 @@ object Bpe {
   /** Merge candidates reported. */
   val TopK = 20
 
-  /** (pair, cnt) — the TopK most frequent adjacent character pairs,
-    * corpus-frequency-weighted.
+  /** Every adjacent character pair with its corpus-frequency-weighted
+    * count — the unlimited table behind both [[topPairs]] (the gated
+    * TopK report) and [[mergeTable]] (the [[UseMerges]]-deep encode
+    * model).
     */
-  def topPairs(spark: SparkSession, dir: String): DataFrame = {
+  private def pairCounts(spark: SparkSession, dir: String): DataFrame = {
     val docs = graft.ops.ScaleOps.widen(Tables.documents(spark, dir))
     val vocab = docs
       .select(explode(TextOps.tokenize(col("text"))).as("w"))
@@ -48,9 +50,15 @@ object Bpe {
     vocab
       .select(explode(pairs).as("pair"), col("wcnt"))
       .groupBy(col("pair")).agg(sum(col("wcnt")).as("cnt"))
+  }
+
+  /** (pair, cnt) — the TopK most frequent adjacent character pairs,
+    * corpus-frequency-weighted.
+    */
+  def topPairs(spark: SparkSession, dir: String): DataFrame =
+    pairCounts(spark, dir)
       .orderBy(col("cnt").desc, col("pair"))
       .limit(TopK)
-  }
 
   /** DuckDB twin: same vocab-first aggregation, same weighting, same
     * total-order top-k.
@@ -75,11 +83,16 @@ object Bpe {
 
   // ---- BPE ENCODE: apply a merge table to the vocabulary ----
 
-  /** Merges applied by [[encode]] — the top of the [[topPairs]] table.
-    * Kept below [[TopK]] so the oracle's chained merge blocks stay
-    * readable; raising it changes SQL length, not structure.
+  /** Merges applied by [[encode]] — the top of the pair-count table.
+    * 64 deep: large enough that the nested one-expression-per-rule form
+    * this replaced would already be hurting (analyzer cost, codegen
+    * method size), small enough that the oracle's per-rank SQL blocks
+    * stay runnable. The Spark side's cost no longer depends on this
+    * number — [[graft.plans.BpeMergeAll]] holds the whole table in one
+    * constant-depth expression, so a real ~50 k-merge vocabulary is a
+    * bigger reference object, not a deeper plan.
     */
-  val UseMerges = 8
+  val UseMerges = 64
 
   /** Deterministic merge list: the [[UseMerges]] most frequent pairs in
     * (count DESC, pair ASC) rank order — collected like every model in
@@ -98,7 +111,9 @@ object Bpe {
       while (i < n && x(i) == y(i)) i += 1
       if (i < n) (x(i) & 0xff) < (y(i) & 0xff) else x.length < y.length
     }
-    topPairs(spark, dir).collect()
+    pairCounts(spark, dir)
+      .orderBy(col("cnt").desc, col("pair")).limit(UseMerges)
+      .collect()
       .map(r => (r.getString(0), r.getLong(1)))
       .sortBy { case (p, c) => (-c, p) }(Ordering.Tuple2(Ordering.Long, utf8))
       .take(UseMerges).map(_._1).toSeq
@@ -107,9 +122,13 @@ object Bpe {
   /** Tokenize the VOCABULARY with the merge table — the encode half of
     * BPE (the [[topPairs]] statistics are the train half): split each
     * word to characters, then apply each merge in rank order as ONE
-    * greedy left-to-right pass ([[graft.plans.PhraseMerge]] with an
-    * empty joiner — a single scan reaches that merge's fixpoint, since
-    * a merged token can never re-form its own pair).
+    * greedy left-to-right pass, the whole table inside ONE
+    * constant-depth [[graft.plans.BpeMergeAll]] expression (a rule's
+    * single scan reaches that rule's fixpoint, since a merged token can
+    * never re-form its own pair). The previous form — one nested
+    * [[graft.plans.PhraseMerge]] PER rule — made plan depth linear in
+    * the table and died by analyzer cost/codegen method limits at real
+    * table sizes; `HygieneBpeSpec` pins the two forms equivalent.
     *
     * Declared deviation from priority-queue BPE: merges apply strictly
     * in rank order, one pass each (the published-spec discipline —
@@ -127,18 +146,21 @@ object Bpe {
     val vocab = docs
       .select(explode(TextOps.tokenize(col("text"))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("wcnt"))
-    val merges = mergeTable(spark, dir)
-    def mergeOnce(toks: org.apache.spark.sql.Column, pair: String) =
-      org.apache.spark.sql.GraftColumnShim.column(
-        graft.plans.PhraseMerge(
-          org.apache.spark.sql.GraftColumnShim.expression(toks),
-          org.apache.spark.sql.GraftColumnShim.expression(array(lit(pair))),
-          sep = ""))
-    val encoded = merges.foldLeft(split(col("w"), ""): org.apache.spark.sql.Column)(mergeOnce)
+    val encoded = applyMerges(col("w"), mergeTable(spark, dir))
     vocab.select(col("w"), col("wcnt"),
       size(encoded).cast("long").as("n_tok"),
       concat_ws(" ", encoded).as("toks"))
   }
+
+  /** Char-split `w`, then the full rank-ordered merge table in one
+    * expression.
+    */
+  def applyMerges(w: org.apache.spark.sql.Column,
+      merges: Seq[String]): org.apache.spark.sql.Column =
+    org.apache.spark.sql.GraftColumnShim.column(
+      graft.plans.BpeMergeAll(
+        org.apache.spark.sql.GraftColumnShim.expression(split(w, "")),
+        merges, sep = ""))
 
   /** DuckDB twin: the merge table CTE (same rank order), then one
     * run-parity greedy-merge block per rank — the same relational

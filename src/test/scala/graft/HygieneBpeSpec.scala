@@ -152,6 +152,57 @@ class HygieneBpeSpec extends SparkSuite {
     }
   }
 
+  test("bpe merge-all: one constant-depth expression ≡ the nested per-rule form") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    def nested(c: org.apache.spark.sql.Column, merges: Seq[String]) =
+      merges.foldLeft(c)((acc, p) =>
+        org.apache.spark.sql.GraftColumnShim.column(
+          graft.plans.PhraseMerge(
+            org.apache.spark.sql.GraftColumnShim.expression(acc),
+            org.apache.spark.sql.GraftColumnShim.expression(array(lit(p))),
+            sep = "")))
+    def all(c: org.apache.spark.sql.Column, merges: Seq[String]) =
+      org.apache.spark.sql.GraftColumnShim.column(
+        graft.plans.BpeMergeAll(
+          org.apache.spark.sql.GraftColumnShim.expression(c), merges, sep = ""))
+    // real fixture vocabulary × a real (small-m) prefix of the learned table
+    val merges8 = graft.text.Bpe.mergeTable(spark, Sf).take(8)
+    val vocab = Tables.documents(spark, Sf)
+      .select(explode(graft.text.TextOps.tokenize(col("text"))).as("w"))
+      .distinct()
+    val diff = vocab.select(col("w"),
+        nested(split(col("w"), ""), merges8).as("a"),
+        all(split(col("w"), ""), merges8).as("b"))
+      .filter(col("a") =!= col("b"))
+    assert(diff.count() === 0, "merge-all diverged from the nested per-rule form")
+    // adversarial rank-order cases: later merges create EARLIER ranks'
+    // pairs, which neither form may revisit
+    val cases = Seq(
+      // rank1 "a b" creates nothing; rank2 "ab c" only applies after rank1
+      (Seq("a", "b", "c"), Seq("a b", "ab c"), Seq("abc")),
+      // rank1 consumed left-to-right first; rank2 sees the merged stream
+      (Seq("a", "a", "a"), Seq("a a", "aa a"), Seq("aaa")),
+      // rank-1 "b a" fires mid-array; rank-2 "a b" then sees [a, ba, b]
+      // where no "a b" pair remains — and may not revisit rank 1 either
+      (Seq("a", "b", "a", "b"), Seq("b a", "a b"), Seq("a", "ba", "b")),
+      (Seq.empty[String], Seq("a a"), Seq.empty[String]))
+    cases.zipWithIndex.foreach { case ((in, merges, want), i) =>
+      val gotAll = Seq(in).toDF("toks")
+        .select(all(col("toks"), merges)).head().getSeq[String](0)
+      val gotNested = Seq(in).toDF("toks")
+        .select(nested(col("toks"), merges)).head().getSeq[String](0)
+      assert(gotAll.toSeq === gotNested.toSeq, s"case $i: forms diverge")
+      assert(gotAll.toSeq === want, s"case $i")
+    }
+    // the point of the rewrite: plan size constant in m — one merge-all
+    // instance per consumer (size, concat_ws; identical, so codegen CSE
+    // evaluates once), never one phrase_merge per rule
+    val plan = graft.text.Bpe.encode(spark, Sf).queryExecution.analyzed.toString
+    assert("bpe_merge_all".r.findAllIn(plan).size === 2)
+    assert(!plan.contains("phrase_merge"))
+  }
+
   test("misra-gries: guaranteed superset of stream heavy hitters, bounded size") {
     import graft.text.HeavyHitters
     // adversarial stream: 1 dominant element amid k distinct spam tokens
