@@ -19,9 +19,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * per-row allocation that a 50 k-doc fixture tolerates but 100 TB does
   * not (the RollingPolyHash precedent). Here the row is scanned once,
   * each step is one hash-set probe, and output strings are shared
-  * UTF8String concats. The phrase side is expected to be a small model
-  * literal (≤ [[graft.text.Phrases.MaxPhrases]] rows); the per-row set
-  * build is m inserts, negligible against the fold it replaces.
+  * UTF8String concats. The phrase side is a model literal in every
+  * in-repo use ([[graft.text.Phrases]] collects ≤ MaxPhrases rows), so
+  * the probe set is built ONCE per expression instance and shipped to
+  * generated code as a reference object — per-row cost is flat in the
+  * model size m, which is what lets the same primitive carry a real
+  * ~100 k-phrase table. A non-foldable phrase side falls back to the
+  * per-row build.
   *
   * The SEMANTICS (not the implementation) are the cross-engine contract:
   * the DuckDB oracle computes the identical greedy merge relationally
@@ -46,13 +50,39 @@ case class PhraseMerge(left: Expression, right: Expression, sep: String = "_")
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "phrase_merge"
 
+  /** The phrase set, hoisted out of the per-row loop when the phrase
+    * side is FOLDABLE — which it always is in practice: phrase tables
+    * are driver-collected model literals ([[graft.text.Phrases]]'s
+    * collect discipline). Built once per (deserialized) expression
+    * instance instead of m inserts × corpus rows — at a real ~100 k-
+    * phrase model the per-row rebuild would dominate the scan it
+    * decorates. Null when the phrase side is genuinely per-row data
+    * (the compute-per-row fallback below).
+    */
+  @transient private lazy val staticSet: java.util.HashSet[UTF8String] =
+    if (right.foldable) {
+      val arr = right.eval(null)
+      if (arr == null) null
+      else PhraseMerge.buildSet(arr.asInstanceOf[ArrayData])
+    } else null
+
+  @transient private lazy val sepU: UTF8String = UTF8String.fromString(sep)
+
   override def nullSafeEval(toks: Any, phrases: Any): Any =
-    PhraseMerge.compute(toks.asInstanceOf[ArrayData], phrases.asInstanceOf[ArrayData],
-      UTF8String.fromString(sep))
+    if (staticSet != null)
+      PhraseMerge.computeWithSet(toks.asInstanceOf[ArrayData], staticSet, sepU)
+    else
+      PhraseMerge.compute(toks.asInstanceOf[ArrayData], phrases.asInstanceOf[ArrayData],
+        sepU)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val sepRef = ctx.addReferenceObj("sep", UTF8String.fromString(sep))
-    defineCodeGen(ctx, ev, (t, p) => s"graft.plans.PhraseMerge.compute($t, $p, $sepRef)")
+    val sepRef = ctx.addReferenceObj("sep", sepU)
+    if (staticSet != null) {
+      val setRef = ctx.addReferenceObj("phraseSet", staticSet, "java.util.HashSet")
+      defineCodeGen(ctx, ev,
+        (t, _) => s"graft.plans.PhraseMerge.computeWithSet($t, $setRef, $sepRef)")
+    } else
+      defineCodeGen(ctx, ev, (t, p) => s"graft.plans.PhraseMerge.compute($t, $p, $sepRef)")
   }
 
   override protected def withNewChildrenInternal(
@@ -64,16 +94,35 @@ object PhraseMerge {
 
   private val Space = UTF8String.fromString(" ")
 
-  /** Static so generated code can call it. One scan, one set probe per
-    * position, no per-step accumulator allocation. `sep` joins the
-    * merged pair: "_" for word phrases (new_york), "" for BPE subword
-    * merges (t+h → th).
+  /** Spec instrumentation: how many times a phrase set was built.
+    * `PhrasesSpec` pins that a foldable phrase side builds O(1) sets for
+    * a whole scan (the hoist), never one per row.
     */
-  def compute(toks: ArrayData, phrases: ArrayData, sep: UTF8String): ArrayData = {
+  private[graft] val setBuilds = new java.util.concurrent.atomic.AtomicLong
+
+  private[plans] def buildSet(phrases: ArrayData): java.util.HashSet[UTF8String] = {
+    setBuilds.incrementAndGet()
     val m = phrases.numElements()
     val set = new java.util.HashSet[UTF8String](math.max(4, m * 2))
     var j = 0
     while (j < m) { set.add(phrases.getUTF8String(j)); j += 1 }
+    set
+  }
+
+  /** Static so generated code can call it — the per-row fallback for a
+    * NON-foldable phrase side (set rebuilt per row; rare in practice).
+    * One scan, one set probe per position, no per-step accumulator
+    * allocation. `sep` joins the merged pair: "_" for word phrases
+    * (new_york), "" for BPE subword merges (t+h → th).
+    */
+  def compute(toks: ArrayData, phrases: ArrayData, sep: UTF8String): ArrayData =
+    computeWithSet(toks, buildSet(phrases), sep)
+
+  /** Static so generated code can call it: the merge scan against an
+    * already-built (hoisted) phrase set.
+    */
+  def computeWithSet(toks: ArrayData, set: java.util.HashSet[UTF8String],
+      sep: UTF8String): ArrayData = {
     val n = toks.numElements()
     val out = new java.util.ArrayList[UTF8String](n)
     var i = 0

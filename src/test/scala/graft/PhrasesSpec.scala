@@ -84,9 +84,24 @@ class PhrasesSpec extends SparkSuite {
           .select(Phrases.mergeTokens(col("toks"), Seq("machine learning")))
           .queryExecution.executedPlan)
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
-    assert(code.contains("graft.plans.PhraseMerge.compute"),
-      "generated code must call the static merge — interpreted fallback means doGenCode broke")
+    assert(code.contains("graft.plans.PhraseMerge.computeWithSet"),
+      "a literal phrase side must codegen the HOISTED-set call — " +
+        "compute(toks, phrases, sep) here means the per-row rebuild came back")
     assert(!code.contains("Found 0 WholeStageCodegen subtrees"), code.linesIterator.take(3).mkString("\n"))
+  }
+
+  test("foldable phrase side builds the probe set O(1) times per scan, flat in m") {
+    // a planted 1k-phrase model: the scale shape a real phrase table has;
+    // per-row rebuild would be m inserts × rows and dominate the scan
+    val model1k = (1 to 1024).map(i => s"left$i right$i")
+    val n = Phrases.tokenArrays(spark, Sf).count()
+    val before = graft.plans.PhraseMerge.setBuilds.get()
+    val out = Phrases.tokenArrays(spark, Sf)
+      .select(Phrases.mergeTokens(col("toks"), model1k).as("toks"))
+    assert(out.count() === n)
+    val builds = graft.plans.PhraseMerge.setBuilds.get() - before
+    assert(builds < 32 && builds < n,
+      s"$builds set builds for $n rows — the foldable-side hoist is not engaging")
   }
 
   test("streaming apply merges phrases per micro-batch with a frozen model") {
