@@ -13,9 +13,13 @@ import graft.Tables
   * Two decode tiers. HEADER decode is REAL: [[decodeHeader]] parses
   * PNG/GIF/JPEG container bytes (magic, IHDR, screen descriptor, SOF
   * marker walk) into (format, width, height, channels) — pure JVM, the
-  * cheap first filter a media pipeline runs on every blob. PIXEL decode
-  * (JPEG entropy decode, PCM, H.264) needs native codec libraries not
-  * present in this environment, so that step is a DETERMINISTIC STUB —
+  * cheap first filter a media pipeline runs on every blob. AUDIO SAMPLE
+  * decode is REAL too: 16-bit PCM needs no codec — [[pcmStats]] walks to
+  * the `data` chunk and folds the raw little-endian frames into
+  * amplitude stats ([[graft.plans.WavPcm]], gated `q_multimodal_pcm`).
+  * PIXEL decode (JPEG entropy decode, H.264) needs native codec
+  * libraries not present in this environment, so that step is a
+  * DETERMINISTIC STUB —
   * `fakeFeatures` derives pseudo-features from the payload's md5 — while
   * everything Spark-level is real and tested: the binary column schema,
   * metadata struct, batch shape, partitioning behavior, and the feature
@@ -203,15 +207,19 @@ object Multimodal {
     * (header-only blob — the parser reads frame count from the
     * declaration). All multi-byte fields little-endian per the spec.
     */
+  /** Little-endian hex renderings of 16/32-bit values — the byte-level
+    * building blocks every RIFF plant shares.
+    */
+  private def le16(c: Column): Column = {
+    val h = lpad(hex(c), 4, "0")
+    concat(substring(h, 3, 2), substring(h, 1, 2))
+  }
+  private def le32(c: Column): Column = {
+    val h = lpad(hex(c), 8, "0")
+    concat(substring(h, 7, 2), substring(h, 5, 2), substring(h, 3, 2), substring(h, 1, 2))
+  }
+
   def plantWav: Column = {
-    def le16(c: Column) = {
-      val h = lpad(hex(c), 4, "0")
-      concat(substring(h, 3, 2), substring(h, 1, 2))
-    }
-    def le32(c: Column) = {
-      val h = lpad(hex(c), 8, "0")
-      concat(substring(h, 7, 2), substring(h, 5, 2), substring(h, 3, 2), substring(h, 1, 2))
-    }
     val rate = (lit(8000) + (col("doc_id") % 4) * 8000).cast("long")
     val ch = (lit(1) + col("doc_id") % 2).cast("long")
     val bits = (lit(8) * (lit(1) + col("doc_id") % 3)).cast("long")
@@ -252,7 +260,70 @@ object Multimodal {
        |  CAST(100 + doc_id % 900 AS BIGINT) AS n_frames
        |FROM documents""".stripMargin
 
+  /** Deterministic 16-bit mono PCM plant: a RIFF/WAVE blob whose `data`
+    * chunk carries a REAL payload — `16 + doc_id % 17` frames, sample i
+    * drawn from integer arithmetic on (doc_id, i), with every
+    * `(doc_id + i) % 50 == 0` slot pinned to full-scale +32767 so clip
+    * detection has planted positives. The LIST chunk before `fmt `
+    * keeps the chunk walk honest, as in [[plantWav]].
+    */
+  def plantWavPcm: Column = {
+    val f = (lit(16) + col("doc_id") % 17).cast("long")
+    val dataSize = f * 2
+    // u in [0, 65535]; the decoded sample is v = u - 32768. The BYTES
+    // are v's two's complement: (u - 32768) mod 2^16 = u with the top
+    // bit flipped = (u + 32768) % 65536 — NOT u itself (an offset is
+    // not a sign reinterpretation)
+    def u(i: Column) = when((col("doc_id") + i) % 50 === 0, lit(65535L))
+      .otherwise((col("doc_id") * 7919 + i * 104729) % 65536)
+    val samples = array_join(
+      transform(sequence(lit(0L), f - 1), i => le16((u(i) + 32768) % 65536)), "")
+    unhex(concat(
+      lit("52494646"), le32(lit(48L) + dataSize), lit("57415645"), // RIFF size WAVE
+      lit("4C495354"), le32(lit(4L)), lit("494E464F"),             // LIST(4) "INFO"
+      lit("666D7420"), le32(lit(16L)),                             // fmt (16)
+      le16(lit(1L)), le16(lit(1L)), le32(lit(16000L)),             // PCM, mono, 16 kHz
+      le32(lit(32000L)), le16(lit(2L)), le16(lit(16L)),            // byte rate, align, bits
+      lit("64617461"), le32(dataSize),                             // data(size)
+      samples))
+  }
+
+  /** (media_id, n_samples, sum_abs, peak, clip_count) — plant real PCM
+    * frames, decode them back through the chunk walk + sample loop. The
+    * oracle restates the planted samples arithmetically and aggregates,
+    * so byte order, sign extension, truncation handling and the clip
+    * rule are all load-bearing. Exact integers end to end.
+    */
+  def pcmStats(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.ScaleOps.widen(Tables.documents(spark, dir))
+      .select(col("doc_id").as("media_id"), plantWavPcm.as("content"))
+      .select(col("media_id"),
+        org.apache.spark.sql.GraftColumnShim.column(
+          graft.plans.WavPcm(
+            org.apache.spark.sql.GraftColumnShim.expression(col("content")))).as("s"))
+      .select(col("media_id"),
+        col("s").getField("n_samples").as("n_samples"),
+        col("s").getField("sum_abs").as("sum_abs"),
+        col("s").getField("peak").as("peak"),
+        col("s").getField("clip_count").as("clip_count"))
+
+  def pcmStatsOracle: String =
+    s"""WITH s AS (
+       |  SELECT doc_id, i,
+       |    (CASE WHEN (doc_id + i) % 50 = 0 THEN 65535
+       |          ELSE (doc_id * 7919 + i * 104729) % 65536 END) - 32768 AS v
+       |  FROM documents, unnest(range(0, 16 + doc_id % 17)) AS u(i)
+       |)
+       |SELECT doc_id AS media_id,
+       |  CAST(count(*) AS BIGINT) AS n_samples,
+       |  CAST(sum(abs(v)) AS BIGINT) AS sum_abs,
+       |  CAST(max(abs(v)) AS BIGINT) AS peak,
+       |  CAST(sum(CASE WHEN v = 32767 OR v = -32768 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS clip_count
+       |FROM s GROUP BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_multimodal_pcm" -> ((s, dir) => pcmStats(s, dir)),
     "q_multimodal_audio" -> ((s, dir) => audioHeaderDecode(s, dir)),
     "q_multimodal_decode" -> ((s, dir) => headerDecode(s, dir)),
     "q_multimodal_features" -> ((s, dir) =>
@@ -266,6 +337,7 @@ object Multimodal {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_multimodal_pcm" -> pcmStatsOracle,
     "q_multimodal_audio" -> audioHeaderOracle,
     "q_multimodal_decode" -> headerOracle,
     "q_multimodal_features" ->

@@ -144,6 +144,60 @@ class KeywordMultimodalSpec extends SparkSuite {
     assert(parsed(Array[Byte]()) === ((-1, -1, -1, -1L)))
   }
 
+  test("pcm decode: JDK-encoded samples round-trip bit-exact; non-PCM → nulls") {
+    import javax.sound.sampled._
+    // golden: known int16 samples through the JDK's WAV encoder, read
+    // back by WavPcm — byte order and sign extension are load-bearing
+    val samples = Array[Short](0, 1, -1, 1000, -1000, 32767, -32768, 12345, -54.toShort)
+    val fmt = new AudioFormat(16000f, 16, 1, true, false)
+    val pcm = new Array[Byte](samples.length * 2)
+    samples.zipWithIndex.foreach { case (s, i) =>
+      pcm(2 * i) = (s & 0xff).toByte; pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong)
+    val baos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, baos)
+    val r = graft.plans.WavPcm.parse(baos.toByteArray)
+    assert(r.getLong(0) === samples.length.toLong)
+    assert(r.getLong(1) === samples.map(s => math.abs(s.toLong)).sum)
+    assert(r.getLong(2) === 32768L)
+    assert(r.getLong(3) === 2L) // 32767 and -32768 both clip
+    // truncated data chunk: stats over the bytes actually present
+    val whole = baos.toByteArray
+    val cut = java.util.Arrays.copyOf(whole, whole.length - 4) // drop 2 samples
+    val rc = graft.plans.WavPcm.parse(cut)
+    assert(rc.getLong(0) === samples.length - 2L)
+    // 8-bit (non-decodable depth) and garbage → nulls inside the struct
+    val fmt8 = new AudioFormat(8000f, 8, 1, false, false)
+    val ais8 = new AudioInputStream(
+      new java.io.ByteArrayInputStream(new Array[Byte](10)), fmt8, 10L)
+    val b8 = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais8, AudioFileFormat.Type.WAVE, b8)
+    assert(graft.plans.WavPcm.parse(b8.toByteArray).isNullAt(0))
+    assert(graft.plans.WavPcm.parse("RIFFxxxxnope".getBytes).isNullAt(0))
+    assert(graft.plans.WavPcm.parse(Array[Byte]()).isNullAt(0))
+  }
+
+  test("planted pcm decodes end-to-end: stats match the planted arithmetic") {
+    val rows = Multimodal.pcmStats(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val vs = (0L until (16 + id % 17)).map { i =>
+        (if ((id + i) % 50 == 0) 65535L
+         else (id * 7919 + i * 104729) % 65536) - 32768
+      }
+      assert(r.getLong(1) === vs.length.toLong, s"n_samples for $id")
+      assert(r.getLong(2) === vs.map(math.abs).sum, s"sum_abs for $id")
+      assert(r.getLong(3) === vs.map(math.abs).max, s"peak for $id")
+      assert(r.getLong(4) === vs.count(v => v == 32767 || v == -32768).toLong,
+        s"clip_count for $id")
+    }
+    // the plant produces genuine clips somewhere in the fixture
+    assert(rows.map(_.getLong(4)).sum > 0, "no planted clips — the clip rule is untested")
+  }
+
   test("planted wav headers decode end-to-end with the planted parameters") {
     val rows = Multimodal.audioHeaderDecode(spark, Sf).collect()
     assert(rows.nonEmpty)
