@@ -515,7 +515,138 @@ object Relational {
       |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
       |GROUP BY l_linestatus""".stripMargin
 
+  /** TPC-H Q4 (order priority checking) — the correlated-EXISTS
+    * decorrelation shape: orders of one quarter with at least one
+    * "problem" line, counted by priority. The EXISTS correlates on the
+    * order key AND carries a non-equi predicate against the OUTER row
+    * (`l_shipdate > o_orderdate + 30 days`), so the rewrite is a
+    * left-semi join whose condition mixes the equi key with the extra
+    * inequality — the decorrelation path none of the plain semi/anti
+    * gates touch. Declared deviation: the fixture has no
+    * l_commitdate/l_receiptdate, so "problem" is shipped-30-days-late;
+    * the plan shape (and both engines' semantics) are Q4's.
+    */
+  def q4PriorityCheck(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1997-07-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-10-01").cast("timestamp"))
+    val l = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_shipdate"))
+    o.join(l,
+        col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAY"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val q4Oracle: String =
+    """SELECT o_orderpriority, count(*) AS order_count
+      |FROM orders o
+      |WHERE o_orderdate >= TIMESTAMP '1997-07-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1997-10-01 00:00:00'
+      |  AND EXISTS (SELECT 1 FROM lineitem l
+      |    WHERE l.l_orderkey = o.o_orderkey
+      |      AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  /** TPC-H Q13 (customer order distribution) — the outer-join-count
+    * shape whose POINT is the preserved zero group: customers whose
+    * orders ALL fail the filter (or who have none) must surface at
+    * c_count = 0, which only a left outer join + `count(non-null col)`
+    * produces — an inner join would drop them and a count(*) would
+    * miscount them at 1. Filter sits join-side (pre-join on the orders
+    * scan), exactly TPC-H's "filter in the ON clause" requirement.
+    * Declared deviation: no o_comment in the fixture; the join-side
+    * predicate is `o_orderpriority = '1-URGENT'` — selective enough that
+    * the zero group is POPULATED at every fixture SF (a fifth of orders
+    * are urgent, so customers with no urgent order exist; an exclusion
+    * filter left the zero group empty and the NULL path untested) —
+    * same path, same preserved-NULL semantics.
+    */
+  def q13CustomerDistribution(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir)
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_custkey"), col("o_orderkey")),
+        col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count")) // count(col) skips NULLs → 0
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+
+  val q13Oracle: String =
+    """SELECT c_count, count(*) AS custdist FROM (
+      |  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+      |  FROM customer LEFT OUTER JOIN orders
+      |    ON c_custkey = o_custkey AND o_orderpriority = '1-URGENT'
+      |  GROUP BY c_custkey
+      |)
+      |GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  /** Problem-line marker and nation pin for [[q21WaitingSuppliers]] —
+    * fixture deviation: no commit/receipt dates, so a "kept waiting"
+    * line is a RETURNED one (`l_returnflag = 'R'`).
+    */
+  val Q21Nation = "NATION_3"
+
+  /** TPC-H Q21 (suppliers who kept the customer waiting) — the nested
+    * semi + anti on the SAME fact: a supplier's problem line counts only
+    * if the order had another supplier (EXISTS l2, supplier-inequality
+    * semi join) and NO other supplier also had a problem line
+    * (NOT EXISTS l3, supplier-inequality anti join). Three scans of
+    * lineitem correlate pairwise on the order key with `<>` side
+    * conditions — the one decorrelation pattern where semi and anti
+    * rewrites stack on one fact table. Dims (supplier, nation) broadcast;
+    * the fact joins shuffle on the order key.
+    */
+  def q21WaitingSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    val l1 = Tables.lineitem(spark, dir).filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val base = l1
+      .join(Tables.orders(spark, dir).filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey")), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.supplier(spark, dir), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(spark, dir).filter(col("n_name") === Q21Nation)),
+        col("s_nationkey") === col("n_nationkey"))
+    val l2 = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("lo2"), col("l_suppkey").as("ls2"))
+    val l3 = Tables.lineitem(spark, dir).filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey").as("lo3"), col("l_suppkey").as("ls3"))
+    base
+      .join(l2, col("l_orderkey") === col("lo2") && col("l_suppkey") =!= col("ls2"),
+        "left_semi")
+      .join(l3, col("l_orderkey") === col("lo3") && col("l_suppkey") =!= col("ls3"),
+        "left_anti")
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(100)
+  }
+
+  val q21Oracle: String =
+    s"""SELECT s_name, count(*) AS numwait
+       |FROM lineitem l1
+       |JOIN orders ON o_orderkey = l1.l_orderkey
+       |JOIN supplier ON s_suppkey = l1.l_suppkey
+       |JOIN nation ON n_nationkey = s_nationkey
+       |WHERE l1.l_returnflag = 'R' AND o_orderstatus = 'F' AND n_name = '$Q21Nation'
+       |  AND EXISTS (SELECT 1 FROM lineitem l2
+       |    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+       |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+       |    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+       |      AND l3.l_returnflag = 'R')
+       |GROUP BY s_name
+       |ORDER BY numwait DESC, s_name
+       |LIMIT 100""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q4_priority_check" -> ((s, dir) => q4PriorityCheck(s, dir)),
+    "q13_cust_distribution" -> ((s, dir) => q13CustomerDistribution(s, dir)),
+    "q21_waiting_suppliers" -> ((s, dir) => q21WaitingSuppliers(s, dir)),
     "q12_priority_classes" -> ((s, dir) => q12PriorityShipping(s, dir)),
     "q7_volume_shipping" -> ((s, dir) => q7VolumeShipping(s, dir)),
     "q18_large_orders"   -> ((s, dir) => q18LargeOrders(s, dir)),
@@ -531,6 +662,9 @@ object Relational {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q4_priority_check" -> q4Oracle,
+    "q13_cust_distribution" -> q13Oracle,
+    "q21_waiting_suppliers" -> q21Oracle,
     "q12_priority_classes" -> q12Oracle,
     "q7_volume_shipping" -> q7Oracle,
     "q18_large_orders"   -> q18Oracle,

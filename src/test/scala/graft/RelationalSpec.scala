@@ -71,4 +71,33 @@ class RelationalSpec extends SparkSuite {
     assert(rows.nonEmpty)
     assert(rows.forall(_.getLong(3) > graft.ops.Relational.Q18MinQty))
   }
+
+  test("q4: the correlated EXISTS plans as one semi join with the non-equi condition") {
+    val df = graft.ops.Relational.q4PriorityCheck(spark, Sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), s"EXISTS must decorrelate to a semi join:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+    // every priority bucket is populated on the fixture
+    assert(df.collect().length === 5)
+  }
+
+  test("q13: zero-order customers survive as the c_count = 0 group") {
+    import org.apache.spark.sql.functions._
+    val df = graft.ops.Relational.q13CustomerDistribution(spark, Sf)
+    val zero = df.filter(col("c_count") === 0L).collect()
+    assert(zero.length === 1, "the preserved-NULL group is Q13's point")
+    // distribution masses sum to the customer count
+    val total = df.agg(sum(col("custdist"))).collect()(0).getLong(0)
+    assert(total === Tables.customer(spark, Sf).count())
+  }
+
+  test("q21: dims broadcast, fact correlations stack semi+anti, no cartesian") {
+    val df = graft.ops.Relational.q21WaitingSuppliers(spark, Sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi") && plan.contains("LeftAnti"),
+      s"Q21 needs both rewrites on the same fact:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"dims must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(df.collect().nonEmpty)
+  }
 }
