@@ -523,7 +523,105 @@ object CorpusOps {
        |GROUP BY doc_id""".stripMargin
   }
 
+  /** Backoff penalty in msb bits for an unseen bigram — the integer twin
+    * of Stupid Backoff's α = 0.4 discount (log2(1/0.4) ≈ 1.3, rounded up
+    * to keep every term exact).
+    */
+  val BackoffBits = 2L
+
+  /** Bigrams below this count are pruned from the model (KenLM's
+    * singleton pruning). Besides shrinking the table, pruning is what
+    * makes backoff REAL here: a model trained on the corpus it scores
+    * has seen every bigram by construction, so without pruning the
+    * backoff branch would be dead code.
+    */
+  val MinBigramCount = 2L
+
+  /** Bigram LM surprisal with Stupid Backoff (Brants et al. 2007) — the
+    * context-aware upgrade of [[unigramSurprisal]] (a CCNet-style
+    * perplexity filter scores against context, which a unigram model
+    * ignores). Per token at position i:
+    *
+    *   - first token (no context):  msb(total) − msb(cnt(w_i))
+    *   - bigram in the pruned model: msb(cnt(w_{i-1})) − msb(cnt(w_{i-1} w_i))
+    *   - pruned/unseen (backoff):    [[BackoffBits]] + msb(total) − msb(cnt(w_i))
+    *
+    * msb(x) = position of the highest set bit = ⌊log2 x⌋+1 via
+    * `length(bin(x))` — every term an exact integer on both engines, the
+    * house surprisal quantization. All model joins are keyed on tokens
+    * (vocab/bigram-vocab-sized right sides), the context window is one
+    * `lag` per doc partition — no all-pairs, no corpus-sized broadcast;
+    * at 100 TB the model tables shuffle-join the token stream exactly
+    * like the unigram gate.
+    */
+  def bigramSurprisal(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(TextOps.tokenize(col("text"))).as(Seq("pos", "t")))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val ctx = toks.withColumn("prev", lag(col("t"), 1).over(w))
+    val uni = toks.groupBy(col("t")).agg(count(lit(1)).as("cnt"))
+    val total = uni.agg(sum(col("cnt")).as("total"))
+    val big = ctx.filter(col("prev").isNotNull)
+      .groupBy(col("prev"), col("t")).agg(count(lit(1)).as("pcnt"))
+      .filter(col("pcnt") >= MinBigramCount)
+    def msb(c: org.apache.spark.sql.Column) = length(bin(c)).cast("long")
+    ctx
+      .join(uni, "t")
+      .join(uni.select(col("t").as("prev"), col("cnt").as("prev_cnt")), Seq("prev"), "left")
+      .join(big, Seq("prev", "t"), "left")
+      .crossJoin(broadcast(total))
+      .withColumn("s",
+        when(col("prev").isNull, msb(col("total")) - msb(col("cnt")))
+          .when(col("pcnt").isNotNull, msb(col("prev_cnt")) - msb(col("pcnt")))
+          .otherwise(lit(BackoffBits) + msb(col("total")) - msb(col("cnt"))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("prev").isNotNull && col("pcnt").isNull, 1L).otherwise(0L))
+          .as("n_backoff"),
+        sum(col("s")).cast("long").as("surprisal_sum"),
+        round(sum(col("s")) / count(lit(1)), 4).as("surprisal_avg"))
+  }
+
+  def bigramSurprisalOracle: String = {
+    val tk = TextOps.tokenizeSql("text")
+    s"""WITH arrs AS (
+       |  SELECT doc_id, $tk AS tks FROM documents
+       |), toks AS (
+       |  SELECT doc_id, i - 1 AS pos, tks[i] AS t
+       |  FROM arrs, unnest(range(1, len(tks) + 1)) AS u(i)
+       |), ctx AS (
+       |  SELECT doc_id, pos, t,
+       |    lag(t) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+       |  FROM toks
+       |), uni AS (
+       |  SELECT t, count(*) AS cnt FROM toks GROUP BY t
+       |), tot AS (
+       |  SELECT sum(cnt) AS total FROM uni
+       |), big AS (
+       |  SELECT prev, t, count(*) AS pcnt FROM ctx WHERE prev IS NOT NULL
+       |  GROUP BY prev, t HAVING count(*) >= $MinBigramCount
+       |), scored AS (
+       |  SELECT c.doc_id,
+       |    CASE WHEN c.prev IS NULL THEN length(bin(total)) - length(bin(u.cnt))
+       |         WHEN b.pcnt IS NOT NULL THEN length(bin(p.cnt)) - length(bin(b.pcnt))
+       |         ELSE $BackoffBits + length(bin(total)) - length(bin(u.cnt)) END AS s,
+       |    CASE WHEN c.prev IS NOT NULL AND b.pcnt IS NULL THEN 1 ELSE 0 END AS backoff
+       |  FROM ctx c
+       |  JOIN uni u ON u.t = c.t
+       |  LEFT JOIN uni p ON p.t = c.prev
+       |  LEFT JOIN big b ON b.prev = c.prev AND b.t = c.t
+       |  CROSS JOIN tot
+       |)
+       |SELECT doc_id,
+       |  count(*) AS n_tokens,
+       |  CAST(sum(backoff) AS BIGINT) AS n_backoff,
+       |  CAST(sum(s) AS BIGINT) AS surprisal_sum,
+       |  round(CAST(sum(s) AS DOUBLE) / count(*), 4) AS surprisal_avg
+       |FROM scored GROUP BY doc_id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_lm_bigram" -> ((s, dir) => bigramSurprisal(s, dir)),
     "q_corpus_split" -> ((s, dir) => stratifiedSplit(Tables.documents(s, dir))),
     "q_corpus_sample" -> ((s, dir) => stratifiedSample(Tables.documents(s, dir))),
     "q_corpus_mix" -> ((s, dir) => mixCorpus(Tables.documents(s, dir))),
@@ -536,6 +634,7 @@ object CorpusOps {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_lm_bigram" -> bigramSurprisalOracle,
     "q_corpus_split" -> splitOracle,
     "q_corpus_sample" -> sampleOracle,
     "q_corpus_mix" -> mixOracle,

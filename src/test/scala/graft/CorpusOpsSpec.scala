@@ -117,6 +117,31 @@ class CorpusOpsSpec extends SparkSuite {
     assert(out(2L) == ((3L, 3L, 1.0)))
   }
 
+  test("bigramSurprisal: context scores, singleton pruning forces real backoff") {
+    import spark.implicits._
+    // corpus: doc1 "a b a b", doc2 "a a" => total 6; uni a=4, b=2
+    // bigrams: (a,b)=2 kept; (b,a)=1, (a,a)=1 pruned (MinBigramCount=2)
+    // msb: total 6->3, a->3, b->2, pcnt(a,b)=2->2
+    // doc1: first a: 3-3=0; b|a kept: msb(a)-msb(2)=3-2=1;
+    //       a|b pruned: 2+3-3=2; b|a kept: 1  => sum 4, backoff 1
+    // doc2: first a: 0; a|a pruned: 2+3-3=2   => sum 2, backoff 1
+    val dir = java.nio.file.Files.createTempDirectory("graft-lm2").toString
+    Seq((1L, "a b a b"), (2L, "a a"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), col("text"), lit("en").as("lang"),
+        lit("src0").as("source"), length(col("text")).cast("long").as("n_chars"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = CorpusOps.bigramSurprisal(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(out(1L) == ((4L, 1L, 4L, 1.0)))
+    assert(out(2L) == ((2L, 1L, 2L, 1.0)))
+    // fixture: backoff fires somewhere, and context never scores negative
+    val fx = CorpusOps.bigramSurprisal(spark, Sf)
+    assert(fx.filter(col("n_backoff") > 0).count() > 0)
+    assert(fx.filter(col("surprisal_sum") < 0).count() === 0)
+  }
+
   test("vocab sketches: batch union estimates equal the one-shot sketch, near exact counts") {
     val docs = spark.read.parquet(s"$Sf/documents.parquet")
     val merged = CorpusOps.vocabSketchMerged(CorpusOps.vocabSketchPerBatch(docs))

@@ -36,6 +36,7 @@ class SparkEntrySpec extends SparkSuite {
       // ratios of exact integer counts through one identical division —
       // no rounding, no streamed-double aggregation
       "q_text_quality", "q_repetition", "q_html_extract", "q_lm_surprisal",
+      "q_lm_bigram",
       "q_dedup_chargram", "q_dedup_neardup",
       // similarity scores: identical dot-product expressions over the
       // same float32 inputs, evaluated per-row (order-free)
