@@ -68,25 +68,46 @@ object Bench {
     // q_events_rollup 2.56s vs a reproducible 0.25s on unchanged code and
     // plans). Min-of-3 caps a single noisy co-scheduled pass's influence.
     val TimedPasses = 3
-    val results = queries.map { case (name, fn) =>
-      if (errors.contains(name)) name -> (-1.0, -1.0)
-      else {
-        val times = (1 to TimedPasses).flatMap { _ =>
-          // drop persisted intermediates from the warmup/previous pass
-          // (CacheManager matches canonicalized plans, so a re-built query
-          // would otherwise read warm cache and under-report) — every
-          // timed number is a cold end-to-end run; only JVM/codegen warmup
-          // carries over.
-          spark.catalog.clearCache()
-          val t0 = System.nanoTime()
-          try { fullEval(fn(spark, sfDir)); Some((System.nanoTime() - t0) / 1e9) }
-          catch { case e: Throwable =>
-            errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
-            None
-          }
-        }
-        name -> (if (times.isEmpty) (-1.0, -1.0) else (times.min, times.max))
+
+    /** A query's pass spread (max/min) above this marks its measurement
+      * contended: it gets one extra cold re-measure at the end of the
+      * run, when whatever co-tenant inflated it has often moved on. The
+      * round-7 artifact carried three queries at 2-4× their isolated
+      * cost; the re-measure pass bounds that in the artifact itself.
+      */
+    val SpreadLimit = 2.0
+
+    def timedRun(name: String, fn: (SparkSession, String) => DataFrame): Option[Double] = {
+      // drop persisted intermediates from the warmup/previous pass
+      // (CacheManager matches canonicalized plans, so a re-built query
+      // would otherwise read warm cache and under-report) — every
+      // timed number is a cold end-to-end run; only JVM/codegen warmup
+      // carries over.
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      try { fullEval(fn(spark, sfDir)); Some((System.nanoTime() - t0) / 1e9) }
+      catch { case e: Throwable =>
+        errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+        None
       }
+    }
+
+    val timed = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
+    queries.foreach { case (name, fn) =>
+      if (!errors.contains(name))
+        timed(name) = (1 to TimedPasses).flatMap(_ => timedRun(name, fn))
+    }
+    // automatic re-measure: one more cold run for every contended query,
+    // taken AFTER the whole sweep (temporal distance from the noise burst)
+    val remeasured = queries.collect {
+      case (name, fn) if timed.get(name).exists(ts =>
+          ts.nonEmpty && ts.min > 0 && ts.max / ts.min > SpreadLimit) =>
+        timedRun(name, fn).foreach(t => timed(name) = timed(name) :+ t)
+        name
+    }
+    val results = queries.map { case (name, _) =>
+      val ts = timed.getOrElse(name, Nil)
+      name -> (if (ts.isEmpty) (-1.0, -1.0) else (ts.min, ts.max))
     }
 
     def jstr(s: String): String =
@@ -95,6 +116,14 @@ object Bench {
         case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
       } + "\""
     val qs = results.map { case (k, (mn, _)) => s"${jstr(k)}:$mn" }.mkString("{", ",", "}")
+    // per-query spread (max/min over all passes, re-measure included):
+    // the reader's per-row confidence — a spread near 1 means the min is
+    // reproducible, a high one flags residual contention on that row
+    val spreadJson = results
+      .map { case (k, (mn, mx)) =>
+        s"${jstr(k)}:${if (mn > 0) f"${mx / mn}%.2f" else "-1"}" }
+      .mkString("{", ",", "}")
+    val remeasuredJson = remeasured.map(jstr).mkString("[", ",", "]")
     val total = results.collect { case (_, (mn, _)) if mn >= 0 => mn }.sum
     // Host-contention telltale: the median across queries of max/min over
     // the timed passes. On a quiet host this sits near 1.0-1.3; a
@@ -108,7 +137,7 @@ object Bench {
       if (errors.isEmpty) ""
       else s""","errors":${errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")}"""
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","pass_spread_median":$noise,"queries":$qs,"sf":${jstr(sfDir)}$errJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","pass_spread_median":$noise,"queries":$qs,"spreads":$spreadJson,"remeasured":$remeasuredJson,"sf":${jstr(sfDir)}$errJson}"""
     println(json)
     // The driver's stdout capture keeps only a ~2 KB tail, which truncated
     // BENCH_r06.json to 61 of 85 queries ("parsed": null). Persist the full
