@@ -19,6 +19,19 @@ class ScaleArtifactSpec extends AnyFunSuite {
       .lastOption
   }
 
+  test("the latest artifact covers the ENTIRE query registry") {
+    // a truncated probe reads as "everything scales" — absence must fail
+    // loudly (SCALE_r07 silently lacked q12_priority_classes, which
+    // landed after that round's final probe run)
+    val f = latestArtifact
+    assume(f.isDefined, "no SCALE_r*.json artifact; run graft.ScaleProbe")
+    val txt = java.nio.file.Files.readString(f.get.toPath)
+    val missing = SparkEntry.queries.keySet.filterNot(q => txt.contains("\"" + q + "\""))
+    assert(missing.isEmpty,
+      s"registered queries missing from ${f.get.getName}: ${missing.toSeq.sorted.mkString(", ")}" +
+        " — regenerate the artifact (sbt \"runMain graft.ScaleProbe SCALE_r<N>.json\")")
+  }
+
   test("no registered query exceeds the configured growth bound at 10x data") {
     val f = latestArtifact
     assume(f.isDefined, "no SCALE_r*.json artifact; run graft.ScaleProbe")
