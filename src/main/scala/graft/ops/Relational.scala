@@ -643,7 +643,281 @@ object Relational {
        |ORDER BY numwait DESC, s_name
        |LIMIT 100""".stripMargin
 
+  /** TPC-H Q17 (small-quantity-order revenue) — the correlated SCALAR
+    * subquery family: each lineitem compares against an aggregate of the
+    * SAME table correlated on its own part (`l_quantity <
+    * 0.2 * avg(l_quantity) over the part`). The decorrelation every
+    * engine must perform: pre-aggregate per part, join the aggregate
+    * back to the fact, filter — never a per-row subquery execution. The
+    * threshold compare is kept in exact integers: `qty < 0.2·(sum/cnt)`
+    * ⟺ `5·qty·cnt < sum` over BIGINT-cast quantities, so no engine pair
+    * can disagree on a boundary row. Declared deviation: fixture parts
+    * carry no container, so the report groups by `p_brand` over ALL
+    * parts rather than pinning one brand — same plan shape (two shuffles
+    * on l_partkey: one for the per-part aggregate, one reusable by the
+    * join; part dim broadcast), richer gate (every brand is a check row).
+    */
+  def q17SmallQtyRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir).select(
+      col("l_partkey"),
+      col("l_quantity").cast("long").as("qty"),
+      floor(col("l_extendedprice") * 100).cast("long").as("price_cents"))
+    val perPart = l.groupBy(col("l_partkey"))
+      .agg(sum(col("qty")).as("sum_qty"), count(lit(1)).as("cnt"))
+    l.join(perPart, "l_partkey")
+      .filter(col("qty") * col("cnt") * 5 < col("sum_qty"))
+      .join(broadcast(Tables.part(spark, dir)), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(sum(col("price_cents")).as("revenue_cents"),
+        count(lit(1)).as("n_small"))
+      .orderBy(col("p_brand"))
+  }
+
+  val q17Oracle: String =
+    """WITH l AS (
+      |  SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty,
+      |    CAST(floor(l_extendedprice * 100) AS BIGINT) AS price_cents
+      |  FROM lineitem
+      |), pa AS (
+      |  SELECT l_partkey, CAST(sum(qty) AS BIGINT) AS sum_qty, count(*) AS cnt
+      |  FROM l GROUP BY l_partkey
+      |)
+      |SELECT p_brand,
+      |  CAST(sum(price_cents) AS BIGINT) AS revenue_cents,
+      |  count(*) AS n_small
+      |FROM l JOIN pa USING (l_partkey) JOIN part ON p_partkey = l_partkey
+      |WHERE 5 * qty * cnt < sum_qty
+      |GROUP BY p_brand
+      |ORDER BY p_brand""".stripMargin
+
+  /** TPC-H Q15 (top supplier) — the GLOBAL scalar subquery over an
+    * aggregated view: per-supplier quarterly revenue, keep the rows equal
+    * to `max(revenue)` over the whole view. Spark-first decorrelation:
+    * the view aggregates once, the one-row max aggregates FROM that view
+    * and broadcasts back as a join — never a single-partition window
+    * (the classic `Window.orderBy` global-sort trap) and never a second
+    * scan of the fact. Revenue quantized per row to cents (q10
+    * discipline) so the max frontier is exact; ties all surface, as in
+    * the spec's own note.
+    */
+  def q15TopSupplier(spark: SparkSession, dir: String): DataFrame = {
+    // the explicit isNotNull matches the constraint the supplier join
+    // infers on the OTHER branch, so both branches' shuffle subtrees
+    // canonicalize equal and AQE's ReuseExchange computes the view ONCE
+    // (without it the max side re-scans and re-shuffles the fact)
+    val rev = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-04-01").cast("timestamp") &&
+        col("l_suppkey").isNotNull)
+      .groupBy(col("l_suppkey"))
+      .agg(sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+        .cast("long")).as("total_rev_cents"))
+    val mx = rev.agg(max(col("total_rev_cents")).as("mx"))
+    rev.join(broadcast(mx), col("total_rev_cents") === col("mx"))
+      .join(broadcast(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_rev_cents"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  val q15Oracle: String =
+    """WITH rev AS (
+      |  SELECT l_suppkey,
+      |    CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+      |      AS BIGINT) AS total_rev_cents
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+      |  GROUP BY l_suppkey
+      |)
+      |SELECT s_suppkey, s_name, total_rev_cents
+      |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+      |WHERE total_rev_cents = (SELECT max(total_rev_cents) FROM rev)
+      |ORDER BY s_suppkey""".stripMargin
+
+  /** TPC-H Q2 (minimum-cost supplier) — the correlated scalar-min
+    * subquery over a derived supply relation: for each qualifying part,
+    * keep exactly the supplier(s) achieving `min(cost)` over that part's
+    * suppliers. Declared deviation: the fixture has no partsupp, so the
+    * supply relation derives from lineitem — `cost = min over the
+    * (part, supplier)'s lines of floor(price·100/qty)` (unit price in
+    * cents; double division is IEEE-identical across engines, floor is
+    * the shared quantization). Plan shape: one shuffle on (part, supp)
+    * builds the supply relation, one on part computes the correlated
+    * min, the equality join back is partition-local on part; the part
+    * filter prunes BEFORE the min so the per-part minimum is over the
+    * pruned set exactly as Q2's correlated subquery requires; supplier
+    * and nation broadcast onto the winners.
+    */
+  def q2MinCostSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+      .filter(col("p_type") === "STANDARD" && col("p_size") < 11)
+      .select(col("p_partkey"), col("p_name"))
+    val supply = Tables.lineitem(spark, dir)
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_partkey"), col("p_name"), col("l_suppkey"))
+      .agg(min(floor(col("l_extendedprice") * 100 / col("l_quantity"))
+        .cast("long")).as("cost_cents"))
+    val minCost = supply.groupBy(col("p_partkey").as("mk"))
+      .agg(min(col("cost_cents")).as("min_cost"))
+    supply
+      .join(minCost, col("p_partkey") === col("mk") && col("cost_cents") === col("min_cost"))
+      .join(broadcast(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(spark, dir)), col("s_nationkey") === col("n_nationkey"))
+      .select(col("p_partkey"), col("p_name"), col("s_name"), col("n_name"),
+        col("cost_cents"))
+      .orderBy(col("cost_cents"), col("p_partkey"), col("s_name"))
+      .limit(100)
+  }
+
+  val q2Oracle: String =
+    """WITH supply AS (
+      |  SELECT p_partkey, p_name, l_suppkey,
+      |    CAST(min(floor(l_extendedprice * 100 / l_quantity)) AS BIGINT) AS cost_cents
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  WHERE p_type = 'STANDARD' AND p_size < 11
+      |  GROUP BY p_partkey, p_name, l_suppkey
+      |)
+      |SELECT p_partkey, p_name, s_name, n_name, cost_cents
+      |FROM supply s
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |WHERE cost_cents = (SELECT min(cost_cents) FROM supply m
+      |                    WHERE m.p_partkey = s.p_partkey)
+      |ORDER BY cost_cents, p_partkey, s_name
+      |LIMIT 100""".stripMargin
+
+  /** TPC-H Q19 (discounted revenue) — the disjunctive OR-of-ANDs
+    * predicate family: three brand-specific (size-range × quantity-range)
+    * branches OR'd over a part join. What the plan must show: Catalyst
+    * extracts the common `p_partkey = l_partkey` equi-key (the join never
+    * degrades to a nested loop over the OR), and the brand-IN superset of
+    * the disjunction pushes into the part scan so the broadcast side is
+    * three brands, not 2 000 parts ([[graft.PlanShapeSpec]] pins both).
+    * Revenue per row in exact cents; one output row (sum + count), the
+    * Q19 shape.
+    */
+  def q19DisjunctiveRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    val branch1 = col("p_brand") === "Brand#12" &&
+      col("p_size").between(1, 15) && col("l_quantity").between(1, 11)
+    val branch2 = col("p_brand") === "Brand#23" &&
+      col("p_size").between(1, 25) && col("l_quantity").between(10, 20)
+    val branch3 = col("p_brand") === "Brand#34" &&
+      col("p_size").between(1, 35) && col("l_quantity").between(20, 30)
+    l.join(broadcast(Tables.part(spark, dir)), col("l_partkey") === col("p_partkey"))
+      .filter(branch1 || branch2 || branch3)
+      .agg(sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+          .cast("long")).as("revenue_cents"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  val q19Oracle: String =
+    """SELECT
+      |  CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+      |    AS BIGINT) AS revenue_cents,
+      |  count(*) AS n_lines
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+      |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+      |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)""".stripMargin
+
+  /** Nation group for [[q11ImportantParts]] — chosen to intersect the
+    * supplier population at EVERY fixture SF (sf0.001 plants suppliers
+    * in 10 of 25 nations).
+    */
+  val Q11Nations: Seq[String] = Seq("NATION_3", "NATION_8", "NATION_15", "NATION_19")
+
+  /** TPC-H Q11 (important stock) — the fraction-of-global-total HAVING:
+    * per-part value within a nation group, kept only when the part's
+    * value exceeds a fixed fraction of the GROUP-WIDE total. The scalar
+    * total aggregates from the same per-part view and broadcasts back as
+    * a one-row join (the Q15 decorrelation, but feeding an inequality
+    * threshold rather than an equality frontier). Exact integers:
+    * `value > total/1000` ⟺ `value·1000 > total` over BIGINT cents.
+    * Declared deviation: no partsupp, so value = Σ floor(price·100) of
+    * the nation group's lineitems per part; nation filter broadcast-joins
+    * into supplier before the fact join.
+    */
+  def q11ImportantParts(spark: SparkSession, dir: String): DataFrame = {
+    val natSupp = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)
+          .filter(col("n_name").isin(Q11Nations: _*))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"))
+    val value = Tables.lineitem(spark, dir)
+      .join(broadcast(natSupp), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("l_partkey"))
+      .agg(sum(floor(col("l_extendedprice") * 100).cast("long")).as("value_cents"))
+    val total = value.agg(sum(col("value_cents")).as("total_cents"))
+    value.join(broadcast(total), col("value_cents") * 1000 > col("total_cents"))
+      .select(col("l_partkey"), col("value_cents"))
+      .orderBy(col("value_cents").desc, col("l_partkey"))
+  }
+
+  val q11Oracle: String =
+    s"""WITH v AS (
+       |  SELECT l_partkey,
+       |    CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS value_cents
+       |  FROM lineitem
+       |  JOIN supplier ON l_suppkey = s_suppkey
+       |  JOIN nation ON s_nationkey = n_nationkey
+       |  WHERE n_name IN (${Q11Nations.map(n => s"'$n'").mkString(", ")})
+       |  GROUP BY l_partkey
+       |)
+       |SELECT l_partkey, value_cents FROM v
+       |WHERE value_cents * 1000 > (SELECT CAST(sum(value_cents) AS BIGINT) FROM v)
+       |ORDER BY value_cents DESC, l_partkey""".stripMargin
+
+  /** Complaint threshold for [[q16SupplierCounts]] — the fixture plants
+    * no supplier comments, so "complaints" are low account balances;
+    * populated at every SF (sf0.001's minimum balance is ~537).
+    */
+  val Q16ComplaintBal = 1000.0
+
+  /** TPC-H Q16 (parts/supplier relationship) — the NOT-IN-subquery +
+    * COUNT DISTINCT family: how many DISTINCT suppliers serve each part
+    * class, excluding a "complaints" supplier list. The exclusion is a
+    * broadcast anti join (NOT IN over a non-nullable key — no tri-valued
+    * NULL hazard, asserted by the non-null key column), and the count is
+    * a real distinct aggregate AFTER the join — Spark plans it as the
+    * two-phase partial-distinct expand, never a driver-side dedup.
+    * Declared deviation: brand/type/size filters adapted to the fixture
+    * vocabulary (`p_type` has 6 values, no 'MEDIUM POLISHED%' strings).
+    */
+  def q16SupplierCounts(spark: SparkSession, dir: String): DataFrame = {
+    val complaints = Tables.supplier(spark, dir)
+      .filter(col("s_acctbal") < Q16ComplaintBal)
+      .select(col("s_suppkey"))
+    Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir)
+          .filter(col("p_brand") =!= "Brand#45" &&
+            col("p_type") =!= "PROMO" &&
+            col("p_size").isin(1, 4, 9, 16, 25, 36, 49))),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(complaints), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+  }
+
+  val q16Oracle: String =
+    s"""SELECT p_brand, p_type, p_size,
+       |  count(DISTINCT l_suppkey) AS supplier_cnt
+       |FROM lineitem JOIN part ON l_partkey = p_partkey
+       |WHERE p_brand <> 'Brand#45' AND p_type <> 'PROMO'
+       |  AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+       |  AND l_suppkey NOT IN (
+       |    SELECT s_suppkey FROM supplier WHERE s_acctbal < $Q16ComplaintBal)
+       |GROUP BY p_brand, p_type, p_size
+       |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q17_small_qty_revenue" -> ((s, dir) => q17SmallQtyRevenue(s, dir)),
+    "q15_top_supplier" -> ((s, dir) => q15TopSupplier(s, dir)),
+    "q2_min_cost_supplier" -> ((s, dir) => q2MinCostSupplier(s, dir)),
+    "q19_disjunctive_revenue" -> ((s, dir) => q19DisjunctiveRevenue(s, dir)),
+    "q11_important_parts" -> ((s, dir) => q11ImportantParts(s, dir)),
+    "q16_supplier_counts" -> ((s, dir) => q16SupplierCounts(s, dir)),
     "q4_priority_check" -> ((s, dir) => q4PriorityCheck(s, dir)),
     "q13_cust_distribution" -> ((s, dir) => q13CustomerDistribution(s, dir)),
     "q21_waiting_suppliers" -> ((s, dir) => q21WaitingSuppliers(s, dir)),
@@ -662,6 +936,12 @@ object Relational {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q17_small_qty_revenue" -> q17Oracle,
+    "q15_top_supplier" -> q15Oracle,
+    "q2_min_cost_supplier" -> q2Oracle,
+    "q19_disjunctive_revenue" -> q19Oracle,
+    "q11_important_parts" -> q11Oracle,
+    "q16_supplier_counts" -> q16Oracle,
     "q4_priority_check" -> q4Oracle,
     "q13_cust_distribution" -> q13Oracle,
     "q21_waiting_suppliers" -> q21Oracle,

@@ -52,6 +52,47 @@ class PlanShapeSpec extends SparkSuite {
     assert(countOf(p, "Window [") <= 3, p)
   }
 
+  test("scalar-subquery family: the aggregated view's shuffle is computed once (ReusedExchange)") {
+    // Q15/Q11/Q2 shapes derive a one-row (or per-group) scalar FROM the
+    // same aggregated view they filter — at 100 TB the view's fact
+    // shuffle must not run twice. AQE's ReuseExchange fires only when
+    // both branches canonicalize equal (q15 pins an explicit isNotNull
+    // for exactly this; see Relational.q15TopSupplier).
+    Seq("q15_top_supplier", "q11_important_parts", "q2_min_cost_supplier").foreach { q =>
+      val df = SparkEntry.queries(q)(spark, Sf)
+      df.collect() // reuse is an AQE runtime decision — inspect the executed plan
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("ReusedExchange"), s"$q recomputes its aggregated view:\n$p")
+    }
+  }
+
+  test("q19 OR-of-ANDs: equi key extracted (no nested loop), brand superset prunes the part scan") {
+    val p = plan("q19_disjunctive_revenue")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"the disjunction hid the p_partkey = l_partkey equi key:\n$p")
+    // each brand literal must appear at least twice: once in the residual
+    // join condition, once in the pushed-down part-scan filter (the
+    // superset Catalyst extracts from the disjunction)
+    Seq("Brand#12", "Brand#23", "Brand#34").foreach { b =>
+      assert(countOf(p, b) >= 2, s"$b not pushed into the part scan:\n$p")
+    }
+  }
+
+  test("q16: exclusion list is a broadcast anti join; distinct count is distributed two-phase") {
+    val p = plan("q16_supplier_counts")
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("partial_count(distinct"),
+      s"distinct aggregate did not plan as a distributed partial:\n$p")
+  }
+
+  test("q17 correlated scalar: part dim broadcast, no cartesian, fact shuffles only on l_partkey") {
+    val p = plan("q17_small_qty_revenue")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("flagship star join: all dimension joins broadcast") {
     val p = plan("q_srdata_flagship")
     assert(!p.contains("SortMergeJoin"), s"a dim join fell back to sort-merge:\n$p")
