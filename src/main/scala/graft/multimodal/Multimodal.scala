@@ -10,20 +10,23 @@ import graft.Tables
   * `binary` columns with typed metadata, and run decode / feature-extract /
   * frame-sample stages as per-row transformations.
   *
-  * Two decode tiers. HEADER decode is REAL: [[decodeHeader]] parses
-  * PNG/GIF/JPEG container bytes (magic, IHDR, screen descriptor, SOF
-  * marker walk) into (format, width, height, channels) — pure JVM, the
-  * cheap first filter a media pipeline runs on every blob. AUDIO SAMPLE
-  * decode is REAL too: 16-bit PCM needs no codec — [[pcmStats]] walks to
-  * the `data` chunk and folds the raw little-endian frames into
-  * amplitude stats ([[graft.plans.WavPcm]], gated `q_multimodal_pcm`).
-  * PIXEL decode (JPEG entropy decode, H.264) needs native codec
-  * libraries not present in this environment, so that step is a
-  * DETERMINISTIC STUB —
-  * `fakeFeatures` derives pseudo-features from the payload's md5 — while
-  * everything Spark-level is real and tested: the binary column schema,
-  * metadata struct, batch shape, partitioning behavior, and the feature
-  * pipeline that a swapped-in real codec would feed.
+  * Decode tiers, all REAL except the one that genuinely needs a native
+  * codec. HEADER decode: [[decodeHeader]] parses PNG/GIF/JPEG container
+  * bytes (magic, IHDR, screen descriptor, SOF marker walk) into
+  * (format, width, height, channels) — pure JVM, the cheap first filter
+  * a media pipeline runs on every blob. AUDIO SAMPLE decode: 16-bit PCM
+  * needs no codec — [[pcmStats]] walks to the `data` chunk and folds the
+  * raw little-endian frames into amplitude stats ([[graft.plans.WavPcm]],
+  * gated `q_multimodal_pcm`). PNG PIXEL decode: zlib is in the JDK —
+  * [[pixelStats]] inflates and unfilters real ImageIO-encoded rasters
+  * into per-channel brightness stats ([[graft.plans.PngPixels]], gated
+  * `q_multimodal_pixels`). What remains a DETERMINISTIC STUB is the
+  * step that truly requires native libraries absent here — JPEG entropy
+  * decode and video codecs — where `fakeFeatures` derives
+  * pseudo-features from the payload's md5 while everything Spark-level
+  * stays real and tested: the binary column schema, metadata struct,
+  * batch shape, partitioning behavior, and the feature pipeline a
+  * swapped-in codec would feed.
   *
   * Scale notes: payload bytes traverse the plan exactly once (scan →
   * per-row features), no shuffle touches the binary column; only the small
@@ -307,6 +310,57 @@ object Multimodal {
         col("s").getField("peak").as("peak"),
         col("s").getField("clip_count").as("clip_count"))
 
+  /** (media_id, width, height, channels, n_pixels, sum_r, sum_g, sum_b,
+    * peak) — plant a COMPLETE deterministic PNG through the JDK's own
+    * ImageIO encoder (independent filter choices + Deflater), decode it
+    * back through [[graft.plans.PngPixels]] (signature → IHDR → IDAT
+    * concatenation → JDK Inflater → all five PNG filter
+    * reconstructions). The oracle restates the planted pixel arithmetic
+    * directly, so any slip in the inflate, unfilter, or channel walk
+    * breaks the gate. sum_a is dropped from the gated projection (RGB
+    * plants carry no alpha; the alpha path is golden-tested in
+    * PngPixelsSpec against ARGB/gray ImageIO round-trips).
+    */
+  def pixelStats(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.ScaleOps.widen(Tables.documents(spark, dir))
+      .select(col("doc_id").as("media_id"),
+        org.apache.spark.sql.GraftColumnShim.column(
+          graft.plans.PngPlant(
+            org.apache.spark.sql.GraftColumnShim.expression(col("doc_id")))).as("content"))
+      .select(col("media_id"),
+        org.apache.spark.sql.GraftColumnShim.column(
+          graft.plans.PngPixels(
+            org.apache.spark.sql.GraftColumnShim.expression(col("content")))).as("s"))
+      .select(col("media_id"),
+        col("s").getField("width").as("width"),
+        col("s").getField("height").as("height"),
+        col("s").getField("channels").as("channels"),
+        col("s").getField("n_pixels").as("n_pixels"),
+        col("s").getField("sum_r").as("sum_r"),
+        col("s").getField("sum_g").as("sum_g"),
+        col("s").getField("sum_b").as("sum_b"),
+        col("s").getField("peak").as("peak"))
+
+  def pixelStatsOracle: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, 4 + doc_id % 13 AS w, 4 + doc_id % 11 AS h FROM documents
+       |), px AS (
+       |  SELECT doc_id, w, h,
+       |    (doc_id + 3 * i) % 256 AS r,
+       |    (doc_id * 7 + 5 * i) % 256 AS g,
+       |    (doc_id * 13 + 11 * i) % 256 AS b
+       |  FROM d, unnest(range(0, w * h)) AS u(i)
+       |)
+       |SELECT doc_id AS media_id,
+       |  CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+       |  CAST(3 AS INTEGER) AS channels,
+       |  CAST(count(*) AS BIGINT) AS n_pixels,
+       |  CAST(sum(r) AS BIGINT) AS sum_r,
+       |  CAST(sum(g) AS BIGINT) AS sum_g,
+       |  CAST(sum(b) AS BIGINT) AS sum_b,
+       |  CAST(max(greatest(r, g, b)) AS INTEGER) AS peak
+       |FROM px GROUP BY doc_id, w, h""".stripMargin
+
   def pcmStatsOracle: String =
     s"""WITH s AS (
        |  SELECT doc_id, i,
@@ -323,6 +377,7 @@ object Multimodal {
        |FROM s GROUP BY doc_id""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_multimodal_pixels" -> ((s, dir) => pixelStats(s, dir)),
     "q_multimodal_pcm" -> ((s, dir) => pcmStats(s, dir)),
     "q_multimodal_audio" -> ((s, dir) => audioHeaderDecode(s, dir)),
     "q_multimodal_decode" -> ((s, dir) => headerDecode(s, dir)),
@@ -337,6 +392,7 @@ object Multimodal {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_multimodal_pixels" -> pixelStatsOracle,
     "q_multimodal_pcm" -> pcmStatsOracle,
     "q_multimodal_audio" -> audioHeaderOracle,
     "q_multimodal_decode" -> headerOracle,

@@ -1,0 +1,217 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.types.{BinaryType, DataType, IntegerType, LongType, StructType}
+
+/** Real PNG pixel decode — the image half of the multimodal decode
+  * surface that used to be the documented stub. PNG needs no external
+  * codec: the pixel stream is zlib-deflate (JDK `java.util.zip.Inflater`)
+  * over per-scanline filtered samples, so a full standards-path decode —
+  * signature, IHDR, IDAT concatenation, inflate, and all five PNG filter
+  * reconstructions (None/Sub/Up/Average/Paeth, RFC 2083 §6) — is pure
+  * JVM. What remains legitimately codec-bound (JPEG entropy decode,
+  * video) keeps the declared stub.
+  *
+  * Output: (width, height, channels, n_pixels, sum_r, sum_g, sum_b,
+  * sum_a, peak) — exact integers, the stats an image quality filter cuts
+  * on first (mean brightness = sum DIV n downstream; peak = max sample).
+  * Grayscale replicates its single channel into all three sums so the
+  * brightness columns are format-independent; sum_a is null when the
+  * color type carries no alpha. Unsupported shapes (palette color,
+  * bit depths ≠ 8, interlaced, malformed/truncated streams) yield nulls
+  * INSIDE the struct — never a null struct — so failure counts group
+  * cleanly.
+  *
+  * Scale: per-row, shuffle-free, stays inside whole-stage codegen via a
+  * static call; one Inflater per ROW (not per partition) is deliberate —
+  * the object is allocation-cheap, and a shared instance would make the
+  * expression stateful and break codegen reuse. The decoded image is
+  * materialized scanline-pair-wise (current + prior), never the full
+  * pixel buffer, so memory is O(row bytes), not O(pixels).
+  */
+case class PngPixels(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case BinaryType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(s"png_pixels requires binary, got $t")
+    }
+
+  override def dataType: DataType = PngPixels.Schema
+  override def prettyName: String = "png_pixels"
+
+  override def nullSafeEval(input: Any): Any =
+    PngPixels.parse(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.PngPixels.parse($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object PngPixels {
+
+  val Schema: StructType = new StructType()
+    .add("width", IntegerType)
+    .add("height", IntegerType)
+    .add("channels", IntegerType)
+    .add("n_pixels", LongType)
+    .add("sum_r", LongType)
+    .add("sum_g", LongType)
+    .add("sum_b", LongType)
+    .add("sum_a", LongType)
+    .add("peak", IntegerType)
+
+  private def nulls: InternalRow = {
+    val r = new GenericInternalRow(9)
+    var i = 0
+    while (i < 9) { r.setNullAt(i); i += 1 }
+    r
+  }
+
+  private def be32(b: Array[Byte], p: Int): Long =
+    ((b(p) & 0xffL) << 24) | ((b(p + 1) & 0xffL) << 16) |
+      ((b(p + 2) & 0xffL) << 8) | (b(p + 3) & 0xffL)
+
+  private val Signature = Array[Int](0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+
+  /** Static so generated code calls it directly. Never null, never throws. */
+  def parse(b: Array[Byte]): InternalRow = {
+    if (b == null || b.length < 45) return nulls // sig+IHDR+IDAT hdr+IEND minimum
+    var i = 0
+    while (i < 8) { if ((b(i) & 0xff) != Signature(i)) return nulls; i += 1 }
+
+    // IHDR is always the first chunk (PNG spec §11.2.2)
+    if (be32(b, 8) != 13L || b(12) != 'I' || b(13) != 'H' || b(14) != 'D' || b(15) != 'R')
+      return nulls
+    val width = be32(b, 16)
+    val height = be32(b, 20)
+    val bitDepth = b(24) & 0xff
+    val colorType = b(25) & 0xff
+    val interlace = b(28) & 0xff
+    // supported: 8-bit gray(0) / RGB(2) / gray+alpha(4) / RGBA(6), no interlace
+    val channels = colorType match {
+      case 0 => 1
+      case 2 => 3
+      case 4 => 2
+      case 6 => 4
+      case _ => return nulls
+    }
+    if (bitDepth != 8 || interlace != 0) return nulls
+    if (width <= 0 || height <= 0 || width > (1 << 24) || height > (1 << 24)) return nulls
+    val w = width.toInt
+    val h = height.toInt
+
+    // walk chunks, concatenating every IDAT payload (the zlib stream may
+    // split at arbitrary byte boundaries across chunks — PNG spec §10)
+    var p = 33 // 8 sig + 25 IHDR chunk
+    val n = b.length
+    var idatLen = 0
+    var at = p
+    while (at >= 0 && at + 8 <= n) {
+      val size = be32(b, at) // chunk: len(4) type(4) payload CRC(4)
+      if (b(at + 4) == 'I' && b(at + 5) == 'D' && b(at + 6) == 'A' && b(at + 7) == 'T')
+        idatLen += math.min(size, (n - at - 8).toLong).toInt
+      val next = at.toLong + 12 + size
+      at = if (next > n || next <= at) -1 else next.toInt
+    }
+    if (idatLen <= 0) return nulls
+    val z = new Array[Byte](idatLen)
+    var zp = 0
+    at = p
+    while (at >= 0 && at + 8 <= n) {
+      val size = be32(b, at)
+      if (b(at + 4) == 'I' && b(at + 5) == 'D' && b(at + 6) == 'A' && b(at + 7) == 'T') {
+        val take = math.min(size, (n - at - 8).toLong).toInt
+        if (take > 0) { System.arraycopy(b, at + 8, z, zp, take); zp += take }
+      }
+      val next = at.toLong + 12 + size
+      at = if (next > n || next <= at) -1 else next.toInt
+    }
+
+    // inflate + unfilter scanline by scanline: memory stays O(2·rowBytes)
+    val bpp = channels // bytes per pixel at bit depth 8
+    val rowBytes = 1 + w * bpp // +1 filter byte
+    val inflater = new java.util.zip.Inflater()
+    inflater.setInput(z, 0, zp)
+    val raw = new Array[Byte](rowBytes) // filtered scanline as inflated
+    val cur = new Array[Byte](w * bpp) // reconstructed current scanline
+    val prior = new Array[Byte](w * bpp) // reconstructed previous scanline
+    var sumR = 0L; var sumG = 0L; var sumB = 0L; var sumA = 0L
+    var peak = 0
+    try {
+      var y = 0
+      while (y < h) {
+        // fill one full scanline (Inflater may return partial reads)
+        var got = 0
+        while (got < rowBytes) {
+          val k = inflater.inflate(raw, got, rowBytes - got)
+          if (k == 0) {
+            if (inflater.finished() || inflater.needsDictionary()) return nulls
+            if (inflater.needsInput()) return nulls // truncated stream
+          }
+          got += k
+        }
+        val filter = raw(0) & 0xff
+        var x = 0
+        while (x < w * bpp) {
+          val rw = raw(1 + x) & 0xff
+          val a = if (x >= bpp) cur(x - bpp) & 0xff else 0 // left
+          val up = if (y > 0) prior(x) & 0xff else 0 // above
+          val c = if (x >= bpp && y > 0) prior(x - bpp) & 0xff else 0 // upper-left
+          val recon = filter match {
+            case 0 => rw
+            case 1 => (rw + a) & 0xff
+            case 2 => (rw + up) & 0xff
+            case 3 => (rw + ((a + up) >> 1)) & 0xff
+            case 4 =>
+              val pp = a + up - c
+              val pa = math.abs(pp - a); val pb = math.abs(pp - up); val pc = math.abs(pp - c)
+              val pred = if (pa <= pb && pa <= pc) a else if (pb <= pc) up else c
+              (rw + pred) & 0xff
+            case _ => return nulls
+          }
+          cur(x) = recon.toByte
+          if (recon > peak) peak = recon
+          colorType match {
+            case 0 => // gray: replicate into all three brightness sums
+              sumR += recon; sumG += recon; sumB += recon
+            case 2 => (x % 3) match {
+              case 0 => sumR += recon
+              case 1 => sumG += recon
+              case _ => sumB += recon
+            }
+            case 4 => if (x % 2 == 0) { sumR += recon; sumG += recon; sumB += recon }
+              else sumA += recon
+            case _ => (x % 4) match { // 6 = RGBA
+              case 0 => sumR += recon
+              case 1 => sumG += recon
+              case 2 => sumB += recon
+              case _ => sumA += recon
+            }
+          }
+          x += 1
+        }
+        System.arraycopy(cur, 0, prior, 0, w * bpp)
+        y += 1
+      }
+    } catch {
+      case _: java.util.zip.DataFormatException => return nulls
+    } finally {
+      inflater.end()
+    }
+
+    val hasAlpha = colorType == 4 || colorType == 6
+    val r = new GenericInternalRow(9)
+    r.setInt(0, w); r.setInt(1, h); r.setInt(2, channels)
+    r.setLong(3, w.toLong * h)
+    r.setLong(4, sumR); r.setLong(5, sumG); r.setLong(6, sumB)
+    if (hasAlpha) r.setLong(7, sumA) else r.setNullAt(7)
+    r.setInt(8, peak)
+    r
+  }
+}

@@ -1,0 +1,80 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.types.{BinaryType, DataType, LongType}
+
+/** Deterministic REAL-PNG planting for the [[PngPixels]] gate — the
+  * [[graft.multimodal.Multimodal.plantImage]] pattern, but emitting a
+  * complete compressed image, not just a header: pixel (x, y) of a
+  * doc_id-derived W×H RGB raster is integer arithmetic on
+  * (doc_id, y·W + x), encoded through the JDK's own ImageIO PNG writer
+  * (`javax.imageio` — standard library, a fully independent
+  * implementation: IT picks the per-scanline filters and runs its own
+  * Deflater). The decode side must therefore beat real filter choices
+  * and a real zlib stream to recover the planted arithmetic — which the
+  * DuckDB oracle restates directly, so a slip anywhere in the inflate /
+  * unfilter / channel walk breaks the gate.
+  *
+  * Encoder handles are per-call; rasters here are ≤ 16×14 so the gate's
+  * cost is dominated by deflate, not allocation. A real media pipeline
+  * never runs this expression — it exists to feed [[PngPixels]] genuine
+  * bytes under oracle control.
+  */
+case class PngPlant(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case LongType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(s"png_plant requires bigint, got $t")
+    }
+
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "png_plant"
+
+  override def nullSafeEval(input: Any): Any =
+    PngPlant.encode(input.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.PngPlant.encode($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object PngPlant {
+
+  /** Planted raster dimensions — small enough that per-row encoding is
+    * cheap, varied enough that scanline count, row parity, and filter
+    * heuristics differ across rows.
+    */
+  def widthOf(docId: Long): Int = (4 + docId % 13).toInt
+  def heightOf(docId: Long): Int = (4 + docId % 11).toInt
+
+  /** Static so generated code calls it directly. The pixel formulas are
+    * restated verbatim by the oracle SQL (see
+    * [[graft.multimodal.Multimodal.pixelStatsOracle]]).
+    */
+  def encode(docId: Long): Array[Byte] = {
+    val w = widthOf(docId)
+    val h = heightOf(docId)
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val i = y.toLong * w + x
+        val r = ((docId + 3 * i) % 256).toInt
+        val g = ((docId * 7 + 5 * i) % 256).toInt
+        val b = ((docId * 13 + 11 * i) % 256).toInt
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream(1024)
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+}

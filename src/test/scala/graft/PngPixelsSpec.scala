@@ -1,0 +1,127 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.plans.{PngPixels, PngPlant}
+
+/** Golden round-trips for the PNG pixel decoder: the JDK's ImageIO
+  * encoder (independent filter heuristics + its own Deflater) writes,
+  * [[PngPixels]] must read back the exact planted arithmetic — across
+  * RGB / grayscale / RGBA color types, a hand-split multi-IDAT stream,
+  * and malformed inputs. The oracle gate (`q_multimodal_pixels`) pins
+  * the RGB path cross-engine; this spec pins the color types and
+  * byte-level shapes the RGB plant can't reach.
+  */
+class PngPixelsSpec extends AnyFunSuite {
+
+  private def statsOf(b: Array[Byte]) = PngPixels.parse(b)
+
+  test("RGB plant round-trips exactly for a spread of doc_ids") {
+    for (docId <- Seq(0L, 1L, 7L, 12L, 59L, 143L, 999L, 123457L)) {
+      val w = PngPlant.widthOf(docId)
+      val h = PngPlant.heightOf(docId)
+      var sr = 0L; var sg = 0L; var sb = 0L; var pk = 0
+      for (i <- 0L until w.toLong * h) {
+        val r = ((docId + 3 * i) % 256).toInt
+        val g = ((docId * 7 + 5 * i) % 256).toInt
+        val b = ((docId * 13 + 11 * i) % 256).toInt
+        sr += r; sg += g; sb += b
+        pk = math.max(pk, math.max(r, math.max(g, b)))
+      }
+      val row = statsOf(PngPlant.encode(docId))
+      assert(!row.isNullAt(0), s"doc $docId failed to decode")
+      assert(row.getInt(0) === w && row.getInt(1) === h, s"doc $docId dims")
+      assert(row.getInt(2) === 3)
+      assert(row.getLong(3) === w.toLong * h)
+      assert(row.getLong(4) === sr && row.getLong(5) === sg && row.getLong(6) === sb,
+        s"doc $docId channel sums")
+      assert(row.isNullAt(7), "RGB must carry no alpha sum")
+      assert(row.getInt(8) === pk, s"doc $docId peak")
+    }
+  }
+
+  private def encodeAwt(img: java.awt.image.BufferedImage): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  test("grayscale (color type 0): single channel replicated into all three brightness sums") {
+    val w = 9; val h = 6
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var sum = 0L; var pk = 0
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = (x * 29 + y * 53) % 256
+      raster.setSample(x, y, 0, v)
+      sum += v; pk = math.max(pk, v)
+    }
+    val row = statsOf(encodeAwt(img))
+    assert(row.getInt(2) === 1)
+    assert(row.getLong(4) === sum && row.getLong(5) === sum && row.getLong(6) === sum)
+    assert(row.isNullAt(7))
+    assert(row.getInt(8) === pk)
+  }
+
+  test("RGBA (color type 6): four channels, alpha summed separately") {
+    val w = 7; val h = 5
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_ARGB)
+    var sr = 0L; var sg = 0L; var sb = 0L; var sa = 0L; var pk = 0
+    for (y <- 0 until h; x <- 0 until w) {
+      val r = (x * 31) % 256; val g = (y * 41) % 256
+      val b = (x * 7 + y * 11) % 256; val a = 255 - ((x + y) * 13) % 97
+      img.setRGB(x, y, (a << 24) | (r << 16) | (g << 8) | b)
+      sr += r; sg += g; sb += b; sa += a
+      pk = math.max(pk, math.max(math.max(r, g), math.max(b, a)))
+    }
+    val row = statsOf(encodeAwt(img))
+    assert(row.getInt(2) === 4)
+    assert(row.getLong(4) === sr && row.getLong(5) === sg && row.getLong(6) === sb)
+    assert(row.getLong(7) === sa)
+    assert(row.getInt(8) === pk)
+  }
+
+  test("a split IDAT stream decodes identically (zlib data crosses chunk boundaries)") {
+    val whole = PngPlant.encode(59L)
+    // locate the first IDAT chunk
+    def be32(b: Array[Byte], p: Int): Int =
+      ((b(p) & 0xff) << 24) | ((b(p + 1) & 0xff) << 16) | ((b(p + 2) & 0xff) << 8) | (b(p + 3) & 0xff)
+    var at = 8
+    while (!(whole(at + 4) == 'I' && whole(at + 5) == 'D' &&
+      whole(at + 6) == 'A' && whole(at + 7) == 'T')) at += 12 + be32(whole, at)
+    val len = be32(whole, at)
+    assert(len > 4, "fixture IDAT too small to split")
+    val half = len / 2
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(whole, 0, at)
+    def chunk(payload: Array[Byte], from: Int, n: Int): Unit = {
+      out.write(Array[Byte]((n >>> 24).toByte, (n >>> 16).toByte, (n >>> 8).toByte, n.toByte))
+      out.write('I'); out.write('D'); out.write('A'); out.write('T')
+      out.write(payload, from, n)
+      out.write(Array[Byte](0, 0, 0, 0)) // CRC unvalidated by the stats parser
+    }
+    chunk(whole, at + 8, half)
+    chunk(whole, at + 8 + half, len - half)
+    val rest = at + 12 + len
+    out.write(whole, rest, whole.length - rest)
+    val reassembled = out.toByteArray
+    val a = statsOf(whole); val b = statsOf(reassembled)
+    for (i <- 0 until 9) {
+      assert(a.isNullAt(i) === b.isNullAt(i))
+      if (!a.isNullAt(i) && i != 3 && i != 4 && i != 5 && i != 6)
+        assert(a.getInt(i) === b.getInt(i), s"field $i")
+      if (!a.isNullAt(i) && (i == 3 || i == 4 || i == 5 || i == 6))
+        assert(a.getLong(i) === b.getLong(i), s"field $i")
+    }
+  }
+
+  test("malformed and unsupported inputs yield in-struct nulls, never a throw") {
+    val truncated = PngPlant.encode(7L).take(40) // signature + IHDR, no pixel data
+    val garbage = Array.fill[Byte](64)(0x5a)
+    val empty = Array.emptyByteArray
+    for (bad <- Seq(truncated, garbage, empty, null)) {
+      val row = statsOf(bad)
+      for (i <- 0 until 9) assert(row.isNullAt(i))
+    }
+  }
+}
