@@ -911,7 +911,189 @@ object Relational {
        |GROUP BY p_brand, p_type, p_size
        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
 
+  /** TPC-H Q6 (forecasting revenue change) — the pure scan family: no
+    * join at all, three pushed-down range predicates, one global sum.
+    * The value at 100 TB is what the plan does NOT contain: every filter
+    * reaches the parquet scan as PushedFilters, the projection reads
+    * four columns, and the only exchange is the single-row final
+    * aggregate's. Revenue (price × discount) quantized per row to cents.
+    */
+  def q6ForecastRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(sum(floor(col("l_extendedprice") * col("l_discount") * 100).cast("long"))
+          .as("revenue_cents"),
+        count(lit(1)).as("n_lines"))
+
+  val q6Oracle: String =
+    """SELECT
+      |  CAST(sum(CAST(floor(l_extendedprice * l_discount * 100) AS BIGINT)) AS BIGINT)
+      |    AS revenue_cents,
+      |  count(*) AS n_lines
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin
+
+  /** Target supplier nation for [[q8MarketShare]] — has planted
+    * suppliers at every fixture SF.
+    */
+  val Q8Nation = "NATION_12"
+
+  /** TPC-H Q8 (national market share) — the conditional-share rollup: a
+    * target nation's slice of regional revenue by order year. The widest
+    * join tree in the catalog (fact × fact × part × supplier × customer
+    * × nation twice × region), every dim broadcast, ONE fact shuffle for
+    * the year rollup. The published share is a DOUBLE division, which no
+    * cross-engine hash can gate — so the gate carries the exact
+    * (numerator, denominator) cent pair and the share stays derivable
+    * downstream (the moment-stats discipline). Declared deviation:
+    * market = customers in region AMERICA buying STANDARD parts.
+    */
+  def q8MarketShare(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir).withColumn("rev_cents",
+      floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100).cast("long"))
+    val sn = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val marketNations = Tables.nation(spark, dir)
+      .join(Tables.region(spark, dir).filter(col("r_name") === "AMERICA"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").as("c_nk"))
+    l.join(Tables.orders(spark, dir)
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1998-01-01").cast("timestamp")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.part(spark, dir).filter(col("p_type") === "STANDARD")
+        .select(col("p_partkey"))), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(Tables.supplier(spark, dir)
+        .select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(sn), col("s_nationkey") === col("s_nk"))
+      .join(Tables.customer(spark, dir).select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(marketNations), col("c_nationkey") === col("c_nk"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(sum(when(col("supp_nation") === Q8Nation, col("rev_cents")).otherwise(0L))
+          .as("nation_cents"),
+        sum(col("rev_cents")).as("total_cents"))
+      .orderBy(col("o_year"))
+  }
+
+  val q8Oracle: String =
+    s"""SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       |  CAST(sum(CASE WHEN sn.n_name = '$Q8Nation' THEN rev_cents ELSE 0 END) AS BIGINT)
+       |    AS nation_cents,
+       |  CAST(sum(rev_cents) AS BIGINT) AS total_cents
+       |FROM (
+       |  SELECT l_orderkey, l_partkey, l_suppkey,
+       |    CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS rev_cents
+       |  FROM lineitem
+       |) l
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN part ON l_partkey = p_partkey
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |JOIN nation sn ON s_nationkey = sn.n_nationkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation cn ON c_nationkey = cn.n_nationkey
+       |JOIN region ON cn.n_regionkey = r_regionkey
+       |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+       |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+       |  AND p_type = 'STANDARD' AND r_name = 'AMERICA'
+       |GROUP BY o_year ORDER BY o_year""".stripMargin
+
+  /** TPC-H Q9 (product-type profit) — profit by supplier nation and
+    * order year over a part-name token filter. Declared deviation: no
+    * partsupp, so unit supply cost is derived from the part dim
+    * (`floor(p_retailprice · 10)` — 10 % of retail, in cents), keeping
+    * Q9's structure (revenue MINUS a cost that rides the part join)
+    * with exact-integer profit. The `contains` filter prunes the part
+    * dim before broadcast; one fact shuffle for the rollup.
+    */
+  def q9ProductProfit(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir).filter(col("p_name").contains("widget"))
+      .select(col("p_partkey"),
+        floor(col("p_retailprice") * 10).cast("long").as("unit_cost_cents"))
+    Tables.lineitem(spark, dir)
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(Tables.supplier(spark, dir)
+        .select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(spark, dir)), col("s_nationkey") === col("n_nationkey"))
+      .join(Tables.orders(spark, dir).select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100).cast("long")
+          - col("l_quantity").cast("long") * col("unit_cost_cents")).as("profit_cents"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  val q9Oracle: String =
+    """SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+      |  CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+      |    - CAST(l_quantity AS BIGINT) * CAST(floor(p_retailprice * 10) AS BIGINT))
+      |    AS BIGINT) AS profit_cents
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN orders ON l_orderkey = o_orderkey
+      |WHERE p_name LIKE '%widget%'
+      |GROUP BY 1, 2
+      |ORDER BY nation, o_year DESC""".stripMargin
+
+  /** TPC-H Q20 (potential part promotion) — the nested-IN-with-
+    * correlated-aggregate chain: suppliers holding "excess" stock of a
+    * name-filtered part family. Declared deviation: availability derives
+    * from lineitem (`aq = Σ qty per (part, supplier)`), and "excess"
+    * means the pair holds over a fifth of the part's total
+    * (`aq · 5 > tq` — exact-integer cross-multiply standing in for
+    * Q20's `> 0.5 · sum(l_quantity)`). The chain is Q20's: part-name
+    * filter → per-(part,supplier) aggregate → correlated per-part
+    * threshold → DISTINCT supplier set → left-semi join into the
+    * supplier dim, nation broadcast onto the survivors. The per-part
+    * total reuses the pair aggregate's shuffle partitioning.
+    */
+  def q20ExcessSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir).filter(col("p_name").startsWith("small"))
+      .select(col("p_partkey"))
+    val av = Tables.lineitem(spark, dir)
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(col("l_quantity").cast("long")).as("aq"))
+    val tot = av.groupBy(col("l_partkey").as("tk")).agg(sum(col("aq")).as("tq"))
+    val excess = av.join(tot, col("l_partkey") === col("tk"))
+      .filter(col("aq") * 5 > col("tq"))
+      .select(col("l_suppkey")).distinct()
+    Tables.supplier(spark, dir)
+      .join(excess, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .join(broadcast(Tables.nation(spark, dir)), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  val q20Oracle: String =
+    """WITH av AS (
+      |  SELECT l_partkey, l_suppkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS aq
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  WHERE p_name LIKE 'small%'
+      |  GROUP BY l_partkey, l_suppkey
+      |)
+      |SELECT s_suppkey, s_name, n_name
+      |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      |WHERE s_suppkey IN (
+      |  SELECT l_suppkey FROM av a
+      |  WHERE aq * 5 > (SELECT CAST(sum(aq) AS BIGINT) FROM av t
+      |                  WHERE t.l_partkey = a.l_partkey))
+      |ORDER BY s_suppkey""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q6_forecast_revenue" -> ((s, dir) => q6ForecastRevenue(s, dir)),
+    "q8_market_share" -> ((s, dir) => q8MarketShare(s, dir)),
+    "q9_product_profit" -> ((s, dir) => q9ProductProfit(s, dir)),
+    "q20_excess_suppliers" -> ((s, dir) => q20ExcessSuppliers(s, dir)),
     "q17_small_qty_revenue" -> ((s, dir) => q17SmallQtyRevenue(s, dir)),
     "q15_top_supplier" -> ((s, dir) => q15TopSupplier(s, dir)),
     "q2_min_cost_supplier" -> ((s, dir) => q2MinCostSupplier(s, dir)),
@@ -936,6 +1118,10 @@ object Relational {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q6_forecast_revenue" -> q6Oracle,
+    "q8_market_share" -> q8Oracle,
+    "q9_product_profit" -> q9Oracle,
+    "q20_excess_suppliers" -> q20Oracle,
     "q17_small_qty_revenue" -> q17Oracle,
     "q15_top_supplier" -> q15Oracle,
     "q2_min_cost_supplier" -> q2Oracle,

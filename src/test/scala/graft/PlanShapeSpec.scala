@@ -93,6 +93,28 @@ class PlanShapeSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q6 pure scan: all three predicates pushed to parquet, no join, one exchange") {
+    val p = plan("q6_forecast_revenue")
+    assert(!p.contains("Join"), p)
+    assert(countOf(p, "Exchange") == 1, s"q6 should shuffle once (final agg):\n$p")
+    // the explain string truncates the PushedFilters list, so pin the
+    // scan-adjacent Filter predicates (which imply the pushdown set) and
+    // the head of the pushed list
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"), p)
+    Seq("< 24.0)", ">= 0.05)", "< 1998-01-01").foreach { f =>
+      assert(p.contains(f), s"predicate missing at the scan: $f\n$p")
+    }
+  }
+
+  test("q8 widest join tree: every dimension broadcast, exactly one fact-fact shuffle pair") {
+    val p = plan("q8_market_share")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // fact-fact joins (lineitem-orders, orders-customer) may legitimately
+    // shuffle; every dim (part, supplier, nation x2, region-filtered set)
+    // must broadcast
+    assert(countOf(p, "BroadcastHashJoin") >= 4, s"a dim join lost its broadcast:\n$p")
+  }
+
   test("flagship star join: all dimension joins broadcast") {
     val p = plan("q_srdata_flagship")
     assert(!p.contains("SortMergeJoin"), s"a dim join fell back to sort-merge:\n$p")
