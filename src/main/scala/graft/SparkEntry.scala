@@ -44,12 +44,14 @@ object SparkEntry {
       (graft.text.HeavyHitters.queries, graft.text.HeavyHitters.oracleSql),
       (graft.text.Html.queries, graft.text.Html.oracleSql),
       (graft.text.Urls.queries, graft.text.Urls.oracleSql),
+      (graft.text.Retrieval.queries, graft.text.Retrieval.oracleSql),
       (graft.pipelines.Hygiene.queries, graft.pipelines.Hygiene.oracleSql),
       (AsofJoin.queries, AsofJoin.oracleSql),
       (DateParse.queries, DateParse.oracleSql),
       (CorpusOps.queries, CorpusOps.oracleSql),
       (graft.ops.FuzzyJoin.queries, graft.ops.FuzzyJoin.oracleSql),
       (graft.ops.Packing.queries, graft.ops.Packing.oracleSql),
+      (graft.ops.Quantiles.queries, graft.ops.Quantiles.oracleSql),
       (graft.ops.ScaleOps.queries, graft.ops.ScaleOps.oracleSql),
       (graft.sources.Layout.queries, graft.sources.Layout.oracleSql),
       (Map[String, (SparkSession, String) => DataFrame](

@@ -163,8 +163,47 @@ object Events {
        |  w_spend AS (PARTITION BY user_id
        |    ORDER BY CAST(floor(value * 100) AS BIGINT) DESC, ts, event_id)""".stripMargin
 
+  /** The frame-bounded window family [[userWindowStats]] leaves out:
+    * a trailing ROWS frame (last-4-events moving spend) and a trailing
+    * RANGE frame (sliding one-hour totals keyed on the epoch-ms ORDER BY
+    * value, so rows with identical timestamps are frame peers on both
+    * engines — RANGE semantics, not row order, decide ties). Both frames
+    * share the one user_id exchange; spend is exact cents; ms carries the
+    * RANGE key so the oracle's window is byte-identical.
+    */
+  def userRollingSpend(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byRow = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-3, Window.currentRow)
+    val byHour = Window.partitionBy(col("user_id")).orderBy(col("ms"))
+      .rangeBetween(-3600000L, Window.currentRow)
+    ScaleOps.widen(Tables.events(spark, dir))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        unix_millis(col("ts")).as("ms"),
+        floor(col("value") * 100).cast("long").as("value_cents"))
+      .select(col("event_id"), col("user_id"), col("value_cents"),
+        sum(col("value_cents")).over(byRow).as("roll4_cents"),
+        count(lit(1)).over(byHour).cast("long").as("hour_events"),
+        sum(col("value_cents")).over(byHour).as("hour_cents"))
+  }
+
+  def userRollingSpendOracle: String =
+    s"""SELECT event_id, user_id,
+       |  CAST(floor(value * 100) AS BIGINT) AS value_cents,
+       |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) OVER w_row AS BIGINT) AS roll4_cents,
+       |  CAST(count(*) OVER w_hr AS BIGINT) AS hour_events,
+       |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) OVER w_hr AS BIGINT) AS hour_cents
+       |FROM events
+       |WINDOW
+       |  w_row AS (PARTITION BY user_id ORDER BY ts, event_id
+       |            ROWS BETWEEN 3 PRECEDING AND CURRENT ROW),
+       |  w_hr AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
+       |           RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW)""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_events_window_stats" -> ((s, dir) => userWindowStats(s, dir)),
+    "q_events_rolling" -> ((s, dir) => userRollingSpend(s, dir)),
     "q_events_json" -> ((s, dir) => hourlyJsonAgg(s, dir)),
     "q_events_pivot" -> ((s, dir) => dailyTypePivot(s, dir)),
     "q_events_unpivot" -> ((s, dir) => dailyTypeUnpivot(s, dir)),
@@ -174,6 +213,7 @@ object Events {
 
   def oracleSql: Map[String, String] = Map(
     "q_events_window_stats" -> userWindowStatsOracle,
+    "q_events_rolling" -> userRollingSpendOracle,
     "q_events_json" -> hourlyJsonAggOracle,
     "q_events_pivot" -> dailyTypePivotOracle,
     "q_events_unpivot" -> dailyTypeUnpivotOracle,

@@ -1,0 +1,195 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Sparse retrieval over the corpus: inverted index, collection term
+  * statistics, and BM25 (Robertson/Spärck Jones) ranking — the classic
+  * lexical stack an LLM-data pipeline runs for decontamination lookups,
+  * importance-based data selection, and eval-set retrieval baselines.
+  *
+  * Everything is exact-integer so every stage is oracle-gateable:
+  *   - IDF carries the msb quantization the bigram-LM surprisal (X86)
+  *     established: `idf_bits = msb(N) − msb(df)` with
+  *     `msb(x) = length(bin(x))` — ⌊log₂⌋ in both engines, no floats;
+  *   - BM25's term-frequency saturation and length normalization run in
+  *     milli-units with integral division stated identically on both
+  *     engines (`DIV` ↔ `//`), so scores are bit-equal, and ties break on
+  *     doc_id.
+  *
+  * Scale: the postings build is the only corpus-sized shuffle (map-side
+  * partial counts on (term, doc)); term stats and the query-term model
+  * are vocab-sized; scoring touches only postings of the query's terms
+  * (a broadcast semi-ish join — the corpus never re-shuffles for a
+  * query), per-doc sums partial-aggregate, and the top-k is a
+  * TakeOrdered, never a global sort.
+  */
+object Retrieval {
+
+  /** BM25 k1 = 1.2 and b = 0.75 (the textbook defaults), in milli. */
+  val K1Milli = 1200L
+  val BMilli = 750L
+
+  /** Query = the `NumQueryTerms` highest-collection-frequency terms (term
+    * asc on ties) — corpus-derived, deterministic, restated by the oracle.
+    */
+  val NumQueryTerms = 3
+  val TopK = 10
+
+  /** Retrieval tokenization: whitespace tokens minus stopwords (dups and
+    * order kept — tf needs multiplicity).
+    */
+  def terms(c: Column): Column = TextOps.removeStopwords(TextOps.tokenize(c))
+
+  def termsSql(c: String): String =
+    TextOps.removeStopwordsSql(TextOps.tokenizeSql(c))
+
+  private def msb(c: Column): Column = length(bin(c)).cast("long")
+
+  /** The inverted index in relational form: one row per (term, doc_id)
+    * with the term frequency — the shape every downstream retrieval op
+    * joins against, and the engine-neutral gate for the index build
+    * (posting-list arrays would pin an engine's array ordering; the
+    * relation pins the content).
+    */
+  def postingsOf(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), explode(terms(col("text"))).as("term"))
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+
+  def postings(spark: SparkSession, dir: String): DataFrame =
+    postingsOf(Tables.documents(spark, dir))
+
+  def postingsOracle: String =
+    s"""WITH arrs AS (
+       |  SELECT doc_id, ${termsSql("text")} AS tks FROM documents
+       |), toks AS (
+       |  SELECT doc_id, t FROM arrs, unnest(tks) AS u(t)
+       |)
+       |SELECT t AS term, doc_id, CAST(count(*) AS BIGINT) AS tf
+       |FROM toks GROUP BY 1, 2""".stripMargin
+
+  /** Per-term collection statistics + quantized IDF: document frequency,
+    * collection frequency, `idf_bits = msb(N) − msb(df)`. Vocab-sized
+    * output; N (total docs) rides in as a broadcast scalar.
+    */
+  /** Term stats from an existing postings relation — every consumer in
+    * one plan derives from the SAME postings subtree, so AQE's
+    * ReuseExchange computes the corpus tokenize+count once however many
+    * branches read it (RetrievalSpec pins the ReusedExchange).
+    */
+  def termStatsOfPostings(post: DataFrame, docs: DataFrame): DataFrame = {
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    post
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).cast("long").as("cf"))
+      .crossJoin(broadcast(n))
+      .select(col("term"), col("df"), col("cf"),
+        (msb(col("n_docs")) - msb(col("df"))).as("idf_bits"))
+  }
+
+  def termStatsOf(docs: DataFrame): DataFrame =
+    termStatsOfPostings(postingsOf(docs), docs)
+
+  def termStats(spark: SparkSession, dir: String): DataFrame =
+    termStatsOf(Tables.documents(spark, dir))
+
+  def termStatsOracle: String =
+    s"""WITH post AS (${postingsOracle}),
+       |nn AS (SELECT count(*) AS n_docs FROM documents)
+       |SELECT term, CAST(count(*) AS BIGINT) AS df,
+       |  CAST(sum(tf) AS BIGINT) AS cf,
+       |  CAST(length(bin(n_docs)) - length(bin(count(*))) AS BIGINT) AS idf_bits
+       |FROM post CROSS JOIN nn
+       |GROUP BY term, n_docs""".stripMargin
+
+  /** BM25 top-k for the corpus-derived query, integer-exact:
+    *
+    *   ratio_m = (dl · 10⁶) div avgdl_m          (dl/avgdl in milli)
+    *   norm_m  = 1000 − b_m + (b_m · ratio_m) div 1000
+    *   denom_m = tf · 1000 + (k1_m · norm_m) div 1000
+    *   sat_m   = (tf · (k1_m + 1000) · 1000) div denom_m
+    *   score_m = Σ_t idf_bits(t) · sat_m(t)
+    *
+    * where avgdl_m = (Σ dl · 1000) div n over docs with ≥1 kept term.
+    * Every operand is BIGINT and every division integral, so both engines
+    * agree bit-for-bit; the top-k orders by (score_m desc, doc_id) — a
+    * total order, so LIMIT is deterministic.
+    */
+  def bm25TopKOf(docs: DataFrame): DataFrame = {
+    val post = postingsOf(docs)
+    val dl = post.groupBy(col("doc_id")).agg(sum(col("tf")).cast("long").as("dl"))
+    val avg = dl.agg(expr("CAST((sum(dl) * 1000) DIV count(*) AS BIGINT)")
+      .as("avgdl_m"))
+    val qterms = termStatsOfPostings(post, docs)
+      .orderBy(desc("cf"), asc("term")).limit(NumQueryTerms)
+      .select(col("term"), col("idf_bits"))
+    post.join(broadcast(qterms), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(avg))
+      .withColumn("ratio_m", expr("(dl * 1000000) DIV avgdl_m"))
+      .withColumn("norm_m",
+        lit(1000L) - lit(BMilli) + expr(s"($BMilli * ratio_m) DIV 1000"))
+      .withColumn("denom_m", expr(s"tf * 1000 + ($K1Milli * norm_m) DIV 1000"))
+      .withColumn("sat_m",
+        expr(s"(tf * ${K1Milli + 1000L} * 1000) DIV denom_m"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_query_terms_hit"),
+        sum(col("idf_bits") * col("sat_m")).cast("long").as("score_m"))
+      .orderBy(desc("score_m"), asc("doc_id"))
+      .limit(TopK)
+  }
+
+  def bm25TopK(spark: SparkSession, dir: String): DataFrame =
+    bm25TopKOf(Tables.documents(spark, dir))
+
+  def bm25TopKOracle: String =
+    s"""WITH post AS (${postingsOracle}),
+       |nn AS (SELECT count(*) AS n_docs FROM documents),
+       |stats AS (
+       |  SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf,
+       |    CAST(length(bin(n_docs)) - length(bin(count(*))) AS BIGINT) AS idf_bits
+       |  FROM post CROSS JOIN nn GROUP BY term, n_docs
+       |), dl AS (
+       |  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM post GROUP BY doc_id
+       |), avgdl AS (
+       |  SELECT CAST((sum(dl) * 1000) // count(*) AS BIGINT) AS avgdl_m FROM dl
+       |), qterms AS (
+       |  SELECT term, idf_bits FROM stats ORDER BY cf DESC, term LIMIT $NumQueryTerms
+       |), scored AS (
+       |  SELECT p.doc_id, q.idf_bits, p.tf, d.dl, a.avgdl_m,
+       |    (d.dl * 1000000) // a.avgdl_m AS ratio_m
+       |  FROM post p
+       |  JOIN qterms q ON q.term = p.term
+       |  JOIN dl d ON d.doc_id = p.doc_id
+       |  CROSS JOIN avgdl a
+       |), parts AS (
+       |  SELECT doc_id, idf_bits, tf,
+       |    1000 - $BMilli + ($BMilli * ratio_m) // 1000 AS norm_m
+       |  FROM scored
+       |), sat AS (
+       |  SELECT doc_id, idf_bits,
+       |    (tf * ${K1Milli + 1000L} * 1000) //
+       |      (tf * 1000 + ($K1Milli * norm_m) // 1000) AS sat_m
+       |  FROM parts
+       |)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_query_terms_hit,
+       |  CAST(sum(idf_bits * sat_m) AS BIGINT) AS score_m
+       |FROM sat GROUP BY doc_id
+       |ORDER BY score_m DESC, doc_id LIMIT $TopK""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_inverted_postings" -> ((s, dir) => postings(s, dir)),
+    "q_term_stats" -> ((s, dir) => termStats(s, dir)),
+    "q_bm25_topk" -> ((s, dir) => bm25TopK(s, dir))
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_inverted_postings" -> postingsOracle,
+    "q_term_stats" -> termStatsOracle,
+    "q_bm25_topk" -> bm25TopKOracle
+  )
+}
