@@ -52,6 +52,7 @@ object SparkEntry {
       (graft.ops.FuzzyJoin.queries, graft.ops.FuzzyJoin.oracleSql),
       (graft.ops.Packing.queries, graft.ops.Packing.oracleSql),
       (graft.ops.Quantiles.queries, graft.ops.Quantiles.oracleSql),
+      (graft.ops.Graph.queries, graft.ops.Graph.oracleSql),
       (graft.ops.ScaleOps.queries, graft.ops.ScaleOps.oracleSql),
       (graft.sources.Layout.queries, graft.sources.Layout.oracleSql),
       (Map[String, (SparkSession, String) => DataFrame](

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Graph
+
+/** Fixed-point PageRank: exact hand-computed iterates on a micro graph,
+  * mass conservation bounds, dangling handling, and determinism.
+  */
+class GraphSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("one iteration on a hand-computed micro graph is exact") {
+    // 1→3, 2→3, 3→4: N=4, base = SCALE/4 = 250_000_000_000
+    // iter1: no danglers except node 4 (deg 0): D = r(4) = base
+    //   S(3) = r(1)/1 + r(2)/1 = 2·base; S(4) = r(3)/1 = base; S(1)=S(2)=0
+    //   r'(v) = (15·base + 85·(S + D/4)) / 100
+    val edges = Seq((1L, 3L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val got = Graph.pagerankOf(edges, iters = 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val base = Graph.Scale / 4
+    val dShare = base / 4
+    def step(s: Long) = (15L * base + 85L * (s + dShare)) / 100L
+    assert(got(1L) == step(0L))
+    assert(got(2L) == step(0L))
+    assert(got(3L) == step(2L * base))
+    assert(got(4L) == step(base))
+  }
+
+  test("mass never grows, floor losses stay small, ranks positive") {
+    val ranks = Graph.tradePagerank(spark, Sf).persist()
+    val total = ranks.agg(sum("rank_fp")).collect()(0).getLong(0)
+    assert(total <= Graph.Scale, s"mass grew: $total")
+    // floor division loses < 1 unit per divide per node per iteration —
+    // total loss is bounded far under 1% of SCALE at any fixture size
+    assert(total > Graph.Scale * 99L / 100L, s"mass leak too large: $total")
+    assert(ranks.filter(col("rank_fp") <= 0).count() == 0)
+    ranks.unpersist()
+  }
+
+  test("suppliers (pure sinks) accumulate more than the dangling floor") {
+    val ranks = Graph.tradePagerank(spark, Sf).persist()
+    val byKind = ranks.groupBy("kind").agg(
+      sum("rank_fp").as("mass"), count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // every customer points at suppliers and nothing points back, so the
+    // average supplier must out-rank the average customer
+    val (cm, cn) = byKind("customer")
+    val (sm, sn) = byKind("supplier")
+    assert(sm / sn > cm / cn, s"sink nodes should out-rank sources: $byKind")
+    ranks.unpersist()
+  }
+
+  test("bit-deterministic across runs") {
+    val a = Graph.tradePagerank(spark, Sf).orderBy("node").collect().toSeq
+    val b = Graph.tradePagerank(spark, Sf).orderBy("node").collect().toSeq
+    assert(a == b)
+  }
+}
