@@ -341,6 +341,59 @@ object Multimodal {
         col("s").getField("sum_b").as("sum_b"),
         col("s").getField("peak").as("peak"))
 
+  /** (media_id, width, height, palette_size, n_pixels, sum_r, sum_g,
+    * sum_b, peak) — plant a COMPLETE deterministic GIF through the JDK's
+    * own ImageIO encoder (its own LZW compressor and framing), decode it
+    * back through [[graft.plans.GifPixels]] (header → color tables →
+    * extension skip → variable-width LZW across sub-blocks → palette
+    * map). The oracle restates the planted palette/pixel arithmetic, so
+    * any slip in the LZW walk breaks the gate.
+    */
+  def gifStats(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.ScaleOps.widen(Tables.documents(spark, dir))
+      .select(col("doc_id").as("media_id"),
+        org.apache.spark.sql.GraftColumnShim.column(
+          graft.plans.GifPlant(
+            org.apache.spark.sql.GraftColumnShim.expression(col("doc_id")))).as("content"))
+      .select(col("media_id"),
+        org.apache.spark.sql.GraftColumnShim.column(
+          graft.plans.GifPixels(
+            org.apache.spark.sql.GraftColumnShim.expression(col("content")))).as("s"))
+      .select(col("media_id"),
+        col("s").getField("width").as("width"),
+        col("s").getField("height").as("height"),
+        col("s").getField("palette_size").as("palette_size"),
+        col("s").getField("n_pixels").as("n_pixels"),
+        col("s").getField("sum_r").as("sum_r"),
+        col("s").getField("sum_g").as("sum_g"),
+        col("s").getField("sum_b").as("sum_b"),
+        col("s").getField("peak").as("peak"))
+
+  def gifStatsOracle: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, 4 + doc_id % 9 AS w, 4 + doc_id % 7 AS h,
+       |    CASE doc_id % 3 WHEN 0 THEN 4 WHEN 1 THEN 8 ELSE 16 END AS p
+       |  FROM documents
+       |), px AS (
+       |  SELECT doc_id, w, h, p, (doc_id + i) % p AS j
+       |  FROM d, unnest(range(0, w * h)) AS u(i)
+       |), rgb AS (
+       |  SELECT doc_id, w, h, p,
+       |    (doc_id * 3 + 5 * j) % 256 AS r,
+       |    (doc_id * 11 + 7 * j) % 256 AS g,
+       |    (doc_id * 17 + 13 * j) % 256 AS b
+       |  FROM px
+       |)
+       |SELECT doc_id AS media_id,
+       |  CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+       |  CAST(p AS INTEGER) AS palette_size,
+       |  CAST(count(*) AS BIGINT) AS n_pixels,
+       |  CAST(sum(r) AS BIGINT) AS sum_r,
+       |  CAST(sum(g) AS BIGINT) AS sum_g,
+       |  CAST(sum(b) AS BIGINT) AS sum_b,
+       |  CAST(max(greatest(r, g, b)) AS INTEGER) AS peak
+       |FROM rgb GROUP BY doc_id, w, h, p""".stripMargin
+
   def pixelStatsOracle: String =
     s"""WITH d AS (
        |  SELECT doc_id, 4 + doc_id % 13 AS w, 4 + doc_id % 11 AS h FROM documents
@@ -378,6 +431,7 @@ object Multimodal {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_multimodal_pixels" -> ((s, dir) => pixelStats(s, dir)),
+    "q_multimodal_gif" -> ((s, dir) => gifStats(s, dir)),
     "q_multimodal_pcm" -> ((s, dir) => pcmStats(s, dir)),
     "q_multimodal_audio" -> ((s, dir) => audioHeaderDecode(s, dir)),
     "q_multimodal_decode" -> ((s, dir) => headerDecode(s, dir)),
@@ -393,6 +447,7 @@ object Multimodal {
 
   def oracleSql: Map[String, String] = Map(
     "q_multimodal_pixels" -> pixelStatsOracle,
+    "q_multimodal_gif" -> gifStatsOracle,
     "q_multimodal_pcm" -> pcmStatsOracle,
     "q_multimodal_audio" -> audioHeaderOracle,
     "q_multimodal_decode" -> headerOracle,
