@@ -45,6 +45,7 @@ object SparkEntry {
       (graft.text.Html.queries, graft.text.Html.oracleSql),
       (graft.text.Urls.queries, graft.text.Urls.oracleSql),
       (graft.text.Retrieval.queries, graft.text.Retrieval.oracleSql),
+      (graft.text.Dsir.queries, graft.text.Dsir.oracleSql),
       (graft.pipelines.Hygiene.queries, graft.pipelines.Hygiene.oracleSql),
       (AsofJoin.queries, AsofJoin.oracleSql),
       (DateParse.queries, DateParse.oracleSql),

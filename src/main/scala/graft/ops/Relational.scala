@@ -1089,7 +1089,41 @@ object Relational {
       |                  WHERE t.l_partkey = a.l_partkey))
       |ORDER BY s_suppkey""".stripMargin
 
+  /** Top-k per group — the shape analysts write as row_number ≤ k and
+    * naive engines execute as a FULL per-group sort. Spark 3.5+ plans the
+    * rank filter as `WindowGroupLimit`: each task keeps a k-element heap
+    * per group BEFORE the exchange, so the shuffle carries at most k rows
+    * per (group, input partition) instead of every row — the difference
+    * between "sort 100 TB of orders" and "merge 32·k rows per customer".
+    * PlanShapeSpec pins the WindowGroupLimit node so a refactor that
+    * breaks the pushdown (e.g. a non-rank function slipped into the
+    * filter) fails fast. Cents + orderkey tiebreak make the k-th edge
+    * deterministic on both engines.
+    */
+  def topOrdersPerCustomer(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey"))
+      .orderBy(desc("price_cents"), col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        floor(col("o_totalprice") * 100).cast("long").as("price_cents"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+  }
+
+  def topOrdersOracle: String =
+    s"""SELECT o_custkey, o_orderkey,
+       |  CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents,
+       |  CAST(rn AS BIGINT) AS rn
+       |FROM (
+       |  SELECT o_custkey, o_orderkey, o_totalprice,
+       |    row_number() OVER (PARTITION BY o_custkey
+       |      ORDER BY CAST(floor(o_totalprice * 100) AS BIGINT) DESC, o_orderkey) AS rn
+       |  FROM orders
+       |) WHERE rn <= 3""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_topk_per_group"   -> ((s, dir) => topOrdersPerCustomer(s, dir)),
     "q6_forecast_revenue" -> ((s, dir) => q6ForecastRevenue(s, dir)),
     "q8_market_share" -> ((s, dir) => q8MarketShare(s, dir)),
     "q9_product_profit" -> ((s, dir) => q9ProductProfit(s, dir)),
@@ -1118,6 +1152,7 @@ object Relational {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_topk_per_group"   -> topOrdersOracle,
     "q6_forecast_revenue" -> q6Oracle,
     "q8_market_share" -> q8Oracle,
     "q9_product_profit" -> q9Oracle,

@@ -36,6 +36,15 @@ class PlanShapeSpec extends SparkSuite {
     }
   }
 
+  test("top-k per group plans the WindowGroupLimit pushdown") {
+    // row_number ≤ k must become a per-task k-heap BEFORE the exchange —
+    // the shuffle then carries ≤ k rows per (group, partition), not the
+    // whole table
+    val p = plan("q_topk_per_group")
+    assert(p.contains("WindowGroupLimit"),
+      s"rank-limit pushdown missing — full per-group sort would ship every row:\n$p")
+  }
+
   test("heavy hitters: candidate and total joins broadcast, never sort-merge") {
     val p = plan("q_heavy_hitters")
     assert(p.contains("BroadcastHashJoin"), p)
