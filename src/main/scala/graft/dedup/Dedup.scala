@@ -763,6 +763,85 @@ object Dedup {
          |  count(DISTINCT doc_id) AS n_docs
          |FROM ($chunkTableOracle)
          |GROUP BY chunk_md5 HAVING count(DISTINCT doc_id) > 1""".stripMargin
+
+    /** Exact duplicated-SPAN removal at chunk granularity — the
+      * "Deduplicating Training Data" operation (Lee et al. 2022) with CDC
+      * chunks standing in for suffix-array spans: every chunk whose
+      * content appears in MORE THAN ONE document is cut from all of them,
+      * and each document is reassembled from its surviving chunks in
+      * order. Because CDC boundaries are content-defined, a shared
+      * passage chunks identically in every document containing it
+      * regardless of surrounding text — that invariance is what makes
+      * chunk-identity a faithful span-dedup proxy.
+      *
+      * Output per ORIGINAL document (empty/fully-scrubbed docs included,
+      * as empties): (doc_id, n_chunks, n_dropped, clean_text, clean_len).
+      * Since chunks partition the text, a doc with n_dropped = 0 round
+      * trips EXACTLY (spec-pinned).
+      *
+      * Scale: the shared-md5 set holds only duplicated chunk hashes
+      * (≪ corpus; AQE broadcasts it when small, falls back to a shuffled
+      * anti join when not), so chunk text crosses at most one shuffle —
+      * the per-doc reassembly groupBy; reassembly memory is bounded by
+      * one document.
+      */
+    def scrubSharedSpans(spark: SparkSession, dir: String): DataFrame =
+      scrubOf(Tables.documents(spark, dir))
+
+    def scrubOf(docs: DataFrame): DataFrame = {
+      val chunks = graft.ops.ScaleOps.widen(docs)
+        .select(col("doc_id"), posexplode(chunkCol(col("text"))).as(Seq("chunk_idx", "chunk")))
+        .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+          md5(col("chunk")).as("chunk_md5"), col("chunk"))
+      val shared = chunks.groupBy(col("chunk_md5"))
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") > 1).select(col("chunk_md5"))
+      val totals = chunks.groupBy(col("doc_id")).agg(count(lit(1)).as("n_all"))
+      val recon = chunks.join(shared, Seq("chunk_md5"), "left_anti")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_kept"),
+          array_join(
+            transform(array_sort(collect_list(struct(col("chunk_idx"), col("chunk")))),
+              x => x.getField("chunk")), "").as("clean"))
+      docs.select(col("doc_id"))
+        .join(totals, Seq("doc_id"), "left")
+        .join(recon, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_all"), lit(0L)).as("n_chunks"),
+          (coalesce(col("n_all"), lit(0L)) - coalesce(col("n_kept"), lit(0L)))
+            .as("n_dropped"),
+          coalesce(col("clean"), lit("")).as("clean_text"),
+          length(coalesce(col("clean"), lit(""))).cast("long").as("clean_len"))
+    }
+
+    def scrubOracle: String = {
+      val bSql = CdcChunks.boundariesSql("text", CdcChunks.DefaultW, CdcChunks.DefaultDivisor)
+      s"""WITH withb AS (
+         |  SELECT doc_id, text, $bSql AS b FROM documents
+         |), chunked AS (
+         |  SELECT doc_id, ${CdcChunks.slicesSql("text", "b")} AS ch FROM withb
+         |), chunks AS (
+         |  SELECT doc_id, i - 1 AS idx, ch[i] AS chunk, md5(ch[i]) AS m
+         |  FROM chunked, unnest(range(1, len(ch) + 1)) AS t(i)
+         |), shared AS (
+         |  SELECT m FROM chunks GROUP BY m HAVING count(DISTINCT doc_id) > 1
+         |), totals AS (
+         |  SELECT doc_id, count(*) AS n_all FROM chunks GROUP BY doc_id
+         |), recon AS (
+         |  SELECT doc_id, count(*) AS n_kept,
+         |    string_agg(chunk, '' ORDER BY idx) AS clean
+         |  FROM chunks WHERE m NOT IN (SELECT m FROM shared)
+         |  GROUP BY doc_id
+         |)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(t.n_all, 0) AS BIGINT) AS n_chunks,
+         |  CAST(coalesce(t.n_all, 0) - coalesce(r.n_kept, 0) AS BIGINT) AS n_dropped,
+         |  coalesce(r.clean, '') AS clean_text,
+         |  CAST(length(coalesce(r.clean, '')) AS BIGINT) AS clean_len
+         |FROM documents d
+         |LEFT JOIN totals t USING (doc_id)
+         |LEFT JOIN recon r USING (doc_id)""".stripMargin
+    }
   }
 
   // ---- query registry ----
@@ -787,6 +866,7 @@ object Dedup {
     "q_simhash_neardup" -> ((s, dir) => SimHash.nearDupPairs48(s, dir)),
     "q_cdc_chunks" -> ((s, dir) => Cdc.chunkTable(s, dir)),
     "q_cdc_shared_chunks" -> ((s, dir) => Cdc.sharedChunks(s, dir)),
+    "q_cdc_scrub" -> ((s, dir) => Cdc.scrubSharedSpans(s, dir)),
     "q_dedup_incremental" -> ((s, dir) => MinHashLSH.incrementalKeep(s, dir))
   )
 
@@ -803,6 +883,7 @@ object Dedup {
     "q_simhash_neardup" -> SimHash.nearDup48Oracle,
     "q_cdc_chunks" -> Cdc.chunkTableOracle,
     "q_cdc_shared_chunks" -> Cdc.sharedChunksOracle,
+    "q_cdc_scrub" -> Cdc.scrubOracle,
     "q_dedup_incremental" -> MinHashLSH.incrementalOracle
   )
 }
