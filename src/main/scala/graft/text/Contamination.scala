@@ -76,11 +76,71 @@ object Contamination {
        |WHERE d.doc_id % $BenchMod <> 0""".stripMargin
   }
 
+  /** Bloom parameters: sized for ~10⁵ distinct eval n-grams at ~1% fpp
+    * (≈ 10 bits/item). At deploy these scale with the eval union — the
+    * sketch stays MBs where the hash LIST would be GBs.
+    */
+  val BloomItems = 100000L
+  val BloomBits = 1000000L
+
+  /** Bloom-prefiltered twin of [[contamination]] for when even the
+    * eval-set hash list outgrows a comfortable broadcast (unions of many
+    * benchmark suites): the benchmark grams fold into ONE fixed-size
+    * Bloom sketch (`bloom_filter_agg` — native, partial-aggregated), the
+    * corpus side drops every n-gram the sketch rejects BEFORE any join
+    * (map-side, against a driver-held constant sketch), and only the
+    * survivors — true hits
+    * plus the fpp sliver — meet the benchmark in an exact SHUFFLE hash
+    * join (hinted: the whole point is that nothing eval-sized is
+    * broadcast). Bloom filters have no false negatives and the exact join
+    * removes the false positives, so the result is BIT-IDENTICAL to the
+    * broadcast path — same DuckDB oracle gates both.
+    */
+  def bloomContamination(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.GraftColumnShim.{column, expression}
+    val docs = graft.ops.ScaleOps.widen(Tables.documents(spark, dir))
+    val grams = Dedup.MinHashLSH.shingleHashes(col("text"), N)
+    val bench = docs.filter(col("doc_id") % BenchMod === 0)
+      .select(explode(grams).as("g")).distinct()
+    // build the sketch distributed (partial-aggregated), then hold the
+    // ONE binary row on the driver as a literal — `might_contain`
+    // requires a constant bloom side, and the sketch is model-sized
+    // (BloomBits/8 bytes regardless of eval cardinality), the same
+    // collect discipline as the quality-model weights. bloom_filter_agg
+    // is not in the public function registry, so the Catalyst aggregate
+    // is constructed directly (the ColumnShim path, like the repo's own
+    // expressions).
+    val bloomAgg = column(new org.apache.spark.sql.catalyst.expressions.aggregate
+      .BloomFilterAggregate(expression(col("g")),
+        expression(lit(BloomItems)), expression(lit(BloomBits)))
+      .toAggregateExpression())
+    val bf = bench.agg(bloomAgg.as("bf")).collect()(0).getAs[Array[Byte]](0)
+    val mightContain = column(
+      new org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        org.apache.spark.sql.catalyst.expressions.Literal
+          .create(bf, org.apache.spark.sql.types.BinaryType),
+        expression(col("g"))))
+    val train = docs.filter(col("doc_id") % BenchMod =!= 0)
+    val pruned = train.select(col("doc_id"), explode(grams).as("g"))
+      .filter(mightContain)
+      .select(col("doc_id"), col("g"))
+    val hits = pruned.join(bench.hint("shuffle_hash"), Seq("g"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("h"))
+    train.select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("h"), lit(0L)).as("n_hits"))
+      .withColumn("contaminated", col("n_hits") > 0)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_decontaminate" -> ((s, dir) => contamination(s, dir))
+    "q_decontaminate" -> ((s, dir) => contamination(s, dir)),
+    "q_decontaminate_bloom" -> ((s, dir) => bloomContamination(s, dir))
   )
 
   def oracleSql: Map[String, String] = Map(
-    "q_decontaminate" -> oracle
+    "q_decontaminate" -> oracle,
+    // the bloom path is exact (no false negatives + exact verify join),
+    // so the SAME oracle gates it
+    "q_decontaminate_bloom" -> oracle
   )
 }

@@ -29,6 +29,24 @@ class ContaminationRepetitionSpec extends SparkSuite {
     assert(out(2L) == ((0L, false)) && out(3L) == ((0L, false)))
   }
 
+  test("bloom-prefiltered path is bit-identical to the broadcast path") {
+    // no false negatives (Bloom) + exact verify join (kills the fpp
+    // sliver) = same rows; the scale difference is what's broadcast
+    val exact = Contamination.contamination(spark, Sf)
+      .orderBy("doc_id").collect().toSeq
+    val bloom = Contamination.bloomContamination(spark, Sf)
+      .orderBy("doc_id").collect().toSeq
+    assert(exact == bloom)
+  }
+
+  test("bloom path never broadcasts the eval gram list: sketch prefilter + shuffle verify") {
+    val df = Contamination.bloomContamination(spark, Sf)
+    val p = df.queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
+    assert(p.contains("might_contain"), s"bloom prefilter missing:\n$p")
+    assert(p.contains("ShuffledHashJoin"),
+      s"verify join must shuffle, not broadcast the eval-sized side:\n$p")
+  }
+
   test("repetition metrics: degenerate repeat scores 1.0, all-distinct scores 0") {
     import spark.implicits._
     val df = Seq(
