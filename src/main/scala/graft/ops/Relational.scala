@@ -1122,7 +1122,54 @@ object Relational {
        |  FROM orders
        |) WHERE rn <= 3""".stripMargin
 
+  /** FULL OUTER join — the one join type the catalog's star/semi/anti
+    * surface leaves untouched, in its canonical reconciliation shape:
+    * compare two independently-filtered per-nation aggregates (big
+    * customers vs big suppliers) and PRESERVE nations present on only
+    * one side — exactly what an inner join silently drops and a left
+    * join drops half of. Keys coalesce, absent counts map to zero, and a
+    * `side` column states which inputs existed. Both aggregates are
+    * nation-sized, so the join itself is trivially small at any corpus
+    * scale (the fact-side aggregations carry the cost and partial-agg
+    * before their shuffles); the filters make one-sided nations REAL in
+    * the fixture rather than a vacuous code path.
+    */
+  def fullOuterReconcile(spark: SparkSession, dir: String): DataFrame = {
+    val bigCust = Tables.customer(spark, dir)
+      .filter(col("c_acctbal") > 7500)
+      .groupBy(col("c_nationkey").as("nationkey"))
+      .agg(count(lit(1)).as("n_big_customers"))
+    val bigSupp = Tables.supplier(spark, dir)
+      .filter(col("s_acctbal") > 0)
+      .groupBy(col("s_nationkey").as("nationkey"))
+      .agg(count(lit(1)).as("n_big_suppliers"))
+    bigCust.join(bigSupp, Seq("nationkey"), "full_outer")
+      .select(col("nationkey"),
+        coalesce(col("n_big_customers"), lit(0L)).as("n_big_customers"),
+        coalesce(col("n_big_suppliers"), lit(0L)).as("n_big_suppliers"),
+        when(col("n_big_customers").isNull, "supplier_only")
+          .when(col("n_big_suppliers").isNull, "customer_only")
+          .otherwise("both").as("side"))
+  }
+
+  def fullOuterOracle: String =
+    s"""WITH bc AS (
+       |  SELECT c_nationkey AS nationkey, count(*) AS n_big_customers
+       |  FROM customer WHERE c_acctbal > 7500 GROUP BY c_nationkey
+       |), bs AS (
+       |  SELECT s_nationkey AS nationkey, count(*) AS n_big_suppliers
+       |  FROM supplier WHERE s_acctbal > 0 GROUP BY s_nationkey
+       |)
+       |SELECT coalesce(bc.nationkey, bs.nationkey) AS nationkey,
+       |  CAST(coalesce(n_big_customers, 0) AS BIGINT) AS n_big_customers,
+       |  CAST(coalesce(n_big_suppliers, 0) AS BIGINT) AS n_big_suppliers,
+       |  CASE WHEN n_big_customers IS NULL THEN 'supplier_only'
+       |       WHEN n_big_suppliers IS NULL THEN 'customer_only'
+       |       ELSE 'both' END AS side
+       |FROM bc FULL OUTER JOIN bs USING (nationkey)""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_full_outer"       -> ((s, dir) => fullOuterReconcile(s, dir)),
     "q_topk_per_group"   -> ((s, dir) => topOrdersPerCustomer(s, dir)),
     "q6_forecast_revenue" -> ((s, dir) => q6ForecastRevenue(s, dir)),
     "q8_market_share" -> ((s, dir) => q8MarketShare(s, dir)),
@@ -1152,6 +1199,7 @@ object Relational {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_full_outer"       -> fullOuterOracle,
     "q_topk_per_group"   -> topOrdersOracle,
     "q6_forecast_revenue" -> q6Oracle,
     "q8_market_share" -> q8Oracle,

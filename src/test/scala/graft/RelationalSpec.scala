@@ -91,6 +91,25 @@ class RelationalSpec extends SparkSuite {
     assert(total === Tables.customer(spark, Sf).count())
   }
 
+  test("full outer reconcile: one-sided groups are preserved, not dropped") {
+    val rows = graft.ops.Relational.fullOuterReconcile(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    val sides = rows.groupBy(_.getAs[String]("side")).view.mapValues(_.length).toMap
+    assert(sides.keySet.exists(_ != "both"),
+      s"fixture produced no one-sided nation — the FULL OUTER path is vacuous: $sides")
+    // preservation: output keys = union of both filtered sides' keys
+    import org.apache.spark.sql.functions.col
+    val custKeys = Tables.customer(spark, Sf).filter(col("c_acctbal") > 7500)
+      .select(col("c_nationkey")).distinct().collect().map(_.getAs[Number](0).longValue()).toSet
+    val suppKeys = Tables.supplier(spark, Sf).filter(col("s_acctbal") > 0)
+      .select(col("s_nationkey")).distinct().collect().map(_.getAs[Number](0).longValue()).toSet
+    assert(rows.map(_.getAs[Number]("nationkey").longValue()).toSet == (custKeys ++ suppKeys))
+    // zero-filled counts only ever appear on one-sided rows
+    rows.filter(_.getAs[String]("side") == "both").foreach { r =>
+      assert(r.getAs[Long]("n_big_customers") > 0 && r.getAs[Long]("n_big_suppliers") > 0)
+    }
+  }
+
   test("q21: dims broadcast, fact correlations stack semi+anti, no cartesian") {
     val df = graft.ops.Relational.q21WaitingSuppliers(spark, Sf)
     val plan = df.queryExecution.executedPlan.toString
