@@ -263,6 +263,147 @@ object Multimodal {
        |  CAST(100 + doc_id % 900 AS BIGINT) AS n_frames
        |FROM documents""".stripMargin
 
+  /** (media_id, width, height, n_pixels, sum_gray, peak) — plant
+    * DC-exact baseline JPEGs ([[graft.plans.JpegPlant]]: solid 8×8
+    * blocks, Q(0,0)=8, so the lossy round-trip is integer-exact and
+    * closed-form in doc_id), decode them back through the FULL
+    * entropy/Huffman/IDCT pipeline ([[graft.plans.JpegPixels]]). The
+    * oracle restates the planted block arithmetic, so a slip in the
+    * canonical Huffman tables, DC prediction, byte unstuffing, restart
+    * handling, dequantization, or the IDCT DC path breaks the gate.
+    * Arbitrary-photo coverage (AC, chroma, edge blocks) is golden-tested
+    * against ImageIO in JpegPixelsSpec.
+    */
+  def jpegStats(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.ScaleOps.widen(Tables.documents(spark, dir))
+      .select(col("doc_id").as("media_id"),
+        org.apache.spark.sql.GraftColumnShim.column(
+          graft.plans.JpegPlant(
+            org.apache.spark.sql.GraftColumnShim.expression(col("doc_id")))).as("content"))
+      .select(col("media_id"),
+        org.apache.spark.sql.GraftColumnShim.column(
+          graft.plans.JpegPixels(
+            org.apache.spark.sql.GraftColumnShim.expression(col("content")))).as("s"))
+      .select(col("media_id"),
+        col("s").getField("width").as("width"),
+        col("s").getField("height").as("height"),
+        col("s").getField("n_pixels").as("n_pixels"),
+        col("s").getField("sum_r").as("sum_gray"),
+        col("s").getField("peak").as("peak"))
+
+  def jpegStatsOracle: String =
+    s"""SELECT doc_id AS media_id,
+       |  CAST(8 * (1 + doc_id % 4) AS INTEGER) AS width,
+       |  CAST(8 * (1 + doc_id % 3) AS INTEGER) AS height,
+       |  CAST(64 * (1 + doc_id % 4) * (1 + doc_id % 3) AS BIGINT) AS n_pixels,
+       |  CAST(64 * list_sum(list_transform(range((1 + doc_id % 4) * (1 + doc_id % 3)),
+       |         k -> (doc_id * 37 + k * 59) % 256)) AS BIGINT) AS sum_gray,
+       |  CAST(list_max(list_transform(range((1 + doc_id % 4) * (1 + doc_id % 3)),
+       |         k -> (doc_id * 37 + k * 59) % 256)) AS INTEGER) AS peak
+       |FROM documents""".stripMargin
+
+  /** Big-endian hex renderings for ISO-BMFF plants (MP4 is big-endian,
+    * unlike RIFF).
+    */
+  private def be16h(c: Column): Column = lpad(hex(c), 4, "0")
+  private def be32h(c: Column): Column = lpad(hex(c), 8, "0")
+  private def be64h(c: Column): Column = lpad(hex(c), 16, "0")
+
+  /** Deterministic ISO-BMFF (MP4) plant: ftyp + free + moov(mvhd, udta,
+    * trak(tkhd, mdia(hdlr)) [, empty trak]) with every header field
+    * derived from doc_id. Exercises the parts a real parser must get
+    * right: nested container recursion (moov→trak→mdia), full-box
+    * version 0 AND version 1 layouts (mvhd/tkhd widen their time fields
+    * to u64 at v1 — doc_id parity picks the version), 16.16 fixed-point
+    * track dimensions, a non-container box (`udta` junk payload) the
+    * walk must skip without recursing, and a second bare `trak` (when
+    * doc_id % 3 == 0) that must bump the track count without stealing
+    * the first track's reported fields.
+    */
+  def plantMp4: Column = {
+    val v1 = col("doc_id") % 2 === 1
+    val timescale = (lit(600) + (col("doc_id") % 3) * 400).cast("long")
+    val duration = (lit(500) + col("doc_id") % 9999).cast("long")
+    val trackId = (lit(1) + col("doc_id") % 7).cast("long")
+    val w = (lit(320) + (col("doc_id") % 8) * 16).cast("long")
+    val h = (lit(240) + (col("doc_id") % 5) * 16).cast("long")
+    val handlerHex = when(col("doc_id") % 4 === 3, lit("736F756E")) // "soun"
+      .otherwise(lit("76696465"))                                   // "vide"
+    val matrix = lit("000100000000000000000000" +
+      "000000000001000000000000" +
+      "000000000000000040000000")        // unity 3×3, 16.16 / 2.30
+    val mvhdSize = when(v1, lit(120L)).otherwise(lit(108L))
+    val mvhd = concat(
+      be32h(mvhdSize), lit("6D766864"),                    // 'mvhd'
+      when(v1, concat(lit("01000000"), be64h(lit(0L)), be64h(lit(0L)),
+          be32h(timescale), be64h(duration)))
+        .otherwise(concat(lit("00000000"), be32h(lit(0L)), be32h(lit(0L)),
+          be32h(timescale), be32h(duration))),
+      lit("00010000"), lit("0100"), lit("00000000000000000000"), // rate, volume, reserved(10)
+      matrix, lit("000000000000000000000000000000000000000000000000"), // predefined(24)
+      be32h(lit(2L)))                                      // next_track_ID
+    val tkhdSize = when(v1, lit(104L)).otherwise(lit(92L))
+    val tkhd = concat(
+      be32h(tkhdSize), lit("746B6864"),                    // 'tkhd'
+      when(v1, concat(lit("01000007"), be64h(lit(0L)), be64h(lit(0L)),
+          be32h(trackId), be32h(lit(0L)), be64h(duration)))
+        .otherwise(concat(lit("00000007"), be32h(lit(0L)), be32h(lit(0L)),
+          be32h(trackId), be32h(lit(0L)), be32h(duration))),
+      be64h(lit(0L)),                                      // reserved(8)
+      lit("0000"), lit("0000"), lit("0000"), lit("0000"),  // layer, alt, volume, reserved
+      matrix,
+      be32h(w * 65536L), be32h(h * 65536L))                // 16.16 width/height
+    val hdlr = concat(
+      be32h(lit(33L)), lit("68646C72"), lit("00000000"), lit("00000000"),
+      handlerHex, lit("000000000000000000000000"), lit("00")) // reserved(12) + NUL name
+    val mdia = concat(be32h(lit(41L)), lit("6D646961"), hdlr)
+    val trakSize = tkhdSize + 49L                          // 8 + tkhd + mdia(41)
+    val trak = concat(be32h(trakSize), lit("7472616B"), tkhd, mdia)
+    val udta = concat(be32h(lit(12L)), lit("75647461"), lit("DEADBEEF"))
+    val trak2 = when(col("doc_id") % 3 === 0,
+      concat(be32h(lit(8L)), lit("7472616B"))).otherwise(lit(""))
+    val trak2Size = when(col("doc_id") % 3 === 0, lit(8L)).otherwise(lit(0L))
+    val moovSize = lit(8L) + mvhdSize + 12L + trakSize + trak2Size
+    unhex(concat(
+      be32h(lit(24L)), lit("66747970"),                    // ftyp
+      lit("69736F6D"), be32h(lit(512L)), lit("69736F6D"), lit("6D703431"),
+      be32h(lit(16L)), lit("66726565"), lit("0123456789ABCDEF"), // free
+      be32h(moovSize), lit("6D6F6F76"), mvhd, udta, trak, trak2))
+  }
+
+  /** (media_id, timescale, duration, n_tracks, track_id, width, height,
+    * handler) — plant real ISO-BMFF bytes, walk them back through the
+    * codegen'd [[graft.plans.Mp4Header]]. Oracle restates the planted
+    * parameters arithmetically, so a box-size slip, a missed recursion,
+    * a v0/v1 layout mix-up, or a fixed-point misread breaks the gate.
+    */
+  def videoHeaderDecode(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.ScaleOps.widen(Tables.documents(spark, dir))
+      .select(col("doc_id").as("media_id"), plantMp4.as("content"))
+      .select(col("media_id"),
+        org.apache.spark.sql.GraftColumnShim.column(
+          graft.plans.Mp4Header(
+            org.apache.spark.sql.GraftColumnShim.expression(col("content")))).as("hdr"))
+      .select(col("media_id"),
+        col("hdr").getField("timescale").as("timescale"),
+        col("hdr").getField("duration").as("duration"),
+        col("hdr").getField("n_tracks").as("n_tracks"),
+        col("hdr").getField("track_id").as("track_id"),
+        col("hdr").getField("width").as("width"),
+        col("hdr").getField("height").as("height"),
+        col("hdr").getField("handler").as("handler"))
+
+  def videoHeaderOracle: String =
+    s"""SELECT doc_id AS media_id,
+       |  CAST(600 + (doc_id % 3) * 400 AS BIGINT) AS timescale,
+       |  CAST(500 + doc_id % 9999 AS BIGINT) AS duration,
+       |  CAST(CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END AS INTEGER) AS n_tracks,
+       |  CAST(1 + doc_id % 7 AS BIGINT) AS track_id,
+       |  CAST(320 + (doc_id % 8) * 16 AS INTEGER) AS width,
+       |  CAST(240 + (doc_id % 5) * 16 AS INTEGER) AS height,
+       |  CASE WHEN doc_id % 4 = 3 THEN 'soun' ELSE 'vide' END AS handler
+       |FROM documents""".stripMargin
+
   /** Deterministic 16-bit mono PCM plant: a RIFF/WAVE blob whose `data`
     * chunk carries a REAL payload — `16 + doc_id % 17` frames, sample i
     * drawn from integer arithmetic on (doc_id, i), with every
@@ -434,6 +575,8 @@ object Multimodal {
     "q_multimodal_gif" -> ((s, dir) => gifStats(s, dir)),
     "q_multimodal_pcm" -> ((s, dir) => pcmStats(s, dir)),
     "q_multimodal_audio" -> ((s, dir) => audioHeaderDecode(s, dir)),
+    "q_multimodal_video" -> ((s, dir) => videoHeaderDecode(s, dir)),
+    "q_multimodal_jpeg" -> ((s, dir) => jpegStats(s, dir)),
     "q_multimodal_decode" -> ((s, dir) => headerDecode(s, dir)),
     "q_multimodal_features" -> ((s, dir) =>
       mediaFeatures(s, dir).select(
@@ -450,6 +593,8 @@ object Multimodal {
     "q_multimodal_gif" -> gifStatsOracle,
     "q_multimodal_pcm" -> pcmStatsOracle,
     "q_multimodal_audio" -> audioHeaderOracle,
+    "q_multimodal_video" -> videoHeaderOracle,
+    "q_multimodal_jpeg" -> jpegStatsOracle,
     "q_multimodal_decode" -> headerOracle,
     "q_multimodal_features" ->
       s"""SELECT doc_id AS media_id,

@@ -1,0 +1,452 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.types.{BinaryType, DataType, IntegerType, LongType, StructType}
+
+/** Real baseline-JPEG pixel decode — the last piece of the X11 image
+  * stub ([[graft.multimodal.Multimodal]]; reference: media decode paths)
+  * done with NO codec library: marker walk → DQT/DHT/SOF0/DRI/SOS →
+  * Huffman entropy decode with 0xFF00 byte-unstuffing and RSTn restart
+  * handling → dequantize in zig-zag order → separable 2-D IDCT → level
+  * shift → (for 3-component scans) box-upsampled YCbCr→RGB. Supports
+  * baseline sequential DCT (SOF0/SOF1), 8-bit precision, 1 or 3
+  * components, arbitrary 1–4 sampling factors (4:4:4, 4:2:2, 4:2:0, …),
+  * 8- or 16-bit quantization entries, and restart intervals. Progressive
+  * (SOF2) and arithmetic-coded scans report nulls.
+  *
+  * Output is the filter-stat struct a curation pipeline aggregates
+  * first: dimensions, channel count, per-channel integer pixel sums and
+  * the peak sample — enough for brightness/contrast routing and
+  * solid-color detection without materializing rasters.
+  *
+  * Correctness is pinned two ways: [[JpegPlant]] plants DC-exact
+  * grayscale JPEGs whose decoded pixels are closed-form in doc_id (the
+  * DuckDB gate restates them arithmetically — quantizer round-trip
+  * exactness makes a lossy codec oracle-expressible), and JpegPixelsSpec
+  * golden-tests arbitrary color rasters against the JDK's own
+  * independent ImageIO codec (±1 IDCT conformance tolerance).
+  *
+  * Per-row, shuffle-free, whole-stage codegen; malformed inputs yield
+  * in-struct nulls, never a throw.
+  */
+case class JpegPixels(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case BinaryType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(s"jpeg_pixels requires binary, got $t")
+    }
+
+  override def dataType: DataType = JpegPixels.Schema
+  override def prettyName: String = "jpeg_pixels"
+
+  override def nullSafeEval(input: Any): Any =
+    JpegPixels.parse(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.JpegPixels.parse($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object JpegPixels {
+
+  val Schema: StructType = new StructType()
+    .add("width", IntegerType)
+    .add("height", IntegerType)
+    .add("channels", IntegerType)
+    .add("n_pixels", LongType)
+    .add("sum_r", LongType)
+    .add("sum_g", LongType)
+    .add("sum_b", LongType)
+    .add("peak", IntegerType)
+
+  /** Zig-zag index → natural (row-major) index. */
+  val Zigzag: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+
+  // COS(x)(u) = C(u)/2 · cos((2x+1)uπ/16) — the separable IDCT basis
+  private val Cos: Array[Array[Double]] = Array.tabulate(8, 8) { (x, u) =>
+    val c = if (u == 0) 1.0 / math.sqrt(2.0) else 1.0
+    c / 2.0 * math.cos((2 * x + 1) * u * math.Pi / 16.0)
+  }
+
+  /** Canonical Huffman decode tables (ITU T.81 F.2.2.3 layout). */
+  private final class Huff(bits: Array[Int], vals: Array[Byte]) {
+    val minCode = new Array[Int](17)
+    val maxCode = new Array[Int](17)
+    val valPtr = new Array[Int](17)
+    val values: Array[Byte] = vals
+    locally {
+      var code = 0; var k = 0; var l = 1
+      while (l <= 16) {
+        if (bits(l) > 0) {
+          valPtr(l) = k; minCode(l) = code
+          code += bits(l); k += bits(l); maxCode(l) = code - 1
+        } else maxCode(l) = -1
+        code <<= 1; l += 1
+      }
+    }
+  }
+
+  private final class Reader(b: Array[Byte], var p: Int) {
+    private var bitBuf = 0
+    private var bitCnt = 0
+    var atMarker = false
+
+    def nextBit(): Int = {
+      if (bitCnt == 0) {
+        if (atMarker || p >= b.length) { atMarker = true; return 0 }
+        var byte = b(p) & 0xff; p += 1
+        if (byte == 0xff) {
+          val nb = if (p < b.length) b(p) & 0xff else -1
+          if (nb == 0) p += 1 // stuffed data 0xFF
+          else { atMarker = true; p -= 1; return 0 }
+        }
+        bitBuf = byte; bitCnt = 8
+      }
+      bitCnt -= 1
+      (bitBuf >> bitCnt) & 1
+    }
+
+    def receive(s: Int): Int = {
+      var v = 0; var i = 0
+      while (i < s) { v = (v << 1) | nextBit(); i += 1 }
+      v
+    }
+
+    def decode(h: Huff): Int = {
+      var code = nextBit(); var l = 1
+      while (code > h.maxCode(l) || h.maxCode(l) < 0) {
+        l += 1
+        if (l > 16) throw new IllegalStateException("bad huffman code")
+        code = (code << 1) | nextBit()
+      }
+      h.values(h.valPtr(l) + code - h.minCode(l)) & 0xff
+    }
+
+    /** Byte-align and consume an expected RSTn marker. */
+    def restart(): Boolean = {
+      bitCnt = 0; atMarker = false
+      if (p + 2 > b.length || (b(p) & 0xff) != 0xff) return false
+      val m = b(p + 1) & 0xff
+      if (m < 0xd0 || m > 0xd7) return false
+      p += 2; true
+    }
+  }
+
+  private def extend(v: Int, s: Int): Int =
+    if (s == 0) 0 else if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
+
+  private def be16(b: Array[Byte], p: Int): Int =
+    ((b(p) & 0xff) << 8) | (b(p + 1) & 0xff)
+
+  private def nulls(): InternalRow = {
+    val r = new GenericInternalRow(8)
+    var i = 0; while (i < 8) { r.setNullAt(i); i += 1 }
+    r
+  }
+
+  /** Static so generated code calls it directly. Never null, never throws. */
+  def parse(b: Array[Byte]): InternalRow =
+    try parseOrThrow(b)
+    catch { case _: Throwable => nulls() }
+
+  /** Test-facing full decode to packed 0xRRGGBB pixels (row-major), for
+    * golden comparison against an independent codec. Throws on
+    * malformed input (specs want the error, the gate path does not).
+    */
+  def rgb(b: Array[Byte]): (Int, Int, Array[Int]) = {
+    val d = decode(b).getOrElse(throw new IllegalArgumentException("undecodable"))
+    val out = new Array[Int](d.width * d.height)
+    var y = 0
+    while (y < d.height) {
+      var x = 0
+      while (x < d.width) {
+        val (r, g, bl) = d.pixel(x, y)
+        out(y * d.width + x) = (r << 16) | (g << 8) | bl
+        x += 1
+      }
+      y += 1
+    }
+    (d.width, d.height, out)
+  }
+
+  // per-component state gathered from SOF/SOS
+  private final class Comp {
+    var h = 1; var v = 1; var tq = 0
+    var dcTab = 0; var acTab = 0
+    var pred = 0
+    var wb = 0; var hb = 0 // plane size in blocks
+    var plane: Array[Int] = null
+  }
+
+  /** Decoded component planes + geometry; pixel() applies upsampling and
+    * color conversion on demand.
+    */
+  private[plans] final class Decoded(
+      val width: Int, val height: Int, val nc: Int,
+      comps: Array[Comp], hMax: Int, vMax: Int) {
+    def pixel(x: Int, y: Int): (Int, Int, Int) =
+      if (nc == 1) {
+        val g = comps(0).plane(y * comps(0).wb * 8 + x)
+        (g, g, g)
+      } else {
+        val cy = comps(0); val cb = comps(1); val cr = comps(2)
+        val yy = cy.plane((y * cy.v / vMax) * cy.wb * 8 + x * cy.h / hMax)
+        val pb = cb.plane((y * cb.v / vMax) * cb.wb * 8 + x * cb.h / hMax) - 128
+        val pr = cr.plane((y * cr.v / vMax) * cr.wb * 8 + x * cr.h / hMax) - 128
+        (clamp(Math.round(yy + 1.402 * pr).toInt),
+          clamp(Math.round(yy - 0.344136 * pb - 0.714136 * pr).toInt),
+          clamp(Math.round(yy + 1.772 * pb).toInt))
+      }
+  }
+
+  private def parseOrThrow(b: Array[Byte]): InternalRow = {
+    val d = decode(b).orNull
+    if (d == null) return nulls()
+    var sumR = 0L; var sumG = 0L; var sumB = 0L; var peak = 0
+    var y = 0
+    while (y < d.height) {
+      var x = 0
+      while (x < d.width) {
+        val (r, g, bl) = d.pixel(x, y)
+        sumR += r; sumG += g; sumB += bl
+        if (r > peak) peak = r
+        if (g > peak) peak = g
+        if (bl > peak) peak = bl
+        x += 1
+      }
+      y += 1
+    }
+    val out = new GenericInternalRow(8)
+    out.setInt(0, d.width)
+    out.setInt(1, d.height)
+    out.setInt(2, d.nc)
+    out.setLong(3, d.width.toLong * d.height)
+    out.setLong(4, sumR)
+    out.setLong(5, sumG)
+    out.setLong(6, sumB)
+    out.setInt(7, peak)
+    out
+  }
+
+  private def decode(b: Array[Byte]): Option[Decoded] = {
+    if (b == null || b.length < 4 ||
+      (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) return None
+    val qt = new Array[Array[Int]](4)
+    val dcH = new Array[Huff](4)
+    val acH = new Array[Huff](4)
+    var width = 0; var height = 0; var nc = 0
+    var comps: Array[Comp] = null
+    var restartInterval = 0
+    var sofSeen = false
+    var p = 2
+    var scanStart = -1
+    while (scanStart < 0 && p + 4 <= b.length) {
+      if ((b(p) & 0xff) != 0xff) return None
+      val m = b(p + 1) & 0xff
+      if (m == 0xd8 || (m >= 0xd0 && m <= 0xd7)) { p += 2 }
+      else if (m == 0xd9) return None // EOI before any scan
+      else {
+        val len = be16(b, p + 2)
+        val seg = p + 4
+        val segEnd = p + 2 + len
+        if (len < 2 || segEnd > b.length) return None
+        m match {
+          case 0xdb => // DQT — one or more tables, 8- or 16-bit entries
+            var q = seg
+            while (q < segEnd) {
+              val pq = (b(q) & 0xff) >> 4
+              val tq = b(q) & 0x0f
+              q += 1
+              val tab = new Array[Int](64)
+              var i = 0
+              while (i < 64) {
+                tab(i) = if (pq == 1) { val v = be16(b, q); q += 2; v }
+                else { val v = b(q) & 0xff; q += 1; v }
+                i += 1
+              }
+              qt(tq) = tab
+            }
+          case 0xc4 => // DHT — one or more tables
+            var q = seg
+            while (q < segEnd) {
+              val tc = (b(q) & 0xff) >> 4
+              val th = b(q) & 0x0f
+              q += 1
+              val bits = new Array[Int](17)
+              var total = 0
+              var i = 1
+              while (i <= 16) { bits(i) = b(q + i - 1) & 0xff; total += bits(i); i += 1 }
+              q += 16
+              val vals = new Array[Byte](total)
+              System.arraycopy(b, q, vals, 0, total)
+              q += total
+              val h = new Huff(bits, vals)
+              if (tc == 0) dcH(th) = h else acH(th) = h
+            }
+          case 0xc0 | 0xc1 => // SOF0/SOF1 baseline
+            if ((b(seg) & 0xff) != 8) return None // 8-bit precision only
+            height = be16(b, seg + 1)
+            width = be16(b, seg + 3)
+            nc = b(seg + 5) & 0xff
+            if (width <= 0 || height <= 0 || (nc != 1 && nc != 3)) return None
+            comps = Array.fill(nc)(new Comp)
+            var i = 0
+            while (i < nc) {
+              val o = seg + 6 + 3 * i
+              comps(i).h = (b(o + 1) & 0xff) >> 4
+              comps(i).v = b(o + 1) & 0x0f
+              comps(i).tq = b(o + 2) & 0xff
+              if (comps(i).h < 1 || comps(i).h > 4 || comps(i).v < 1 || comps(i).v > 4)
+                return None
+              i += 1
+            }
+            sofSeen = true
+          case 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb | 0xcd | 0xce | 0xcf =>
+            return None // progressive / lossless / arithmetic: unsupported
+          case 0xdd => restartInterval = be16(b, seg)
+          case 0xda => // SOS
+            if (!sofSeen) return None
+            val ns = b(seg) & 0xff
+            if (ns != nc) return None // non-interleaved multi-scan unsupported
+            var i = 0
+            while (i < ns) {
+              val cs = b(seg + 1 + 2 * i) & 0xff
+              val tt = b(seg + 2 + 2 * i) & 0xff
+              // component ids are 1-based in our SOF order by convention;
+              // match by position when ids are unusual
+              val idx = if (i < nc) i else return None
+              val _ = cs
+              comps(idx).dcTab = tt >> 4
+              comps(idx).acTab = tt & 0x0f
+              i += 1
+            }
+            scanStart = segEnd
+          case _ => // APPn, COM, others: skip
+        }
+        if (scanStart < 0) p = segEnd
+      }
+    }
+    if (scanStart < 0) return None
+
+    var hMax = 1; var vMax = 1
+    comps.foreach { c => if (c.h > hMax) hMax = c.h; if (c.v > vMax) vMax = c.v }
+    val mcusX = (width + 8 * hMax - 1) / (8 * hMax)
+    val mcusY = (height + 8 * vMax - 1) / (8 * vMax)
+    comps.foreach { c =>
+      c.wb = mcusX * c.h; c.hb = mcusY * c.v
+      c.plane = new Array[Int](c.wb * 8 * c.hb * 8)
+    }
+
+    val rd = new Reader(b, scanStart)
+    val coef = new Array[Int](64)
+    val pix = new Array[Int](64)
+    var mcu = 0
+    val nMcus = mcusX * mcusY
+    while (mcu < nMcus) {
+      if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+        if (!rd.restart()) return None
+        comps.foreach(_.pred = 0)
+      }
+      val mx = mcu % mcusX
+      val my = mcu / mcusX
+      var ci = 0
+      while (ci < nc) {
+        val c = comps(ci)
+        val dct = dcH(c.dcTab); val act = acH(c.acTab); val q = qt(c.tq)
+        if (dct == null || act == null || q == null) return None
+        var bv = 0
+        while (bv < c.v) {
+          var bh = 0
+          while (bh < c.h) {
+            // entropy-decode one block into natural-order coefficients
+            java.util.Arrays.fill(coef, 0)
+            val t = rd.decode(dct)
+            val diff = extend(rd.receive(t), t)
+            c.pred += diff
+            coef(0) = c.pred * q(0)
+            var k = 1
+            var done = false
+            while (!done && k < 64) {
+              val rs = rd.decode(act)
+              val r = rs >> 4; val s = rs & 0x0f
+              if (s == 0) { if (r == 15) k += 16 else done = true }
+              else {
+                k += r
+                if (k > 63) return None
+                coef(Zigzag(k)) = extend(rd.receive(s), s) * q(k)
+                k += 1
+              }
+            }
+            idct(coef, pix)
+            // place block at (mx*c.h + bh, my*c.v + bv) in the plane
+            val bx0 = (mx * c.h + bh) * 8
+            val by0 = (my * c.v + bv) * 8
+            val pw = c.wb * 8
+            var y = 0
+            while (y < 8) {
+              var x = 0
+              while (x < 8) {
+                c.plane((by0 + y) * pw + bx0 + x) = pix(y * 8 + x)
+                x += 1
+              }
+              y += 1
+            }
+            bh += 1
+          }
+          bv += 1
+        }
+        ci += 1
+      }
+      mcu += 1
+    }
+
+    Some(new Decoded(width, height, nc, comps, hMax, vMax))
+  }
+
+  private def clamp(v: Int): Int = if (v < 0) 0 else if (v > 255) 255 else v
+
+  /** Separable 2-D IDCT + level shift + clamp: natural-order coef →
+    * 8×8 pixels. Double-precision basis; the ±0.5 rounding boundary is
+    * what the spec's ±1 ImageIO tolerance absorbs on real photos, while
+    * DC-only blocks (the gated plant) land exactly.
+    */
+  private def idct(coef: Array[Int], out: Array[Int]): Unit = {
+    val tmp = new Array[Double](64)
+    // rows: for each vertical frequency v, transform the 8 horizontal freqs
+    var v = 0
+    while (v < 8) {
+      var x = 0
+      while (x < 8) {
+        var s = 0.0
+        var u = 0
+        while (u < 8) { s += coef(v * 8 + u) * Cos(x)(u); u += 1 }
+        tmp(v * 8 + x) = s
+        x += 1
+      }
+      v += 1
+    }
+    // columns
+    var x = 0
+    while (x < 8) {
+      var y = 0
+      while (y < 8) {
+        var s = 0.0
+        var vv = 0
+        while (vv < 8) { s += tmp(vv * 8 + x) * Cos(y)(vv); vv += 1 }
+        out(y * 8 + x) = clamp(Math.round(s).toInt + 128)
+        y += 1
+      }
+      x += 1
+    }
+  }
+}
