@@ -47,6 +47,7 @@ object SparkEntry {
       (graft.text.Retrieval.queries, graft.text.Retrieval.oracleSql),
       (graft.text.Dsir.queries, graft.text.Dsir.oracleSql),
       (graft.text.Unigram.queries, graft.text.Unigram.oracleSql),
+      (graft.text.Blocklist.queries, graft.text.Blocklist.oracleSql),
       (graft.pipelines.Hygiene.queries, graft.pipelines.Hygiene.oracleSql),
       (AsofJoin.queries, AsofJoin.oracleSql),
       (DateParse.queries, DateParse.oracleSql),

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.text.Blocklist
+
+class BlocklistSpec extends SparkSuite {
+
+  private def bruteCount(text: String, p: String): Int =
+    (0 to text.length - p.length).count(i => text.regionMatches(i, p, 0, p.length))
+
+  test("hand-built cases: overlap, prefix-of-pattern outputs, misses") {
+    import spark.implicits._
+    val rows = Seq(
+      "a a a scan slow fast",  // "a a"×2 (overlapping), scan, scan slow, fast
+      "table table table",     // "table table"×2 overlapping
+      "nothing here",
+      "sparkspark")            // "spark"×2, no separator needed
+      .toDF("text")
+      .select(Blocklist.multiMatch(col("text"), Blocklist.Patterns).as("m"))
+      .select("m.*").collect()
+    // doc 0: a a(2) + scan(1) + scan slow(1) + fast(1) = 5 hits, 4 patterns
+    assert(rows(0).getLong(0) == 5 && rows(0).getInt(1) == 4)
+    // doc 1: table table at offsets 0 and 6 = 2 hits, 1 pattern
+    assert(rows(1).getLong(0) == 2 && rows(1).getInt(1) == 1)
+    assert(rows(2).getLong(0) == 0 && rows(2).getInt(1) == 0)
+    assert(rows(3).getLong(0) == 2 && rows(3).getInt(1) == 1)
+  }
+
+  test("matches brute-force overlapping counts on the fixture") {
+    val docs = graft.Tables.documents(spark, Sf)
+      .select("doc_id", "text").limit(50).collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1)).getOrElse("")).toMap
+    val got = Blocklist.blocklistHits(spark, Sf)
+      .filter(col("doc_id").isin(docs.keys.toSeq: _*)).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+    assert(got.size == docs.size)
+    docs.foreach { case (id, text) =>
+      val perPat = Blocklist.Patterns.map(p => bruteCount(text, p))
+      val expHits = perPat.map(_.toLong).sum
+      val expPats = perPat.count(_ > 0)
+      assert(got(id) == ((expHits, expPats)), s"doc $id")
+    }
+  }
+
+  test("foldable pattern side builds the automaton once per scan, not per row") {
+    val before = classOf[graft.plans.MultiMatch].getDeclaredMethods // touch class
+    val counter = {
+      val f = graft.plans.MultiMatch.getClass.getDeclaredField("autoBuilds")
+      f.setAccessible(true)
+      f.get(graft.plans.MultiMatch).asInstanceOf[java.util.concurrent.atomic.AtomicLong]
+    }
+    val start = counter.get()
+    Blocklist.blocklistHits(spark, Sf).agg(sum("n_hits")).collect()
+    val builds = counter.get() - start
+    val rows = graft.Tables.documents(spark, Sf).count()
+    assert(builds < rows / 2,
+      s"automaton built $builds times for $rows rows — the hoist is broken")
+    assert(before.nonEmpty)
+  }
+
+  test("plan is map-only: no key shuffle before the per-doc output") {
+    val plan = Blocklist.blocklistHits(spark, Sf).queryExecution.executedPlan.toString
+    assert(!plan.contains("hashpartitioning"), "blocklist scan must not shuffle by key")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"))
+  }
+}
