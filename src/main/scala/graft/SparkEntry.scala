@@ -48,6 +48,8 @@ object SparkEntry {
       (graft.text.Dsir.queries, graft.text.Dsir.oracleSql),
       (graft.text.Unigram.queries, graft.text.Unigram.oracleSql),
       (graft.text.Blocklist.queries, graft.text.Blocklist.oracleSql),
+      (graft.text.Canonical.queries, graft.text.Canonical.oracleSql),
+      (graft.text.Chunker.queries, graft.text.Chunker.oracleSql),
       (graft.pipelines.Hygiene.queries, graft.pipelines.Hygiene.oracleSql),
       (AsofJoin.queries, AsofJoin.oracleSql),
       (DateParse.queries, DateParse.oracleSql),

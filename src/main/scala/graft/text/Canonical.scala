@@ -1,0 +1,155 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** URL canonicalization — the normalization pass that runs BEFORE
+  * URL-level dedup in a crawl pipeline (reference: the ETL suite's URL
+  * handling; semantics per RFC 3986 §6 plus the tracking-param
+  * scrubbing every production crawler adds): lowercase scheme and host,
+  * strip the default port (:80 http, :443 https), drop the `www.`
+  * prefix and the fragment, drop tracking parameters (`utm_*`, `gclid`,
+  * `fbclid`), SORT the surviving query params (order is not meaningful
+  * per the RFC, so dedup must not split on it), empty path → `/`, and
+  * strip one trailing slash from non-root paths.
+  *
+  * Everything is composed from codegen'd string/array builtins — no
+  * UDF, no custom expression needed; per-row, shuffle-free, so it
+  * scales as a map-only pass. The DuckDB oracle implements the SAME
+  * algorithm with its own string/list functions over the SAME planted
+  * messy URLs — an independent reimplementation, not a restated
+  * constant — so the gate pins the algorithm, not the plant.
+  */
+object Canonical {
+
+  private val TrackingPrefixes = Seq("utm_", "gclid=", "fbclid=")
+
+  /** Messy-URL plant: case noise in scheme/host, default and explicit
+    * ports, www, tracking + real params in shuffled order, trailing
+    * slash, fragment — each wrinkle keyed to a different doc_id residue
+    * so the fixture covers the cross-product.
+    */
+  def plantUrl: Column = {
+    val id = col("doc_id")
+    concat(
+      when(id % 2 === 0, lit("HTTP")).otherwise(lit("https")),
+      lit("://"),
+      when(id % 3 === 0, lit("WWW.")).otherwise(lit("")),
+      lit("Host"), (id % 23).cast("string"), lit(".Example.com"),
+      when(id % 4 === 0, when(id % 2 === 0, lit(":80")).otherwise(lit(":443")))
+        .otherwise(when(id % 11 === 0, lit(":8080")).otherwise(lit(""))),
+      lit("/Path/"), id.cast("string"),
+      when(id % 5 === 0, lit("/")).otherwise(lit("")),
+      when(id % 2 === 0, lit("?utm_source=feed&b=2&a=1"))
+        .otherwise(when(id % 7 === 0, lit("?z=9&gclid=abc&a=1")).otherwise(lit(""))),
+      when(id % 6 === 0, lit("#section-3")).otherwise(lit("")))
+  }
+
+  def plantUrlSql: String =
+    s"""SELECT doc_id,
+       |  (CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END) || '://' ||
+       |  (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END) ||
+       |  'Host' || CAST(doc_id % 23 AS VARCHAR) || '.Example.com' ||
+       |  (CASE WHEN doc_id % 4 = 0
+       |        THEN CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END
+       |        ELSE CASE WHEN doc_id % 11 = 0 THEN ':8080' ELSE '' END END) ||
+       |  '/Path/' || CAST(doc_id AS VARCHAR) ||
+       |  (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END) ||
+       |  (CASE WHEN doc_id % 2 = 0 THEN '?utm_source=feed&b=2&a=1'
+       |        WHEN doc_id % 7 = 0 THEN '?z=9&gclid=abc&a=1' ELSE '' END) ||
+       |  (CASE WHEN doc_id % 6 = 0 THEN '#section-3' ELSE '' END) AS url
+       |FROM documents""".stripMargin
+
+  /** Canonicalize a `url` column on a frame: staged projections (each
+    * intermediate is a named column, so the plan stays readable and
+    * every step is a codegen'd builtin), collapsed by Catalyst's
+    * CollapseProject into one map stage.
+    */
+  def canonicalize(df: DataFrame): DataFrame =
+    df
+      .withColumn("scheme", lower(regexp_extract(col("url"), "^([A-Za-z]+)://", 1)))
+      .withColumn("hostport", lower(regexp_extract(col("url"), "^[A-Za-z]+://([^/?#]+)", 1)))
+      .withColumn("rest", regexp_extract(col("url"), "^[A-Za-z]+://[^/?#]+([^#]*)", 1))
+      .withColumn("h", when(col("hostport").startsWith("www."),
+        expr("substring(hostport, 5)")).otherwise(col("hostport")))
+      .withColumn("host",
+        when(col("scheme") === "http" && col("h").endsWith(":80"),
+          expr("substring(h, 1, length(h) - 3)"))
+          .when(col("scheme") === "https" && col("h").endsWith(":443"),
+            expr("substring(h, 1, length(h) - 4)"))
+          .otherwise(col("h")))
+      .withColumn("rawpath", when(instr(col("rest"), "?") > 0,
+        expr("substring(rest, 1, instr(rest, '?') - 1)")).otherwise(col("rest")))
+      .withColumn("rawq", when(instr(col("rest"), "?") > 0,
+        expr("substring(rest, instr(rest, '?') + 1)")).otherwise(lit("")))
+      .withColumn("path",
+        when(col("rawpath") === "", lit("/"))
+          .when(col("rawpath") =!= lit("/") && col("rawpath").endsWith("/"),
+            expr("substring(rawpath, 1, length(rawpath) - 1)"))
+          .otherwise(col("rawpath")))
+      .withColumn("q", array_join(
+        sort_array(filter(split(col("rawq"), "&"), p =>
+          p =!= "" && !TrackingPrefixes.map(t => p.startsWith(t)).reduce(_ || _))),
+        "&"))
+      .withColumn("canon",
+        concat(col("scheme"), lit("://"), col("host"), col("path"),
+          when(col("q") === "", lit("")).otherwise(concat(lit("?"), col("q")))))
+
+  /** (doc_id, canon) — plant messy URLs, canonicalize. */
+  def canonicalUrls(spark: SparkSession, dir: String): DataFrame =
+    canonicalize(
+      graft.ops.ScaleOps.widen(Tables.documents(spark, dir))
+        .select(col("doc_id"), plantUrl.as("url")))
+      .select("doc_id", "canon")
+
+  def canonicalOracle: String =
+    s"""WITH planted AS (${plantUrlSql}),
+       |parts AS (
+       |  SELECT doc_id,
+       |    lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
+       |    lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1)) AS hostport,
+       |    regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^#]*)', 1) AS rest
+       |  FROM planted),
+       |hosted AS (
+       |  SELECT doc_id, scheme, rest,
+       |    CASE WHEN starts_with(hostport, 'www.') THEN substr(hostport, 5)
+       |         ELSE hostport END AS h
+       |  FROM parts),
+       |ported AS (
+       |  SELECT doc_id, scheme, rest,
+       |    CASE WHEN scheme = 'http' AND h LIKE '%:80' THEN substr(h, 1, length(h) - 3)
+       |         WHEN scheme = 'https' AND h LIKE '%:443' THEN substr(h, 1, length(h) - 4)
+       |         ELSE h END AS host
+       |  FROM hosted),
+       |pathq AS (
+       |  SELECT doc_id, scheme, host,
+       |    CASE WHEN instr(rest, '?') > 0 THEN substr(rest, 1, instr(rest, '?') - 1)
+       |         ELSE rest END AS rawpath,
+       |    CASE WHEN instr(rest, '?') > 0 THEN substr(rest, instr(rest, '?') + 1)
+       |         ELSE '' END AS rawq
+       |  FROM ported),
+       |normed AS (
+       |  SELECT doc_id, scheme, host,
+       |    CASE WHEN rawpath = '' THEN '/'
+       |         WHEN rawpath <> '/' AND rawpath LIKE '%/'
+       |           THEN substr(rawpath, 1, length(rawpath) - 1)
+       |         ELSE rawpath END AS path,
+       |    -- array_to_string([]) is NULL in DuckDB but '' in Spark: coalesce
+       |    COALESCE(array_to_string(list_sort(list_filter(string_split(rawq, '&'),
+       |      p -> p <> '' AND NOT starts_with(p, 'utm_')
+       |        AND NOT starts_with(p, 'gclid=') AND NOT starts_with(p, 'fbclid='))),
+       |      '&'), '') AS q
+       |  FROM pathq)
+       |SELECT doc_id,
+       |  scheme || '://' || host || path ||
+       |  CASE WHEN q = '' THEN '' ELSE '?' || q END AS canon
+       |FROM normed""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_url_canonical" -> ((s, dir) => canonicalUrls(s, dir)))
+
+  def oracleSql: Map[String, String] = Map(
+    "q_url_canonical" -> canonicalOracle)
+}
