@@ -50,6 +50,8 @@ object SparkEntry {
       (graft.text.Blocklist.queries, graft.text.Blocklist.oracleSql),
       (graft.text.Canonical.queries, graft.text.Canonical.oracleSql),
       (graft.text.Chunker.queries, graft.text.Chunker.oracleSql),
+      (graft.text.Unicode.queries, graft.text.Unicode.oracleSql),
+      (graft.sources.Warc.queries, graft.sources.Warc.oracleSql),
       (graft.pipelines.Hygiene.queries, graft.pipelines.Hygiene.oracleSql),
       (AsofJoin.queries, AsofJoin.oracleSql),
       (DateParse.queries, DateParse.oracleSql),
