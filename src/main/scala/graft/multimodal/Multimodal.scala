@@ -302,6 +302,50 @@ object Multimodal {
        |         k -> (doc_id * 37 + k * 59) % 256)) AS INTEGER) AS peak
        |FROM documents""".stripMargin
 
+  /** (doc_id, format) — route 13 planted blob kinds through
+    * [[graft.plans.MagicFormat]]: real plants where the repo has them
+    * (gzip via the actual Deflater, WAV/MP4/WARC via their planting
+    * expressions), published signature prefixes elsewhere; `doc_id %
+    * 13` picks the kind and the oracle restates it, so a signature
+    * offset slip (RIFF subtype at 8, ftyp at 4) breaks the gate.
+    */
+  def magicFormats(spark: SparkSession, dir: String): DataFrame = {
+    val k = col("doc_id") % 13
+    def gz(c: Column) = org.apache.spark.sql.GraftColumnShim.column(
+      graft.plans.GzipBytes(org.apache.spark.sql.GraftColumnShim.expression(c)))
+    val blob =
+      when(k === 0, unhex(lit("89504E470D0A1A0A99"))) // png signature
+        .when(k === 1, lit("GIF89a junk").cast("binary"))
+        .when(k === 2, unhex(lit("FFD8FFE000104A46")))  // jpeg SOI+APP0
+        .when(k === 3, lit("%PDF-1.7 stub").cast("binary"))
+        .when(k === 4, gz(coalesce(col("text"), lit("x")))) // real gzip bytes
+        .when(k === 5, unhex(lit("504B0304140000")))    // zip local header
+        .when(k === 6, plantWav)                         // real RIFF/WAVE
+        .when(k === 7, concat(lit("RIFF").cast("binary"), unhex(lit("24000000")),
+          lit("AVI LIST").cast("binary")))
+        .when(k === 8, plantMp4)                         // real ISO-BMFF
+        .when(k === 9, lit("WARC/1.0\r\n").cast("binary"))
+        .when(k === 10, lit("<?xml version=\"1.0\"?>").cast("binary"))
+        .when(k === 11, unhex(lit("EFBBBF68690A")))     // UTF-8 BOM + "hi"
+        .otherwise(lit("plain old text").cast("binary"))
+    graft.ops.ScaleOps.widen(Tables.documents(spark, dir))
+      .select(col("doc_id"), blob.as("content"))
+      .select(col("doc_id"),
+        org.apache.spark.sql.GraftColumnShim.column(
+          graft.plans.MagicFormat(
+            org.apache.spark.sql.GraftColumnShim.expression(col("content")))).as("format"))
+  }
+
+  def magicOracle: String =
+    s"""SELECT doc_id,
+       |  CASE doc_id % 13
+       |    WHEN 0 THEN 'png' WHEN 1 THEN 'gif' WHEN 2 THEN 'jpeg'
+       |    WHEN 3 THEN 'pdf' WHEN 4 THEN 'gzip' WHEN 5 THEN 'zip'
+       |    WHEN 6 THEN 'wav' WHEN 7 THEN 'avi' WHEN 8 THEN 'mp4'
+       |    WHEN 9 THEN 'warc' WHEN 10 THEN 'xml' WHEN 11 THEN 'text-bom'
+       |    ELSE 'unknown' END AS format
+       |FROM documents""".stripMargin
+
   /** Big-endian hex renderings for ISO-BMFF plants (MP4 is big-endian,
     * unlike RIFF).
     */
@@ -577,6 +621,7 @@ object Multimodal {
     "q_multimodal_audio" -> ((s, dir) => audioHeaderDecode(s, dir)),
     "q_multimodal_video" -> ((s, dir) => videoHeaderDecode(s, dir)),
     "q_multimodal_jpeg" -> ((s, dir) => jpegStats(s, dir)),
+    "q_magic_format" -> ((s, dir) => magicFormats(s, dir)),
     "q_multimodal_decode" -> ((s, dir) => headerDecode(s, dir)),
     "q_multimodal_features" -> ((s, dir) =>
       mediaFeatures(s, dir).select(
@@ -595,6 +640,7 @@ object Multimodal {
     "q_multimodal_audio" -> audioHeaderOracle,
     "q_multimodal_video" -> videoHeaderOracle,
     "q_multimodal_jpeg" -> jpegStatsOracle,
+    "q_magic_format" -> magicOracle,
     "q_multimodal_decode" -> headerOracle,
     "q_multimodal_features" ->
       s"""SELECT doc_id AS media_id,

@@ -21,8 +21,10 @@ object Warc {
 
   private val Crlf = "\r\n"
 
-  /** Three concatenated records per document. */
-  def plantWarc: Column = {
+  /** The three per-document records, separately (the gzip gate wraps
+    * each in its OWN member, the CommonCrawl layout).
+    */
+  def plantRecords: Seq[Column] = {
     val id = col("doc_id")
     val text = coalesce(col("text"), lit(""))
     val uri = concat(lit("http://host"), (id % 23).cast("string"),
@@ -45,8 +47,44 @@ object Warc {
     val r2 = rec(
       lit("WARC-Type: conversion" + Crlf), // no URI header → null uri
       upper(substring(text, 1, 40)))
-    concat(r0, r1, r2)
+    Seq(r0, r1, r2)
   }
+
+  /** Three concatenated records per document. */
+  def plantWarc: Column = concat(plantRecords: _*)
+
+  private def gzipped(c: Column): Column =
+    org.apache.spark.sql.GraftColumnShim.column(
+      graft.plans.GzipBytes(
+        org.apache.spark.sql.GraftColumnShim.expression(c)))
+
+  private def gunzipped(c: Column): Column =
+    org.apache.spark.sql.GraftColumnShim.column(
+      graft.plans.GunzipText(
+        org.apache.spark.sql.GraftColumnShim.expression(c)))
+
+  /** The `.warc.gz` path: each record its OWN gzip member, members
+    * concatenated (the CommonCrawl shard layout — a single-member
+    * reader drops the tail), decoded multi-member, then the SAME walk
+    * and the SAME oracle as [[warcRecords]]: compression must be
+    * content-transparent end to end.
+    */
+  def warcGzipRecords(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.ScaleOps.widen(Tables.documents(spark, dir))
+      .select(col("doc_id"),
+        concat(plantRecords.map(gzipped): _*).as("gz"))
+      .select(col("doc_id"),
+        org.apache.spark.sql.GraftColumnShim.column(
+          graft.plans.WarcRecords(
+            org.apache.spark.sql.GraftColumnShim.expression(
+              gunzipped(col("gz"))))).as("recs"))
+      .select(col("doc_id"), posexplode(col("recs")).as(Seq("rec_idx", "r")))
+      .select(col("doc_id"),
+        col("rec_idx").cast("int").as("rec_idx"),
+        col("r").getField("rec_type").as("rec_type"),
+        col("r").getField("uri").as("uri"),
+        col("r").getField("content_length").as("content_length"),
+        col("r").getField("payload").as("payload"))
 
   /** (doc_id, rec_idx, rec_type, uri, content_length, payload). */
   def warcRecords(spark: SparkSession, dir: String): DataFrame =
@@ -83,8 +121,12 @@ object Warc {
        |FROM e""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_warc_records" -> ((s, dir) => warcRecords(s, dir)))
+    "q_warc_records" -> ((s, dir) => warcRecords(s, dir)),
+    "q_warc_gzip" -> ((s, dir) => warcGzipRecords(s, dir)))
 
   def oracleSql: Map[String, String] = Map(
-    "q_warc_records" -> warcOracle)
+    "q_warc_records" -> warcOracle,
+    // compression is content-transparent: the gz path answers to the
+    // identical oracle
+    "q_warc_gzip" -> warcOracle)
 }

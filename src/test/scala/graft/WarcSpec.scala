@@ -56,6 +56,46 @@ class WarcSpec extends SparkSuite {
       rows(0).getAs[String]("payload").take(40).toUpperCase)
   }
 
+  test("warc.gz path: per-record gzip members decode to the identical record set") {
+    val plain = Warc.warcRecords(spark, Sf).orderBy("doc_id", "rec_idx").collect()
+    val gz = Warc.warcGzipRecords(spark, Sf).orderBy("doc_id", "rec_idx").collect()
+    assert(plain.length == gz.length && plain.length > 0)
+    plain.zip(gz).foreach { case (a, b) => assert(a == b) }
+  }
+
+  test("gunzip: multi-member concatenation, garbage, and bomb cap") {
+    import spark.implicits._
+    def gunzip(b: Array[Byte]): Option[String] = {
+      val r = Seq(b).toDF("b").select(
+        org.apache.spark.sql.GraftColumnShim.column(
+          graft.plans.GunzipText(
+            org.apache.spark.sql.GraftColumnShim.expression(col("b"))))).collect()(0)
+      if (r.isNullAt(0)) None else Some(r.getString(0))
+    }
+    import org.apache.spark.unsafe.types.UTF8String
+    val m1 = graft.plans.GzipBytes.gzip(UTF8String.fromString("hello "))
+    val m2 = graft.plans.GzipBytes.gzip(UTF8String.fromString("world"))
+    assert(gunzip(m1 ++ m2).contains("hello world"), "all members must decode")
+    assert(gunzip("not gzip".getBytes).isEmpty)
+    assert(gunzip(m1.dropRight(3)).isEmpty, "truncated member -> null")
+    // decompression bomb: > 64 MiB of output from a tiny input
+    val bomb = graft.plans.GzipBytes.gzip(
+      UTF8String.fromString("a" * (graft.plans.GunzipText.MaxOutputBytes + 1024)))
+    assert(bomb.length < (1 << 20), "bomb input itself must be small")
+    assert(gunzip(bomb).isEmpty, "over-cap output -> null, not OOM")
+  }
+
+  test("magic sniffing routes all 13 planted kinds") {
+    val rows = graft.multimodal.Multimodal.magicFormats(spark, Sf)
+      .orderBy("doc_id").limit(40).collect()
+    val exp = Seq("png", "gif", "jpeg", "pdf", "gzip", "zip", "wav", "avi",
+      "mp4", "warc", "xml", "text-bom", "unknown")
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[String]("format") == exp((id % 13).toInt), s"doc $id")
+    }
+  }
+
   test("plan is map + explode, no shuffle") {
     val plan = Warc.warcRecords(spark, Sf).queryExecution.executedPlan.toString
     assert(!plan.contains("hashpartitioning"))
