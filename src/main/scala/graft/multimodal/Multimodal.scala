@@ -302,6 +302,48 @@ object Multimodal {
        |         k -> (doc_id * 37 + k * 59) % 256)) AS INTEGER) AS peak
        |FROM documents""".stripMargin
 
+  /** (media_id, n_frames, n_bad, width, height, n_pixels, sum_gray,
+    * peak) — REAL video frame decode for MJPEG-in-AVI: the RIFF walk
+    * finds `movi`, every `00dc` frame runs the full JPEG pipeline
+    * ([[graft.plans.AviFrames]]), and the per-stream fold is what a
+    * video quality filter reads. DC-exact salted frames keep the lossy
+    * stream closed-form in doc_id; the oracle restates all frames'
+    * pixel arithmetic (nested list_transform + flatten).
+    */
+  def videoFrameStats(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.ScaleOps.widen(Tables.documents(spark, dir))
+      .select(col("doc_id").as("media_id"),
+        org.apache.spark.sql.GraftColumnShim.column(
+          graft.plans.AviPlant(
+            org.apache.spark.sql.GraftColumnShim.expression(col("doc_id")))).as("content"))
+      .select(col("media_id"),
+        org.apache.spark.sql.GraftColumnShim.column(
+          graft.plans.AviFrames(
+            org.apache.spark.sql.GraftColumnShim.expression(col("content")))).as("s"))
+      .select(col("media_id"),
+        col("s").getField("n_frames").as("n_frames"),
+        col("s").getField("n_bad").as("n_bad"),
+        col("s").getField("width").as("width"),
+        col("s").getField("height").as("height"),
+        col("s").getField("n_pixels").as("n_pixels"),
+        col("s").getField("sum_gray").as("sum_gray"),
+        col("s").getField("peak").as("peak"))
+
+  def videoFrameOracle: String =
+    s"""SELECT doc_id AS media_id,
+       |  CAST(2 + doc_id % 3 AS INTEGER) AS n_frames,
+       |  CAST(0 AS INTEGER) AS n_bad,
+       |  CAST(8 * (1 + doc_id % 4) AS INTEGER) AS width,
+       |  CAST(8 * (1 + doc_id % 3) AS INTEGER) AS height,
+       |  CAST((2 + doc_id % 3) * 64 * (1 + doc_id % 4) * (1 + doc_id % 3) AS BIGINT) AS n_pixels,
+       |  CAST(64 * list_sum(flatten(list_transform(range(2 + doc_id % 3), f ->
+       |    list_transform(range((1 + doc_id % 4) * (1 + doc_id % 3)),
+       |      k -> (doc_id * 37 + f * 101 + k * 59) % 256)))) AS BIGINT) AS sum_gray,
+       |  CAST(list_max(flatten(list_transform(range(2 + doc_id % 3), f ->
+       |    list_transform(range((1 + doc_id % 4) * (1 + doc_id % 3)),
+       |      k -> (doc_id * 37 + f * 101 + k * 59) % 256)))) AS INTEGER) AS peak
+       |FROM documents""".stripMargin
+
   /** (doc_id, format) — route 13 planted blob kinds through
     * [[graft.plans.MagicFormat]]: real plants where the repo has them
     * (gzip via the actual Deflater, WAV/MP4/WARC via their planting
@@ -622,6 +664,7 @@ object Multimodal {
     "q_multimodal_video" -> ((s, dir) => videoHeaderDecode(s, dir)),
     "q_multimodal_jpeg" -> ((s, dir) => jpegStats(s, dir)),
     "q_magic_format" -> ((s, dir) => magicFormats(s, dir)),
+    "q_video_frames" -> ((s, dir) => videoFrameStats(s, dir)),
     "q_multimodal_decode" -> ((s, dir) => headerDecode(s, dir)),
     "q_multimodal_features" -> ((s, dir) =>
       mediaFeatures(s, dir).select(
@@ -641,6 +684,7 @@ object Multimodal {
     "q_multimodal_video" -> videoHeaderOracle,
     "q_multimodal_jpeg" -> jpegStatsOracle,
     "q_magic_format" -> magicOracle,
+    "q_video_frames" -> videoFrameOracle,
     "q_multimodal_decode" -> headerOracle,
     "q_multimodal_features" ->
       s"""SELECT doc_id AS media_id,

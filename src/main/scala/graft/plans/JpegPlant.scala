@@ -48,8 +48,14 @@ object JpegPlant {
   def widthBlocksOf(docId: Long): Int = (1 + docId % 4).toInt
   def heightBlocksOf(docId: Long): Int = (1 + docId % 3).toInt
 
-  /** Solid value of block k (row-major) — restated by the oracle. */
-  def blockValOf(docId: Long, k: Int): Int = ((docId * 37 + k.toLong * 59) % 256).toInt
+  /** Solid value of block k (row-major) — restated by the oracle. The
+    * `salt` varies pixel content across MJPEG video frames while dims
+    * stay fixed by docId (frames of one stream share geometry);
+    * salt == 0 is the still-image gate's formula.
+    */
+  def blockValOf(docId: Long, k: Int): Int = blockValOf(docId, 0, k)
+  def blockValOf(docId: Long, salt: Int, k: Int): Int =
+    ((docId * 37 + salt.toLong * 101 + k.toLong * 59) % 256).toInt
 
   /** Annex K Table K.3 — luminance DC: code lengths and symbols. */
   private val DcBits = Array(0, 0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
@@ -115,7 +121,12 @@ object JpegPlant {
   }
 
   /** Static so generated code calls it directly. */
-  def encode(docId: Long): Array[Byte] = {
+  def encode(docId: Long): Array[Byte] = encodeFrame(docId, 0)
+
+  /** One MJPEG frame: geometry from docId, content salted by frame
+    * index — see [[AviPlant]].
+    */
+  def encodeFrame(docId: Long, salt: Int): Array[Byte] = {
     val wb = widthBlocksOf(docId)
     val hb = heightBlocksOf(docId)
     val w = wb * 8; val h = hb * 8
@@ -151,7 +162,7 @@ object JpegPlant {
         rstIdx += 1
         pred = 0
       }
-      val v = blockValOf(docId, k)
+      val v = blockValOf(docId, salt, k)
       val dc = v - 128 // quantized DC: round(8(v-128)/8)
       val diff = dc - pred
       pred = dc
