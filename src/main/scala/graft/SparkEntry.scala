@@ -52,6 +52,7 @@ object SparkEntry {
       (graft.text.Chunker.queries, graft.text.Chunker.oracleSql),
       (graft.text.Unicode.queries, graft.text.Unicode.oracleSql),
       (graft.sources.Warc.queries, graft.sources.Warc.oracleSql),
+      (graft.text.Robots.queries, graft.text.Robots.oracleSql),
       (graft.pipelines.Hygiene.queries, graft.pipelines.Hygiene.oracleSql),
       (AsofJoin.queries, AsofJoin.oracleSql),
       (DateParse.queries, DateParse.oracleSql),

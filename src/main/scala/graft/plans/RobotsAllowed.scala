@@ -1,0 +1,120 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression}
+import org.apache.spark.sql.types.{DataType, IntegerType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** robots.txt evaluation (RFC 9309 core) — the crawl-politeness gate a
+  * pipeline applies before fetching, and re-applies when FILTERING an
+  * already-crawled corpus against the current exclusion state:
+  * `robots_allowed(robots_txt, agent, path)` → 1/0.
+  *
+  * Semantics implemented (the RFC's normative core):
+  * - groups: one or more `User-agent` lines followed by rules; the
+  *   most specific matching group applies — the agent's own group if
+  *   any line names it (case-insensitive product token match),
+  *   otherwise the `*` group; NON-matching groups are ignored entirely.
+  * - rules: `Allow`/`Disallow` path prefixes, matched
+  *   case-sensitively; the LONGEST matching prefix wins; at equal
+  *   length Allow wins; no matching rule → allowed. An empty
+  *   `Disallow:` matches nothing (the classic allow-all idiom).
+  * - lines: directives case-insensitive, `#` comments stripped,
+  *   whitespace trimmed, unknown directives skipped.
+  * Declared deviation: `*`/`$` wildcard patterns are not implemented
+  * (prefix rules only — the pre-wildcard REP the majority of robots
+  * files still use); a file using them should be routed to a fuller
+  * matcher.
+  *
+  * Per-row parse (robots text is per-row DATA — the per-domain join
+  * output — never a foldable model, so there is nothing to hoist);
+  * per-row cost is one line scan + one rule scan. Shuffle-free,
+  * whole-stage codegen.
+  */
+case class RobotsAllowed(first: Expression, second: Expression, third: Expression)
+  extends TernaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (StringType, StringType, StringType) => TypeCheckResult.TypeCheckSuccess
+      case (a, b, c) => TypeCheckResult.TypeCheckFailure(
+        s"robots_allowed requires (string, string, string), got $a, $b, $c")
+    }
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "robots_allowed"
+
+  override def nullSafeEval(robots: Any, agent: Any, path: Any): Any =
+    RobotsAllowed.allowed(robots.asInstanceOf[UTF8String].toString,
+      agent.asInstanceOf[UTF8String].toString,
+      path.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (r, a, p) =>
+      s"graft.plans.RobotsAllowed.allowed($r.toString(), $a.toString(), $p.toString())")
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression =
+    copy(first = f, second = s, third = t)
+}
+
+object RobotsAllowed {
+
+  /** Static so generated code calls it directly. */
+  def allowed(robots: String, agent: String, path: String): Int = {
+    // parse into (groupAgents, rules) runs
+    val lines = robots.split("\n", -1)
+    val agentLc = agent.toLowerCase(java.util.Locale.ROOT)
+    // pass 1: does ANY group name this agent?
+    var hasOwn = false
+    var i = 0
+    while (i < lines.length && !hasOwn) {
+      val (dir, value) = directive(lines(i))
+      if (dir == "user-agent" && value.toLowerCase(java.util.Locale.ROOT) == agentLc)
+        hasOwn = true
+      i += 1
+    }
+    val wanted = if (hasOwn) agentLc else "*"
+    // pass 2: evaluate rules inside groups whose agent set contains `wanted`
+    var bestLen = -1
+    var bestAllow = true
+    var inAgents = false    // currently reading consecutive User-agent lines
+    var groupActive = false // current group names `wanted`
+    i = 0
+    while (i < lines.length) {
+      val (dir, value) = directive(lines(i))
+      if (dir == "user-agent") {
+        if (!inAgents) { inAgents = true; groupActive = false } // new group starts
+        if (value.toLowerCase(java.util.Locale.ROOT) == wanted) groupActive = true
+      } else if (dir == "allow" || dir == "disallow") {
+        inAgents = false
+        // empty Disallow matches nothing; empty Allow likewise (no effect)
+        if (groupActive && value.nonEmpty && path.startsWith(value)) {
+          val isAllow = dir == "allow"
+          if (value.length > bestLen || (value.length == bestLen && isAllow && !bestAllow)) {
+            if (value.length > bestLen) { bestLen = value.length; bestAllow = isAllow }
+            else bestAllow = true // tie → Allow wins
+          }
+        }
+      } else if (dir != null) {
+        inAgents = false // any other directive ends the agent-line run
+      }
+      i += 1
+    }
+    if (bestLen < 0 || bestAllow) 1 else 0
+  }
+
+  /** (lowercased directive, trimmed value) or (null, null) for blank /
+    * comment-only / malformed lines.
+    */
+  private def directive(raw: String): (String, String) = {
+    val hash = raw.indexOf('#')
+    val line = (if (hash >= 0) raw.substring(0, hash) else raw).trim
+    if (line.isEmpty) return (null, null)
+    val colon = line.indexOf(':')
+    if (colon < 0) return (null, null)
+    (line.substring(0, colon).trim.toLowerCase(java.util.Locale.ROOT),
+      line.substring(colon + 1).trim)
+  }
+}

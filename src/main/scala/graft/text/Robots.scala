@@ -1,0 +1,140 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Crawl-politeness evaluation over per-domain robots.txt (see
+  * [[graft.plans.RobotsAllowed]]) — the filter a pipeline applies when
+  * re-screening an already-crawled corpus against current exclusion
+  * rules. The DuckDB oracle REIMPLEMENTS the whole algorithm in SQL
+  * (line split with ordinality, comment strip, directive parse, group
+  * segmentation by user-agent runs via an IGNORE NULLS window,
+  * own-group-else-`*` selection, longest-prefix-then-Allow winner), so
+  * the gate pins RFC 9309 semantics, not a restated constant.
+  */
+object Robots {
+
+  val Agent = "graftbot"
+
+  /** Planted robots.txt: a `*` group with overlapping Allow/Disallow
+    * prefixes, a doc-varying rule, a comment, an unknown directive
+    * (Crawl-delay) and — for every third doc — a `graftbot` group that
+    * must ECLIPSE the `*` group entirely (the RFC's
+    * most-specific-group rule).
+    */
+  def plantRobots: Column = {
+    val id = col("doc_id")
+    concat(
+      lit("# graft planted robots\n"),
+      lit("User-agent: *\n"),
+      lit("Disallow: /private\n"),
+      lit("Allow: /private/pub\n"),
+      lit("Disallow: /data"), (id % 5).cast("string"), lit("\n"),
+      lit("Crawl-delay: 2\n"),
+      lit("\n"),
+      when(id % 3 === 0, lit("User-agent: graftbot\nDisallow: /bot\nAllow: /bot/ok\n"))
+        .otherwise(lit("")))
+  }
+
+  def plantPath: Column = {
+    val k = col("doc_id") % 6
+    when(k === 0, lit("/private/pub/x"))
+      .when(k === 1, lit("/private/secret"))
+      .when(k === 2, concat(lit("/data"), (col("doc_id") % 5).cast("string"), lit("/f")))
+      .when(k === 3, lit("/bot/page"))
+      .when(k === 4, lit("/public/page"))
+      .otherwise(lit("/private"))
+  }
+
+  def robotsAllowed(robots: Column, agent: Column, path: Column): Column =
+    org.apache.spark.sql.GraftColumnShim.column(
+      graft.plans.RobotsAllowed(
+        org.apache.spark.sql.GraftColumnShim.expression(robots),
+        org.apache.spark.sql.GraftColumnShim.expression(agent),
+        org.apache.spark.sql.GraftColumnShim.expression(path)))
+
+  /** (doc_id, path, allowed) for agent [[Agent]]. */
+  def crawlScreen(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.ScaleOps.widen(Tables.documents(spark, dir))
+      .select(col("doc_id"), plantRobots.as("robots"), plantPath.as("path"))
+      .select(col("doc_id"), col("path"),
+        robotsAllowed(col("robots"), lit(Agent), col("path")).as("allowed"))
+
+  def robotsOracle: String =
+    s"""WITH r AS (
+       |  SELECT doc_id,
+       |    '# graft planted robots' || chr(10) ||
+       |    'User-agent: *' || chr(10) ||
+       |    'Disallow: /private' || chr(10) ||
+       |    'Allow: /private/pub' || chr(10) ||
+       |    'Disallow: /data' || CAST(doc_id % 5 AS VARCHAR) || chr(10) ||
+       |    'Crawl-delay: 2' || chr(10) || chr(10) ||
+       |    CASE WHEN doc_id % 3 = 0
+       |         THEN 'User-agent: graftbot' || chr(10) || 'Disallow: /bot' ||
+       |              chr(10) || 'Allow: /bot/ok' || chr(10)
+       |         ELSE '' END AS robots,
+       |    CASE doc_id % 6
+       |      WHEN 0 THEN '/private/pub/x'
+       |      WHEN 1 THEN '/private/secret'
+       |      WHEN 2 THEN '/data' || CAST(doc_id % 5 AS VARCHAR) || '/f'
+       |      WHEN 3 THEN '/bot/page'
+       |      WHEN 4 THEN '/public/page'
+       |      ELSE '/private' END AS path
+       |  FROM documents),
+       |lines AS (
+       |  SELECT doc_id, path, t.z['l'] AS line, CAST(t.z['i'] AS BIGINT) AS idx
+       |  FROM r,
+       |  LATERAL (SELECT unnest(list_transform(string_split(r.robots, chr(10)),
+       |           (x, i) -> {'l': x, 'i': i})) AS z) t),
+       |parsed AS (
+       |  SELECT doc_id, path, idx,
+       |    CASE WHEN instr(noc, ':') > 0
+       |         THEN lower(trim(substr(noc, 1, instr(noc, ':') - 1))) END AS dir,
+       |    CASE WHEN instr(noc, ':') > 0
+       |         THEN trim(substr(noc, instr(noc, ':') + 1)) END AS val
+       |  FROM (SELECT doc_id, path, idx,
+       |          trim(CASE WHEN instr(line, '#') > 0
+       |                    THEN substr(line, 1, instr(line, '#') - 1) ELSE line END) AS noc
+       |        FROM lines)),
+       |own AS (
+       |  SELECT doc_id,
+       |    CASE WHEN max(CASE WHEN dir = 'user-agent' AND lower(val) = 'graftbot'
+       |                       THEN 1 ELSE 0 END) = 1
+       |         THEN 'graftbot' ELSE '*' END AS wanted
+       |  FROM parsed GROUP BY 1),
+       |marked AS (
+       |  SELECT p.*, o.wanted,
+       |    CASE WHEN dir = 'user-agent' AND coalesce(
+       |      last_value(CASE WHEN dir IS NOT NULL THEN dir END IGNORE NULLS)
+       |        OVER (PARTITION BY p.doc_id ORDER BY idx
+       |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 'x')
+       |      <> 'user-agent'
+       |    THEN 1 ELSE 0 END AS gstart
+       |  FROM parsed p JOIN own o USING (doc_id)),
+       |grouped AS (
+       |  SELECT *, sum(gstart) OVER (PARTITION BY doc_id ORDER BY idx) AS grp
+       |  FROM marked),
+       |active AS (
+       |  SELECT DISTINCT doc_id, grp FROM grouped
+       |  WHERE dir = 'user-agent' AND lower(val) = wanted),
+       |matches AS (
+       |  SELECT g.doc_id, g.dir,
+       |    row_number() OVER (PARTITION BY g.doc_id
+       |      ORDER BY length(g.val) DESC, (g.dir = 'allow') DESC, g.idx) AS rn
+       |  FROM grouped g JOIN active a USING (doc_id, grp)
+       |  WHERE g.dir IN ('allow', 'disallow') AND g.val <> ''
+       |    AND starts_with(g.path, g.val))
+       |SELECT r.doc_id, r.path,
+       |  CAST(CASE WHEN m.dir IS NULL OR m.dir = 'allow' THEN 1 ELSE 0 END
+       |       AS INTEGER) AS allowed
+       |FROM r LEFT JOIN (SELECT doc_id, dir FROM matches WHERE rn = 1) m
+       |  USING (doc_id)""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_robots_screen" -> ((s, dir) => crawlScreen(s, dir)))
+
+  def oracleSql: Map[String, String] = Map(
+    "q_robots_screen" -> robotsOracle)
+}
