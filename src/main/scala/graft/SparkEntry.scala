@@ -53,6 +53,7 @@ object SparkEntry {
       (graft.text.Unicode.queries, graft.text.Unicode.oracleSql),
       (graft.sources.Warc.queries, graft.sources.Warc.oracleSql),
       (graft.text.Robots.queries, graft.text.Robots.oracleSql),
+      (graft.text.Links.queries, graft.text.Links.oracleSql),
       (graft.pipelines.Hygiene.queries, graft.pipelines.Hygiene.oracleSql),
       (AsofJoin.queries, AsofJoin.oracleSql),
       (DateParse.queries, DateParse.oracleSql),

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.plans.ResolveUrl
+import graft.text.Links
+
+class ResolveUrlSpec extends SparkSuite {
+
+  test("golden: agrees with java.net.URI.resolve across reference classes") {
+    val bases = Seq(
+      "http://a/b/c/d;p?q",          // the RFC's own §5.4 base
+      "http://h.example.com/x/y/z?k=1",
+      "https://host:8080/deep/path/page.html")
+    // refs where java.net.URI follows RFC 3986 (empty and query-only
+    // refs excluded: the JDK resolves those per RFC 2396 — asserted
+    // separately below)
+    // (excess-..-beyond-root refs excluded too: RFC 3986 §5.4.2 removes
+    // them, the JDK keeps them — asserted separately below)
+    val refs = Seq(
+      "g", "./g", "g/", "/g", "//g", "g?y", "g#s", "g?y#s", ";x", "g;x",
+      "g;x?y#s", ".", "./", "..", "../", "../g", "../..", "../../",
+      "../../g", "./../g", "g.", ".g", "g..", "..g",
+      "./g/.", "g/./h", "g/../h", "http://other/az", "#frag")
+    for (b <- bases; r <- refs) {
+      val ours = ResolveUrl.resolve(b, r)
+      val theirs = new java.net.URI(b).resolve(r).toString
+      assert(ours == theirs, s"base=$b ref=$r ours=$ours jdk=$theirs")
+    }
+  }
+
+  test("RFC 3986 behavior where the JDK follows RFC 2396: empty and query-only refs") {
+    // §5.2.2: empty ref -> base minus fragment; query-only ref replaces query
+    assert(ResolveUrl.resolve("http://a/b/c?q#f", "") == "http://a/b/c?q")
+    assert(ResolveUrl.resolve("http://a/b/c?q", "?y") == "http://a/b/c?y")
+    // §5.4.2 abnormal examples: excess .. segments beyond root are REMOVED
+    // (the JDK keeps them, RFC 2396 style)
+    assert(ResolveUrl.resolve("http://a/b/c/d;p?q", "../../../g") == "http://a/g")
+    assert(ResolveUrl.resolve("http://a/b/c/d;p?q", "../../../../g") == "http://a/g")
+    assert(ResolveUrl.resolve("http://a/b/c/d;p?q", "/../g") == "http://a/g")
+  }
+
+  test("remove_dot_segments: the §5.2.4 example and edge forms") {
+    assert(ResolveUrl.removeDotSegments("/a/b/c/./../../g") == "/a/g")
+    assert(ResolveUrl.removeDotSegments("mid/content=5/../6") == "mid/6")
+    assert(ResolveUrl.removeDotSegments("/../x") == "/x")
+    assert(ResolveUrl.removeDotSegments("/a/..") == "/")
+    assert(ResolveUrl.removeDotSegments("..") == "")
+  }
+
+  test("gated query matches per-class closed forms") {
+    val rows = Links.resolvedLinks(spark, Sf).orderBy("doc_id").limit(27).collect()
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val host = s"http://h${id % 23}.example.com"
+      val a = s"a${id % 7}"
+      val exp = (id % 9) match {
+        case 0 | 1 => s"$host/$a/b/d"
+        case 2 => s"$host/$a/d"
+        case 3 => s"$host/d"
+        case 4 => s"$host/abs/p"
+        case 5 => s"http://mirror${id % 4}.net/m"
+        case 6 => s"https://ext${id % 5}.org/x"
+        case 7 => s"$host/$a/b/c?q=${id % 11}"
+        case _ => s"$host/$a/b/c?bq=1#sec"
+      }
+      assert(r.getAs[String]("resolved") == exp, s"doc $id")
+    }
+  }
+
+  test("plan is map-only") {
+    val plan = Links.resolvedLinks(spark, Sf).queryExecution.executedPlan.toString
+    assert(!plan.contains("hashpartitioning"))
+  }
+}
