@@ -125,13 +125,59 @@ object AsofJoin {
        |  SELECT user_id, ts, event_id FROM events WHERE event_type = 'error'
        |) x ON e.user_id = x.user_id AND e.ts >= x.ts""".stripMargin
 
+  /** The NATIVE as-of join — same semantics as [[asofJoin]], planned
+    * as the custom [[graft.plans.AsofJoinExec]] physical node (one
+    * hash exchange + sort per side, then a single O(n+m) interleaved
+    * merge per partition; no union padding, no per-column window).
+    * Key and ts must be 64-bit-backed (bigint / timestamp).
+    */
+  def asofJoinNative(left: DataFrame, right: DataFrame, key: String, ts: String): DataFrame = {
+    import org.apache.spark.sql.GraftColumnShim
+    import org.apache.spark.sql.catalyst.expressions.Alias
+    import org.apache.spark.sql.catalyst.plans.logical.Project
+    val lPlan = GraftColumnShim.logicalPlan(left)
+    val rPlan0 = GraftColumnShim.logicalPlan(right)
+    // Fresh-alias every right column: the two sides routinely share
+    // lineage (self-as-of is THE common case), and the analyzer's
+    // DeduplicateRelations cannot know how to remap a custom node's
+    // attribute fields — ambiguous duplicate ids would leave this
+    // node's right-side references pointing at the left child.
+    val aliased = rPlan0.output.map(a => Alias(a, a.name)())
+    val rPlan = Project(aliased, rPlan0)
+    val rAttrs = aliased.map(_.toAttribute)
+    def attrIn(out: Seq[org.apache.spark.sql.catalyst.expressions.Attribute], n: String) =
+      out.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(s"column $n not found"))
+    val payload = rAttrs.filterNot(a => a.name == key || a.name == ts)
+    require(payload.nonEmpty, "right side needs at least one payload column")
+    GraftColumnShim.ofRows(left.sparkSession,
+      graft.plans.AsofJoinPlan(lPlan, rPlan,
+        attrIn(lPlan.output, key), attrIn(lPlan.output, ts),
+        attrIn(rAttrs, key), attrIn(rAttrs, ts), payload))
+  }
+
+  /** [[eventsAsofErrors]] on the native node — the SAME DuckDB ASOF
+    * oracle gates both plans.
+    */
+  def eventsAsofErrorsNative(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select("event_id", "user_id", "ts", "event_type")
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("prev_err_id"), col("ts").as("prev_err_ts"))
+    asofJoinNative(ev.select("event_id", "user_id", "ts"), errors, "user_id", "ts")
+      .select("event_id", "user_id", "prev_err_id", "prev_err_ts")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_asof_join" -> ((s, dir) => eventsAsofErrors(s, dir)),
-    "q_asof_tolerance" -> ((s, dir) => eventsAsofErrorsTolerant(s, dir))
+    "q_asof_tolerance" -> ((s, dir) => eventsAsofErrorsTolerant(s, dir)),
+    "q_asof_native" -> ((s, dir) => eventsAsofErrorsNative(s, dir))
   )
 
   def oracleSql: Map[String, String] = Map(
     "q_asof_join" -> eventsAsofErrorsOracle,
-    "q_asof_tolerance" -> eventsAsofErrorsTolerantOracle
+    "q_asof_tolerance" -> eventsAsofErrorsTolerantOracle,
+    // same oracle as the composed form — one semantic, two plans
+    "q_asof_native" -> eventsAsofErrorsOracle
   )
 }

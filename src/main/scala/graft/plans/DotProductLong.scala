@@ -124,5 +124,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "phrase_merge(tokens array<string>, phrases array<string>[, <string literal sep>])")
       }))
     ext.injectOptimizerRule(_ => SargableMonthRule)
+    ext.injectPlannerStrategy(_ => AsofJoinStrategy)
   }
 }
