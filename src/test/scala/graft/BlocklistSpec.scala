@@ -58,6 +58,32 @@ class BlocklistSpec extends SparkSuite {
     assert(before.nonEmpty)
   }
 
+  test("a 10k-pattern blocklist matches brute force — the scale the design claims") {
+    import spark.implicits._
+    // deterministic 10k patterns over the fixture's vocabulary shape, plus
+    // the original 10 (so known positives exist); many never occur
+    val vocab = Seq("table", "scan", "fast", "slow", "key", "agg", "row",
+      "value", "part", "hash", "merge", "batch", "window", "spark", "a", "the")
+    val big = (0 until 10000).map { i =>
+      val a = vocab(i % vocab.size); val b = vocab((i / vocab.size) % vocab.size)
+      val c = vocab((i / (vocab.size * vocab.size)) % vocab.size)
+      s"$a $b $c$i" // the trailing index makes most patterns absent
+    } ++ Blocklist.Patterns
+    val docs = graft.Tables.documents(spark, Sf)
+      .select("doc_id", "text").limit(20).collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1)).getOrElse("")).toMap
+    val got = graft.Tables.documents(spark, Sf)
+      .filter(col("doc_id").isin(docs.keys.toSeq: _*))
+      .select(col("doc_id"),
+        Blocklist.multiMatch(coalesce(col("text"), lit("")), big).as("m"))
+      .select(col("doc_id"), col("m.n_hits"), col("m.n_patterns")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+    docs.foreach { case (id, text) =>
+      val perPat = big.map(p => bruteCount(text, p))
+      assert(got(id) == ((perPat.map(_.toLong).sum, perPat.count(_ > 0))), s"doc $id")
+    }
+  }
+
   test("plan is map-only: no key shuffle before the per-doc output") {
     val plan = Blocklist.blocklistHits(spark, Sf).queryExecution.executedPlan.toString
     assert(!plan.contains("hashpartitioning"), "blocklist scan must not shuffle by key")

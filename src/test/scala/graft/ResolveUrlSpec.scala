@@ -67,6 +67,36 @@ class ResolveUrlSpec extends SparkSuite {
     }
   }
 
+  test("randomized property: agreement with the JDK wherever RFC 2396 == RFC 3986") {
+    // deterministic LCG so the sweep is reproducible
+    var seed = 0x9e3779b97f4a7c15L
+    def nxt(n: Int): Int = { seed = seed * 6364136223846793005L + 1442695040888963407L
+      (((seed >>> 33) % n + n) % n).toInt }
+    val segs = Seq("a", "bb", "ccc", "d1", ".", "..", "g")
+    def randPath(depth: Int): String =
+      (0 until depth).map(_ => segs(nxt(segs.size))).mkString("/")
+    var checked = 0
+    for (_ <- 0 until 500) {
+      val base = s"http://h${nxt(9)}.ex.com/${randPath(1 + nxt(3))}/p?q=${nxt(5)}"
+      val ref = nxt(4) match {
+        case 0 => randPath(1 + nxt(4))
+        case 1 => "/" + randPath(1 + nxt(3))
+        case 2 => randPath(1 + nxt(3)) + s"?y=${nxt(5)}"
+        case _ => randPath(1 + nxt(3)) + "#s"
+      }
+      val ours = ResolveUrl.resolve(base, ref)
+      // the JDK resolves per RFC 2396 (dot segments can survive); its
+      // normalize() removes them EXCEPT excess ".." beyond root — compare
+      // against the normalized form and skip only that residue
+      val theirs = new java.net.URI(base).resolve(ref).normalize().toString
+      if (!theirs.contains("..")) {
+        assert(ours == theirs, s"base=$base ref=$ref ours=$ours jdk=$theirs")
+        checked += 1
+      }
+    }
+    assert(checked > 300, s"property must exercise a real sample, got $checked")
+  }
+
   test("plan is map-only") {
     val plan = Links.resolvedLinks(spark, Sf).queryExecution.executedPlan.toString
     assert(!plan.contains("hashpartitioning"))
