@@ -99,7 +99,11 @@ case class AsofJoinExec(
 
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val payloadProj = UnsafeProjection.create(payloadHere, rightOut)
-      val outProj = UnsafeProjection.create(outAttrs, leftOut ++ payloadHere)
+      // the null-payload row must bind as NULLABLE even when the right
+      // column was non-nullable — otherwise codegen skips the isNullAt
+      // check and an unmatched row silently reads 0 instead of NULL
+      val outProj = UnsafeProjection.create(outAttrs,
+        leftOut ++ payloadHere.map(_.withNullability(true)))
       val nullPayload = new GenericInternalRow(payloadHere.length)
       val joined = new JoinedRow
       val rBuf = rIter.buffered

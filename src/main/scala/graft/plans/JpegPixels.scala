@@ -194,6 +194,9 @@ object JpegPixels {
   private[plans] final class Decoded(
       val width: Int, val height: Int, val nc: Int,
       comps: Array[Comp], hMax: Int, vMax: Int) {
+    /** Gray fast-path accessors (nc == 1 only). */
+    def grayPlane: Array[Int] = comps(0).plane
+    def grayStride: Int = comps(0).wb * 8
     def pixel(x: Int, y: Int): (Int, Int, Int) =
       if (nc == 1) {
         val g = comps(0).plane(y * comps(0).wb * 8 + x)
@@ -213,18 +216,38 @@ object JpegPixels {
     val d = decode(b).orNull
     if (d == null) return nulls()
     var sumR = 0L; var sumG = 0L; var sumB = 0L; var peak = 0
-    var y = 0
-    while (y < d.height) {
-      var x = 0
-      while (x < d.width) {
-        val (r, g, bl) = d.pixel(x, y)
-        sumR += r; sumG += g; sumB += bl
-        if (r > peak) peak = r
-        if (g > peak) peak = g
-        if (bl > peak) peak = bl
-        x += 1
+    if (d.nc == 1) {
+      // gray fast path: one plane read per pixel, no per-pixel tuple —
+      // this loop dominates the gate/bench cost of the decode queries
+      val plane = d.grayPlane
+      val stride = d.grayStride
+      var y = 0
+      while (y < d.height) {
+        val row = y * stride
+        var x = 0
+        while (x < d.width) {
+          val g = plane(row + x)
+          sumR += g
+          if (g > peak) peak = g
+          x += 1
+        }
+        y += 1
       }
-      y += 1
+      sumG = sumR; sumB = sumR
+    } else {
+      var y = 0
+      while (y < d.height) {
+        var x = 0
+        while (x < d.width) {
+          val (r, g, bl) = d.pixel(x, y)
+          sumR += r; sumG += g; sumB += bl
+          if (r > peak) peak = r
+          if (g > peak) peak = g
+          if (bl > peak) peak = bl
+          x += 1
+        }
+        y += 1
+      }
     }
     val out = new GenericInternalRow(8)
     out.setInt(0, d.width)

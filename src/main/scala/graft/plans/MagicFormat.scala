@@ -54,7 +54,9 @@ object MagicFormat {
 
   /** Static so generated code calls it directly. */
   def sniff(b: Array[Byte]): UTF8String = UTF8String.fromString(
-    if (b == null || b.length < 4) "unknown"
+    // 2 = the shortest signature (gzip); each at() bounds-checks, so a
+    // 3-byte torn JPEG head or a BOM-only file still routes correctly
+    if (b == null || b.length < 2) "unknown"
     else if (at(b, 0, Array(0x89, 0x50, 0x4e, 0x47))) "png"
     else if (at(b, 0, "GIF8")) "gif"
     else if (at(b, 0, Array(0xff, 0xd8, 0xff))) "jpeg"

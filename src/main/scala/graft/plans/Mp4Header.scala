@@ -86,9 +86,10 @@ object Mp4Header {
   }
 
   /** Walk the boxes in b[from, to); recurse into container boxes. The
-    * first `trak` carrying non-zero tkhd dimensions (or, failing that,
-    * the first trak) supplies the reported track fields — planted files
-    * put the video trak first, matching encoder convention.
+    * FIRST trak supplies the reported track fields (later traks only
+    * bump the count) — planted files put the video trak first, matching
+    * encoder convention; a muxed file with audio first reports the
+    * audio track, which the handler column makes visible to callers.
     */
   private def walk(b: Array[Byte], from: Int, to: Int, depth: Int, acc: Acc): Unit = {
     var p = from

@@ -112,9 +112,11 @@ object Warc {
        |  CAST(k AS INTEGER) AS rec_idx,
        |  CASE k WHEN 0 THEN 'response' WHEN 1 THEN 'metadata' ELSE 'conversion' END AS rec_type,
        |  CASE k WHEN 0 THEN uri WHEN 1 THEN uri || '/meta' ELSE NULL END AS uri,
-       |  CAST(CASE k WHEN 0 THEN length(t)
-       |       WHEN 1 THEN length('fetched ' || CAST(doc_id AS VARCHAR))
-       |       ELSE length(upper(substr(t, 1, 40))) END AS BIGINT) AS content_length,
+       |  -- Content-Length counts BYTES (strlen), not code points: the
+       |  -- ASCII fixture hides the difference, the contract does not
+       |  CAST(CASE k WHEN 0 THEN strlen(t)
+       |       WHEN 1 THEN strlen('fetched ' || CAST(doc_id AS VARCHAR))
+       |       ELSE strlen(upper(substr(t, 1, 40))) END AS BIGINT) AS content_length,
        |  CASE k WHEN 0 THEN t
        |       WHEN 1 THEN 'fetched ' || CAST(doc_id AS VARCHAR)
        |       ELSE upper(substr(t, 1, 40)) END AS payload

@@ -38,7 +38,10 @@ object Canonical {
       lit("://"),
       when(id % 3 === 0, lit("WWW.")).otherwise(lit("")),
       lit("Host"), (id % 23).cast("string"), lit(".Example.com"),
-      when(id % 4 === 0, when(id % 2 === 0, lit(":80")).otherwise(lit(":443")))
+      // id%4==0 is always even (http → :80); id%4==1 is always odd
+      // (https → :443) — BOTH default-port strips get fixture rows
+      when(id % 4 === 0, lit(":80"))
+        .when(id % 4 === 1, lit(":443"))
         .otherwise(when(id % 11 === 0, lit(":8080")).otherwise(lit(""))),
       lit("/Path/"), id.cast("string"),
       when(id % 5 === 0, lit("/")).otherwise(lit("")),
@@ -52,8 +55,8 @@ object Canonical {
        |  (CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END) || '://' ||
        |  (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END) ||
        |  'Host' || CAST(doc_id % 23 AS VARCHAR) || '.Example.com' ||
-       |  (CASE WHEN doc_id % 4 = 0
-       |        THEN CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END
+       |  (CASE WHEN doc_id % 4 = 0 THEN ':80'
+       |        WHEN doc_id % 4 = 1 THEN ':443'
        |        ELSE CASE WHEN doc_id % 11 = 0 THEN ':8080' ELSE '' END END) ||
        |  '/Path/' || CAST(doc_id AS VARCHAR) ||
        |  (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END) ||

@@ -31,9 +31,15 @@ object Chunker {
     * (n − C + S − 1) DIV S + 1 — the last window may be short, and a
     * tail fully covered by the previous window is never emitted.
     */
-  def chunks(spark: SparkSession, dir: String): DataFrame = {
+  def chunks(spark: SparkSession, dir: String): DataFrame =
+    chunksOf(graft.ops.ScaleOps.widen(Tables.documents(spark, dir)))
+
+  /** The chunking pipeline on any (doc_id, text) frame — the single
+    * definition both the gate and the boundary specs drive.
+    */
+  def chunksOf(docs: DataFrame): DataFrame = {
     val c = ChunkTokens; val s = Stride
-    graft.ops.ScaleOps.widen(Tables.documents(spark, dir))
+    docs
       .select(col("doc_id"),
         filter(split(coalesce(col("text"), lit("")), " "), t => t =!= "").as("toks"))
       .withColumn("nch",

@@ -42,32 +42,18 @@ class CanonicalChunkSpec extends SparkSuite {
     // counts: n=0 -> 1 empty chunk; n=C -> 1; n=C+1 -> 2; n=C+S -> 2
     val cases = Seq(0, 1, c, c + 1, c + s, c + s + 1, 3 * s + c)
     cases.foreach { n =>
-      val rows = Seq((1L, tokText(n))).toDF("doc_id", "text")
-        .createOrReplaceTempView("src")
-      val got = Chunker.chunks(spark, Sf) // fixture run just for plan shape
       val toks = (1 to n).map(i => s"t$i")
       val expChunks = if (n <= c) 1 else (n - c + s - 1) / s + 1
-      // recompute chunks directly through the same public columns
-      val direct = Seq(tokText(n)).toDF("text")
-        .withColumn("doc_id", lit(1L))
-        .transform(df => {
-          val widened = df.select(col("doc_id"),
-            filter(split(coalesce(col("text"), lit("")), " "), t => t =!= "").as("toks"))
-          widened
-            .withColumn("nch", when(size(col("toks")) <= c, lit(1))
-              .otherwise(expr(s"CAST((size(toks) - $c + ${s - 1}) DIV $s AS INT) + 1")))
-            .select(col("doc_id"), col("toks"),
-              explode(sequence(lit(0), col("nch") - 1)).as("chunk_id"))
-            .select(col("chunk_id"),
-              slice(col("toks"), col("chunk_id") * s + 1, lit(c)).as("win"))
-        }).collect()
-      assert(direct.length == expChunks, s"n=$n chunk count")
-      direct.foreach { r =>
-        val i = r.getInt(0)
-        val win = r.getSeq[String](1)
+      // drive the REAL pipeline, not a copy of it
+      val got = Chunker.chunksOf(Seq((1L, tokText(n))).toDF("doc_id", "text"))
+        .orderBy("chunk_id").collect()
+      assert(got.length == expChunks, s"n=$n chunk count")
+      got.foreach { r =>
+        val i = r.getAs[Long]("chunk_id").toInt
+        val win = r.getAs[String]("chunk_text").split(" ").filter(_.nonEmpty).toSeq
         assert(win == toks.slice(i * s, i * s + c), s"n=$n chunk $i content")
+        assert(r.getAs[Int]("n_toks") == win.length, s"n=$n chunk $i n_toks")
       }
-      assert(got != null)
     }
   }
 
