@@ -72,7 +72,7 @@ object AviFrames {
 
   /** Static so generated code calls it directly. Never null, never throws. */
   def parse(b: Array[Byte]): InternalRow =
-    try parseOrThrow(b) catch { case _: Throwable => nulls() }
+    try parseOrThrow(b) catch { case scala.util.control.NonFatal(_) => nulls() }
 
   private def parseOrThrow(b: Array[Byte]): InternalRow = {
     if (b == null || b.length < 12 || !tag(b, 0, "RIFF") || !tag(b, 8, "AVI "))

@@ -1,0 +1,313 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, IntegerType, StringType, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** HTTP/1.x message split — the step between a WARC `response` record's
+  * payload and the HTML it carries. A crawl response payload is
+  * `HTTP/1.x <status> <reason>CRLF` + header lines + blank line + body,
+  * where the body is frequently `Transfer-Encoding: chunked` (hex-sized
+  * chunks, each CRLF-terminated, a zero chunk then optional trailers
+  * ending it) and the charset rides in the `Content-Type` parameters.
+  * Without this split the WARC walk ([[WarcRecords]]) stops one layer
+  * short of the page text. Reference scope: the reference repo has no
+  * crawl ingestion at all — this is north-star LLM-pipeline surface
+  * (CommonCrawl WARCs per ISO 28500 store exactly these messages).
+  *
+  * `http_message(payload)` → struct:
+  *   - `status`       INT    — from the status line (null → not HTTP)
+  *   - `content_type` STRING — lowercased media type, parameters stripped
+  *   - `charset`      STRING — lowercased `charset=` parameter, or null
+  *   - `n_headers`    INT    — header-field count (obs-folds merged)
+  *   - `headers`      ARRAY<STRING> — `name: value`, names lowercased,
+  *                    original order (deterministic, oracle-friendly)
+  *   - `body`         STRING — after chunked decode and charset decode
+  *
+  * Byte-level discipline: chunk sizes count BYTES, so decode reassembles
+  * the raw byte stream FIRST and only then decodes characters — a chunk
+  * boundary may fall mid-multibyte-sequence and a charset-naive split
+  * corrupts exactly those pages. Accepts STRING (WARC-walk output; the
+  * UTF8String's bytes are the wire bytes) or BINARY (raw fetch body,
+  * enabling non-UTF-8 charsets). Unknown/unsupported charsets fall back
+  * to UTF-8; `Content-Length` longer than the remaining bytes yields the
+  * truncated tail (a real shard's last record is read, not discarded).
+  * Per-row, shuffle-free, codegen via a static call.
+  */
+case class HttpMessage(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType | BinaryType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(s"http_message requires string or binary, got $t")
+    }
+
+  override def dataType: DataType = HttpMessage.Schema
+  override def prettyName: String = "http_message"
+
+  override def nullSafeEval(input: Any): Any = input match {
+    case s: UTF8String => HttpMessage.parse(s.getBytes)
+    case b: Array[Byte] => HttpMessage.parse(b)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    child.dataType match {
+      case StringType =>
+        defineCodeGen(ctx, ev, c => s"graft.plans.HttpMessage.parse($c.getBytes())")
+      case _ =>
+        defineCodeGen(ctx, ev, c => s"graft.plans.HttpMessage.parse($c)")
+    }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object HttpMessage {
+
+  val Schema: StructType = new StructType()
+    .add("status", IntegerType)
+    .add("content_type", StringType)
+    .add("charset", StringType)
+    .add("n_headers", IntegerType)
+    .add("headers", ArrayType(StringType, containsNull = false))
+    .add("body", StringType)
+
+  private def nulls(): GenericInternalRow = {
+    val r = new GenericInternalRow(6)
+    var i = 0; while (i < 6) { r.setNullAt(i); i += 1 }
+    r
+  }
+
+  private def lineEnd(b: Array[Byte], from: Int, to: Int): Int = {
+    var i = from
+    while (i + 1 < to) {
+      if (b(i) == '\r' && b(i + 1) == '\n') return i
+      i += 1
+    }
+    -1
+  }
+
+  private val Ascii = java.nio.charset.StandardCharsets.US_ASCII
+  private val Utf8 = java.nio.charset.StandardCharsets.UTF_8
+
+  /** Static so generated code calls it directly. Never null, never throws. */
+  def parse(b: Array[Byte]): GenericInternalRow = {
+    try parseOrThrow(b)
+    catch { case scala.util.control.NonFatal(_) => nulls() }
+  }
+
+  private def parseOrThrow(b: Array[Byte]): GenericInternalRow = {
+    val n = b.length
+    // status line: HTTP/1.x SP status [SP reason] CRLF
+    if (n < 12 || b(0) != 'H' || b(1) != 'T' || b(2) != 'T' || b(3) != 'P' || b(4) != '/')
+      return nulls()
+    val sl = lineEnd(b, 0, n)
+    if (sl < 0) return nulls()
+    var p = 5
+    while (p < sl && b(p) != ' ') p += 1 // skip version
+    while (p < sl && b(p) == ' ') p += 1
+    var status = 0
+    var digits = 0
+    while (p < sl && b(p) >= '0' && b(p) <= '9' && digits < 3) {
+      status = status * 10 + (b(p) - '0'); p += 1; digits += 1
+    }
+    if (digits != 3) return nulls()
+    p = sl + 2
+
+    // header block (obs-fold continuations merge into the previous field)
+    val names = new scala.collection.mutable.ArrayBuffer[String](8)
+    val values = new scala.collection.mutable.ArrayBuffer[String](8)
+    var bodyStart = -1
+    while (bodyStart < 0) {
+      val q = lineEnd(b, p, n)
+      if (q < 0) { bodyStart = n } // headers ran to EOF: empty body
+      else if (q == p) { bodyStart = q + 2 } // blank line
+      else if ((b(p) == ' ' || b(p) == '\t') && names.nonEmpty) {
+        // obs-fold: continuation of the previous header value
+        val cont = new String(b, p, q - p, Utf8).trim
+        values(values.length - 1) = values.last + " " + cont
+        p = q + 2
+      } else {
+        var colon = p
+        while (colon < q && b(colon) != ':') colon += 1
+        if (colon < q) {
+          names += new String(b, p, colon - p, Ascii).trim.toLowerCase(java.util.Locale.ROOT)
+          values += new String(b, colon + 1, q - colon - 1, Utf8).trim
+        } // malformed header line (no colon): skipped
+        p = q + 2
+      }
+    }
+
+    // routing headers (first occurrence wins, per field-order semantics)
+    var contentTypeRaw: String = null
+    var transferEncoding: String = null
+    var contentLength = -1L
+    var i = 0
+    while (i < names.length) {
+      names(i) match {
+        case "content-type" if contentTypeRaw == null => contentTypeRaw = values(i)
+        case "transfer-encoding" if transferEncoding == null => transferEncoding = values(i)
+        case "content-length" if contentLength < 0 =>
+          contentLength = try values(i).toLong catch { case _: NumberFormatException => -1L }
+        case _ =>
+      }
+      i += 1
+    }
+
+    // chunked wins over Content-Length (RFC 9112 §6.3); "chunked" must be
+    // the FINAL coding in the list for the framing to be chunk-based
+    val chunked = transferEncoding != null && {
+      val codings = transferEncoding.toLowerCase(java.util.Locale.ROOT).split(',')
+      codings.nonEmpty && codings.last.trim == "chunked"
+    }
+
+    val bodyBytes: Array[Byte] =
+      if (chunked) decodeChunked(b, bodyStart, n)
+      else if (contentLength >= 0) {
+        val take = math.min(contentLength, (n - bodyStart).toLong).toInt
+        java.util.Arrays.copyOfRange(b, bodyStart, bodyStart + take)
+      } else java.util.Arrays.copyOfRange(b, bodyStart, n)
+
+    // content-type split + charset param
+    var mediaType: String = null
+    var charset: String = null
+    if (contentTypeRaw != null) {
+      val semi = contentTypeRaw.indexOf(';')
+      mediaType = (if (semi < 0) contentTypeRaw else contentTypeRaw.substring(0, semi))
+        .trim.toLowerCase(java.util.Locale.ROOT)
+      if (semi >= 0) {
+        contentTypeRaw.substring(semi + 1).split(';').foreach { param =>
+          val eq = param.indexOf('=')
+          if (eq > 0 && param.substring(0, eq).trim.equalsIgnoreCase("charset") && charset == null) {
+            var v = param.substring(eq + 1).trim
+            if (v.length >= 2 && v.head == '"' && v.last == '"') v = v.substring(1, v.length - 1)
+            if (v.nonEmpty) charset = v.toLowerCase(java.util.Locale.ROOT)
+          }
+        }
+      }
+    }
+
+    // charset routing: decode the reassembled BYTES with the declared
+    // charset; unknown/unsupported → UTF-8 (the crawl-tolerant default)
+    val body: UTF8String =
+      if (charset == null || charset == "utf-8" || charset == "utf8")
+        UTF8String.fromBytes(bodyBytes)
+      else {
+        val cs =
+          try java.nio.charset.Charset.forName(charset)
+          catch { case scala.util.control.NonFatal(_) => Utf8 }
+        UTF8String.fromString(new String(bodyBytes, cs))
+      }
+
+    val headerStrs = new Array[Any](names.length)
+    i = 0
+    while (i < names.length) {
+      headerStrs(i) = UTF8String.fromString(names(i) + ": " + values(i))
+      i += 1
+    }
+
+    val r = new GenericInternalRow(6)
+    r.setInt(0, status)
+    if (mediaType != null) r.update(1, UTF8String.fromString(mediaType)) else r.setNullAt(1)
+    if (charset != null) r.update(2, UTF8String.fromString(charset)) else r.setNullAt(2)
+    r.setInt(3, names.length)
+    r.update(4, new GenericArrayData(headerStrs))
+    r.update(5, body)
+    r
+  }
+
+  /** RFC 9112 §7.1 chunked decode over raw bytes: `hex-size[;ext]CRLF
+    * data CRLF` repeated, `0`-size chunk then trailer lines to a blank
+    * line. Tolerant of truncation: returns everything decoded before the
+    * damage (crawl shards end mid-fetch constantly).
+    */
+  private def decodeChunked(b: Array[Byte], from: Int, to: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(math.min(to - from, 1 << 16))
+    var p = from
+    var done = false
+    while (!done) {
+      val q = lineEnd(b, p, to)
+      if (q < 0) done = true
+      else {
+        // hex size, stopping at ';' (chunk extensions) or whitespace
+        var size = 0L
+        var i = p
+        var any = false
+        var bad = false
+        while (i < q && !bad) {
+          val c = b(i)
+          val d =
+            if (c >= '0' && c <= '9') c - '0'
+            else if (c >= 'a' && c <= 'f') c - 'a' + 10
+            else if (c >= 'A' && c <= 'F') c - 'A' + 10
+            else -1
+          if (d < 0) {
+            if (c == ';' || c == ' ' || c == '\t') i = q // extension/ows: stop
+            else bad = true
+          } else {
+            size = size * 16 + d; any = true; i += 1
+            if (size > Int.MaxValue) bad = true
+          }
+        }
+        if (bad || !any) done = true
+        else if (size == 0L) done = true // trailers (if any) are not body
+        else {
+          p = q + 2
+          val take = math.min(size, (to - p).toLong).toInt
+          if (take > 0) out.write(b, p, take)
+          if (take < size) done = true // truncated final chunk
+          else p += take + 2 // skip chunk-data CRLF
+        }
+      }
+    }
+    out.toByteArray
+  }
+}
+
+/** Fixture-side chunked-transfer encoder: re-frames a string's BYTES as
+  * `Transfer-Encoding: chunked` data with fixed `chunkSize`-byte chunks
+  * (so chunk boundaries straddle multibyte characters on purpose —
+  * the case the decoder must reassemble before charset decode).
+  * Plant-only, the same idiom as [[GzipBytes]]/[[JpegPlant]].
+  */
+case class HttpChunkedPlant(child: Expression, chunkSize: Int) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(s"http_chunked requires string, got $t")
+    }
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "http_chunked"
+
+  override def nullSafeEval(input: Any): Any =
+    HttpChunkedPlant.encode(input.asInstanceOf[UTF8String], chunkSize)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.HttpChunkedPlant.encode($c, $chunkSize)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object HttpChunkedPlant {
+  def encode(s: UTF8String, chunkSize: Int): UTF8String = {
+    val b = s.getBytes
+    val out = new java.io.ByteArrayOutputStream(b.length + 16 * (b.length / math.max(1, chunkSize) + 2))
+    var p = 0
+    while (p < b.length) {
+      val take = math.min(chunkSize, b.length - p)
+      out.write(java.lang.Integer.toHexString(take).getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      out.write('\r'); out.write('\n')
+      out.write(b, p, take)
+      out.write('\r'); out.write('\n')
+      p += take
+    }
+    out.write('0'.toInt); out.write('\r'); out.write('\n'); out.write('\r'); out.write('\n')
+    UTF8String.fromBytes(out.toByteArray)
+  }
+}

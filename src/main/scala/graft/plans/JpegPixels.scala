@@ -55,6 +55,12 @@ case class JpegPixels(child: Expression) extends UnaryExpression {
 
 object JpegPixels {
 
+  /** Upper bound on claimed width*height from an untrusted SOF header
+    * (same cap as PngPixels): blobs claiming more are rejected before
+    * any plane allocation.
+    */
+  private val MaxPixels: Int = 1 << 24
+
   val Schema: StructType = new StructType()
     .add("width", IntegerType)
     .add("height", IntegerType)
@@ -157,7 +163,7 @@ object JpegPixels {
   /** Static so generated code calls it directly. Never null, never throws. */
   def parse(b: Array[Byte]): InternalRow =
     try parseOrThrow(b)
-    catch { case _: Throwable => nulls() }
+    catch { case scala.util.control.NonFatal(_) => nulls() }
 
   /** Test-facing full decode to packed 0xRRGGBB pixels (row-major), for
     * golden comparison against an independent codec. Throws on
@@ -322,6 +328,10 @@ object JpegPixels {
             width = be16(b, seg + 3)
             nc = b(seg + 5) & 0xff
             if (width <= 0 || height <= 0 || (nc != 1 && nc != 3)) return None
+            // Untrusted header: reject huge claimed geometries BEFORE any
+            // allocation (crawl blobs are adversarial; mirrors PngPixels'
+            // 1<<24 pixel cap and keeps plane sizes safely inside Int).
+            if (width.toLong * height.toLong > MaxPixels) return None
             comps = Array.fill(nc)(new Comp)
             var i = 0
             while (i < nc) {
@@ -365,9 +375,17 @@ object JpegPixels {
     comps.foreach { c => if (c.h > hMax) hMax = c.h; if (c.v > vMax) vMax = c.v }
     val mcusX = (width + 8 * hMax - 1) / (8 * hMax)
     val mcusY = (height + 8 * vMax - 1) / (8 * vMax)
-    comps.foreach { c =>
-      c.wb = mcusX * c.h; c.hb = mcusY * c.v
-      c.plane = new Array[Int](c.wb * 8 * c.hb * 8)
+    locally {
+      var i = 0
+      while (i < comps.length) {
+        val c = comps(i)
+        c.wb = mcusX * c.h; c.hb = mcusY * c.v
+        // Long math: a crafted SOF can make wb*8*hb*8 overflow Int.
+        val n = c.wb.toLong * 8L * c.hb.toLong * 8L
+        if (n > MaxPixels.toLong * 2L) return None
+        c.plane = new Array[Int](n.toInt)
+        i += 1
+      }
     }
 
     val rd = new Reader(b, scanStart)

@@ -101,6 +101,106 @@ object Warc {
         col("r").getField("content_length").as("content_length"),
         col("r").getField("payload").as("payload"))
 
+  private def chunkedPlant(c: Column, size: Int): Column =
+    org.apache.spark.sql.GraftColumnShim.column(
+      graft.plans.HttpChunkedPlant(
+        org.apache.spark.sql.GraftColumnShim.expression(c), size))
+
+  /** WARC response records whose payload is a full HTTP/1.1 message —
+    * the real CommonCrawl layout ([[graft.plans.HttpMessage]] docs).
+    * Three response shapes, rotating by doc_id:
+    *   %3==0 → 200, `Transfer-Encoding: chunked` (7-byte chunks, so
+    *            boundaries straddle multibyte characters), charset param
+    *   %3==1 → 404, `Content-Length` framing, text/plain
+    *   %3==2 → 301, no framing headers (body = rest of payload)
+    */
+  def plantHttpWarc: Column = {
+    val id = col("doc_id")
+    val body = coalesce(col("text"), lit(""))
+    val uri = concat(lit("http://host"), (id % 23).cast("string"),
+      lit(".example.com/p/"), id.cast("string"))
+    val chunkedMsg = concat(
+      lit("HTTP/1.1 200 OK" + Crlf),
+      lit("Content-Type: text/html; charset=utf-8" + Crlf),
+      lit("Transfer-Encoding: chunked" + Crlf),
+      lit(Crlf),
+      chunkedPlant(body, 7))
+    val lengthMsg = concat(
+      lit("HTTP/1.1 404 Not Found" + Crlf),
+      lit("Content-Type: text/plain" + Crlf),
+      lit("Content-Length: "), octet_length(body).cast("string"), lit(Crlf),
+      lit(Crlf),
+      body)
+    val bareMsg = concat(
+      lit("HTTP/1.1 301 Moved Permanently" + Crlf),
+      lit("Location: http://example.org/moved" + Crlf),
+      lit("X-Crawl-Note: folded" + Crlf),
+      lit("  continuation" + Crlf), // obs-fold the parser must merge
+      lit("Content-Type: text/html" + Crlf),
+      lit(Crlf),
+      body)
+    val msg = when(id % 3 === 0, chunkedMsg)
+      .when(id % 3 === 1, lengthMsg)
+      .otherwise(bareMsg)
+    concat(
+      lit("WARC/1.0" + Crlf),
+      lit("WARC-Type: response" + Crlf),
+      lit("WARC-Target-URI: "), uri, lit(Crlf),
+      lit("Content-Length: "), octet_length(msg).cast("string"), lit(Crlf),
+      lit(Crlf),
+      msg, lit(Crlf + Crlf))
+  }
+
+  private def httpMessage(c: Column): Column =
+    org.apache.spark.sql.GraftColumnShim.column(
+      graft.plans.HttpMessage(
+        org.apache.spark.sql.GraftColumnShim.expression(c)))
+
+  /** warc.gz → WARC walk → HTTP split: the chain a CommonCrawl shard
+    * actually needs. (doc_id, uri, status, content_type, charset,
+    * n_headers, headers, body). One map-only pass, no shuffle beyond
+    * the deliberate widen.
+    */
+  def warcHttp(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.ScaleOps.widen(Tables.documents(spark, dir))
+      .select(col("doc_id"),
+        org.apache.spark.sql.GraftColumnShim.column(
+          graft.plans.WarcRecords(
+            org.apache.spark.sql.GraftColumnShim.expression(
+              gunzipped(gzipped(plantHttpWarc))))).as("recs"))
+      .select(col("doc_id"), explode(col("recs")).as("r"))
+      .filter(col("r").getField("rec_type") === "response")
+      .select(col("doc_id"),
+        col("r").getField("uri").as("uri"),
+        httpMessage(col("r").getField("payload")).as("h"))
+      .select(col("doc_id"), col("uri"),
+        col("h").getField("status").as("status"),
+        col("h").getField("content_type").as("content_type"),
+        col("h").getField("charset").as("charset"),
+        col("h").getField("n_headers").as("n_headers"),
+        col("h").getField("headers").as("headers"),
+        col("h").getField("body").as("body"))
+
+  def warcHttpOracle: String =
+    s"""SELECT doc_id,
+       |  'http://host' || CAST(doc_id % 23 AS VARCHAR) || '.example.com/p/' ||
+       |    CAST(doc_id AS VARCHAR) AS uri,
+       |  CAST(CASE doc_id % 3 WHEN 0 THEN 200 WHEN 1 THEN 404 ELSE 301 END AS INTEGER) AS status,
+       |  CASE doc_id % 3 WHEN 1 THEN 'text/plain' ELSE 'text/html' END AS content_type,
+       |  CASE doc_id % 3 WHEN 0 THEN 'utf-8' ELSE NULL END AS charset,
+       |  CAST(CASE doc_id % 3 WHEN 2 THEN 3 ELSE 2 END AS INTEGER) AS n_headers,
+       |  CASE doc_id % 3
+       |    WHEN 0 THEN ['content-type: text/html; charset=utf-8',
+       |                 'transfer-encoding: chunked']
+       |    WHEN 1 THEN ['content-type: text/plain',
+       |                 'content-length: ' || CAST(strlen(coalesce(text, '')) AS VARCHAR)]
+       |    ELSE ['location: http://example.org/moved',
+       |          'x-crawl-note: folded continuation',
+       |          'content-type: text/html']
+       |  END AS headers,
+       |  coalesce(text, '') AS body
+       |FROM documents""".stripMargin
+
   def warcOracle: String =
     s"""WITH e AS (
        |  SELECT doc_id, coalesce(text, '') AS t,
@@ -124,11 +224,13 @@ object Warc {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_warc_records" -> ((s, dir) => warcRecords(s, dir)),
-    "q_warc_gzip" -> ((s, dir) => warcGzipRecords(s, dir)))
+    "q_warc_gzip" -> ((s, dir) => warcGzipRecords(s, dir)),
+    "q_warc_http" -> ((s, dir) => warcHttp(s, dir)))
 
   def oracleSql: Map[String, String] = Map(
     "q_warc_records" -> warcOracle,
     // compression is content-transparent: the gz path answers to the
     // identical oracle
-    "q_warc_gzip" -> warcOracle)
+    "q_warc_gzip" -> warcOracle,
+    "q_warc_http" -> warcHttpOracle)
 }

@@ -69,7 +69,7 @@ object Chunker {
        |SELECT doc_id,
        |  CAST(chunk_id AS BIGINT) AS chunk_id,
        |  CAST(len(list_slice(toks, chunk_id * $s + 1, chunk_id * $s + $c)) AS INTEGER) AS n_toks,
-       |  array_to_string(list_slice(toks, chunk_id * $s + 1, chunk_id * $s + $c), ' ') AS chunk_text
+       |  COALESCE(array_to_string(list_slice(toks, chunk_id * $s + 1, chunk_id * $s + $c), ' '), '') AS chunk_text
        |FROM e""".stripMargin
   }
 

@@ -54,6 +54,22 @@ class AsofNativeSpec extends SparkSuite {
     assert(out(0).getAs[String]("payload") == "same-instant")
   }
 
+  test("ties on (key, ts): payload is deterministic (maximal), not arrival order") {
+    import spark.implicits._
+    val left = Seq((1L, 5L, 100L)).toDF("id", "key", "ts")
+    // duplicate (key, ts) with different payloads, deliberately scrambled
+    // across many partitions — the required ordering's payload tiebreaker
+    // must make the kept row the maximal payload regardless of layout
+    val right = Seq(("b", 0), ("c", 3), ("a", 7), ("c", 1))
+      .toDF("v", "shard")
+      .repartition(8, col("shard"))
+      .select(lit(5L).as("key"), lit(100L).as("ts"), col("v").as("payload"))
+    (1 to 3).foreach { _ =>
+      val out = AsofJoin.asofJoinNative(left, right, "key", "ts").collect()
+      assert(out(0).getAs[String]("payload") == "c")
+    }
+  }
+
   test("row multiplicity: exactly one output row per left row") {
     val leftCount = graft.Tables.events(spark, Sf).count()
     assert(AsofJoin.eventsAsofErrorsNative(spark, Sf).count() == leftCount)

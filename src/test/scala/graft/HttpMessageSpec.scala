@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Row
+import graft.plans.{HttpChunkedPlant, HttpMessage}
+import org.apache.spark.unsafe.types.UTF8String
+
+class HttpMessageSpec extends SparkSuite {
+
+  private def split(msg: Array[Byte]): Row = {
+    import spark.implicits._
+    Seq(msg).toDF("b")
+      .select(org.apache.spark.sql.GraftColumnShim.column(
+        HttpMessage(org.apache.spark.sql.GraftColumnShim.expression(col("b")))).as("h"))
+      .select("h.*").collect()(0)
+  }
+
+  private def splitStr(msg: String): Row = {
+    import spark.implicits._
+    Seq(msg).toDF("b")
+      .select(org.apache.spark.sql.GraftColumnShim.column(
+        HttpMessage(org.apache.spark.sql.GraftColumnShim.expression(col("b")))).as("h"))
+      .select("h.*").collect()(0)
+  }
+
+  test("chunk boundaries straddling multibyte characters reassemble exactly") {
+    // é=2 bytes, 語=3 bytes, 🙂=4 bytes; chunk size 3 splits every one of
+    // them mid-sequence somewhere — a char-level decoder corrupts this
+    val body = "aé語🙂zé語🙂"
+    // keep the chunk stream as BYTES: a 3-byte chunk boundary inside é
+    // makes the stream invalid UTF-8 mid-chunk, which is the point
+    val chunked = HttpChunkedPlant.encode(UTF8String.fromString(body), 3).getBytes
+    val head = ("HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n" +
+      "Content-Type: text/html; charset=utf-8\r\n\r\n")
+      .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val r = split(head ++ chunked)
+    assert(r.getAs[Int]("status") == 200)
+    assert(r.getAs[String]("body") == body)
+    assert(r.getAs[String]("charset") == "utf-8")
+  }
+
+  test("every chunk size from 1 to 9 round-trips a multibyte body") {
+    val body = "héllo wörld — 三体 🙂🙂 end"
+    val head = "HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n"
+      .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    (1 to 9).foreach { k =>
+      val chunked = HttpChunkedPlant.encode(UTF8String.fromString(body), k).getBytes
+      val r = split(head ++ chunked)
+      assert(r.getAs[String]("body") == body, s"chunk size $k")
+    }
+  }
+
+  test("chunked framing wins over a present Content-Length (RFC 9112 §6.3)") {
+    val chunked = HttpChunkedPlant.encode(UTF8String.fromString("realbody"), 5).toString
+    val r = splitStr(
+      "HTTP/1.1 200 OK\r\nContent-Length: 3\r\nTransfer-Encoding: chunked\r\n\r\n" + chunked)
+    assert(r.getAs[String]("body") == "realbody")
+  }
+
+  test("chunk extensions and trailers are consumed, not leaked into the body") {
+    val msg = "HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n" +
+      "4;ext=\"v\"\r\nwiki\r\n5\r\npedia\r\n0\r\nX-Trailer: t\r\n\r\n"
+    val r = splitStr(msg)
+    assert(r.getAs[String]("body") == "wikipedia")
+  }
+
+  test("truncated chunked stream yields the bytes decoded before the damage") {
+    val msg = "HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n" +
+      "4\r\nwiki\r\nff\r\nonly-a-little"
+    val r = splitStr(msg)
+    assert(r.getAs[String]("body") == "wikionly-a-little")
+  }
+
+  test("Content-Length longer than the payload returns the truncated tail") {
+    val r = splitStr("HTTP/1.1 200 OK\r\nContent-Length: 999\r\n\r\nshort")
+    assert(r.getAs[String]("body") == "short")
+  }
+
+  test("charset routing: latin-1 bytes decode via the declared charset") {
+    // 0xE9 is 'é' in ISO-8859-1 and INVALID as UTF-8 — only the binary
+    // path + declared charset can produce the right character
+    val head = "HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=ISO-8859-1\r\n\r\n"
+      .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val body = Array[Byte]('c', 'a', 'f', 0xE9.toByte)
+    val r = split(head ++ body)
+    assert(r.getAs[String]("charset") == "iso-8859-1")
+    assert(r.getAs[String]("body") == "café")
+  }
+
+  test("unknown charset falls back to UTF-8 bytes") {
+    val r = splitStr("HTTP/1.1 200 OK\r\nContent-Type: text/plain; charset=x-no-such\r\n\r\nok")
+    assert(r.getAs[String]("charset") == "x-no-such")
+    assert(r.getAs[String]("body") == "ok")
+  }
+
+  test("obs-fold continuation lines merge into the previous header") {
+    val r = splitStr(
+      "HTTP/1.1 200 OK\r\nX-Long: part one\r\n\tpart two\r\nContent-Type: a/b\r\n\r\nx")
+    assert(r.getAs[Int]("n_headers") == 2)
+    assert(r.getSeq[String](r.fieldIndex("headers")).contains("x-long: part one part two"))
+  }
+
+  test("non-HTTP payloads yield in-struct nulls, never a throw") {
+    Seq("not http at all", "HTTP/1.1 weird\r\n\r\n", "").foreach { s =>
+      val r = splitStr(s)
+      assert(r.isNullAt(r.fieldIndex("status")), s"for input '$s'")
+    }
+  }
+
+  test("status/reason parse without headers or body") {
+    val r = splitStr("HTTP/1.1 304 Not Modified\r\n\r\n")
+    assert(r.getAs[Int]("status") == 304)
+    assert(r.getAs[Int]("n_headers") == 0)
+    assert(r.getAs[String]("body") == "")
+    assert(r.isNullAt(r.fieldIndex("content_type")))
+  }
+
+  test("header block running to EOF (no blank line) means empty body") {
+    val r = splitStr("HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n")
+    assert(r.getAs[Int]("status") == 200)
+    assert(r.getAs[String]("body") == "")
+  }
+}

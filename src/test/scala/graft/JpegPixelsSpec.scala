@@ -106,6 +106,26 @@ class JpegPixelsSpec extends SparkSuite {
     rows.foreach(r => assert(r.isNullAt(r.fieldIndex("width"))))
   }
 
+  test("huge claimed SOF dims are rejected before any plane allocation") {
+    // ~200-byte blob claiming 65535x65535 must yield nulls instantly,
+    // not a multi-GB allocation (untrusted-crawl DoS guard)
+    val huge = JpegPlant.encode(3L).clone()
+    var i = 0
+    var patched = false
+    while (i < huge.length - 8 && !patched) {
+      if ((huge(i) & 0xff) == 0xff && (huge(i + 1) & 0xff) == 0xc0) {
+        // FFC0 len(2) prec(1) then h(2) w(2)
+        huge(i + 5) = 0xff.toByte; huge(i + 6) = 0xff.toByte
+        huge(i + 7) = 0xff.toByte; huge(i + 8) = 0xff.toByte
+        patched = true
+      }
+      i += 1
+    }
+    assert(patched)
+    val r = graft.plans.JpegPixels.parse(huge)
+    assert(r.isNullAt(0))
+  }
+
   test("restart cadence resets DC prediction (docId%5==0 plants DRI)") {
     val withRst = JpegPlant.encode(10L) // 10 % 5 == 0 → DRI present
     assert({
