@@ -16,16 +16,17 @@ import org.apache.spark.unsafe.types.UTF8String
   *   most specific matching group applies — the agent's own group if
   *   any line names it (case-insensitive product token match),
   *   otherwise the `*` group; NON-matching groups are ignored entirely.
-  * - rules: `Allow`/`Disallow` path prefixes, matched
-  *   case-sensitively; the LONGEST matching prefix wins; at equal
-  *   length Allow wins; no matching rule → allowed. An empty
+  * - rules: `Allow`/`Disallow` path patterns matched case-sensitively
+  *   from the path start, with the RFC's wildcards: `*` matches any
+  *   character run (including `/`), a FINAL `$` anchors the pattern to
+  *   the path end (elsewhere `$` is literal); without `$` the pattern
+  *   matches any path it prefixes. The most specific match wins —
+  *   "most octets" measured as the rule's pattern length with wildcard
+  *   octets counted (the published Google matcher's priority rule); at
+  *   equal length Allow wins; no matching rule → allowed. An empty
   *   `Disallow:` matches nothing (the classic allow-all idiom).
   * - lines: directives case-insensitive, `#` comments stripped,
   *   whitespace trimmed, unknown directives skipped.
-  * Declared deviation: `*`/`$` wildcard patterns are not implemented
-  * (prefix rules only — the pre-wildcard REP the majority of robots
-  * files still use); a file using them should be routed to a fuller
-  * matcher.
   *
   * Per-row parse (robots text is per-row DATA — the per-domain join
   * output — never a foldable model, so there is nothing to hoist);
@@ -90,7 +91,7 @@ object RobotsAllowed {
       } else if (dir == "allow" || dir == "disallow") {
         inAgents = false
         // empty Disallow matches nothing; empty Allow likewise (no effect)
-        if (groupActive && value.nonEmpty && path.startsWith(value)) {
+        if (groupActive && value.nonEmpty && patMatch(value, path)) {
           val isAllow = dir == "allow"
           if (value.length > bestLen || (value.length == bestLen && isAllow && !bestAllow)) {
             if (value.length > bestLen) { bestLen = value.length; bestAllow = isAllow }
@@ -103,6 +104,34 @@ object RobotsAllowed {
       i += 1
     }
     if (bestLen < 0 || bestAllow) 1 else 0
+  }
+
+  /** RFC 9309 §2.2.3 pattern match: does `pattern` (with `*` wildcards
+    * and an optional final `$` anchor) match a prefix of `path` (the
+    * whole path when anchored)? Greedy leftmost placement of each
+    * wildcard segment is exact for this language: later segments can
+    * only benefit from more remaining path.
+    */
+  private[plans] def patMatch(pattern: String, path: String): Boolean = {
+    val anchored = pattern.length > 0 && pattern.charAt(pattern.length - 1) == '$'
+    val pat = if (anchored) pattern.substring(0, pattern.length - 1) else pattern
+    val parts = pat.split("\\*", -1)
+    if (!path.startsWith(parts(0))) return false
+    var pos = parts(0).length
+    var i = 1
+    while (i < parts.length) {
+      val part = parts(i)
+      if (i == parts.length - 1 && anchored) {
+        // final segment must sit flush at the path end, at or after pos
+        return path.length - part.length >= pos && path.endsWith(part)
+      }
+      val idx = path.indexOf(part, pos)
+      if (idx < 0) return false
+      pos = idx + part.length
+      i += 1
+    }
+    if (anchored) pos == path.length // no '*' in pattern: exact match
+    else true
   }
 
   /** (lowercased directive, trimmed value) or (null, null) for blank /

@@ -19,10 +19,13 @@ object Robots {
   val Agent = "graftbot"
 
   /** Planted robots.txt: a `*` group with overlapping Allow/Disallow
-    * prefixes, a doc-varying rule, a comment, an unknown directive
+    * prefixes, RFC 9309 wildcard rules (an anchored `.tmp$` extension
+    * block with a leading star-slash wildcard, a mid-pattern-wildcard
+    * cgi Allow vs a shorter `/cgi/` Disallow
+    * prefix), a doc-varying rule, a comment, an unknown directive
     * (Crawl-delay) and — for every third doc — a `graftbot` group that
     * must ECLIPSE the `*` group entirely (the RFC's
-    * most-specific-group rule).
+    * most-specific-group rule), itself carrying a wildcard rule.
     */
   def plantRobots: Column = {
     val id = col("doc_id")
@@ -31,21 +34,30 @@ object Robots {
       lit("User-agent: *\n"),
       lit("Disallow: /private\n"),
       lit("Allow: /private/pub\n"),
+      lit("Disallow: /*.tmp$\n"),
+      lit("Allow: /cgi/*/pub\n"),
+      lit("Disallow: /cgi/\n"),
       lit("Disallow: /data"), (id % 5).cast("string"), lit("\n"),
       lit("Crawl-delay: 2\n"),
       lit("\n"),
-      when(id % 3 === 0, lit("User-agent: graftbot\nDisallow: /bot\nAllow: /bot/ok\n"))
+      when(id % 3 === 0,
+        lit("User-agent: graftbot\nDisallow: /bot\nAllow: /bot/ok\nDisallow: /*.tmp$\n"))
         .otherwise(lit("")))
   }
 
   def plantPath: Column = {
-    val k = col("doc_id") % 6
+    val k = col("doc_id") % 9
     when(k === 0, lit("/private/pub/x"))
       .when(k === 1, lit("/private/secret"))
       .when(k === 2, concat(lit("/data"), (col("doc_id") % 5).cast("string"), lit("/f")))
       .when(k === 3, lit("/bot/page"))
       .when(k === 4, lit("/public/page"))
-      .otherwise(lit("/private"))
+      .when(k === 5, lit("/private"))
+      // wildcard coverage: anchored hit, anchored MISS (suffix continues),
+      // and wildcard-Allow outranking a shorter Disallow prefix
+      .when(k === 6, lit("/file.tmp"))
+      .when(k === 7, lit("/file.tmp.bak"))
+      .otherwise(lit("/cgi/x/pub/page"))
   }
 
   def robotsAllowed(robots: Column, agent: Column, path: Column): Column =
@@ -69,19 +81,26 @@ object Robots {
        |    'User-agent: *' || chr(10) ||
        |    'Disallow: /private' || chr(10) ||
        |    'Allow: /private/pub' || chr(10) ||
+       |    'Disallow: /*.tmp$$' || chr(10) ||
+       |    'Allow: /cgi/*/pub' || chr(10) ||
+       |    'Disallow: /cgi/' || chr(10) ||
        |    'Disallow: /data' || CAST(doc_id % 5 AS VARCHAR) || chr(10) ||
        |    'Crawl-delay: 2' || chr(10) || chr(10) ||
        |    CASE WHEN doc_id % 3 = 0
        |         THEN 'User-agent: graftbot' || chr(10) || 'Disallow: /bot' ||
-       |              chr(10) || 'Allow: /bot/ok' || chr(10)
+       |              chr(10) || 'Allow: /bot/ok' || chr(10) ||
+       |              'Disallow: /*.tmp$$' || chr(10)
        |         ELSE '' END AS robots,
-       |    CASE doc_id % 6
+       |    CASE doc_id % 9
        |      WHEN 0 THEN '/private/pub/x'
        |      WHEN 1 THEN '/private/secret'
        |      WHEN 2 THEN '/data' || CAST(doc_id % 5 AS VARCHAR) || '/f'
        |      WHEN 3 THEN '/bot/page'
        |      WHEN 4 THEN '/public/page'
-       |      ELSE '/private' END AS path
+       |      WHEN 5 THEN '/private'
+       |      WHEN 6 THEN '/file.tmp'
+       |      WHEN 7 THEN '/file.tmp.bak'
+       |      ELSE '/cgi/x/pub/page' END AS path
        |  FROM documents),
        |lines AS (
        |  SELECT doc_id, path, t.z['l'] AS line, CAST(t.z['i'] AS BIGINT) AS idx
@@ -125,7 +144,12 @@ object Robots {
        |      ORDER BY length(g.val) DESC, (g.dir = 'allow') DESC, g.idx) AS rn
        |  FROM grouped g JOIN active a USING (doc_id, grp)
        |  WHERE g.dir IN ('allow', 'disallow') AND g.val <> ''
-       |    AND starts_with(g.path, g.val))
+       |    -- RFC 9309 pattern match via GLOB: a FINAL '$$' anchors the
+       |    -- pattern to the path end; otherwise the pattern matches any
+       |    -- path it prefixes (append '*'); '*' passes through as-is
+       |    AND CASE WHEN substr(g.val, length(g.val), 1) = '$$'
+       |             THEN g.path GLOB substr(g.val, 1, length(g.val) - 1)
+       |             ELSE g.path GLOB (g.val || '*') END)
        |SELECT r.doc_id, r.path,
        |  CAST(CASE WHEN m.dir IS NULL OR m.dir = 'allow' THEN 1 ELSE 0 END
        |       AS INTEGER) AS allowed

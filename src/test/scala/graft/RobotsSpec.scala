@@ -44,21 +44,47 @@ class RobotsSpec extends SparkSuite {
     assert(!ok(r2, "c", "/z/1"))
   }
 
+  test("wildcards: * spans path segments, final $ anchors, longest pattern wins") {
+    val r = "User-agent: *\nDisallow: /*.tmp$\nAllow: /cgi/*/pub\nDisallow: /cgi/\n"
+    assert(!ok(r, "bot", "/file.tmp"), "anchored extension block")
+    assert(!ok(r, "bot", "/deep/dir/file.tmp"), "* crosses '/' segments")
+    assert(ok(r, "bot", "/file.tmp.bak"), "$ means END: longer path escapes")
+    assert(ok(r, "bot", "/cgi/x/pub/page"), "wildcard Allow outranks shorter Disallow")
+    assert(!ok(r, "bot", "/cgi/x/other"), "the /cgi/ prefix still blocks elsewhere")
+  }
+
+  test("pattern matcher corners: mid-pattern $, trailing *, exact anchor") {
+    assert(!ok("User-agent: *\nDisallow: /a$b\n", "bot", "/a$b/c"),
+      "a non-final $ is a literal octet — the rule matches and blocks")
+    assert(ok("User-agent: *\nDisallow: /a$b\n", "bot", "/ab"),
+      "the literal $ must actually be present for the rule to match")
+    assert(!ok("User-agent: *\nDisallow: /x*$\n", "bot", "/x/anything"),
+      "'*$' tail means anything-to-end — still a match")
+    val exact = "User-agent: *\nDisallow: /only$\n"
+    assert(!ok(exact, "bot", "/only"))
+    assert(ok(exact, "bot", "/only/more"))
+    assert(ok(exact, "bot", "/onl"))
+  }
+
   test("gated query agrees with a direct reading of the planted rules") {
-    val rows = Robots.crawlScreen(spark, Sf).orderBy("doc_id").limit(36).collect()
+    // doc_id%9 picks the path, doc_id%3 the group; 3 | 9, so each path
+    // case pins one group: k%3==0 → own graftbot group, else the * group
+    val rows = Robots.crawlScreen(spark, Sf).orderBy("doc_id").limit(54).collect()
     rows.foreach { r =>
       val id = r.getAs[Long]("doc_id")
-      val hasOwn = id % 3 == 0
       val allowed = r.getAs[Int]("allowed") == 1
-      (id % 6) match {
-        case 0 => assert(allowed, s"doc $id") // own group has no matching rule OR */pub allow
-        case 1 => assert(allowed == hasOwn, s"doc $id") // own group eclipses * deny
-        case 2 => assert(allowed == hasOwn, s"doc $id")
-        case 3 => assert(allowed == !hasOwn, s"doc $id") // /bot denied only by own group
-        case 4 => assert(allowed, s"doc $id")
-        case 5 => assert(allowed == hasOwn, s"doc $id")
-        case _ =>
+      val expected = (id % 9) match {
+        case 0 => true  // own group: no rule matches /private/pub/x
+        case 1 => false // *: Disallow /private
+        case 2 => false // *: Disallow /data{d}
+        case 3 => false // own: Disallow /bot
+        case 4 => true  // no rule matches /public/page
+        case 5 => false // *: Disallow /private exactly
+        case 6 => false // own: anchored /*.tmp$ hits /file.tmp
+        case 7 => true  // anchored pattern does NOT hit /file.tmp.bak
+        case _ => true  // *: Allow /cgi/*/pub outranks Disallow /cgi/
       }
+      assert(allowed == expected, s"doc $id path ${r.getAs[String]("path")}")
     }
   }
 
