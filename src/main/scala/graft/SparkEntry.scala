@@ -55,6 +55,7 @@ object SparkEntry {
       (graft.text.Robots.queries, graft.text.Robots.oracleSql),
       (graft.text.Links.queries, graft.text.Links.oracleSql),
       (graft.pipelines.Hygiene.queries, graft.pipelines.Hygiene.oracleSql),
+      (graft.pipelines.CrawlPipeline.queries, graft.pipelines.CrawlPipeline.oracleSql),
       (AsofJoin.queries, AsofJoin.oracleSql),
       (DateParse.queries, DateParse.oracleSql),
       (CorpusOps.queries, CorpusOps.oracleSql),

@@ -1,0 +1,186 @@
+package graft.pipelines
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.text.{Canonical, Html, Robots}
+
+/** The end-to-end crawl ingest chain, composed as ONE lazy plan — every
+  * stage is an already-gated operator, and this gate proves they
+  * compose: `.warc.gz` blob → magic-number sniff (X114) → gunzip →
+  * WARC record walk (X112) → HTTP message split with chunked decode
+  * (the round-9 http_message) → HTML text extraction (X54) → NFC
+  * normalization (X111) → URL canonicalization (X109) → robots.txt
+  * screening with RFC 9309 wildcards (X116) → hygiene verdict (X44
+  * stages 1–5 + the exact-dup 6/7 split).
+  *
+  * Scale shape: the chain is map-only from blob to verdict features —
+  * ONE hash exchange total (the dedup window on the content
+  * fingerprint), which is the minimum any exact-dedup pass needs; the
+  * robots/canonical/extract stages add zero shuffles. At 100 TB this
+  * is a single pass over the shard files into the funnel, exactly how
+  * a production CommonCrawl ingest wants to run (the plan-shape spec
+  * pins the one-exchange property).
+  *
+  * The DuckDB oracle composes the SAME per-stage oracle builders the
+  * individual gates use ([[Canonical.canonicalCtesFrom]],
+  * [[Robots.robotsCtesFrom]], [[Hygiene.stagedCtesFrom]]) over the
+  * restated plants — compression/framing/HTTP are identities the
+  * oracle need not model, while extraction, NFC, canonicalization,
+  * robots and hygiene are all independently recomputed.
+  */
+object CrawlPipeline {
+
+  /** Decomposed combining mark planted after the HTML: x + U+0308
+    * composes to U+1E8D under NFC, so the normalization stage is
+    * observable in the gate (and the 7-byte chunked framing of %3==0
+    * docs straddles the multibyte sequence on purpose).
+    */
+  private val UnicodeTailLit = " x\u0308end" // decomposed: x + combining diaeresis
+
+  /** Messy target URI whose PATH is the robots fixture's path plant —
+    * canonicalization gets scheme/host case, www, default ports,
+    * tracking params and fragments to scrub; robots screening gets
+    * paths that actually exercise the rule set.
+    */
+  def plantUri: Column = {
+    val id = col("doc_id")
+    concat(
+      when(id % 2 === 0, lit("HTTP")).otherwise(lit("https")),
+      lit("://"),
+      when(id % 3 === 0, lit("WWW.")).otherwise(lit("")),
+      lit("Crawl"), (id % 23).cast("string"), lit(".Example.com"),
+      when(id % 4 === 0, lit(":80"))
+        .when(id % 4 === 1, lit(":443"))
+        .otherwise(lit("")),
+      Robots.plantPath,
+      when(id % 2 === 0, lit("?utm_source=crawl&b=2&a=1")).otherwise(lit("")),
+      when(id % 6 === 0, lit("#frag")).otherwise(lit("")))
+  }
+
+  private def plantUriSql: String =
+    """(CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END) || '://' ||
+      |  (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END) ||
+      |  'Crawl' || CAST(doc_id % 23 AS VARCHAR) || '.Example.com' ||
+      |  (CASE WHEN doc_id % 4 = 0 THEN ':80'
+      |        WHEN doc_id % 4 = 1 THEN ':443' ELSE '' END) ||
+      |  (CASE doc_id % 9
+      |     WHEN 0 THEN '/private/pub/x'
+      |     WHEN 1 THEN '/private/secret'
+      |     WHEN 2 THEN '/data' || CAST(doc_id % 5 AS VARCHAR) || '/f'
+      |     WHEN 3 THEN '/bot/page'
+      |     WHEN 4 THEN '/public/page'
+      |     WHEN 5 THEN '/private'
+      |     WHEN 6 THEN '/file.tmp'
+      |     WHEN 7 THEN '/file.tmp.bak'
+      |     ELSE '/cgi/x/pub/page' END) ||
+      |  (CASE WHEN doc_id % 2 = 0 THEN '?utm_source=crawl&b=2&a=1' ELSE '' END) ||
+      |  (CASE WHEN doc_id % 6 = 0 THEN '#frag' ELSE '' END)""".stripMargin
+
+  private def shim(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    org.apache.spark.sql.GraftColumnShim.column(e)
+  private def ex(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    org.apache.spark.sql.GraftColumnShim.expression(c)
+
+  /** (doc_id, status, canon, allowed, stage, clean_text). */
+  def crawl(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.ops.ScaleOps.widen(Tables.documents(spark, dir))
+
+    val htmlBody = concat(Html.plantHtml, lit(UnicodeTailLit))
+    val blob = shim(graft.plans.GzipBytes(ex(
+      graft.sources.Warc.plantHttpWarc(htmlBody, plantUri))))
+
+    val sniffed = docs
+      .select(col("doc_id"), blob.as("blob"), Robots.plantRobots.as("robots"))
+      .withColumn("fmt", shim(graft.plans.MagicFormat(ex(col("blob")))))
+      .filter(col("fmt") === "gzip") // sniff-route: the gzip members go to gunzip
+      .withColumn("recs", shim(graft.plans.WarcRecords(ex(
+        shim(graft.plans.GunzipText(ex(col("blob"))))))))
+      .select(col("doc_id"), col("robots"), explode(col("recs")).as("r"))
+      .filter(col("r").getField("rec_type") === "response")
+      .withColumn("h", shim(graft.plans.HttpMessage(ex(col("r").getField("payload")))))
+      .withColumn("url", col("r").getField("uri"))
+      .withColumn("text", graft.text.Unicode.nfc(
+        Html.extractText(col("h").getField("body"))))
+      .select(col("doc_id"), col("robots"), col("url"),
+        col("h").getField("status").as("status"), col("text"))
+
+    val canoned = Canonical.canonicalize(sniffed)
+      .withColumn("allowed", Robots.robotsAllowed(
+        col("robots"), lit(Robots.Agent), col("path")))
+      .select(col("doc_id"), col("status"), col("canon"), col("allowed"), col("text"))
+
+    // hygiene verdict fused per-row + ONE window on the content
+    // fingerprint for the exact-dup 6/7 split (same semantics as
+    // Hygiene.staged: kept = smallest surviving doc_id per fp)
+    val v = Hygiene.withVerdict(canoned)
+    val survMin = min(when(col("pre_stage").isNull, col("doc_id")))
+      .over(Window.partitionBy(col("fp")))
+    v.withColumn("stage",
+        coalesce(col("pre_stage"),
+          when(col("doc_id") === survMin, 7).otherwise(6)))
+      .select(col("doc_id"), col("status"), col("canon"), col("allowed"),
+        col("stage"), col("text").as("clean_text"))
+  }
+
+  def crawlOracle: String = {
+    val html2 = "html || ' x' || chr(776) || 'end'"
+    val prelude =
+      s"""ph AS (${Html.plantHtmlSql}),
+         |src AS (
+         |  SELECT doc_id,
+         |    $plantUriSql AS url,
+         |    ${robotsPlantSql} AS robots
+         |  FROM documents),
+         |cleaned AS (
+         |  SELECT doc_id,
+         |    nfc_normalize(${Html.extractTextSql(html2)}) AS text
+         |  FROM ph),
+         |${Canonical.canonicalCtesFrom("src")},
+         |rb AS (
+         |  SELECT s.doc_id, s.robots, n.path
+         |  FROM src s JOIN normed n USING (doc_id)),
+         |${Robots.robotsCtesFrom("rb")},""".stripMargin
+    s"""${Hygiene.stagedCtesFrom("cleaned", prelude)}
+       |SELECT n.doc_id,
+       |  CAST(CASE n.doc_id % 3 WHEN 0 THEN 200 WHEN 1 THEN 404 ELSE 301 END
+       |       AS INTEGER) AS status,
+       |  ${Canonical.canonSelectSql} AS canon,
+       |  CAST(CASE WHEN m.dir IS NULL OR m.dir = 'allow' THEN 1 ELSE 0 END
+       |       AS INTEGER) AS allowed,
+       |  CAST(st.stage AS INTEGER) AS stage,
+       |  c.text AS clean_text
+       |FROM normed n
+       |JOIN cleaned c USING (doc_id)
+       |JOIN staged st USING (doc_id)
+       |LEFT JOIN (SELECT doc_id, dir FROM matches WHERE rn = 1) m
+       |  USING (doc_id)""".stripMargin
+  }
+
+  /** The robots plant restated for the composed oracle (kept in
+    * lockstep with [[Robots.plantRobots]] — the same literal lines).
+    */
+  private def robotsPlantSql: String =
+    """'# graft planted robots' || chr(10) ||
+      |    'User-agent: *' || chr(10) ||
+      |    'Disallow: /private' || chr(10) ||
+      |    'Allow: /private/pub' || chr(10) ||
+      |    'Disallow: /*.tmp' || chr(36) || chr(10) ||
+      |    'Allow: /cgi/*/pub' || chr(10) ||
+      |    'Disallow: /cgi/' || chr(10) ||
+      |    'Disallow: /data' || CAST(doc_id % 5 AS VARCHAR) || chr(10) ||
+      |    'Crawl-delay: 2' || chr(10) || chr(10) ||
+      |    CASE WHEN doc_id % 3 = 0
+      |         THEN 'User-agent: graftbot' || chr(10) || 'Disallow: /bot' ||
+      |              chr(10) || 'Allow: /bot/ok' || chr(10) ||
+      |              'Disallow: /*.tmp' || chr(36) || chr(10)
+      |         ELSE '' END""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_crawl_pipeline" -> ((s, dir) => crawl(s, dir)))
+
+  def oracleSql: Map[String, String] = Map(
+    "q_crawl_pipeline" -> crawlOracle)
+}

@@ -178,11 +178,18 @@ object Hygiene {
     * feature formulas are verbatim from the gated operators' oracle
     * builders, so the funnel inherits their cross-engine exactness.
     */
-  private def stagedCtes: String = {
+  private def stagedCtes: String = stagedCtesFrom("documents", "")
+
+  /** The staged-verdict CTE chain over any relation providing
+    * (doc_id, text); `prelude` CTEs (if any, comma-terminated) are
+    * spliced right after WITH so composed oracles (crawl pipeline) can
+    * define the input relation inline.
+    */
+  private[graft] def stagedCtesFrom(rel: String, prelude: String): String = {
     val tk = TextOps.tokenizeSql("text")
     val quality = Analysis.qualitySqlColumns("text").toMap
-    s"""WITH toks AS (
-       |  SELECT doc_id, text, $tk AS tk FROM documents
+    s"""WITH $prelude toks AS (
+       |  SELECT doc_id, text, $tk AS tk FROM $rel
        |), grams AS (
        |  SELECT doc_id, text, tk,
        |    list_transform(range(1, greatest(len(tk), 1)),

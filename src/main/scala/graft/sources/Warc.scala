@@ -114,11 +114,16 @@ object Warc {
     *   %3==1 → 404, `Content-Length` framing, text/plain
     *   %3==2 → 301, no framing headers (body = rest of payload)
     */
-  def plantHttpWarc: Column = {
+  def plantHttpWarc: Column =
+    plantHttpWarc(coalesce(col("text"), lit("")),
+      concat(lit("http://host"), (col("doc_id") % 23).cast("string"),
+        lit(".example.com/p/"), col("doc_id").cast("string")))
+
+  /** Same plant with caller-chosen body and target URI (the crawl
+    * composition plants HTML bodies and messy URIs).
+    */
+  def plantHttpWarc(body: Column, uri: Column): Column = {
     val id = col("doc_id")
-    val body = coalesce(col("text"), lit(""))
-    val uri = concat(lit("http://host"), (id % 23).cast("string"),
-      lit(".example.com/p/"), id.cast("string"))
     val chunkedMsg = concat(
       lit("HTTP/1.1 200 OK" + Crlf),
       lit("Content-Type: text/html; charset=utf-8" + Crlf),

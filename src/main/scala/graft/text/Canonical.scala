@@ -107,14 +107,18 @@ object Canonical {
         .select(col("doc_id"), plantUrl.as("url")))
       .select("doc_id", "canon")
 
-  def canonicalOracle: String =
-    s"""WITH planted AS (${plantUrlSql}),
-       |parts AS (
+  /** CTE chain (no leading WITH) canonicalizing `rel(doc_id, url)` —
+    * ends in `normed(doc_id, scheme, host, path, q)`; the canonical URL
+    * is [[canonSelectSql]]. Shared by the q_url_canonical oracle and
+    * composed oracles (crawl pipeline).
+    */
+  def canonicalCtesFrom(rel: String): String =
+    s"""parts AS (
        |  SELECT doc_id,
        |    lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
        |    lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1)) AS hostport,
        |    regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^#]*)', 1) AS rest
-       |  FROM planted),
+       |  FROM $rel),
        |hosted AS (
        |  SELECT doc_id, scheme, rest,
        |    CASE WHEN starts_with(hostport, 'www.') THEN substr(hostport, 5)
@@ -144,10 +148,16 @@ object Canonical {
        |      p -> p <> '' AND NOT starts_with(p, 'utm_')
        |        AND NOT starts_with(p, 'gclid=') AND NOT starts_with(p, 'fbclid='))),
        |      '&'), '') AS q
-       |  FROM pathq)
-       |SELECT doc_id,
-       |  scheme || '://' || host || path ||
-       |  CASE WHEN q = '' THEN '' ELSE '?' || q END AS canon
+       |  FROM pathq)""".stripMargin
+
+  /** The canonical-URL expression over [[canonicalCtesFrom]]'s `normed`. */
+  val canonSelectSql: String =
+    "scheme || '://' || host || path || CASE WHEN q = '' THEN '' ELSE '?' || q END"
+
+  def canonicalOracle: String =
+    s"""WITH planted AS (${plantUrlSql}),
+       |${canonicalCtesFrom("planted")}
+       |SELECT doc_id, $canonSelectSql AS canon
        |FROM normed""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -102,10 +102,25 @@ object Robots {
        |      WHEN 7 THEN '/file.tmp.bak'
        |      ELSE '/cgi/x/pub/page' END AS path
        |  FROM documents),
-       |lines AS (
+       |${robotsCtesFrom("r")}
+       |SELECT r.doc_id, r.path,
+       |  CAST(CASE WHEN m.dir IS NULL OR m.dir = 'allow' THEN 1 ELSE 0 END
+       |       AS INTEGER) AS allowed
+       |FROM r LEFT JOIN (SELECT doc_id, dir FROM matches WHERE rn = 1) m
+       |  USING (doc_id)""".stripMargin
+
+  /** CTE chain (no leading WITH) evaluating RFC 9309 over
+    * `rel(doc_id, robots, path)` for agent [[Agent]] — ends in
+    * `matches`; the winning rule per doc is `rn = 1` and the verdict is
+    * allow when no winner exists or the winner is an Allow (see the
+    * final select in [[robotsOracle]]). Shared by q_robots_screen and
+    * composed oracles.
+    */
+  def robotsCtesFrom(rel: String): String =
+    s"""lines AS (
        |  SELECT doc_id, path, t.z['l'] AS line, CAST(t.z['i'] AS BIGINT) AS idx
-       |  FROM r,
-       |  LATERAL (SELECT unnest(list_transform(string_split(r.robots, chr(10)),
+       |  FROM $rel,
+       |  LATERAL (SELECT unnest(list_transform(string_split($rel.robots, chr(10)),
        |           (x, i) -> {'l': x, 'i': i})) AS z) t),
        |parsed AS (
        |  SELECT doc_id, path, idx,
@@ -149,12 +164,7 @@ object Robots {
        |    -- path it prefixes (append '*'); '*' passes through as-is
        |    AND CASE WHEN substr(g.val, length(g.val), 1) = '$$'
        |             THEN g.path GLOB substr(g.val, 1, length(g.val) - 1)
-       |             ELSE g.path GLOB (g.val || '*') END)
-       |SELECT r.doc_id, r.path,
-       |  CAST(CASE WHEN m.dir IS NULL OR m.dir = 'allow' THEN 1 ELSE 0 END
-       |       AS INTEGER) AS allowed
-       |FROM r LEFT JOIN (SELECT doc_id, dir FROM matches WHERE rn = 1) m
-       |  USING (doc_id)""".stripMargin
+       |             ELSE g.path GLOB (g.val || '*') END)""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_robots_screen" -> ((s, dir) => crawlScreen(s, dir)))
