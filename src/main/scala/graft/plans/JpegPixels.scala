@@ -12,10 +12,15 @@ import org.apache.spark.sql.types.{BinaryType, DataType, IntegerType, LongType, 
   * Huffman entropy decode with 0xFF00 byte-unstuffing and RSTn restart
   * handling → dequantize in zig-zag order → separable 2-D IDCT → level
   * shift → (for 3-component scans) box-upsampled YCbCr→RGB. Supports
-  * baseline sequential DCT (SOF0/SOF1), 8-bit precision, 1 or 3
-  * components, arbitrary 1–4 sampling factors (4:4:4, 4:2:2, 4:2:0, …),
-  * 8- or 16-bit quantization entries, and restart intervals. Progressive
-  * (SOF2) and arithmetic-coded scans report nulls.
+  * baseline sequential DCT (SOF0/SOF1) and PROGRESSIVE DCT (SOF2,
+  * round 9): multi-scan spectral selection + successive approximation —
+  * DC first/refine scans (interleaved or single-component), AC
+  * first/refine scans with EOB-run coding, per-scan Huffman table
+  * redefinition, restart intervals in either traversal — accumulated in
+  * per-component zigzag coefficient stores and IDCT'd once at the end.
+  * 8-bit precision, 1 or 3 components, arbitrary 1–4 sampling factors
+  * (4:4:4, 4:2:2, 4:2:0, …), 8- or 16-bit quantization entries.
+  * Lossless/arithmetic/hierarchical scans report nulls.
   *
   * Output is the filter-stat struct a curation pipeline aggregates
   * first: dimensions, channel count, per-channel integer pixel sums and
@@ -187,11 +192,14 @@ object JpegPixels {
 
   // per-component state gathered from SOF/SOS
   private final class Comp {
+    var id = 0
     var h = 1; var v = 1; var tq = 0
     var dcTab = 0; var acTab = 0
     var pred = 0
-    var wb = 0; var hb = 0 // plane size in blocks
+    var wb = 0; var hb = 0 // plane size in blocks (MCU-padded grid)
+    var wbc = 0; var hbc = 0 // non-interleaved block grid (actual size)
     var plane: Array[Int] = null
+    var coefZ: Array[Int] = null // progressive: per-block zigzag coefficients
   }
 
   /** Decoded component planes + geometry; pixel() applies upsampling and
@@ -277,18 +285,50 @@ object JpegPixels {
     var comps: Array[Comp] = null
     var restartInterval = 0
     var sofSeen = false
+    var progressive = false
+    var allocated = false
+    var anyScan = false
+    var hMax = 1; var vMax = 1
+    var mcusX = 0; var mcusY = 0
+
+    def allocate(): Boolean = {
+      comps.foreach { c => if (c.h > hMax) hMax = c.h; if (c.v > vMax) vMax = c.v }
+      mcusX = (width + 8 * hMax - 1) / (8 * hMax)
+      mcusY = (height + 8 * vMax - 1) / (8 * vMax)
+      var i = 0
+      while (i < comps.length) {
+        val c = comps(i)
+        c.wb = mcusX * c.h; c.hb = mcusY * c.v
+        // non-interleaved grid: blocks covering the component's ACTUAL
+        // size (T.81 A.2.2), not the MCU-padded grid
+        c.wbc = ((width * c.h + hMax - 1) / hMax + 7) / 8
+        c.hbc = ((height * c.v + vMax - 1) / vMax + 7) / 8
+        // Long math: a crafted SOF can make wb*8*hb*8 overflow Int.
+        val n = c.wb.toLong * 8L * c.hb.toLong * 8L
+        if (n > MaxPixels.toLong * 2L) return false
+        c.plane = new Array[Int](n.toInt)
+        if (progressive) c.coefZ = new Array[Int](n.toInt) // wb*hb*64 == n
+        i += 1
+      }
+      allocated = true
+      true
+    }
+
     var p = 2
-    var scanStart = -1
-    while (scanStart < 0 && p + 4 <= b.length) {
+    var done = false
+    while (!done && p + 2 <= b.length) {
       if ((b(p) & 0xff) != 0xff) return None
       val m = b(p + 1) & 0xff
-      if (m == 0xd8 || (m >= 0xd0 && m <= 0xd7)) { p += 2 }
-      else if (m == 0xd9) return None // EOI before any scan
+      if (m == 0xff) p += 1 // fill byte
+      else if (m == 0xd8 || (m >= 0xd0 && m <= 0xd7) || m == 0x01) { p += 2 }
+      else if (m == 0xd9) done = true // EOI
       else {
+        if (p + 4 > b.length) return None
         val len = be16(b, p + 2)
         val seg = p + 4
         val segEnd = p + 2 + len
         if (len < 2 || segEnd > b.length) return None
+        var nextP = segEnd
         m match {
           case 0xdb => // DQT — one or more tables, 8- or 16-bit entries
             var q = seg
@@ -305,7 +345,8 @@ object JpegPixels {
               }
               qt(tq) = tab
             }
-          case 0xc4 => // DHT — one or more tables
+          case 0xc4 => // DHT — one or more tables (progressive streams
+            // legally redefine tables between scans)
             var q = seg
             while (q < segEnd) {
               val tc = (b(q) & 0xff) >> 4
@@ -322,7 +363,8 @@ object JpegPixels {
               val h = new Huff(bits, vals)
               if (tc == 0) dcH(th) = h else acH(th) = h
             }
-          case 0xc0 | 0xc1 => // SOF0/SOF1 baseline
+          case 0xc0 | 0xc1 | 0xc2 => // SOF0/SOF1 baseline, SOF2 progressive
+            if (sofSeen) return None
             if ((b(seg) & 0xff) != 8) return None // 8-bit precision only
             height = be16(b, seg + 1)
             width = be16(b, seg + 3)
@@ -332,10 +374,12 @@ object JpegPixels {
             // allocation (crawl blobs are adversarial; mirrors PngPixels'
             // 1<<24 pixel cap and keeps plane sizes safely inside Int).
             if (width.toLong * height.toLong > MaxPixels) return None
+            progressive = m == 0xc2
             comps = Array.fill(nc)(new Comp)
             var i = 0
             while (i < nc) {
               val o = seg + 6 + 3 * i
+              comps(i).id = b(o) & 0xff
               comps(i).h = (b(o + 1) & 0xff) >> 4
               comps(i).v = b(o + 1) & 0x0f
               comps(i).tq = b(o + 2) & 0xff
@@ -344,50 +388,99 @@ object JpegPixels {
               i += 1
             }
             sofSeen = true
-          case 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb | 0xcd | 0xce | 0xcf =>
-            return None // progressive / lossless / arithmetic: unsupported
+          case 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb | 0xcd | 0xce | 0xcf =>
+            return None // lossless / arithmetic / hierarchical: unsupported
           case 0xdd => restartInterval = be16(b, seg)
           case 0xda => // SOS
             if (!sofSeen) return None
+            if (!allocated && !allocate()) return None
             val ns = b(seg) & 0xff
-            if (ns != nc) return None // non-interleaved multi-scan unsupported
+            if (ns < 1 || ns > nc) return None
+            val scanComps = new Array[Comp](ns)
             var i = 0
             while (i < ns) {
               val cs = b(seg + 1 + 2 * i) & 0xff
               val tt = b(seg + 2 + 2 * i) & 0xff
-              // component ids are 1-based in our SOF order by convention;
-              // match by position when ids are unusual
-              val idx = if (i < nc) i else return None
-              val _ = cs
+              // match the SOS component selector to the SOF id; fall
+              // back to position when ids are unusual
+              var idx = -1
+              var j = 0
+              while (j < nc && idx < 0) { if (comps(j).id == cs) idx = j; j += 1 }
+              if (idx < 0) idx = if (i < nc) i else return None
               comps(idx).dcTab = tt >> 4
               comps(idx).acTab = tt & 0x0f
+              scanComps(i) = comps(idx)
               i += 1
             }
-            scanStart = segEnd
+            val ss = b(seg + 1 + 2 * ns) & 0xff
+            val se = b(seg + 2 + 2 * ns) & 0xff
+            val ahal = b(seg + 3 + 2 * ns) & 0xff
+            val ah = ahal >> 4; val al = ahal & 0x0f
+
+            if (!progressive) {
+              if (ns != nc) return None // baseline non-interleaved: unsupported
+              return baselineScan(b, segEnd, comps, qt, dcH, acH,
+                restartInterval, mcusX, mcusY, width, height, nc, hMax, vMax)
+            }
+            if (ss > 63 || se > 63 || se < ss || (ss == 0 && se != 0) ||
+              (ss > 0 && ns != 1)) return None
+            val after = progressiveScan(b, segEnd, scanComps, qt, dcH, acH,
+              restartInterval, mcusX, mcusY, ss, se, ah, al)
+            if (after < 0) return None
+            anyScan = true
+            nextP = after
           case _ => // APPn, COM, others: skip
         }
-        if (scanStart < 0) p = segEnd
+        p = nextP
       }
     }
-    if (scanStart < 0) return None
+    if (!progressive || !anyScan) return None
 
-    var hMax = 1; var vMax = 1
-    comps.foreach { c => if (c.h > hMax) hMax = c.h; if (c.v > vMax) vMax = c.v }
-    val mcusX = (width + 8 * hMax - 1) / (8 * hMax)
-    val mcusY = (height + 8 * vMax - 1) / (8 * vMax)
-    locally {
-      var i = 0
-      while (i < comps.length) {
-        val c = comps(i)
-        c.wb = mcusX * c.h; c.hb = mcusY * c.v
-        // Long math: a crafted SOF can make wb*8*hb*8 overflow Int.
-        val n = c.wb.toLong * 8L * c.hb.toLong * 8L
-        if (n > MaxPixels.toLong * 2L) return None
-        c.plane = new Array[Int](n.toInt)
-        i += 1
+    // finalize: dequantize each component's accumulated coefficients and
+    // IDCT every block of the padded grid into the pixel plane
+    val coef = new Array[Int](64)
+    val pix = new Array[Int](64)
+    var ci = 0
+    while (ci < nc) {
+      val c = comps(ci)
+      val q = qt(c.tq)
+      if (q == null) return None
+      val cz = c.coefZ
+      val pw = c.wb * 8
+      var by = 0
+      while (by < c.hb) {
+        var bx = 0
+        while (bx < c.wb) {
+          val off = (by * c.wb + bx) * 64
+          var k = 0
+          while (k < 64) { coef(Zigzag(k)) = cz(off + k) * q(k); k += 1 }
+          idct(coef, pix)
+          val bx0 = bx * 8; val by0 = by * 8
+          var y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 8) {
+              c.plane((by0 + y) * pw + bx0 + x) = pix(y * 8 + x)
+              x += 1
+            }
+            y += 1
+          }
+          bx += 1
+        }
+        by += 1
       }
+      ci += 1
     }
+    Some(new Decoded(width, height, nc, comps, hMax, vMax))
+  }
 
+  /** The proven baseline path: single interleaved scan, immediate
+    * dequantize + IDCT per block. Returns the finished image.
+    */
+  private def baselineScan(b: Array[Byte], scanStart: Int, comps: Array[Comp],
+      qt: Array[Array[Int]], dcH: Array[Huff], acH: Array[Huff],
+      restartInterval: Int, mcusX: Int, mcusY: Int,
+      width: Int, height: Int, nc: Int, hMax: Int, vMax: Int): Option[Decoded] = {
     val rd = new Reader(b, scanStart)
     val coef = new Array[Int](64)
     val pix = new Array[Int](64)
@@ -450,8 +543,209 @@ object JpegPixels {
       }
       mcu += 1
     }
-
     Some(new Decoded(width, height, nc, comps, hMax, vMax))
+  }
+
+  /** One progressive scan (T.81 G.2): DC first/refine (interleaved or
+    * single-component) and AC first/refine with EOB-run coding
+    * (single-component, non-interleaved block order). Accumulates into
+    * each component's zigzag coefficient store; returns the byte offset
+    * of the next marker, or -1 on corruption.
+    */
+  private def progressiveScan(b: Array[Byte], scanStart: Int,
+      scanComps: Array[Comp], qt: Array[Array[Int]],
+      dcH: Array[Huff], acH: Array[Huff], restartInterval: Int,
+      mcusX: Int, mcusY: Int, ss: Int, se: Int, ah: Int, al: Int): Int = {
+    val rd = new Reader(b, scanStart)
+    var eobrun = 0
+    val p1 = 1 << al
+
+    // AC refinement for one block: corrects nonzero-history coefficients
+    // and inserts newly-significant ones (T.81 G.1.2.3 / the classic
+    // decode_mcu_AC_refine structure, reimplemented from the spec)
+    def refineAc(cz: Array[Int], off: Int): Boolean = {
+      val act = acH(scanComps(0).acTab)
+      var k = ss
+      if (eobrun == 0) {
+        var break = false
+        while (k <= se && !break) {
+          val rs = rd.decode(act)
+          var r = rs >> 4
+          val s = rs & 0x0f
+          var insert = 0
+          if (s == 0) {
+            if (r != 15) {
+              // EOB run INCLUDES this block; the sweep below consumes it
+              eobrun = (1 << r)
+              if (r > 0) eobrun += rd.receive(r)
+              break = true
+            }
+            // r == 15: ZRL — skip 16 zero-history positions
+          } else {
+            if (s != 1) return false // refinement amplitudes are ±1
+            insert = if (rd.nextBit() == 1) p1 else -p1
+          }
+          if (!break) {
+            var placed = false
+            while (k <= se && !placed) {
+              val v = cz(off + k)
+              if (v != 0) {
+                if (rd.nextBit() == 1 && (v & p1) == 0)
+                  cz(off + k) = if (v >= 0) v + p1 else v - p1
+              } else {
+                if (r == 0) {
+                  if (insert != 0) cz(off + k) = insert
+                  placed = true
+                } else r -= 1
+              }
+              k += 1
+            }
+            if (!placed && insert != 0) return false // ran off the band
+          }
+        }
+      }
+      if (eobrun > 0) {
+        // this block is one of the EOB-run blocks: correction bits still
+        // appear for every remaining nonzero-history coefficient
+        while (k <= se) {
+          val v = cz(off + k)
+          if (v != 0) {
+            if (rd.nextBit() == 1 && (v & p1) == 0)
+              cz(off + k) = if (v >= 0) v + p1 else v - p1
+          }
+          k += 1
+        }
+        eobrun -= 1
+      }
+      true
+    }
+
+    // first AC scan for one block (Ah == 0)
+    def firstAc(cz: Array[Int], off: Int): Boolean = {
+      if (eobrun > 0) { eobrun -= 1; return true }
+      var k = ss
+      while (k <= se) {
+        val rs = rd.decode(acH(scanComps(0).acTab))
+        val r = rs >> 4
+        val s = rs & 0x0f
+        if (s == 0) {
+          if (r == 15) k += 16
+          else {
+            eobrun = (1 << r) - 1
+            if (r > 0) eobrun += rd.receive(r)
+            return true
+          }
+        } else {
+          k += r
+          if (k > se) return false
+          cz(off + k) = extend(rd.receive(s), s) << al
+          k += 1
+        }
+      }
+      true
+    }
+
+    if (ss == 0) {
+      // DC scan — interleaved over the MCU grid when several components
+      // participate; single-component grids otherwise
+      scanComps.foreach(_.pred = 0)
+      if (scanComps.length > 1) {
+        // multi-component DC scans interleave over the MCU grid; a
+        // single-component scan is ALWAYS non-interleaved (T.81 A.2.2)
+        // MCU-interleaved traversal (matches baseline geometry)
+        var mcu = 0
+        val nMcus = mcusX * mcusY
+        while (mcu < nMcus) {
+          if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+            if (!rd.restart()) return -1
+            scanComps.foreach(_.pred = 0)
+            eobrun = 0
+          }
+          val mx = mcu % mcusX
+          val my = mcu / mcusX
+          var ci = 0
+          while (ci < scanComps.length) {
+            val c = scanComps(ci)
+            var bv = 0
+            while (bv < c.v) {
+              var bh = 0
+              while (bh < c.h) {
+                val blk = (my * c.v + bv) * c.wb + (mx * c.h + bh)
+                val off = blk * 64
+                if (ah == 0) {
+                  if (dcH(c.dcTab) == null) return -1
+                  val t = rd.decode(dcH(c.dcTab))
+                  val diff = extend(rd.receive(t), t)
+                  c.pred += diff
+                  c.coefZ(off) = c.pred << al
+                } else {
+                  if (rd.nextBit() == 1) c.coefZ(off) |= p1
+                }
+                bh += 1
+              }
+              bv += 1
+            }
+            ci += 1
+          }
+          mcu += 1
+        }
+      } else {
+        val c = scanComps(0)
+        if (ah == 0 && dcH(c.dcTab) == null) return -1
+        var blkNo = 0
+        var by = 0
+        while (by < c.hbc) {
+          var bx = 0
+          while (bx < c.wbc) {
+            if (restartInterval > 0 && blkNo > 0 && blkNo % restartInterval == 0) {
+              if (!rd.restart()) return -1
+              c.pred = 0; eobrun = 0
+            }
+            val off = (by * c.wb + bx) * 64
+            if (ah == 0) {
+              val t = rd.decode(dcH(c.dcTab))
+              val diff = extend(rd.receive(t), t)
+              c.pred += diff
+              c.coefZ(off) = c.pred << al
+            } else {
+              if (rd.nextBit() == 1) c.coefZ(off) |= p1
+            }
+            blkNo += 1
+            bx += 1
+          }
+          by += 1
+        }
+      }
+    } else {
+      // AC scan: exactly one component, non-interleaved block order
+      val c = scanComps(0)
+      if (acH(c.acTab) == null) return -1
+      var blkNo = 0
+      var by = 0
+      while (by < c.hbc) {
+        var bx = 0
+        while (bx < c.wbc) {
+          if (restartInterval > 0 && blkNo > 0 && blkNo % restartInterval == 0) {
+            if (!rd.restart()) return -1
+            eobrun = 0
+          }
+          val off = (by * c.wb + bx) * 64
+          val ok = if (ah == 0) firstAc(c.coefZ, off) else refineAc(c.coefZ, off)
+          if (!ok) return -1
+          blkNo += 1
+          bx += 1
+        }
+        by += 1
+      }
+    }
+
+    // byte-align and locate the next marker (skipping stuffed FF00 runs
+    // is already done by the reader; from its position, the next two
+    // bytes must start a marker, possibly after FF fill bytes)
+    var q = rd.p
+    while (q + 1 < b.length &&
+      !((b(q) & 0xff) == 0xff && (b(q + 1) & 0xff) != 0x00)) q += 1
+    if (q + 1 >= b.length) b.length else q
   }
 
   private def clamp(v: Int): Int = if (v < 0) 0 else if (v > 255) 255 else v

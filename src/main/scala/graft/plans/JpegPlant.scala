@@ -100,6 +100,15 @@ object JpegPlant {
   private val DcCodes = encodeTable(DcBits, DcVals)
   private val AcCodes = encodeTable(AcBits, AcVals)
 
+  /** Progressive AC-scan table: the EOBn symbols (0xN0) Annex K's
+    * baseline table does not carry — emitted as a DHT between scans, so
+    * the decoder's per-scan table redefinition is exercised in-gate.
+    * Lengths avoid the all-ones code of each size (T.81 C.2).
+    */
+  private val ProgAcBits = Array(0, 0, 3, 1, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+  private val ProgAcVals = Array[Int](0x00, 0x10, 0x20, 0x30, 0x40)
+  private val ProgAcCodes = encodeTable(ProgAcBits, ProgAcVals)
+
   private final class BitWriter(out: java.io.ByteArrayOutputStream) {
     private var buf = 0
     private var cnt = 0
@@ -120,8 +129,111 @@ object JpegPlant {
     def flush(): Unit = if (cnt > 0) put((1 << (8 - cnt)) - 1, 8 - cnt)
   }
 
-  /** Static so generated code calls it directly. */
-  def encode(docId: Long): Array[Byte] = encodeFrame(docId, 0)
+  /** Static so generated code calls it directly. Every seventh doc
+    * (docId%7==2) is coded PROGRESSIVE (SOF2: DC first with Al=1, DC
+    * refinement, AC EOB-run scan — successive approximation round-trips
+    * exactly because `((dc>>1)<<1) | (dc&1) == dc`), so the gate
+    * exercises the multi-scan path with the SAME closed-form pixels and
+    * the SAME oracle; the rest stay baseline. docId%5==0 plants DRI in
+    * both codings (ids ≡ 30 mod 35 are progressive WITH restarts).
+    */
+  def encode(docId: Long): Array[Byte] =
+    if (docId % 7 == 2) encodeProgressive(docId, 0) else encodeFrame(docId, 0)
+
+  /** Progressive (SOF2) plant: three scans — DC first (Ah=0, Al=1), DC
+    * refinement (Ah=1, Al=0, raw bits), AC 1..63 first scan where every
+    * block is all-zero so the whole traversal is EOB-run coded. Restart
+    * cadence (when docId%5==0) applies per scan, resetting predictors
+    * and EOB runs, exactly the states a progressive decoder must clear.
+    */
+  def encodeProgressive(docId: Long, salt: Int): Array[Byte] = {
+    val wb = widthBlocksOf(docId)
+    val hb = heightBlocksOf(docId)
+    val w = wb * 8; val h = hb * 8
+    val restart = if (docId % 5 == 0) 2 else 0
+    val out = new java.io.ByteArrayOutputStream(512)
+    def m(marker: Int, payload: Array[Int]): Unit = {
+      out.write(0xff); out.write(marker)
+      out.write((payload.length + 2) >> 8); out.write((payload.length + 2) & 0xff)
+      payload.foreach(out.write)
+    }
+    out.write(0xff); out.write(0xd8) // SOI
+    m(0xe0, Array(0x4a, 0x46, 0x49, 0x46, 0x00, 1, 1, 0, 0, 1, 0, 1, 0, 0))
+    m(0xdb, Array(0x00) ++ Array.tabulate(64)(i => if (i == 0) 8 else 16))
+    m(0xc4, (Array(0x00) ++ DcBits.drop(1) ++ DcVals) ++
+      (Array(0x10) ++ AcBits.drop(1) ++ AcVals))
+    if (restart > 0) m(0xdd, Array(restart >> 8, restart & 0xff))
+    // SOF2: 8-bit, h×w, 1 component, 1×1 sampling, quant table 0
+    m(0xc2, Array(8, h >> 8, h & 0xff, w >> 8, w & 0xff, 1, 1, 0x11, 0))
+    val nb = wb * hb
+    val dcOf = Array.tabulate(nb)(k => blockValOf(docId, salt, k) - 128)
+
+    var rstIdx = 0
+    def rst(bw: BitWriter): Unit = {
+      bw.flush()
+      out.write(0xff); out.write(0xd0 + (rstIdx % 8))
+      rstIdx += 1
+    }
+
+    // scan 1: DC first, point transform Al=1 (codes dc >> 1, arithmetic)
+    m(0xda, Array(1, 1, 0x00, 0, 0, 0x01))
+    locally {
+      val bw = new BitWriter(out)
+      rstIdx = 0
+      var pred = 0
+      var k = 0
+      while (k < nb) {
+        if (restart > 0 && k > 0 && k % restart == 0) { rst(bw); pred = 0 }
+        val v = dcOf(k) >> 1
+        val diff = v - pred
+        pred = v
+        val a = if (diff < 0) -diff else diff
+        val t = 32 - Integer.numberOfLeadingZeros(a)
+        bw.put(DcCodes(t)(0), DcCodes(t)(1))
+        if (t > 0) bw.put(if (diff >= 0) diff else diff + (1 << t) - 1, t)
+        k += 1
+      }
+      bw.flush()
+    }
+
+    // scan 2: DC refinement, Ah=1 Al=0 — one raw bit per block (dc & 1)
+    m(0xda, Array(1, 1, 0x00, 0, 0, 0x10))
+    locally {
+      val bw = new BitWriter(out)
+      rstIdx = 0
+      var k = 0
+      while (k < nb) {
+        if (restart > 0 && k > 0 && k % restart == 0) rst(bw)
+        bw.put(dcOf(k) & 1, 1)
+        k += 1
+      }
+      bw.flush()
+    }
+
+    // scan 3: AC 1..63 first scan — every block all-zero, EOB-run coded
+    // (one EOBn per restart segment; without DRI, one run spans them all).
+    // A fresh DHT first: EOBn symbols live in a progressive-only table.
+    m(0xc4, Array(0x10) ++ ProgAcBits.drop(1) ++ ProgAcVals)
+    m(0xda, Array(1, 1, 0x00, 1, 63, 0x00))
+    locally {
+      val bw = new BitWriter(out)
+      rstIdx = 0
+      var k = 0
+      while (k < nb) {
+        val segLen = if (restart > 0) math.min(restart, nb - k) else nb - k
+        if (k > 0) rst(bw)
+        // EOBn: run = segLen = (1<<r) + extra, r chosen maximal
+        val r = 31 - Integer.numberOfLeadingZeros(segLen)
+        bw.put(ProgAcCodes(r << 4)(0), ProgAcCodes(r << 4)(1))
+        if (r > 0) bw.put(segLen - (1 << r), r)
+        k += segLen
+      }
+      bw.flush()
+    }
+
+    out.write(0xff); out.write(0xd9) // EOI
+    out.toByteArray
+  }
 
   /** One MJPEG frame: geometry from docId, content salted by frame
     * index — see [[AviPlant]].

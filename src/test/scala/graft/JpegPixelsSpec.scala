@@ -35,9 +35,29 @@ class JpegPixelsSpec extends SparkSuite {
       assert(r.getAs[Long]("sum_gray") == 64L * vals.map(_.toLong).sum, s"sum doc $id")
       assert(r.getAs[Int]("peak") == vals.max, s"peak doc $id")
     }
-    // slice covers both the plain path and the DRI/RSTn restart path
+    // slice covers the plain path, the DRI/RSTn restart path, AND the
+    // progressive (SOF2) coding — all answering the same oracle
     assert(rows.exists(_.getAs[Long]("media_id") % 5 == 0))
     assert(rows.exists(_.getAs[Long]("media_id") % 5 != 0))
+    assert(rows.exists(_.getAs[Long]("media_id") % 7 == 2))
+    val prog = JpegPlant.encode(2L)
+    assert(prog.sliding(2).exists(p => (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xc2),
+      "docId%7==2 plants must be SOF2")
+  }
+
+  test("progressive plant with restarts (docId%35==30) decodes DC-exact") {
+    // progressive + DRI: predictors AND EOB runs reset at RSTn in every scan
+    Seq(30L, 65L, 2L, 9L, 16L).foreach { id =>
+      val bytes = JpegPlant.encode(id)
+      val (w, h, px) = JpegPixels.rgb(bytes)
+      val wb = 1 + (id % 4).toInt; val hb = 1 + (id % 3).toInt
+      assert(w == wb * 8 && h == hb * 8, s"doc $id dims")
+      for (by <- 0 until hb; bx <- 0 until wb) {
+        val expect = ((id * 37 + (by * wb + bx).toLong * 59) % 256).toInt
+        val got = px((by * 8) * w + bx * 8) & 0xff
+        assert(got == expect, s"doc $id block ($bx,$by): $got != $expect")
+      }
+    }
   }
 
   test("grayscale golden: our decode matches ImageIO's within ±1 per pixel") {
@@ -84,7 +104,67 @@ class JpegPixelsSpec extends SparkSuite {
     assert(sumAbs.toDouble / (w * h * 3) <= 2.0, s"mean |delta| ${sumAbs.toDouble / (w * h * 3)}")
   }
 
-  test("progressive and malformed streams yield in-struct nulls, never a throw") {
+  private def imageioProgressive(img: BufferedImage): Array[Byte] = {
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+    val param = writer.getDefaultWriteParam
+    param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    val out = new ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+    writer.setOutput(ios)
+    writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+    ios.close(); writer.dispose()
+    val bytes = out.toByteArray
+    // make sure ImageIO really wrote SOF2 — the test is void otherwise
+    assert(bytes.sliding(2).exists(p => (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xc2),
+      "encoder must emit a progressive (SOF2) stream")
+    bytes
+  }
+
+  test("progressive grayscale golden: ImageIO SOF2 stream matches within ±1") {
+    val w = 21; val h = 13 // partial edge blocks in both axes
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w)
+      img.getRaster.setSample(x, y, 0, (x * 61 + y * 149 + (x * y) % 5 * 37) % 256)
+    val bytes = imageioProgressive(img)
+    val (dw, dh, ours) = JpegPixels.rgb(bytes)
+    assert(dw == w && dh == h)
+    val theirs = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    var maxDelta = 0
+    for (y <- 0 until h; x <- 0 until w) {
+      val o = ours(y * w + x) & 0xff
+      val t = theirs.getRaster.getSample(x, y, 0)
+      maxDelta = math.max(maxDelta, math.abs(o - t))
+    }
+    assert(maxDelta <= 1, s"progressive gray divergence $maxDelta > 1")
+  }
+
+  test("progressive color golden: successive approximation + subsampling decode") {
+    val w = 37; val h = 29
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    // the SAME gradient the baseline color golden uses (divergence there
+    // is pure box-vs-fancy upsampling; this pins progressive to match it)
+    for (y <- 0 until h; x <- 0 until w) {
+      val r = 40 + x * 4; val g = 200 - y * 5; val b = 30 + (x + y) * 3
+      img.setRGB(x, y, ((r & 0xff) << 16) | ((g & 0xff) << 8) | (b & 0xff))
+    }
+    val bytes = imageioProgressive(img)
+    val (dw, dh, ours) = JpegPixels.rgb(bytes)
+    assert(dw == w && dh == h)
+    val theirs = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    var sumAbs = 0L; var maxDelta = 0
+    for (y <- 0 until h; x <- 0 until w; c <- 0 until 3) {
+      val shift = 16 - 8 * c
+      val o = (ours(y * w + x) >> shift) & 0xff
+      val t = (theirs.getRGB(x, y) >> shift) & 0xff
+      sumAbs += math.abs(o - t)
+      maxDelta = math.max(maxDelta, math.abs(o - t))
+    }
+    assert(maxDelta <= 12, s"progressive color divergence $maxDelta > 12")
+    assert(sumAbs.toDouble / (w * h * 3) <= 2.0,
+      s"mean |delta| ${sumAbs.toDouble / (w * h * 3)}")
+  }
+
+  test("malformed streams yield in-struct nulls, never a throw") {
     import spark.implicits._
     val planted = JpegPlant.encode(7L)
     // patch SOF0 (FFC0) to SOF2 (FFC2) — progressive, unsupported
