@@ -625,15 +625,26 @@ object Multimodal {
     s"""WITH d AS (
        |  SELECT doc_id, 4 + doc_id % 13 AS w, 4 + doc_id % 11 AS h FROM documents
        |), px AS (
+       |  -- three planted layouts: %4==1 palette (16-entry PLTE lookup),
+       |  -- %4==3 16-bit gray (high-byte projection), else 8-bit RGB
        |  SELECT doc_id, w, h,
-       |    (doc_id + 3 * i) % 256 AS r,
-       |    (doc_id * 7 + 5 * i) % 256 AS g,
-       |    (doc_id * 13 + 11 * i) % 256 AS b
+       |    CASE doc_id % 4
+       |      WHEN 1 THEN (doc_id + 17 * ((doc_id + i) % 16)) % 256
+       |      WHEN 3 THEN ((doc_id * 31 + 257 * i) % 65536) // 256
+       |      ELSE (doc_id + 3 * i) % 256 END AS r,
+       |    CASE doc_id % 4
+       |      WHEN 1 THEN (doc_id * 7 + 23 * ((doc_id + i) % 16)) % 256
+       |      WHEN 3 THEN ((doc_id * 31 + 257 * i) % 65536) // 256
+       |      ELSE (doc_id * 7 + 5 * i) % 256 END AS g,
+       |    CASE doc_id % 4
+       |      WHEN 1 THEN (doc_id * 13 + 29 * ((doc_id + i) % 16)) % 256
+       |      WHEN 3 THEN ((doc_id * 31 + 257 * i) % 65536) // 256
+       |      ELSE (doc_id * 13 + 11 * i) % 256 END AS b
        |  FROM d, unnest(range(0, w * h)) AS u(i)
        |)
        |SELECT doc_id AS media_id,
        |  CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
-       |  CAST(3 AS INTEGER) AS channels,
+       |  CAST(CASE WHEN doc_id % 4 = 3 THEN 1 ELSE 3 END AS INTEGER) AS channels,
        |  CAST(count(*) AS BIGINT) AS n_pixels,
        |  CAST(sum(r) AS BIGINT) AS sum_r,
        |  CAST(sum(g) AS BIGINT) AS sum_g,

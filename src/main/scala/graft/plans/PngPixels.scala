@@ -20,10 +20,14 @@ import org.apache.spark.sql.types.{BinaryType, DataType, IntegerType, LongType, 
   * on first (mean brightness = sum DIV n downstream; peak = max sample).
   * Grayscale replicates its single channel into all three sums so the
   * brightness columns are format-independent; sum_a is null when the
-  * color type carries no alpha. Unsupported shapes (palette color,
-  * bit depths ≠ 8, interlaced, malformed/truncated streams) yield nulls
-  * INSIDE the struct — never a null struct — so failure counts group
-  * cleanly.
+  * color type carries no alpha. Supported shapes (round 9 widened):
+  * gray/RGB/gray+alpha/RGBA at depths 8 AND 16 (16-bit samples project
+  * to their high byte — the standard 16→8 downsample), and PALETTE
+  * color (type 3) at depths 1/2/4/8 with PLTE lookup and per-index
+  * tRNS alpha — the icon/screenshot shape a real crawl is full of.
+  * Unsupported shapes (interlaced, malformed/truncated streams) yield
+  * nulls INSIDE the struct — never a null struct — so failure counts
+  * group cleanly.
   *
   * Scale: per-row, shuffle-free, stays inside whole-stage codegen via a
   * static call; one Inflater per ROW (not per partition) is deliberate —
@@ -93,33 +97,51 @@ object PngPixels {
     val bitDepth = b(24) & 0xff
     val colorType = b(25) & 0xff
     val interlace = b(28) & 0xff
-    // supported: 8-bit gray(0) / RGB(2) / gray+alpha(4) / RGBA(6), no interlace
+    // samples per pixel; palette (3) is 1 index per pixel pre-lookup
     val channels = colorType match {
       case 0 => 1
       case 2 => 3
+      case 3 => 1
       case 4 => 2
       case 6 => 4
       case _ => return nulls
     }
-    if (bitDepth != 8 || interlace != 0) return nulls
+    // supported: depths 8/16 for gray/RGB/LA/RGBA; 1/2/4/8 for palette
+    val depthOk =
+      if (colorType == 3) bitDepth == 1 || bitDepth == 2 || bitDepth == 4 || bitDepth == 8
+      else bitDepth == 8 || bitDepth == 16
+    if (!depthOk || interlace != 0) return nulls
     if (width <= 0 || height <= 0 || width > (1 << 24) || height > (1 << 24)) return nulls
     val w = width.toInt
     val h = height.toInt
 
-    // walk chunks, concatenating every IDAT payload (the zlib stream may
-    // split at arbitrary byte boundaries across chunks — PNG spec §10)
+    // walk chunks: concatenate every IDAT payload (the zlib stream may
+    // split at arbitrary byte boundaries across chunks — PNG spec §10),
+    // and capture PLTE / tRNS for palette images
     var p = 33 // 8 sig + 25 IHDR chunk
     val n = b.length
     var idatLen = 0
+    var plte: Array[Byte] = null
+    var trns: Array[Byte] = null
     var at = p
     while (at >= 0 && at + 8 <= n) {
       val size = be32(b, at) // chunk: len(4) type(4) payload CRC(4)
+      val avail = math.min(size, (n - at - 8).toLong).toInt
       if (b(at + 4) == 'I' && b(at + 5) == 'D' && b(at + 6) == 'A' && b(at + 7) == 'T')
-        idatLen += math.min(size, (n - at - 8).toLong).toInt
+        idatLen += avail
+      else if (b(at + 4) == 'P' && b(at + 5) == 'L' && b(at + 6) == 'T' && b(at + 7) == 'E') {
+        if (plte == null && avail > 0 && avail % 3 == 0 && avail <= 768)
+          plte = java.util.Arrays.copyOfRange(b, at + 8, at + 8 + avail)
+      } else if (b(at + 4) == 't' && b(at + 5) == 'R' && b(at + 6) == 'N' && b(at + 7) == 'S') {
+        if (trns == null && avail > 0 && avail <= 256)
+          trns = java.util.Arrays.copyOfRange(b, at + 8, at + 8 + avail)
+      }
       val next = at.toLong + 12 + size
       at = if (next > n || next <= at) -1 else next.toInt
     }
     if (idatLen <= 0) return nulls
+    if (colorType == 3 && plte == null) return nulls
+    val nPal = if (plte == null) 0 else plte.length / 3
     val z = new Array[Byte](idatLen)
     var zp = 0
     at = p
@@ -133,14 +155,17 @@ object PngPixels {
       at = if (next > n || next <= at) -1 else next.toInt
     }
 
-    // inflate + unfilter scanline by scanline: memory stays O(2·rowBytes)
-    val bpp = channels // bytes per pixel at bit depth 8
-    val rowBytes = 1 + w * bpp // +1 filter byte
+    // inflate + unfilter scanline by scanline: memory stays O(2·rowBytes).
+    // PNG filters operate on BYTES with the per-pixel byte distance bpp
+    // (1 for sub-byte palette depths) regardless of sample layout.
+    val bpp = math.max(1, channels * bitDepth / 8)
+    val lineBytes = (w * channels * bitDepth + 7) / 8
+    val rowBytes = 1 + lineBytes
     val inflater = new java.util.zip.Inflater()
     inflater.setInput(z, 0, zp)
     val raw = new Array[Byte](rowBytes) // filtered scanline as inflated
-    val cur = new Array[Byte](w * bpp) // reconstructed current scanline
-    val prior = new Array[Byte](w * bpp) // reconstructed previous scanline
+    val cur = new Array[Byte](lineBytes) // reconstructed current scanline
+    val prior = new Array[Byte](lineBytes) // reconstructed previous scanline
     var sumR = 0L; var sumG = 0L; var sumB = 0L; var sumA = 0L
     var peak = 0
     try {
@@ -158,7 +183,7 @@ object PngPixels {
         }
         val filter = raw(0) & 0xff
         var x = 0
-        while (x < w * bpp) {
+        while (x < lineBytes) {
           val rw = raw(1 + x) & 0xff
           val a = if (x >= bpp) cur(x - bpp) & 0xff else 0 // left
           val up = if (y > 0) prior(x) & 0xff else 0 // above
@@ -176,27 +201,87 @@ object PngPixels {
             case _ => return nulls
           }
           cur(x) = recon.toByte
-          if (recon > peak) peak = recon
-          colorType match {
-            case 0 => // gray: replicate into all three brightness sums
-              sumR += recon; sumG += recon; sumB += recon
-            case 2 => (x % 3) match {
-              case 0 => sumR += recon
-              case 1 => sumG += recon
-              case _ => sumB += recon
-            }
-            case 4 => if (x % 2 == 0) { sumR += recon; sumG += recon; sumB += recon }
-              else sumA += recon
-            case _ => (x % 4) match { // 6 = RGBA
-              case 0 => sumR += recon
-              case 1 => sumG += recon
-              case 2 => sumB += recon
-              case _ => sumA += recon
-            }
-          }
           x += 1
         }
-        System.arraycopy(cur, 0, prior, 0, w * bpp)
+
+        // accumulate this scanline's samples per color layout
+        if (colorType == 3) {
+          // palette: unpack indices, look up PLTE; tRNS gives per-index
+          // alpha (opaque past its end, per the spec)
+          val perByte = 8 / bitDepth
+          val mask = (1 << bitDepth) - 1
+          var px = 0
+          while (px < w) {
+            val byteIdx = px / perByte
+            val shift = 8 - bitDepth * (px % perByte + 1)
+            val idx = (cur(byteIdx) >> shift) & mask
+            if (idx >= nPal) return nulls
+            val pr = plte(3 * idx) & 0xff
+            val pg = plte(3 * idx + 1) & 0xff
+            val pb2 = plte(3 * idx + 2) & 0xff
+            sumR += pr; sumG += pg; sumB += pb2
+            if (pr > peak) peak = pr
+            if (pg > peak) peak = pg
+            if (pb2 > peak) peak = pb2
+            if (trns != null) {
+              val al = if (idx < trns.length) trns(idx) & 0xff else 255
+              sumA += al
+              if (al > peak) peak = al
+            }
+            px += 1
+          }
+        } else if (bitDepth == 16) {
+          // 16-bit samples: the high byte is the 8-bit projection (the
+          // standard 16→8 downsample); stats stay in the 8-bit domain
+          var s = 0
+          val nSamp = w * channels
+          while (s < nSamp) {
+            val v = cur(2 * s) & 0xff
+            if (v > peak) peak = v
+            colorType match {
+              case 0 => sumR += v; sumG += v; sumB += v
+              case 2 => (s % 3) match {
+                case 0 => sumR += v
+                case 1 => sumG += v
+                case _ => sumB += v
+              }
+              case 4 => if (s % 2 == 0) { sumR += v; sumG += v; sumB += v }
+                else sumA += v
+              case _ => (s % 4) match { // 6 = RGBA
+                case 0 => sumR += v
+                case 1 => sumG += v
+                case 2 => sumB += v
+                case _ => sumA += v
+              }
+            }
+            s += 1
+          }
+        } else {
+          var x = 0
+          while (x < lineBytes) {
+            val recon = cur(x) & 0xff
+            if (recon > peak) peak = recon
+            colorType match {
+              case 0 => // gray: replicate into all three brightness sums
+                sumR += recon; sumG += recon; sumB += recon
+              case 2 => (x % 3) match {
+                case 0 => sumR += recon
+                case 1 => sumG += recon
+                case _ => sumB += recon
+              }
+              case 4 => if (x % 2 == 0) { sumR += recon; sumG += recon; sumB += recon }
+                else sumA += recon
+              case _ => (x % 4) match { // 6 = RGBA
+                case 0 => sumR += recon
+                case 1 => sumG += recon
+                case 2 => sumB += recon
+                case _ => sumA += recon
+              }
+            }
+            x += 1
+          }
+        }
+        System.arraycopy(cur, 0, prior, 0, lineBytes)
         y += 1
       }
     } catch {
@@ -205,9 +290,11 @@ object PngPixels {
       inflater.end()
     }
 
-    val hasAlpha = colorType == 4 || colorType == 6
+    val hasAlpha = colorType == 4 || colorType == 6 || (colorType == 3 && trns != null)
+    // palette pixels REPORT as RGB triples (what the lookup emits)
+    val outChannels = if (colorType == 3) (if (trns != null) 4 else 3) else channels
     val r = new GenericInternalRow(9)
-    r.setInt(0, w); r.setInt(1, h); r.setInt(2, channels)
+    r.setInt(0, w); r.setInt(1, h); r.setInt(2, outChannels)
     r.setLong(3, w.toLong * h)
     r.setLong(4, sumR); r.setLong(5, sumG); r.setLong(6, sumB)
     if (hasAlpha) r.setLong(7, sumA) else r.setNullAt(7)

@@ -54,24 +54,73 @@ object PngPlant {
 
   /** Static so generated code calls it directly. The pixel formulas are
     * restated verbatim by the oracle SQL (see
-    * [[graft.multimodal.Multimodal.pixelStatsOracle]]).
+    * [[graft.multimodal.Multimodal.pixelStatsOracle]]). Three layouts
+    * rotate by docId so one gate covers truecolor, PALETTE (type 3,
+    * sub-byte depth, PLTE lookup), and 16-BIT grayscale (high-byte
+    * projection): %4==1 → 16-entry indexed; %4==3 → ushort gray;
+    * else 8-bit RGB.
     */
   def encode(docId: Long): Array[Byte] = {
     val w = widthOf(docId)
     val h = heightOf(docId)
-    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
-    var y = 0
-    while (y < h) {
-      var x = 0
-      while (x < w) {
-        val i = y.toLong * w + x
-        val r = ((docId + 3 * i) % 256).toInt
-        val g = ((docId * 7 + 5 * i) % 256).toInt
-        val b = ((docId * 13 + 11 * i) % 256).toInt
-        img.setRGB(x, y, (r << 16) | (g << 8) | b)
-        x += 1
-      }
-      y += 1
+    val img = (docId % 4) match {
+      case 1 =>
+        // 16-color palette: ImageIO writes a type-3 PNG with a PLTE and
+        // 4-bit packed indices; every index is used (w*h >= 16)
+        val rA = new Array[Byte](16); val gA = new Array[Byte](16); val bA = new Array[Byte](16)
+        var j = 0
+        while (j < 16) {
+          rA(j) = ((docId + 17 * j) % 256).toByte
+          gA(j) = ((docId * 7 + 23 * j) % 256).toByte
+          bA(j) = ((docId * 13 + 29 * j) % 256).toByte
+          j += 1
+        }
+        val icm = new java.awt.image.IndexColorModel(4, 16, rA, gA, bA)
+        val im = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val i = y.toLong * w + x
+            im.getRaster.setSample(x, y, 0, ((docId + i) % 16).toInt)
+            x += 1
+          }
+          y += 1
+        }
+        im
+      case 3 =>
+        // 16-bit grayscale: decoder projects each sample to its high byte
+        val im = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_USHORT_GRAY)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val i = y.toLong * w + x
+            im.getRaster.setSample(x, y, 0, ((docId * 31 + 257 * i) % 65536).toInt)
+            x += 1
+          }
+          y += 1
+        }
+        im
+      case _ =>
+        val im = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val i = y.toLong * w + x
+            val r = ((docId + 3 * i) % 256).toInt
+            val g = ((docId * 7 + 5 * i) % 256).toInt
+            val b = ((docId * 13 + 11 * i) % 256).toInt
+            im.setRGB(x, y, (r << 16) | (g << 8) | b)
+            x += 1
+          }
+          y += 1
+        }
+        im
     }
     val out = new java.io.ByteArrayOutputStream(1024)
     javax.imageio.ImageIO.write(img, "png", out)

@@ -17,7 +17,8 @@ class PngPixelsSpec extends AnyFunSuite {
   private def statsOf(b: Array[Byte]) = PngPixels.parse(b)
 
   test("RGB plant round-trips exactly for a spread of doc_ids") {
-    for (docId <- Seq(0L, 1L, 7L, 12L, 59L, 143L, 999L, 123457L)) {
+    // %4 ∈ {0,2} stay truecolor; %4==1/3 route to palette / 16-bit plants
+    for (docId <- Seq(0L, 4L, 6L, 10L, 12L, 58L, 998L, 123456L)) {
       val w = PngPlant.widthOf(docId)
       val h = PngPlant.heightOf(docId)
       var sr = 0L; var sg = 0L; var sb = 0L; var pk = 0
@@ -113,6 +114,85 @@ class PngPixelsSpec extends AnyFunSuite {
       if (!a.isNullAt(i) && (i == 3 || i == 4 || i == 5 || i == 6))
         assert(a.getLong(i) === b.getLong(i), s"field $i")
     }
+  }
+
+  test("palette plant (color type 3, PLTE lookup) round-trips exactly") {
+    for (docId <- Seq(1L, 5L, 13L, 57L, 141L, 123457L)) {
+      val bytes = PngPlant.encode(docId)
+      assert((bytes(25) & 0xff) == 3, s"doc $docId must encode as palette PNG")
+      val w = PngPlant.widthOf(docId)
+      val h = PngPlant.heightOf(docId)
+      var sr = 0L; var sg = 0L; var sb = 0L; var pk = 0
+      for (i <- 0L until w.toLong * h) {
+        val j = ((docId + i) % 16).toInt
+        val r = ((docId + 17 * j) % 256).toInt
+        val g = ((docId * 7 + 23 * j) % 256).toInt
+        val b = ((docId * 13 + 29 * j) % 256).toInt
+        sr += r; sg += g; sb += b
+        pk = math.max(pk, math.max(r, math.max(g, b)))
+      }
+      val row = statsOf(bytes)
+      assert(!row.isNullAt(0), s"doc $docId failed to decode")
+      assert(row.getInt(2) === 3, "palette without tRNS reports RGB")
+      assert(row.getLong(4) === sr && row.getLong(5) === sg && row.getLong(6) === sb,
+        s"doc $docId palette sums")
+      assert(row.isNullAt(7))
+      assert(row.getInt(8) === pk, s"doc $docId peak")
+    }
+  }
+
+  test("16-bit grayscale plant projects samples to their high byte") {
+    for (docId <- Seq(3L, 7L, 59L, 143L, 999L)) {
+      val bytes = PngPlant.encode(docId)
+      assert((bytes(24) & 0xff) == 16 && (bytes(25) & 0xff) == 0,
+        s"doc $docId must encode 16-bit grayscale")
+      val w = PngPlant.widthOf(docId)
+      val h = PngPlant.heightOf(docId)
+      var s = 0L; var pk = 0
+      for (i <- 0L until w.toLong * h) {
+        val v = (((docId * 31 + 257 * i) % 65536) / 256).toInt
+        s += v; pk = math.max(pk, v)
+      }
+      val row = statsOf(bytes)
+      assert(!row.isNullAt(0), s"doc $docId failed to decode")
+      assert(row.getInt(2) === 1)
+      assert(row.getLong(4) === s && row.getLong(5) === s && row.getLong(6) === s,
+        s"doc $docId gray16 sums")
+      assert(row.getInt(8) === pk, s"doc $docId peak")
+    }
+  }
+
+  test("tRNS on a palette image: per-index alpha, opaque past the table end") {
+    // hand-built type-3 PNG: 4x2, depth 8, 4-entry PLTE, 2-entry tRNS
+    // (indices 2 and 3 are opaque by omission); our parser skips CRCs
+    def chunk(tag: String, payload: Array[Int]): Array[Byte] = {
+      val len = payload.length
+      (Array(len >> 24, len >> 16, len >> 8, len & 0xff).map(_ & 0xff) ++
+        tag.getBytes.map(_ & 0xff) ++ payload ++ Array(0, 0, 0, 0)).map(_.toByte)
+    }
+    val sig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    val ihdr = chunk("IHDR", Array(0, 0, 0, 4, 0, 0, 0, 2, 8, 3, 0, 0, 0))
+    val plte = chunk("PLTE", Array(10, 20, 30, 40, 50, 60, 70, 80, 90, 100, 110, 120))
+    val trns = chunk("tRNS", Array(128, 200))
+    val rows = Array[Byte](0, 0, 1, 2, 3, 0, 3, 2, 1, 0) // filter 0 + indices
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(rows); deflater.finish()
+    val zbuf = new Array[Byte](64)
+    val zlen = deflater.deflate(zbuf)
+    deflater.end()
+    val idat = chunk("IDAT", zbuf.take(zlen).map(_ & 0xff))
+    val png = sig ++ ihdr ++ plte ++ trns ++ idat ++ chunk("IEND", Array())
+    val row = statsOf(png)
+    assert(!row.isNullAt(0), "hand-built palette PNG must decode")
+    assert(row.getInt(2) === 4, "palette WITH tRNS reports RGBA")
+    // row0 = 0,1,2,3  row1 = 3,2,1,0 → each index appears twice
+    assert(row.getLong(3) === 8L)
+    assert(row.getLong(4) === 2L * (10 + 40 + 70 + 100), "sum_r")
+    assert(row.getLong(5) === 2L * (20 + 50 + 80 + 110), "sum_g")
+    assert(row.getLong(6) === 2L * (30 + 60 + 90 + 120), "sum_b")
+    // alpha: idx0→128, idx1→200, idx2/3→opaque 255
+    assert(row.getLong(7) === 2L * (128 + 200 + 255 + 255), "sum_a")
+    assert(row.getInt(8) === 255, "peak includes the implicit opaque alpha")
   }
 
   test("malformed and unsupported inputs yield in-struct nulls, never a throw") {
