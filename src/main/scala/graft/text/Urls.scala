@@ -48,7 +48,16 @@ object Urls {
       when(col("doc_id") % 5 === 0,
         concat(lit(" shop at https://store"), (col("doc_id") % 4).cast("string"),
           lit(".brand"), (col("doc_id") % 6).cast("string"),
-          lit(".co.uk/sale"))).otherwise(lit("")))
+          lit(".co.uk/sale"))).otherwise(lit("")),
+      // PRIVATE-section suffix: each github.io subdomain is its own
+      // registrable domain
+      when(col("doc_id") % 7 === 1,
+        concat(lit(" docs at https://proj"), (col("doc_id") % 9).cast("string"),
+          lit(".github.io/docs"))).otherwise(lit("")),
+      // registry second level: registrable domain is one label + com.au
+      when(col("doc_id") % 11 === 3,
+        concat(lit(" buy https://shop"), (col("doc_id") % 5).cast("string"),
+          lit(".outlet.com.au/item"))).otherwise(lit("")))
   }
 
   def plantUrlsSql: String =
@@ -64,6 +73,14 @@ object Urls {
        |  CASE WHEN doc_id % 5 = 0
        |       THEN ' shop at https://store' || CAST(doc_id % 4 AS VARCHAR) ||
        |            '.brand' || CAST(doc_id % 6 AS VARCHAR) || '.co.uk/sale'
+       |       ELSE '' END ||
+       |  CASE WHEN doc_id % 7 = 1
+       |       THEN ' docs at https://proj' || CAST(doc_id % 9 AS VARCHAR) ||
+       |            '.github.io/docs'
+       |       ELSE '' END ||
+       |  CASE WHEN doc_id % 11 = 3
+       |       THEN ' buy https://shop' || CAST(doc_id % 5 AS VARCHAR) ||
+       |            '.outlet.com.au/item'
        |       ELSE '' END AS t
        |FROM documents""".stripMargin
 
@@ -79,22 +96,12 @@ object Urls {
     * is exactly what a deploy with the full list runs. Swapping in the
     * full list is a data change, not a code change.
     */
-  val PublicSuffixList: Seq[String] = Seq(
-    // generic + common country TLDs
-    "com", "net", "org", "edu", "gov", "mil", "int", "io", "ai", "co",
-    "uk", "de", "fr", "jp", "au", "br", "in", "cn", "us", "ca", "ch",
-    "nl", "se", "no", "es", "it", "eu", "nz", "za", "kr", "mx", "sg",
-    // 2-label public suffixes
-    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk",
-    "com.au", "net.au", "org.au", "edu.au", "gov.au",
-    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp",
-    "com.br", "net.br", "org.br", "co.in", "net.in", "org.in",
-    "com.cn", "net.cn", "org.cn", "gov.cn", "co.nz", "net.nz", "org.nz",
-    "co.za", "org.za", "co.kr", "or.kr", "com.mx", "com.sg",
-    // private-registry entries (PSL "PRIVATE" section shapes)
-    "github.io", "gitlab.io", "blogspot.com", "herokuapp.com",
-    // 3-label suffix — exercises the deepest join
-    "s3.amazonaws.com")
+  /** The public-suffix fixture ([[PublicSuffixes]] — ICANN TLDs,
+    * registry second-levels, PRIVATE-section operators), shared by the
+    * Scala resolution and the oracle's VALUES list so both engines read
+    * ONE definition.
+    */
+  val PublicSuffixList: Seq[String] = PublicSuffixes.All
 
   /** The PSL as a one-column DataFrame (`suffix`) — broadcast into the
     * resolution joins below.

@@ -36,6 +36,23 @@ class UrlsSpec extends SparkSuite {
     }
   }
 
+  test("PSL fixture shape: hundreds of entries, all sections, no dups") {
+    import graft.text.PublicSuffixes
+    assert(Urls.PublicSuffixList.size >= 500,
+      s"fixture shrank to ${Urls.PublicSuffixList.size} entries")
+    assert(Urls.PublicSuffixList.distinct.size == Urls.PublicSuffixList.size)
+    // every ccTLD of the second-level entries must itself be present —
+    // otherwise the fallback tier would misresolve hosts under it
+    PublicSuffixes.SecondLevel.foreach { s =>
+      val tld = s.substring(s.lastIndexOf('.') + 1)
+      assert(PublicSuffixes.TopLevel.contains(tld), s"missing TLD '$tld' for '$s'")
+    }
+    // registry second-levels resolve one label deeper than their TLD
+    Seq("co.uk", "com.au", "co.jp", "com.br", "github.io").foreach { s =>
+      assert(Urls.PublicSuffixList.contains(s), s"fixture must carry $s")
+    }
+  }
+
   test("resolution joins are broadcast — no shuffle beyond the deliberate widen") {
     val plan = Urls.extracted(spark, "/root/testdata/sf0.001")
       .queryExecution.executedPlan.toString
