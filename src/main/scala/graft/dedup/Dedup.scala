@@ -478,9 +478,9 @@ object Dedup {
         .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
         .distinct()
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      var labels = edges.select(col("src").as("doc_id")).distinct()
-        .withColumn("cluster_id", col("doc_id"))
-        .localCheckpoint(true)
+      var labels = graft.sources.Checkpoints.truncateLineage(
+        edges.select(col("src").as("doc_id")).distinct()
+          .withColumn("cluster_id", col("doc_id")))
       var changed = 1L
       var round = 0
       while (changed > 0 && round < MaxRounds) {
@@ -488,11 +488,11 @@ object Dedup {
           .join(labels.select(col("doc_id").as("dst"), col("cluster_id").as("dst_label")), "dst")
           .groupBy(col("src")).agg(min(col("dst_label")).as("nbr_label"))
           .select(col("src").as("doc_id"), col("nbr_label"))
-        val next = labels.join(nbrMin, Seq("doc_id"), "left")
-          .select(col("doc_id"),
-            least(col("cluster_id"), coalesce(col("nbr_label"), col("cluster_id")))
-              .as("cluster_id"))
-          .localCheckpoint(true)
+        val next = graft.sources.Checkpoints.truncateLineage(
+          labels.join(nbrMin, Seq("doc_id"), "left")
+            .select(col("doc_id"),
+              least(col("cluster_id"), coalesce(col("nbr_label"), col("cluster_id")))
+                .as("cluster_id")))
         changed = next
           .join(labels.select(col("doc_id"), col("cluster_id").as("prev")), "doc_id")
           .filter(col("cluster_id") =!= col("prev")).count()

@@ -35,11 +35,15 @@ import graft.Tables
   * (contributions grouped by dst, map-side partials) plus a node-sized
   * join; the edge list is partitioned by src ONCE and cached, so
   * iterations reshuffle only the rank table (node-sized); the dangling
-  * scalar is a broadcast one-row aggregate; `localCheckpoint` truncates
-  * the growing lineage each round (the [[graft.dedup.Dedup.Components]]
-  * discipline) so iteration i never re-evaluates iteration i−1's plan —
-  * in particular the dangling-mass branch would otherwise DOUBLE the
-  * rank subtree per round (2⁵ blowup at 5 iterations).
+  * scalar is a broadcast one-row aggregate; lineage is truncated each
+  * round (the [[graft.dedup.Dedup.Components]] discipline) so iteration
+  * i never re-evaluates iteration i−1's plan — in particular the
+  * dangling-mass branch would otherwise DOUBLE the rank subtree per
+  * round (2⁵ blowup at 5 iterations). Truncation mode is
+  * [[graft.sources.Checkpoints.truncateLineage]]: executor-local by
+  * default, reliable FS checkpoints when
+  * `spark.graft.iter.checkpointDir` points at shared storage (the
+  * cluster-fault-tolerance mode; results bit-identical either way).
   */
 object Graph {
 
@@ -69,7 +73,11 @@ object Graph {
       .join(outd.select(col("src").as("node")), Seq("node"), "left_anti")
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    var ranks = nodes.select(col("node"), lit(base).as("r")).localCheckpoint(true)
+    // lineage truncation per round; spark.graft.iter.checkpointDir flips
+    // this to reliable FS checkpoints (see Checkpoints.truncateLineage —
+    // executor-loss recovery vs per-round write, bit-identical results)
+    var ranks = graft.sources.Checkpoints.truncateLineage(
+      nodes.select(col("node"), lit(base).as("r")))
     for (_ <- 1 to iters) {
       val dang = ranks.join(danglers, Seq("node"), "left_semi")
         .agg(coalesce(sum(col("r")), lit(0L)).cast("long").as("d"))
@@ -84,7 +92,7 @@ object Graph {
           // 15·base overflows under ANSI before widening
           expr(s"(${100L - DampingPct}L * ${base}L" +
             s" + ${DampingPct}L * (coalesce(s, 0L) + d DIV ${n}L)) DIV 100L").as("r"))
-        .localCheckpoint(true)
+      ranks = graft.sources.Checkpoints.truncateLineage(ranks)
     }
     edgesDeg.unpersist()
     nodes.unpersist()

@@ -104,4 +104,33 @@ object Checkpoints {
     }
     paths.map(spark.read.parquet)
   }
+
+  /** Conf key selecting RELIABLE lineage truncation for iterative
+    * operators (PageRank, component propagation): when set to a
+    * shared-storage directory, per-round truncation uses
+    * `checkpoint(eager = true)` into it; unset → `localCheckpoint`.
+    */
+  val IterCheckpointDirKey = "spark.graft.iter.checkpointDir"
+
+  /** Truncate an iterative operator's lineage. Default
+    * `localCheckpoint(true)` stores the blocks NON-REPLICATED on
+    * executors: fastest, but on a real cluster an executor loss
+    * mid-iteration is unrecoverable-by-recompute (the lineage is gone
+    * with the block). Setting [[IterCheckpointDirKey]] to shared
+    * storage flips every iterative operator to reliable `checkpoint()`
+    * — each round persists to the FS and survives any executor loss,
+    * at one write+read of the (node-sized, never corpus-sized) table
+    * per round. Results are BIT-IDENTICAL in both modes (spec-pinned):
+    * the mode changes only the failure domain, never the data.
+    */
+  def truncateLineage(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    spark.conf.getOption(IterCheckpointDirKey) match {
+      case Some(dir) if dir.nonEmpty =>
+        if (spark.sparkContext.getCheckpointDir.isEmpty)
+          spark.sparkContext.setCheckpointDir(dir)
+        df.checkpoint(eager = true)
+      case _ => df.localCheckpoint(true)
+    }
+  }
 }

@@ -56,4 +56,39 @@ class GraphSpec extends SparkSuite {
     val b = Graph.tradePagerank(spark, Sf).orderBy("node").collect().toSeq
     assert(a == b)
   }
+
+  test("reliable-checkpoint mode: bit-identical ranks, rounds persisted to the dir") {
+    val local = Graph.tradePagerank(spark, Sf).orderBy("node").collect().toSeq
+    val dir = java.nio.file.Files.createTempDirectory("graft-iter-ckpt").toString
+    spark.conf.set(graft.sources.Checkpoints.IterCheckpointDirKey, dir)
+    try {
+      val reliable = Graph.tradePagerank(spark, Sf).orderBy("node").collect().toSeq
+      assert(reliable == local,
+        "checkpoint mode must change only the failure domain, never the data")
+      // each round really went through the FS checkpoint dir
+      def depth(f: java.io.File): Int =
+        if (f.isDirectory) f.listFiles().map(depth).foldLeft(1)(math.max) else 1
+      val root = new java.io.File(dir)
+      assert(root.exists && root.listFiles().nonEmpty,
+        "reliable mode must write checkpoint data under the configured dir")
+    } finally {
+      spark.conf.unset(graft.sources.Checkpoints.IterCheckpointDirKey)
+    }
+  }
+
+  test("component propagation honors the same checkpoint switch") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val local = graft.dedup.Dedup.Components.of(pairs)
+      .orderBy("doc_id").collect().toSeq
+    val dir = java.nio.file.Files.createTempDirectory("graft-iter-ckpt2").toString
+    spark.conf.set(graft.sources.Checkpoints.IterCheckpointDirKey, dir)
+    try {
+      val reliable = graft.dedup.Dedup.Components.of(pairs)
+        .orderBy("doc_id").collect().toSeq
+      assert(reliable == local)
+    } finally {
+      spark.conf.unset(graft.sources.Checkpoints.IterCheckpointDirKey)
+    }
+  }
 }
