@@ -118,7 +118,18 @@ object ScaleProbe {
           Some(s"""  "$name": {"error": "${e.getClass.getSimpleName}"}""")
       }
     }
-    val json = rows.mkString(
+    // measured skew evidence (VERDICT r8 #8): max task shuffle-read for
+    // the same hot-key join, unsalted vs salted — the artifact records
+    // the task-metrics fact, not a plan-shape proxy
+    val skewRow = try {
+      val (un, sa) = graft.ops.ScaleOps.skewProof(spark, hotRows = 1000000L, salts = 64)
+      s"""  "_skew_proof": {"hot_rows": 1000000, "salts": 64, "max_task_read_unsalted": $un, "max_task_read_salted": $sa, "bounded": ${sa * 3 < un}}"""
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"SKEW PROOF FAILED: ${e.getMessage}")
+        s"""  "_skew_proof": {"error": "${e.getClass.getSimpleName}"}"""
+    }
+    val json = (rows :+ skewRow).mkString(
       s"""{\n  "_meta": {"copies": $copies, "src": "$src", "growth_bound": $GrowthBound},\n""",
       ",\n", "\n}")
     Files.writeString(Paths.get(outFile), json)

@@ -101,6 +101,84 @@ object ScaleOps {
     * already yields at least the cluster's parallelism — every real
     * 100 TB table — this is the identity and the plan is untouched.
     */
+  /** MEASURED skew evidence: the same hot-key join run unsalted and
+    * salted, instrumented with a task-metrics listener — returns
+    * (max task shuffle-read records unsalted, same salted). The fixture
+    * floods ONE key with `hotRows` rows next to 100 uniform keys; the
+    * salted plan must spread that key over `salts` tasks while the
+    * unsalted plan funnels it into one. Broadcast is disabled for the
+    * measurement (a broadcast join has no shuffle to skew); AQE's
+    * skew-join split does not engage at these sizes (threshold 256 MB),
+    * so the numbers isolate the salting itself. Used by ScaleOpsSpec
+    * (assert) and ScaleProbe (artifact entry).
+    */
+  def skewProof(spark: org.apache.spark.sql.SparkSession,
+      hotRows: Long, salts: Int): (Long, Long) = {
+    val sc = spark.sparkContext
+    val big = spark.range(hotRows).select(lit(0L).as("k"), col("id").as("v"))
+      .union(spark.range(hotRows).select((col("id") % 100 + 1).as("k"), col("id").as("v")))
+    val small = spark.range(101).select(col("id").as("k"), (col("id") * 7).as("w"))
+
+    def maxTaskRead(action: => Unit): Long = {
+      val max = new java.util.concurrent.atomic.AtomicLong(0L)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = t.taskMetrics
+          if (m != null) {
+            val r = m.shuffleReadMetrics.recordsRead
+            var cur = max.get()
+            while (r > cur && !max.compareAndSet(cur, r)) cur = max.get()
+          }
+        }
+      }
+      sc.addSparkListener(listener)
+      try {
+        action
+        // listener events are async: poll until the max is stable
+        var last = -1L
+        var stable = 0
+        var polls = 0
+        while (stable < 3 && polls < 50) {
+          Thread.sleep(100)
+          val now = max.get()
+          if (now == last) stable += 1 else { stable = 0; last = now }
+          polls += 1
+        }
+      } finally sc.removeSparkListener(listener)
+      max.get()
+    }
+
+    // AQE's small-partition coalescing would merge the whole toy-scale
+    // shuffle into ONE task (total bytes < the 64 MB advisory size) and
+    // mask the per-key distribution; at production scale partitions
+    // exceed the advisory size and no such merge happens, so disabling
+    // it here is what keeps the toy measurement faithful to the real one
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevCoalesce = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    // the measurement needs partitions >> 1 so per-task load reflects the
+    // KEY distribution, not the partition-count ceiling (a 4-partition
+    // test session would bound every task at total/4 and mask the skew)
+    spark.conf.set("spark.sql.shuffle.partitions", salts.toString)
+    try {
+      val unsalted = maxTaskRead {
+        big.join(small, "k").agg(sum(col("v") + col("w"))).collect(); ()
+      }
+      val salted = maxTaskRead {
+        saltedJoin(big, small, "k", salts)
+          .agg(sum(col("v") + col("w"))).collect(); ()
+      }
+      (unsalted, salted)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", prevCoalesce)
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
+  }
+
   def widen(df: DataFrame): DataFrame = {
     val slots = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < slots) df.repartition(slots) else df

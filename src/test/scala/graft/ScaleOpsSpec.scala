@@ -45,6 +45,20 @@ class ScaleOpsSpec extends SparkSuite {
     assert(ScaleOps.saltedJoin(big, small, "k", 8).count() === 1000)
   }
 
+  test("MEASURED: salting bounds the max task shuffle-read under a hot key") {
+    // one key floods 100k rows; unsalted, the whole key lands in ONE
+    // task's shuffle read — salted over 64, each task carries a few
+    // (key, salt) slivers of it (several slivers can co-hash into one of
+    // the 32 partitions, so the bound is ~n/salts × collision factor).
+    // This is the task-metrics fact behind the salting claim, not a
+    // plan-shape proxy.
+    val (unsalted, salted) = ScaleOps.skewProof(spark, hotRows = 100000L, salts = 64)
+    assert(unsalted >= 100000L,
+      s"unsalted max task must swallow the whole hot key, read $unsalted")
+    assert(salted * 3 < unsalted,
+      s"salted max task ($salted) must be well under unsalted ($unsalted)")
+  }
+
   test("bucketed tables co-locate the join: sort-merge with no shuffle exchange") {
     val wh = java.nio.file.Files.createTempDirectory("graft-wh").toString
     spark.sql(s"CREATE DATABASE IF NOT EXISTS bdemo LOCATION '$wh'")
