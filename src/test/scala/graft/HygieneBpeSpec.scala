@@ -203,6 +203,43 @@ class HygieneBpeSpec extends SparkSuite {
     assert(!plan.contains("phrase_merge"))
   }
 
+  test("bpe merge-all: per-row cost MEASURED flat from 64 to 50k rules") {
+    import org.apache.spark.unsafe.types.UTF8String
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import graft.plans.BpeMergeAll
+    // the applicable subset is IDENTICAL in both tables; the 50k table
+    // adds never-occurring rules only — a released tokenizer's shape,
+    // where almost no merge fires on any one row. If per-row cost
+    // scaled with m (the nested form's failure mode), the big table
+    // would be ~780× slower; the hash-probe design must keep it flat.
+    val applicable = Seq("a b", "ab c", "abc d", "e f", "ef g", "h i")
+    val small = BpeMergeAll.buildRanks(applicable ++ (0 until 58).map(i => s"x$i y$i"))
+    val big = BpeMergeAll.buildRanks(applicable ++ (0 until 49994).map(i => s"x$i y$i"))
+    val toks = Array.fill(8)(Seq("a", "b", "c", "d", "e", "f", "g", "h", "i"))
+      .flatten.map(UTF8String.fromString(_): Any).toArray
+    val row = new GenericArrayData(toks)
+    val sep = UTF8String.fromString("")
+    // identical output first: the pads must be pure no-ops
+    val outSmall = BpeMergeAll.compute(row, small, sep)
+    val outBig = BpeMergeAll.compute(row, big, sep)
+    assert(outSmall.numElements() == outBig.numElements())
+    (0 until outSmall.numElements()).foreach { i =>
+      assert(outSmall.getUTF8String(i) == outBig.getUTF8String(i))
+    }
+    def perRowMs(ranks: java.util.HashMap[UTF8String, Integer]): Double = {
+      (1 to 2000).foreach(_ => BpeMergeAll.compute(row, ranks, sep))
+      val n = 20000
+      val t0 = System.nanoTime()
+      (1 to n).foreach(_ => BpeMergeAll.compute(row, ranks, sep))
+      (System.nanoTime() - t0) / 1e6 / n
+    }
+    val tSmall = (1 to 3).map(_ => perRowMs(small)).min
+    val tBig = (1 to 3).map(_ => perRowMs(big)).min
+    info(f"per-row: 64 rules ${tSmall * 1000}%.1f us, 50k rules ${tBig * 1000}%.1f us")
+    assert(tBig < tSmall * 2.5,
+      f"50k-rule per-row cost $tBig%.4f ms vs 64-rule $tSmall%.4f ms — not flat")
+  }
+
   test("misra-gries: guaranteed superset of stream heavy hitters, bounded size") {
     import graft.text.HeavyHitters
     // adversarial stream: 1 dominant element amid k distinct spam tokens
