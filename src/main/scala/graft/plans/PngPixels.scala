@@ -24,10 +24,12 @@ import org.apache.spark.sql.types.{BinaryType, DataType, IntegerType, LongType, 
   * gray/RGB/gray+alpha/RGBA at depths 8 AND 16 (16-bit samples project
   * to their high byte — the standard 16→8 downsample), and PALETTE
   * color (type 3) at depths 1/2/4/8 with PLTE lookup and per-index
-  * tRNS alpha — the icon/screenshot shape a real crawl is full of.
-  * Unsupported shapes (interlaced, malformed/truncated streams) yield
-  * nulls INSIDE the struct — never a null struct — so failure counts
-  * group cleanly.
+  * tRNS alpha — the icon/screenshot shape a real crawl is full of —
+  * plus ADAM7 INTERLACE (each pass decoded as its own filtered
+  * sub-image; sums and peak are pixel-order independent, so no
+  * deinterlace buffer is ever built — the GIF-interlace insight).
+  * Malformed/truncated streams yield nulls INSIDE the struct — never a
+  * null struct — so failure counts group cleanly.
   *
   * Scale: per-row, shuffle-free, stays inside whole-stage codegen via a
   * static call; one Inflater per ROW (not per partition) is deliberate —
@@ -110,7 +112,7 @@ object PngPixels {
     val depthOk =
       if (colorType == 3) bitDepth == 1 || bitDepth == 2 || bitDepth == 4 || bitDepth == 8
       else bitDepth == 8 || bitDepth == 16
-    if (!depthOk || interlace != 0) return nulls
+    if (!depthOk || interlace > 1) return nulls
     if (width <= 0 || height <= 0 || width > (1 << 24) || height > (1 << 24)) return nulls
     val w = width.toInt
     val h = height.toInt
@@ -158,6 +160,10 @@ object PngPixels {
     // inflate + unfilter scanline by scanline: memory stays O(2·rowBytes).
     // PNG filters operate on BYTES with the per-pixel byte distance bpp
     // (1 for sub-byte palette depths) regardless of sample layout.
+    // Adam7 interlace needs NO deinterlace buffer here: the output is
+    // channel sums + peak, which are pixel-order independent, and every
+    // pixel appears in exactly one pass — each pass is just a smaller
+    // sub-image with its own scanline filtering (prior resets per pass).
     val bpp = math.max(1, channels * bitDepth / 8)
     val lineBytes = (w * channels * bitDepth + 7) / 8
     val rowBytes = 1 + lineBytes
@@ -168,13 +174,27 @@ object PngPixels {
     val prior = new Array[Byte](lineBytes) // reconstructed previous scanline
     var sumR = 0L; var sumG = 0L; var sumB = 0L; var sumA = 0L
     var peak = 0
+    // Adam7 pass grid: (xStart, yStart, xStep, yStep)
+    val passes: Array[Array[Int]] =
+      if (interlace == 0) Array(Array(0, 0, 1, 1))
+      else Array(Array(0, 0, 8, 8), Array(4, 0, 8, 8), Array(0, 4, 4, 8),
+        Array(2, 0, 4, 4), Array(0, 2, 2, 4), Array(1, 0, 2, 2), Array(0, 1, 1, 2))
     try {
+      var pi = 0
+      while (pi < passes.length) {
+        val xs = passes(pi)(0); val ys = passes(pi)(1)
+        val xStep = passes(pi)(2); val yStep = passes(pi)(3)
+        val wp = if (w > xs) (w - xs + xStep - 1) / xStep else 0
+        val hp = if (h > ys) (h - ys + yStep - 1) / yStep else 0
+        val lineBytesP = (wp * channels * bitDepth + 7) / 8
+        val rowBytesP = 1 + lineBytesP
+        if (wp > 0 && hp > 0) {
       var y = 0
-      while (y < h) {
+      while (y < hp) {
         // fill one full scanline (Inflater may return partial reads)
         var got = 0
-        while (got < rowBytes) {
-          val k = inflater.inflate(raw, got, rowBytes - got)
+        while (got < rowBytesP) {
+          val k = inflater.inflate(raw, got, rowBytesP - got)
           if (k == 0) {
             if (inflater.finished() || inflater.needsDictionary()) return nulls
             if (inflater.needsInput()) return nulls // truncated stream
@@ -183,7 +203,7 @@ object PngPixels {
         }
         val filter = raw(0) & 0xff
         var x = 0
-        while (x < lineBytes) {
+        while (x < lineBytesP) {
           val rw = raw(1 + x) & 0xff
           val a = if (x >= bpp) cur(x - bpp) & 0xff else 0 // left
           val up = if (y > 0) prior(x) & 0xff else 0 // above
@@ -211,7 +231,7 @@ object PngPixels {
           val perByte = 8 / bitDepth
           val mask = (1 << bitDepth) - 1
           var px = 0
-          while (px < w) {
+          while (px < wp) {
             val byteIdx = px / perByte
             val shift = 8 - bitDepth * (px % perByte + 1)
             val idx = (cur(byteIdx) >> shift) & mask
@@ -234,7 +254,7 @@ object PngPixels {
           // 16-bit samples: the high byte is the 8-bit projection (the
           // standard 16→8 downsample); stats stay in the 8-bit domain
           var s = 0
-          val nSamp = w * channels
+          val nSamp = wp * channels
           while (s < nSamp) {
             val v = cur(2 * s) & 0xff
             if (v > peak) peak = v
@@ -258,7 +278,7 @@ object PngPixels {
           }
         } else {
           var x = 0
-          while (x < lineBytes) {
+          while (x < lineBytesP) {
             val recon = cur(x) & 0xff
             if (recon > peak) peak = recon
             colorType match {
@@ -281,8 +301,11 @@ object PngPixels {
             x += 1
           }
         }
-        System.arraycopy(cur, 0, prior, 0, lineBytes)
+        System.arraycopy(cur, 0, prior, 0, lineBytesP)
         y += 1
+      }
+        } // pass non-empty
+        pi += 1
       }
     } catch {
       case _: java.util.zip.DataFormatException => return nulls

@@ -123,7 +123,19 @@ object PngPlant {
         im
     }
     val out = new java.io.ByteArrayOutputStream(1024)
-    javax.imageio.ImageIO.write(img, "png", out)
+    if (docId % 8 == 2) {
+      // every eighth doc writes ADAM7-interlaced (ImageIO's progressive
+      // mode) — same RGB pixel formula, so the same oracle gates it
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
+      val param = writer.getDefaultWriteParam
+      param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+      val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+      ios.close(); writer.dispose()
+    } else {
+      javax.imageio.ImageIO.write(img, "png", out)
+    }
     out.toByteArray
   }
 }

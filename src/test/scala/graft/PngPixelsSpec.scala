@@ -195,6 +195,48 @@ class PngPixelsSpec extends AnyFunSuite {
     assert(row.getInt(8) === 255, "peak includes the implicit opaque alpha")
   }
 
+  test("Adam7 interlace: per-pass filtered sub-images accumulate the same stats") {
+    // %8==2 plants are ImageIO-progressive (Adam7); the pixel formula and
+    // the expected sums are IDENTICAL to the sequential RGB case
+    for (docId <- Seq(2L, 10L, 58L, 122L)) {
+      val bytes = PngPlant.encode(docId)
+      assert((bytes(28) & 0xff) == 1, s"doc $docId must encode interlaced")
+      val w = PngPlant.widthOf(docId)
+      val h = PngPlant.heightOf(docId)
+      var sr = 0L; var sg = 0L; var sb = 0L; var pk = 0
+      for (i <- 0L until w.toLong * h) {
+        val r = ((docId + 3 * i) % 256).toInt
+        val g = ((docId * 7 + 5 * i) % 256).toInt
+        val b = ((docId * 13 + 11 * i) % 256).toInt
+        sr += r; sg += g; sb += b
+        pk = math.max(pk, math.max(r, math.max(g, b)))
+      }
+      val row = statsOf(bytes)
+      assert(!row.isNullAt(0), s"doc $docId failed to decode")
+      assert(row.getLong(4) === sr && row.getLong(5) === sg && row.getLong(6) === sb,
+        s"doc $docId interlaced sums")
+      assert(row.getInt(8) === pk, s"doc $docId peak")
+    }
+    // 1-pixel-wide/tall images leave several Adam7 passes EMPTY
+    for ((w, h) <- Seq((1, 9), (9, 1), (2, 2))) {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, 0x405060)
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
+      val param = writer.getDefaultWriteParam
+      param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+      val out = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+      ios.close(); writer.dispose()
+      val row = statsOf(out.toByteArray)
+      assert(!row.isNullAt(0), s"${w}x$h interlaced failed")
+      assert(row.getLong(4) === 0x40L * w * h, s"${w}x$h sum_r")
+      assert(row.getLong(6) === 0x60L * w * h, s"${w}x$h sum_b")
+    }
+  }
+
   test("malformed and unsupported inputs yield in-struct nulls, never a throw") {
     val truncated = PngPlant.encode(7L).take(40) // signature + IHDR, no pixel data
     val garbage = Array.fill[Byte](64)(0x5a)
