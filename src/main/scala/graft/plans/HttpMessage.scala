@@ -22,10 +22,15 @@ import org.apache.spark.unsafe.types.UTF8String
   *   - `status`       INT    — from the status line (null → not HTTP)
   *   - `content_type` STRING — lowercased media type, parameters stripped
   *   - `charset`      STRING — lowercased `charset=` parameter, or null
+  *   - `content_encoding` STRING — lowercased coding, or null; gzip and
+  *                    deflate (zlib-wrapped with the bare-stream
+  *                    fallback) are DECODED under the transfer coding,
+  *                    bomb-capped, raw bytes kept on failure
   *   - `n_headers`    INT    — header-field count (obs-folds merged)
   *   - `headers`      ARRAY<STRING> — `name: value`, names lowercased,
   *                    original order (deterministic, oracle-friendly)
-  *   - `body`         STRING — after chunked decode and charset decode
+  *   - `body`         STRING — after chunked decode, content decoding,
+  *                    and charset decode
   *
   * Byte-level discipline: chunk sizes count BYTES, so decode reassembles
   * the raw byte stream FIRST and only then decodes characters — a chunk
@@ -71,13 +76,14 @@ object HttpMessage {
     .add("status", IntegerType)
     .add("content_type", StringType)
     .add("charset", StringType)
+    .add("content_encoding", StringType)
     .add("n_headers", IntegerType)
     .add("headers", ArrayType(StringType, containsNull = false))
     .add("body", StringType)
 
   private def nulls(): GenericInternalRow = {
-    val r = new GenericInternalRow(6)
-    var i = 0; while (i < 6) { r.setNullAt(i); i += 1 }
+    val r = new GenericInternalRow(7)
+    var i = 0; while (i < 7) { r.setNullAt(i); i += 1 }
     r
   }
 
@@ -144,12 +150,15 @@ object HttpMessage {
     // routing headers (first occurrence wins, per field-order semantics)
     var contentTypeRaw: String = null
     var transferEncoding: String = null
+    var contentEncoding: String = null
     var contentLength = -1L
     var i = 0
     while (i < names.length) {
       names(i) match {
         case "content-type" if contentTypeRaw == null => contentTypeRaw = values(i)
         case "transfer-encoding" if transferEncoding == null => transferEncoding = values(i)
+        case "content-encoding" if contentEncoding == null =>
+          contentEncoding = values(i).trim.toLowerCase(java.util.Locale.ROOT)
         case "content-length" if contentLength < 0 =>
           contentLength = try values(i).toLong catch { case _: NumberFormatException => -1L }
         case _ =>
@@ -164,12 +173,28 @@ object HttpMessage {
       codings.nonEmpty && codings.last.trim == "chunked"
     }
 
-    val bodyBytes: Array[Byte] =
+    val framedBytes: Array[Byte] =
       if (chunked) decodeChunked(b, bodyStart, n)
       else if (contentLength >= 0) {
         val take = math.min(contentLength, (n - bodyStart).toLong).toInt
         java.util.Arrays.copyOfRange(b, bodyStart, bodyStart + take)
       } else java.util.Arrays.copyOfRange(b, bodyStart, n)
+
+    // content coding UNDER the transfer coding (RFC 9110 §8.4): the
+    // chunked layer frames the wire, Content-Encoding compresses the
+    // representation inside it. Undecodable/unknown codings keep the
+    // raw bytes (crawl tolerance — the field still reports the coding).
+    val bodyBytes: Array[Byte] = contentEncoding match {
+      case null | "identity" => framedBytes
+      case enc =>
+        // the final coding in a list is the outermost to undo
+        val last = enc.split(',').last.trim
+        last match {
+          case "gzip" | "x-gzip" => gunzipOr(framedBytes, framedBytes)
+          case "deflate" => inflateOr(framedBytes, framedBytes)
+          case _ => framedBytes
+        }
+    }
 
     // content-type split + charset param
     var mediaType: String = null
@@ -209,14 +234,65 @@ object HttpMessage {
       i += 1
     }
 
-    val r = new GenericInternalRow(6)
+    val r = new GenericInternalRow(7)
     r.setInt(0, status)
     if (mediaType != null) r.update(1, UTF8String.fromString(mediaType)) else r.setNullAt(1)
     if (charset != null) r.update(2, UTF8String.fromString(charset)) else r.setNullAt(2)
-    r.setInt(3, names.length)
-    r.update(4, new GenericArrayData(headerStrs))
-    r.update(5, body)
+    if (contentEncoding != null) r.update(3, UTF8String.fromString(contentEncoding))
+    else r.setNullAt(3)
+    r.setInt(4, names.length)
+    r.update(5, new GenericArrayData(headerStrs))
+    r.update(6, body)
     r
+  }
+
+  /** Capped gzip decode (multi-member per GZIPInputStream); `orElse`
+    * on malformed/bombed input.
+    */
+  private def gunzipOr(b: Array[Byte], orElse: Array[Byte]): Array[Byte] =
+    try {
+      val in = new java.util.zip.GZIPInputStream(new java.io.ByteArrayInputStream(b), 8192)
+      val out = new java.io.ByteArrayOutputStream(math.max(64, b.length * 4))
+      val buf = new Array[Byte](8192)
+      var total = 0
+      var n = in.read(buf)
+      while (n >= 0) {
+        total += n
+        if (total > GunzipText.MaxOutputBytes) return orElse // bomb cap
+        out.write(buf, 0, n)
+        n = in.read(buf)
+      }
+      out.toByteArray
+    } catch { case scala.util.control.NonFatal(_) => orElse }
+
+  /** HTTP "deflate": zlib-wrapped per the RFC, raw-deflate fallback for
+    * the servers that (infamously) send it bare. Capped; `orElse` on
+    * failure.
+    */
+  private def inflateOr(b: Array[Byte], orElse: Array[Byte]): Array[Byte] = {
+    def run(raw: Boolean): Array[Byte] = {
+      val inf = new java.util.zip.Inflater(raw)
+      try {
+        inf.setInput(b)
+        val out = new java.io.ByteArrayOutputStream(math.max(64, b.length * 4))
+        val buf = new Array[Byte](8192)
+        var total = 0
+        while (!inf.finished()) {
+          val n = inf.inflate(buf)
+          if (n == 0 && (inf.needsInput() || inf.needsDictionary())) return null
+          total += n
+          if (total > GunzipText.MaxOutputBytes) return null // bomb cap
+          out.write(buf, 0, n)
+        }
+        out.toByteArray
+      } catch { case scala.util.control.NonFatal(_) => null } finally inf.end()
+    }
+    val zlib = run(raw = false)
+    if (zlib != null) zlib
+    else {
+      val bare = run(raw = true)
+      if (bare != null) bare else orElse
+    }
   }
 
   /** RFC 9112 §7.1 chunked decode over raw bytes: `hex-size[;ext]CRLF

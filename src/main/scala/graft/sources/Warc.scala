@@ -124,12 +124,16 @@ object Warc {
     */
   def plantHttpWarc(body: Column, uri: Column): Column = {
     val id = col("doc_id")
+    // the real stack: Content-Encoding gzip INSIDE Transfer-Encoding
+    // chunked — the decoder must undo the transfer coding first, then
+    // the content coding, then route the charset
     val chunkedMsg = concat(
       lit("HTTP/1.1 200 OK" + Crlf),
       lit("Content-Type: text/html; charset=utf-8" + Crlf),
+      lit("Content-Encoding: gzip" + Crlf),
       lit("Transfer-Encoding: chunked" + Crlf),
       lit(Crlf),
-      chunkedPlant(body, 7))
+      chunkedPlant(gzipped(body).cast("string"), 7))
     val lengthMsg = concat(
       lit("HTTP/1.1 404 Not Found" + Crlf),
       lit("Content-Type: text/plain" + Crlf),
@@ -182,6 +186,7 @@ object Warc {
         col("h").getField("status").as("status"),
         col("h").getField("content_type").as("content_type"),
         col("h").getField("charset").as("charset"),
+        col("h").getField("content_encoding").as("content_encoding"),
         col("h").getField("n_headers").as("n_headers"),
         col("h").getField("headers").as("headers"),
         col("h").getField("body").as("body"))
@@ -193,9 +198,11 @@ object Warc {
        |  CAST(CASE doc_id % 3 WHEN 0 THEN 200 WHEN 1 THEN 404 ELSE 301 END AS INTEGER) AS status,
        |  CASE doc_id % 3 WHEN 1 THEN 'text/plain' ELSE 'text/html' END AS content_type,
        |  CASE doc_id % 3 WHEN 0 THEN 'utf-8' ELSE NULL END AS charset,
-       |  CAST(CASE doc_id % 3 WHEN 2 THEN 3 ELSE 2 END AS INTEGER) AS n_headers,
+       |  CASE doc_id % 3 WHEN 0 THEN 'gzip' ELSE NULL END AS content_encoding,
+       |  CAST(CASE doc_id % 3 WHEN 1 THEN 2 ELSE 3 END AS INTEGER) AS n_headers,
        |  CASE doc_id % 3
        |    WHEN 0 THEN ['content-type: text/html; charset=utf-8',
+       |                 'content-encoding: gzip',
        |                 'transfer-encoding: chunked']
        |    WHEN 1 THEN ['content-type: text/plain',
        |                 'content-length: ' || CAST(strlen(coalesce(text, '')) AS VARCHAR)]

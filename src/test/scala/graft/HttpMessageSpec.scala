@@ -100,6 +100,44 @@ class HttpMessageSpec extends SparkSuite {
     assert(r.getSeq[String](r.fieldIndex("headers")).contains("x-long: part one part two"))
   }
 
+  test("Content-Encoding gzip under Transfer-Encoding chunked: both undone, in order") {
+    val body = "the compressed représentation 🙂"
+    val gz = graft.plans.GzipBytes.gzip(UTF8String.fromString(body))
+    val chunked = HttpChunkedPlant.encode(
+      UTF8String.fromBytes(gz), 5).getBytes
+    val head = ("HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n" +
+      "Transfer-Encoding: chunked\r\nContent-Type: text/html; charset=utf-8\r\n\r\n")
+      .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val r = split(head ++ chunked)
+    assert(r.getAs[String]("content_encoding") == "gzip")
+    assert(r.getAs[String]("body") == body)
+  }
+
+  test("deflate: zlib-wrapped and bare streams both decode") {
+    val body = "deflated content here"
+    def deflate(raw: Boolean): Array[Byte] = {
+      val d = new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION, raw)
+      d.setInput(body.getBytes("UTF-8")); d.finish()
+      val buf = new Array[Byte](256)
+      val n = d.deflate(buf); d.end()
+      buf.take(n)
+    }
+    Seq(false, true).foreach { raw =>
+      val msg = "HTTP/1.1 200 OK\r\nContent-Encoding: deflate\r\n\r\n"
+        .getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++ deflate(raw)
+      val r = split(msg)
+      assert(r.getAs[String]("body") == body, s"raw=$raw")
+    }
+  }
+
+  test("undecodable or unknown content codings keep the raw bytes") {
+    val r = splitStr("HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\nnot actually gzip")
+    assert(r.getAs[String]("content_encoding") == "gzip")
+    assert(r.getAs[String]("body") == "not actually gzip")
+    val r2 = splitStr("HTTP/1.1 200 OK\r\nContent-Encoding: br\r\n\r\nbrotli-we-dont-do")
+    assert(r2.getAs[String]("body") == "brotli-we-dont-do")
+  }
+
   test("non-HTTP payloads yield in-struct nulls, never a throw") {
     Seq("not http at all", "HTTP/1.1 weird\r\n\r\n", "").foreach { s =>
       val r = splitStr(s)
