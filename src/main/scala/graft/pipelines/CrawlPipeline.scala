@@ -84,16 +84,15 @@ object CrawlPipeline {
   private def ex(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
     org.apache.spark.sql.GraftColumnShim.expression(c)
 
-  /** (doc_id, status, canon, allowed, stage, clean_text). */
-  def crawl(spark: SparkSession, dir: String): DataFrame = {
-    val docs = graft.ops.ScaleOps.widen(Tables.documents(spark, dir))
-
-    val htmlBody = concat(Html.plantHtml, lit(UnicodeTailLit))
-    val blob = shim(graft.plans.GzipBytes(ex(
-      graft.sources.Warc.plantHttpWarc(htmlBody, plantUri))))
-
-    val sniffed = docs
-      .select(col("doc_id"), blob.as("blob"), Robots.plantRobots.as("robots"))
+  /** The STATELESS chain over (doc_id, blob `.warc.gz` BINARY, robots
+    * STRING): sniff → gunzip → WARC walk → HTTP split → extract → NFC →
+    * canonicalize → robots verdict → hygiene per-row features. Every
+    * stage is a per-row expression, so this runs unchanged on a
+    * STREAMING frame; output adds (status, canon, allowed, text, fp,
+    * pre_stage).
+    */
+  private def statelessStages(raw: DataFrame): DataFrame = {
+    val sniffed = raw
       .withColumn("fmt", shim(graft.plans.MagicFormat(ex(col("blob")))))
       .filter(col("fmt") === "gzip") // sniff-route: the gzip members go to gunzip
       .withColumn("recs", shim(graft.plans.WarcRecords(ex(
@@ -111,11 +110,21 @@ object CrawlPipeline {
       .withColumn("allowed", Robots.robotsAllowed(
         col("robots"), lit(Robots.Agent), col("path")))
       .select(col("doc_id"), col("status"), col("canon"), col("allowed"), col("text"))
+    Hygiene.withVerdict(canoned)
+  }
+
+  /** (doc_id, status, canon, allowed, stage, clean_text). */
+  def crawl(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.ops.ScaleOps.widen(Tables.documents(spark, dir))
+    val htmlBody = concat(Html.plantHtml, lit(UnicodeTailLit))
+    val blob = shim(graft.plans.GzipBytes(ex(
+      graft.sources.Warc.plantHttpWarc(htmlBody, plantUri))))
+    val v = statelessStages(
+      docs.select(col("doc_id"), blob.as("blob"), Robots.plantRobots.as("robots")))
 
     // hygiene verdict fused per-row + ONE window on the content
     // fingerprint for the exact-dup 6/7 split (same semantics as
     // Hygiene.staged: kept = smallest surviving doc_id per fp)
-    val v = Hygiene.withVerdict(canoned)
     val survMin = min(when(col("pre_stage").isNull, col("doc_id")))
       .over(Window.partitionBy(col("fp")))
     v.withColumn("stage",
@@ -124,6 +133,20 @@ object CrawlPipeline {
       .select(col("doc_id"), col("status"), col("canon"), col("allowed"),
         col("stage"), col("text").as("clean_text"))
   }
+
+  /** Streaming ingest twin — the whole crawl chain at the stream edge:
+    * blobs in, robots-allowed hygiene-surviving pages out, per
+    * micro-batch, with NO state store and no watermark (every stage is
+    * stateless per-row; exact dedup deliberately stays out — its
+    * streaming form is `dropDuplicatesWithinWatermark`, which needs
+    * event-time state this filter must not impose on stateless
+    * consumers; the [[Hygiene.filterStream]] discipline). Input schema:
+    * (doc_id, blob BINARY of `.warc.gz`, robots STRING).
+    */
+  def ingestStream(raw: DataFrame): DataFrame =
+    statelessStages(raw)
+      .filter(col("allowed") === 1 && col("pre_stage").isNull)
+      .select(col("doc_id"), col("status"), col("canon"), col("text"))
 
   def crawlOracle: String = {
     val html2 = "html || ' x' || chr(776) || 'end'"
