@@ -155,7 +155,7 @@ object CrawlPipeline {
          |src AS (
          |  SELECT doc_id,
          |    $plantUriSql AS url,
-         |    ${robotsPlantSql} AS robots
+         |    ${Robots.plantRobotsSql} AS robots
          |  FROM documents),
          |cleaned AS (
          |  SELECT doc_id,
@@ -181,25 +181,6 @@ object CrawlPipeline {
        |LEFT JOIN (SELECT doc_id, dir FROM matches WHERE rn = 1) m
        |  USING (doc_id)""".stripMargin
   }
-
-  /** The robots plant restated for the composed oracle (kept in
-    * lockstep with [[Robots.plantRobots]] — the same literal lines).
-    */
-  private def robotsPlantSql: String =
-    """'# graft planted robots' || chr(10) ||
-      |    'User-agent: *' || chr(10) ||
-      |    'Disallow: /private' || chr(10) ||
-      |    'Allow: /private/pub' || chr(10) ||
-      |    'Disallow: /*.tmp' || chr(36) || chr(10) ||
-      |    'Allow: /cgi/*/pub' || chr(10) ||
-      |    'Disallow: /cgi/' || chr(10) ||
-      |    'Disallow: /data' || CAST(doc_id % 5 AS VARCHAR) || chr(10) ||
-      |    'Crawl-delay: 2' || chr(10) || chr(10) ||
-      |    CASE WHEN doc_id % 3 = 0
-      |         THEN 'User-agent: graftbot' || chr(10) || 'Disallow: /bot' ||
-      |              chr(10) || 'Allow: /bot/ok' || chr(10) ||
-      |              'Disallow: /*.tmp' || chr(36) || chr(10)
-      |         ELSE '' END""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_crawl_pipeline" -> ((s, dir) => crawl(s, dir)))

@@ -60,6 +60,89 @@ case class RobotsAllowed(first: Expression, second: Expression, third: Expressio
     copy(first = f, second = s, third = t)
 }
 
+/** Politeness metadata from robots.txt: `robots_meta(robots, agent)` →
+  * struct(crawl_delay_ms INT, sitemaps ARRAY<STRING>). Group selection
+  * is IDENTICAL to [[RobotsAllowed]] (the agent's own group if any line
+  * names it, else `*`); `Crawl-delay` is the first such line in a
+  * matching group (seconds, fractional allowed → milliseconds, null
+  * when absent/unparsable); `Sitemap` lines are group-INDEPENDENT per
+  * the spec and return in file order. Per-row, map-only, codegen.
+  */
+case class RobotsMeta(left: Expression, right: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, StringType) => TypeCheckResult.TypeCheckSuccess
+      case (a, b) => TypeCheckResult.TypeCheckFailure(
+        s"robots_meta requires (string, string), got $a, $b")
+    }
+
+  override def dataType: DataType = RobotsMeta.Schema
+  override def prettyName: String = "robots_meta"
+
+  override def nullSafeEval(robots: Any, agent: Any): Any =
+    RobotsMeta.meta(robots.asInstanceOf[UTF8String].toString,
+      agent.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (r, a) =>
+      s"graft.plans.RobotsMeta.meta($r.toString(), $a.toString())")
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): Expression = copy(left = l, right = r)
+}
+
+object RobotsMeta {
+
+  val Schema: org.apache.spark.sql.types.StructType =
+    new org.apache.spark.sql.types.StructType()
+      .add("crawl_delay_ms", IntegerType)
+      .add("sitemaps", org.apache.spark.sql.types.ArrayType(StringType, containsNull = false))
+
+  /** Static so generated code calls it directly. */
+  def meta(robots: String, agent: String): org.apache.spark.sql.catalyst.expressions.GenericInternalRow = {
+    val lines = robots.split("\n", -1)
+    val agentLc = agent.toLowerCase(java.util.Locale.ROOT)
+    var hasOwn = false
+    var i = 0
+    while (i < lines.length && !hasOwn) {
+      val (dir, value) = RobotsAllowed.directiveOf(lines(i))
+      if (dir == "user-agent" && value.toLowerCase(java.util.Locale.ROOT) == agentLc)
+        hasOwn = true
+      i += 1
+    }
+    val wanted = if (hasOwn) agentLc else "*"
+    var delayMs = -1
+    val sitemaps = new scala.collection.mutable.ArrayBuffer[Any](2)
+    var inAgents = false
+    var groupActive = false
+    i = 0
+    while (i < lines.length) {
+      val (dir, value) = RobotsAllowed.directiveOf(lines(i))
+      if (dir == "user-agent") {
+        if (!inAgents) { inAgents = true; groupActive = false }
+        if (value.toLowerCase(java.util.Locale.ROOT) == wanted) groupActive = true
+      } else if (dir != null) {
+        inAgents = false
+        if (dir == "sitemap" && value.nonEmpty)
+          sitemaps += UTF8String.fromString(value)
+        else if (dir == "crawl-delay" && groupActive && delayMs < 0)
+          delayMs =
+            try {
+              val s = value.toDouble
+              if (s >= 0 && s <= 1e6) Math.round(s * 1000.0).toInt else -1
+            } catch { case _: NumberFormatException => -1 }
+      }
+      i += 1
+    }
+    val r = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(2)
+    if (delayMs >= 0) r.setInt(0, delayMs) else r.setNullAt(0)
+    r.update(1, new org.apache.spark.sql.catalyst.util.GenericArrayData(sitemaps.toArray))
+    r
+  }
+}
+
 object RobotsAllowed {
 
   /** Static so generated code calls it directly. */
@@ -135,8 +218,10 @@ object RobotsAllowed {
   }
 
   /** (lowercased directive, trimmed value) or (null, null) for blank /
-    * comment-only / malformed lines.
+    * comment-only / malformed lines. Shared with [[RobotsMeta]].
     */
+  private[plans] def directiveOf(raw: String): (String, String) = directive(raw)
+
   private def directive(raw: String): (String, String) = {
     val hash = raw.indexOf('#')
     val line = (if (hash >= 0) raw.substring(0, hash) else raw).trim

@@ -31,6 +31,8 @@ object Robots {
     val id = col("doc_id")
     concat(
       lit("# graft planted robots\n"),
+      lit("Sitemap: https://maps.example.com/s"), (id % 4).cast("string"),
+      lit(".xml\n"),
       lit("User-agent: *\n"),
       lit("Disallow: /private\n"),
       lit("Allow: /private/pub\n"),
@@ -41,9 +43,38 @@ object Robots {
       lit("Crawl-delay: 2\n"),
       lit("\n"),
       when(id % 3 === 0,
-        lit("User-agent: graftbot\nDisallow: /bot\nAllow: /bot/ok\nDisallow: /*.tmp$\n"))
+        lit("User-agent: graftbot\nDisallow: /bot\nAllow: /bot/ok\n" +
+          "Disallow: /*.tmp$\nCrawl-delay: 0.5\n"))
+        .otherwise(lit("")),
+      // a second, group-independent sitemap at the file END for some docs
+      when(id % 4 === 0, lit("Sitemap: https://maps.example.com/extra.xml\n"))
         .otherwise(lit("")))
   }
+
+  /** The same plant as DuckDB SQL — ONE definition feeding
+    * [[robotsOracle]] and the composed crawl-pipeline oracle.
+    */
+  def plantRobotsSql: String =
+    """'# graft planted robots' || chr(10) ||
+      |    'Sitemap: https://maps.example.com/s' || CAST(doc_id % 4 AS VARCHAR) ||
+      |    '.xml' || chr(10) ||
+      |    'User-agent: *' || chr(10) ||
+      |    'Disallow: /private' || chr(10) ||
+      |    'Allow: /private/pub' || chr(10) ||
+      |    'Disallow: /*.tmp' || chr(36) || chr(10) ||
+      |    'Allow: /cgi/*/pub' || chr(10) ||
+      |    'Disallow: /cgi/' || chr(10) ||
+      |    'Disallow: /data' || CAST(doc_id % 5 AS VARCHAR) || chr(10) ||
+      |    'Crawl-delay: 2' || chr(10) || chr(10) ||
+      |    CASE WHEN doc_id % 3 = 0
+      |         THEN 'User-agent: graftbot' || chr(10) || 'Disallow: /bot' ||
+      |              chr(10) || 'Allow: /bot/ok' || chr(10) ||
+      |              'Disallow: /*.tmp' || chr(36) || chr(10) ||
+      |              'Crawl-delay: 0.5' || chr(10)
+      |         ELSE '' END ||
+      |    CASE WHEN doc_id % 4 = 0
+      |         THEN 'Sitemap: https://maps.example.com/extra.xml' || chr(10)
+      |         ELSE '' END""".stripMargin
 
   def plantPath: Column = {
     val k = col("doc_id") % 9
@@ -77,20 +108,7 @@ object Robots {
   def robotsOracle: String =
     s"""WITH r AS (
        |  SELECT doc_id,
-       |    '# graft planted robots' || chr(10) ||
-       |    'User-agent: *' || chr(10) ||
-       |    'Disallow: /private' || chr(10) ||
-       |    'Allow: /private/pub' || chr(10) ||
-       |    'Disallow: /*.tmp$$' || chr(10) ||
-       |    'Allow: /cgi/*/pub' || chr(10) ||
-       |    'Disallow: /cgi/' || chr(10) ||
-       |    'Disallow: /data' || CAST(doc_id % 5 AS VARCHAR) || chr(10) ||
-       |    'Crawl-delay: 2' || chr(10) || chr(10) ||
-       |    CASE WHEN doc_id % 3 = 0
-       |         THEN 'User-agent: graftbot' || chr(10) || 'Disallow: /bot' ||
-       |              chr(10) || 'Allow: /bot/ok' || chr(10) ||
-       |              'Disallow: /*.tmp$$' || chr(10)
-       |         ELSE '' END AS robots,
+       |    ${plantRobotsSql} AS robots,
        |    CASE doc_id % 9
        |      WHEN 0 THEN '/private/pub/x'
        |      WHEN 1 THEN '/private/secret'
@@ -166,9 +184,44 @@ object Robots {
        |             THEN g.path GLOB substr(g.val, 1, length(g.val) - 1)
        |             ELSE g.path GLOB (g.val || '*') END)""".stripMargin
 
+  def robotsMeta(robots: Column, agent: Column): Column =
+    org.apache.spark.sql.GraftColumnShim.column(
+      graft.plans.RobotsMeta(
+        org.apache.spark.sql.GraftColumnShim.expression(robots),
+        org.apache.spark.sql.GraftColumnShim.expression(agent)))
+
+  /** (doc_id, crawl_delay_ms, n_sitemaps, sitemaps) for agent [[Agent]]
+    * — the politeness metadata a crawl scheduler reads: the matched
+    * group's Crawl-delay (graftbot docs override the `*` group's 2 s
+    * with 0.5 s) and the group-independent Sitemap listing in file
+    * order.
+    */
+  def politeness(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.ScaleOps.widen(Tables.documents(spark, dir))
+      .select(col("doc_id"), plantRobots.as("robots"))
+      .select(col("doc_id"), robotsMeta(col("robots"), lit(Agent)).as("m"))
+      .select(col("doc_id"),
+        col("m").getField("crawl_delay_ms").as("crawl_delay_ms"),
+        size(col("m").getField("sitemaps")).as("n_sitemaps"),
+        col("m").getField("sitemaps").as("sitemaps"))
+
+  def politenessOracle: String =
+    s"""SELECT doc_id,
+       |  CAST(CASE WHEN doc_id % 3 = 0 THEN 500 ELSE 2000 END AS INTEGER)
+       |    AS crawl_delay_ms,
+       |  CAST(CASE WHEN doc_id % 4 = 0 THEN 2 ELSE 1 END AS INTEGER) AS n_sitemaps,
+       |  CASE WHEN doc_id % 4 = 0
+       |    THEN ['https://maps.example.com/s' || CAST(doc_id % 4 AS VARCHAR) || '.xml',
+       |          'https://maps.example.com/extra.xml']
+       |    ELSE ['https://maps.example.com/s' || CAST(doc_id % 4 AS VARCHAR) || '.xml']
+       |  END AS sitemaps
+       |FROM documents""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_robots_screen" -> ((s, dir) => crawlScreen(s, dir)))
+    "q_robots_screen" -> ((s, dir) => crawlScreen(s, dir)),
+    "q_robots_meta" -> ((s, dir) => politeness(s, dir)))
 
   def oracleSql: Map[String, String] = Map(
-    "q_robots_screen" -> robotsOracle)
+    "q_robots_screen" -> robotsOracle,
+    "q_robots_meta" -> politenessOracle)
 }

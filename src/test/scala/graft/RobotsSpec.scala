@@ -66,6 +66,26 @@ class RobotsSpec extends SparkSuite {
     assert(ok(exact, "bot", "/onl"))
   }
 
+  test("robots_meta: matched-group crawl-delay, sitemaps from anywhere, tolerant parse") {
+    import graft.plans.RobotsMeta
+    def meta(robots: String, agent: String) = {
+      val r = RobotsMeta.meta(robots, agent)
+      (if (r.isNullAt(0)) None else Some(r.getInt(0)),
+        (0 until r.getArray(1).numElements())
+          .map(i => r.getArray(1).getUTF8String(i).toString))
+    }
+    val txt = "Sitemap: https://a/s1.xml\nUser-agent: *\nCrawl-delay: 2\n" +
+      "Disallow: /x\n\nUser-agent: graftbot\nCrawl-delay: 0.25\n" +
+      "Sitemap: https://a/s2.xml\n"
+    assert(meta(txt, "graftbot") == (Some(250), Seq("https://a/s1.xml", "https://a/s2.xml")),
+      "own group's fractional delay wins; sitemaps are group-independent, file order")
+    assert(meta(txt, "otherbot")._1 == Some(2000), "others fall to the * group")
+    assert(meta("User-agent: *\nDisallow: /\n", "bot") == (None, Seq.empty),
+      "absent delay is null, not zero")
+    assert(meta("User-agent: *\nCrawl-delay: soon\n", "bot")._1 == None,
+      "unparsable delay is null, never a throw")
+  }
+
   test("gated query agrees with a direct reading of the planted rules") {
     // doc_id%9 picks the path, doc_id%3 the group; 3 | 9, so each path
     // case pins one group: k%3==0 → own graftbot group, else the * group
