@@ -92,12 +92,26 @@ object CrawlPipeline {
     * pre_stage).
     */
   private def statelessStages(raw: DataFrame): DataFrame = {
+    // sniff-route as a CASE, not a filter: a `filter(magic_format(...))`
+    // is a pushable predicate, and Catalyst pushes it below the widen
+    // exchange — the whole blob computation would then run on the
+    // NARROW pre-widen partitions and again post-widen. The when() keeps
+    // sniff + gunzip in ONE post-widen projection (subexpression
+    // elimination evaluates the blob once); non-gzip rows yield a null
+    // record array, which explode drops — identical routing semantics.
     val sniffed = raw
-      .withColumn("fmt", shim(graft.plans.MagicFormat(ex(col("blob")))))
-      .filter(col("fmt") === "gzip") // sniff-route: the gzip members go to gunzip
-      .withColumn("recs", shim(graft.plans.WarcRecords(ex(
-        shim(graft.plans.GunzipText(ex(col("blob"))))))))
-      .select(col("doc_id"), col("robots"), explode(col("recs")).as("r"))
+      .select(col("doc_id"), col("robots"),
+        shim(graft.plans.WarcRecords(ex(
+          shim(graft.plans.GunzipText(ex(
+            when(shim(graft.plans.MagicFormat(ex(col("blob")))) === "gzip",
+              col("blob")))))))).as("recs"))
+      // explode_OUTER: a plain explode makes InferFiltersFromGenerate
+      // synthesize `size(recs) > 0`, which is pushable and lands below
+      // the widen exchange — the same narrow-partition recompute the
+      // when() above exists to prevent. The outer generate infers no
+      // filter; its null rows fail the rec_type predicate right here
+      // (which CANNOT push below the Generate it references).
+      .select(col("doc_id"), col("robots"), explode_outer(col("recs")).as("r"))
       .filter(col("r").getField("rec_type") === "response")
       .withColumn("h", shim(graft.plans.HttpMessage(ex(col("r").getField("payload")))))
       .withColumn("url", col("r").getField("uri"))

@@ -68,5 +68,14 @@ class CrawlPipelineSpec extends SparkSuite {
     assert(hashEx == 1, s"expected exactly one hash exchange, got $hashEx\n$plan")
     assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"),
       "the chain must not join — every stage is a per-row expression")
+    // the widen exchange must move RAW rows: any Filter/Project pushed
+    // below it (a pushable sniff predicate, an inferred size(...)>0 from
+    // a non-outer explode) would run the whole blob computation on the
+    // NARROW pre-widen partitions — the regression this spec pins out
+    val lines = plan.split("\n")
+    val widenAt = lines.indexWhere(l => l.contains("Exchange") && l.toLowerCase.contains("roundrobin"))
+    assert(widenAt >= 0, s"widen exchange missing from plan:\n$plan")
+    assert(lines(widenAt + 1).contains("Scan") || lines(widenAt + 1).contains("FileScan"),
+        s"only the scan may sit below the widen exchange:\n${lines.slice(widenAt, widenAt + 3).mkString("\n")}")
   }
 }
