@@ -78,7 +78,12 @@ object Warc {
           graft.plans.WarcRecords(
             org.apache.spark.sql.GraftColumnShim.expression(
               gunzipped(col("gz"))))).as("recs"))
-      .select(col("doc_id"), posexplode(col("recs")).as(Seq("rec_idx", "r")))
+      // posexplode_OUTER + null guard: a plain explode makes Catalyst
+      // infer a pushable size(recs)>0 that lands BELOW the widen
+      // exchange and runs the whole plant+gzip+parse on the narrow
+      // pre-widen partitions (see CrawlPipeline.statelessStages)
+      .select(col("doc_id"), posexplode_outer(col("recs")).as(Seq("rec_idx", "r")))
+      .filter(col("r").isNotNull)
       .select(col("doc_id"),
         col("rec_idx").cast("int").as("rec_idx"),
         col("r").getField("rec_type").as("rec_type"),
@@ -93,7 +98,12 @@ object Warc {
         org.apache.spark.sql.GraftColumnShim.column(
           graft.plans.WarcRecords(
             org.apache.spark.sql.GraftColumnShim.expression(plantWarc))).as("recs"))
-      .select(col("doc_id"), posexplode(col("recs")).as(Seq("rec_idx", "r")))
+      // posexplode_OUTER + null guard: a plain explode makes Catalyst
+      // infer a pushable size(recs)>0 that lands BELOW the widen
+      // exchange and runs the whole plant+gzip+parse on the narrow
+      // pre-widen partitions (see CrawlPipeline.statelessStages)
+      .select(col("doc_id"), posexplode_outer(col("recs")).as(Seq("rec_idx", "r")))
+      .filter(col("r").isNotNull)
       .select(col("doc_id"),
         col("rec_idx").cast("int").as("rec_idx"),
         col("r").getField("rec_type").as("rec_type"),
@@ -177,7 +187,7 @@ object Warc {
           graft.plans.WarcRecords(
             org.apache.spark.sql.GraftColumnShim.expression(
               gunzipped(gzipped(plantHttpWarc))))).as("recs"))
-      .select(col("doc_id"), explode(col("recs")).as("r"))
+      .select(col("doc_id"), explode_outer(col("recs")).as("r"))
       .filter(col("r").getField("rec_type") === "response")
       .select(col("doc_id"),
         col("r").getField("uri").as("uri"),
