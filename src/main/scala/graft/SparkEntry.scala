@@ -54,6 +54,7 @@ object SparkEntry {
       (graft.sources.Warc.queries, graft.sources.Warc.oracleSql),
       (graft.text.Robots.queries, graft.text.Robots.oracleSql),
       (graft.text.Links.queries, graft.text.Links.oracleSql),
+      (graft.text.Sitemaps.queries, graft.text.Sitemaps.oracleSql),
       (graft.pipelines.Hygiene.queries, graft.pipelines.Hygiene.oracleSql),
       (graft.pipelines.CrawlPipeline.queries, graft.pipelines.CrawlPipeline.oracleSql),
       (AsofJoin.queries, AsofJoin.oracleSql),
