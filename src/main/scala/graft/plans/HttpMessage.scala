@@ -120,7 +120,9 @@ object HttpMessage {
     while (p < sl && b(p) >= '0' && b(p) <= '9' && digits < 3) {
       status = status * 10 + (b(p) - '0'); p += 1; digits += 1
     }
-    if (digits != 3) return nulls()
+    // exactly 3 digits, terminated by the reason separator or line end —
+    // 'HTTP/1.1 2000' must NOT classify as a valid 200
+    if (digits != 3 || (p < sl && b(p) != ' ')) return nulls()
     p = sl + 2
 
     // header block (obs-fold continuations merge into the previous field)
@@ -167,18 +169,40 @@ object HttpMessage {
     }
 
     // chunked wins over Content-Length (RFC 9112 §6.3); "chunked" must be
-    // the FINAL coding in the list for the framing to be chunk-based
-    val chunked = transferEncoding != null && {
-      val codings = transferEncoding.toLowerCase(java.util.Locale.ROOT).split(',')
-      codings.nonEmpty && codings.last.trim == "chunked"
-    }
+    // the FINAL coding in the list for the framing to be chunk-based.
+    // A TE list WITHOUT final chunked means the body runs to EOF (the
+    // RFC says ignore Content-Length then) and the codings still apply.
+    val teCodings: Array[String] =
+      if (transferEncoding == null) Array.empty
+      else transferEncoding.toLowerCase(java.util.Locale.ROOT).split(',').map(_.trim)
+    val chunked = teCodings.nonEmpty && teCodings.last == "chunked"
 
-    val framedBytes: Array[Byte] =
+    val framedRaw: Array[Byte] =
       if (chunked) decodeChunked(b, bodyStart, n)
+      else if (teCodings.nonEmpty) java.util.Arrays.copyOfRange(b, bodyStart, n)
       else if (contentLength >= 0) {
         val take = math.min(contentLength, (n - bodyStart).toLong).toInt
         java.util.Arrays.copyOfRange(b, bodyStart, bodyStart + take)
       } else java.util.Arrays.copyOfRange(b, bodyStart, n)
+
+    // undo the REMAINING transfer codings, outermost (last listed) first
+    // — e.g. 'Transfer-Encoding: gzip, chunked' is gzip INSIDE chunked
+    val framedBytes: Array[Byte] = {
+      var cur = framedRaw
+      val rest = if (chunked) teCodings.dropRight(1) else teCodings
+      var i = rest.length - 1
+      var stop = false
+      while (i >= 0 && !stop) {
+        rest(i) match {
+          case "gzip" | "x-gzip" => cur = gunzipOr(cur, cur)
+          case "deflate" => cur = inflateOr(cur, cur)
+          case "identity" | "" => // no-op
+          case _ => stop = true // unknown coding: keep what we have
+        }
+        i -= 1
+      }
+      cur
+    }
 
     // content coding UNDER the transfer coding (RFC 9110 §8.4): the
     // chunked layer frames the wire, Content-Encoding compresses the

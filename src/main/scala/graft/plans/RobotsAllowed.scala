@@ -100,41 +100,22 @@ object RobotsMeta {
       .add("crawl_delay_ms", IntegerType)
       .add("sitemaps", org.apache.spark.sql.types.ArrayType(StringType, containsNull = false))
 
-  /** Static so generated code calls it directly. */
+  /** Static so generated code calls it directly. Group selection is the
+    * SHARED [[RobotsAllowed.walkDirectives]] — allowed() and meta() can
+    * never disagree about which group applies.
+    */
   def meta(robots: String, agent: String): org.apache.spark.sql.catalyst.expressions.GenericInternalRow = {
-    val lines = robots.split("\n", -1)
-    val agentLc = agent.toLowerCase(java.util.Locale.ROOT)
-    var hasOwn = false
-    var i = 0
-    while (i < lines.length && !hasOwn) {
-      val (dir, value) = RobotsAllowed.directiveOf(lines(i))
-      if (dir == "user-agent" && value.toLowerCase(java.util.Locale.ROOT) == agentLc)
-        hasOwn = true
-      i += 1
-    }
-    val wanted = if (hasOwn) agentLc else "*"
     var delayMs = -1
     val sitemaps = new scala.collection.mutable.ArrayBuffer[Any](2)
-    var inAgents = false
-    var groupActive = false
-    i = 0
-    while (i < lines.length) {
-      val (dir, value) = RobotsAllowed.directiveOf(lines(i))
-      if (dir == "user-agent") {
-        if (!inAgents) { inAgents = true; groupActive = false }
-        if (value.toLowerCase(java.util.Locale.ROOT) == wanted) groupActive = true
-      } else if (dir != null) {
-        inAgents = false
-        if (dir == "sitemap" && value.nonEmpty)
-          sitemaps += UTF8String.fromString(value)
-        else if (dir == "crawl-delay" && groupActive && delayMs < 0)
-          delayMs =
-            try {
-              val s = value.toDouble
-              if (s >= 0 && s <= 1e6) Math.round(s * 1000.0).toInt else -1
-            } catch { case _: NumberFormatException => -1 }
-      }
-      i += 1
+    RobotsAllowed.walkDirectives(robots, agent) { (dir, value, groupActive) =>
+      if (dir == "sitemap" && value.nonEmpty)
+        sitemaps += UTF8String.fromString(value)
+      else if (dir == "crawl-delay" && groupActive && delayMs < 0)
+        delayMs =
+          try {
+            val s = value.toDouble
+            if (s >= 0 && s <= 1e6) Math.round(s * 1000.0).toInt else -1
+          } catch { case _: NumberFormatException => -1 }
     }
     val r = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(2)
     if (delayMs >= 0) r.setInt(0, delayMs) else r.setNullAt(0)
@@ -145,9 +126,16 @@ object RobotsMeta {
 
 object RobotsAllowed {
 
-  /** Static so generated code calls it directly. */
-  def allowed(robots: String, agent: String, path: String): Int = {
-    // parse into (groupAgents, rules) runs
+  /** ONE definition of the RFC's group selection, shared by
+    * [[allowed]] and [[RobotsMeta]]: parses lines, resolves the
+    * most-specific group (the agent's own if any line names it, else
+    * `*`), tracks agent-line runs (consecutive UA lines share rules; a
+    * blank line does NOT end a group; any non-UA directive does end the
+    * run), and invokes `f(dir, value, groupActive)` for every non-UA
+    * directive with the active-group flag already computed.
+    */
+  private[plans] def walkDirectives(robots: String, agent: String)(
+      f: (String, String, Boolean) => Unit): Unit = {
     val lines = robots.split("\n", -1)
     val agentLc = agent.toLowerCase(java.util.Locale.ROOT)
     // pass 1: does ANY group name this agent?
@@ -160,9 +148,6 @@ object RobotsAllowed {
       i += 1
     }
     val wanted = if (hasOwn) agentLc else "*"
-    // pass 2: evaluate rules inside groups whose agent set contains `wanted`
-    var bestLen = -1
-    var bestAllow = true
     var inAgents = false    // currently reading consecutive User-agent lines
     var groupActive = false // current group names `wanted`
     i = 0
@@ -171,8 +156,20 @@ object RobotsAllowed {
       if (dir == "user-agent") {
         if (!inAgents) { inAgents = true; groupActive = false } // new group starts
         if (value.toLowerCase(java.util.Locale.ROOT) == wanted) groupActive = true
-      } else if (dir == "allow" || dir == "disallow") {
-        inAgents = false
+      } else if (dir != null) {
+        inAgents = false // any non-UA directive ends the agent-line run
+        f(dir, value, groupActive)
+      }
+      i += 1
+    }
+  }
+
+  /** Static so generated code calls it directly. */
+  def allowed(robots: String, agent: String, path: String): Int = {
+    var bestLen = -1
+    var bestAllow = true
+    walkDirectives(robots, agent) { (dir, value, groupActive) =>
+      if (dir == "allow" || dir == "disallow") {
         // empty Disallow matches nothing; empty Allow likewise (no effect)
         if (groupActive && value.nonEmpty && patMatch(value, path)) {
           val isAllow = dir == "allow"
@@ -181,10 +178,7 @@ object RobotsAllowed {
             else bestAllow = true // tie → Allow wins
           }
         }
-      } else if (dir != null) {
-        inAgents = false // any other directive ends the agent-line run
       }
-      i += 1
     }
     if (bestLen < 0 || bestAllow) 1 else 0
   }
@@ -218,10 +212,8 @@ object RobotsAllowed {
   }
 
   /** (lowercased directive, trimmed value) or (null, null) for blank /
-    * comment-only / malformed lines. Shared with [[RobotsMeta]].
+    * comment-only / malformed lines.
     */
-  private[plans] def directiveOf(raw: String): (String, String) = directive(raw)
-
   private def directive(raw: String): (String, String) = {
     val hash = raw.indexOf('#')
     val line = (if (hash >= 0) raw.substring(0, hash) else raw).trim

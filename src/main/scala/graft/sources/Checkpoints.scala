@@ -122,15 +122,30 @@ object Checkpoints {
     * at one write+read of the (node-sized, never corpus-sized) table
     * per round. Results are BIT-IDENTICAL in both modes (spec-pinned):
     * the mode changes only the failure domain, never the data.
+    *
+    * Retention: Spark does NOT delete checkpoint files by default; a
+    * long-running driver in reliable mode should set
+    * `spark.cleaner.referenceTracking.cleanCheckpoints=true` (at
+    * session build) so rounds are reclaimed when their RDDs are GC'd,
+    * or point the dir at job-scoped storage it deletes afterwards —
+    * the retained files are per-ROUND node-sized tables, never corpus
+    * data.
     */
   def truncateLineage(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     spark.conf.getOption(IterCheckpointDirKey) match {
       case Some(dir) if dir.nonEmpty =>
-        if (spark.sparkContext.getCheckpointDir.isEmpty)
+        // re-point whenever the CONFIGURED dir changes (a stale guard on
+        // "some dir is already set" would silently write rounds into
+        // whatever an earlier component chose)
+        if (!lastIterDir.contains(dir)) {
           spark.sparkContext.setCheckpointDir(dir)
+          lastIterDir = Some(dir)
+        }
         df.checkpoint(eager = true)
       case _ => df.localCheckpoint(true)
     }
   }
+
+  @volatile private var lastIterDir: Option[String] = None
 }

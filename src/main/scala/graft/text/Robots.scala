@@ -39,6 +39,11 @@ object Robots {
       lit("Disallow: /*.tmp$\n"),
       lit("Allow: /cgi/*/pub\n"),
       lit("Disallow: /cgi/\n"),
+      // GLOB-metacharacter rules ('?' and '[' are LITERAL octets in
+      // robots patterns): inert against every planted path, but the
+      // oracle's escape must survive them or the whole gate errors
+      lit("Disallow: /search?q=\n"),
+      lit("Disallow: /a[1]/\n"),
       lit("Disallow: /data"), (id % 5).cast("string"), lit("\n"),
       lit("Crawl-delay: 2\n"),
       lit("\n"),
@@ -64,6 +69,8 @@ object Robots {
       |    'Disallow: /*.tmp' || chr(36) || chr(10) ||
       |    'Allow: /cgi/*/pub' || chr(10) ||
       |    'Disallow: /cgi/' || chr(10) ||
+      |    'Disallow: /search?q=' || chr(10) ||
+      |    'Disallow: /a[1]/' || chr(10) ||
       |    'Disallow: /data' || CAST(doc_id % 5 AS VARCHAR) || chr(10) ||
       |    'Crawl-delay: 2' || chr(10) || chr(10) ||
       |    CASE WHEN doc_id % 3 = 0
@@ -179,10 +186,17 @@ object Robots {
        |  WHERE g.dir IN ('allow', 'disallow') AND g.val <> ''
        |    -- RFC 9309 pattern match via GLOB: a FINAL '$$' anchors the
        |    -- pattern to the path end; otherwise the pattern matches any
-       |    -- path it prefixes (append '*'); '*' passes through as-is
+       |    -- path it prefixes (append '*'); '*' passes through as-is,
+       |    -- while GLOB's OTHER metacharacters ('?', '[') are literal
+       |    -- octets in robots rules (query strings in Disallow lines are
+       |    -- common) and must be bracket-escaped — '[' first, so the
+       |    -- brackets the escape itself introduces are not re-escaped
        |    AND CASE WHEN substr(g.val, length(g.val), 1) = '$$'
-       |             THEN g.path GLOB substr(g.val, 1, length(g.val) - 1)
-       |             ELSE g.path GLOB (g.val || '*') END)""".stripMargin
+       |             THEN g.path GLOB
+       |               replace(replace(substr(g.val, 1, length(g.val) - 1),
+       |                 '[', '[[]'), '?', '[?]')
+       |             ELSE g.path GLOB
+       |               (replace(replace(g.val, '[', '[[]'), '?', '[?]') || '*') END)""".stripMargin
 
   def robotsMeta(robots: Column, agent: Column): Column =
     org.apache.spark.sql.GraftColumnShim.column(

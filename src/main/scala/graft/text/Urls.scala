@@ -116,13 +116,15 @@ object Urls {
     regexp_extract(host, s"([^.]+${"(?:\\.[^.]+)" * (k - 1)})$$", 1)
 
   /** Resolve the registrable domain by longest-public-suffix match:
-    * candidate suffixes are the host's last 1/2/3 labels; each depth is
-    * a LEFT join against the broadcast PSL; the registrable domain is
-    * one label + the deepest matching suffix. A host that IS a public
-    * suffix has no registrable domain (NULL — the PSL semantic, not "").
-    * Hosts under an unknown TLD fall back to the last-two-labels
-    * heuristic. Cost shape: three broadcast hash joins, no shuffle, no
-    * per-row driver lookup — at 100 TB the PSL rides once per executor.
+    * candidate suffixes are the host's last 1/2/3/4 labels (4 covers
+    * the deepest fixture entries — regional object-store and
+    * state/school suffixes); each depth is a LEFT join against the
+    * broadcast PSL; the registrable domain is one label + the deepest
+    * matching suffix. A host that IS a public suffix has no registrable
+    * domain (NULL — the PSL semantic, not ""). Hosts under an unknown
+    * TLD fall back to the last-two-labels heuristic. Cost shape: four
+    * broadcast hash joins, no shuffle, no per-row driver lookup — at
+    * 100 TB the PSL rides once per executor.
     */
   private def resolveDomains(urls: DataFrame, pslDf: DataFrame): DataFrame = {
     val host = col("host")
@@ -131,7 +133,10 @@ object Urls {
       .withColumn("last2", lastLabels(host, 2))
       .withColumn("last3", lastLabels(host, 3))
       .withColumn("last4", lastLabels(host, 4))
+      .withColumn("last5", lastLabels(host, 5))
     val joined = withCands
+      .join(broadcast(pslDf.select(col("suffix").as("sfx4"))),
+        col("last4") === col("sfx4"), "left")
       .join(broadcast(pslDf.select(col("suffix").as("sfx3"))),
         col("last3") === col("sfx3"), "left")
       .join(broadcast(pslDf.select(col("suffix").as("sfx2"))),
@@ -140,7 +145,8 @@ object Urls {
         col("last1") === col("sfx1"), "left")
     def nonEmpty(c: Column): Column = when(length(c) > 0, c)
     joined.withColumn("domain",
-        when(col("sfx3").isNotNull, nonEmpty(col("last4")))
+        when(col("sfx4").isNotNull, nonEmpty(col("last5")))
+          .when(col("sfx3").isNotNull, nonEmpty(col("last4")))
           .when(col("sfx2").isNotNull, nonEmpty(col("last3")))
           .when(col("sfx1").isNotNull, nonEmpty(col("last2")))
           .otherwise(coalesce(nonEmpty(col("last2")), nonEmpty(col("last1")))))
@@ -195,15 +201,18 @@ object Urls {
        |    regexp_extract(host, '([^.]+)$$', 1) AS last1,
        |    regexp_extract(host, '([^.]+(?:\\.[^.]+){1})$$', 1) AS last2,
        |    regexp_extract(host, '([^.]+(?:\\.[^.]+){2})$$', 1) AS last3,
-       |    regexp_extract(host, '([^.]+(?:\\.[^.]+){3})$$', 1) AS last4
+       |    regexp_extract(host, '([^.]+(?:\\.[^.]+){3})$$', 1) AS last4,
+       |    regexp_extract(host, '([^.]+(?:\\.[^.]+){4})$$', 1) AS last5
        |  FROM hosts
        |)
        |SELECT doc_id, url, host,
-       |  CASE WHEN p3.suffix IS NOT NULL THEN NULLIF(last4, '')
+       |  CASE WHEN p4.suffix IS NOT NULL THEN NULLIF(last5, '')
+       |       WHEN p3.suffix IS NOT NULL THEN NULLIF(last4, '')
        |       WHEN p2.suffix IS NOT NULL THEN NULLIF(last3, '')
        |       WHEN p1.suffix IS NOT NULL THEN NULLIF(last2, '')
        |       ELSE COALESCE(NULLIF(last2, ''), NULLIF(last1, '')) END AS domain
        |FROM cands
+       |LEFT JOIN psl p4 ON cands.last4 = p4.suffix
        |LEFT JOIN psl p3 ON cands.last3 = p3.suffix
        |LEFT JOIN psl p2 ON cands.last2 = p2.suffix
        |LEFT JOIN psl p1 ON cands.last1 = p1.suffix""".stripMargin

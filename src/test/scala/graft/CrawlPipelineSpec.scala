@@ -74,7 +74,8 @@ class CrawlPipelineSpec extends SparkSuite {
     // NARROW pre-widen partitions — the regression this spec pins out
     val lines = plan.split("\n")
     val widenAt = lines.indexWhere(l => l.contains("Exchange") && l.toLowerCase.contains("roundrobin"))
-    assert(widenAt >= 0, s"widen exchange missing from plan:\n$plan")
+    assert(widenAt >= 0 && widenAt + 1 < lines.length,
+      s"widen exchange missing from plan:\n$plan")
     assert(lines(widenAt + 1).contains("Scan") || lines(widenAt + 1).contains("FileScan"),
         s"only the scan may sit below the widen exchange:\n${lines.slice(widenAt, widenAt + 3).mkString("\n")}")
   }

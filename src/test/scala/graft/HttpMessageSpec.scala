@@ -130,6 +130,33 @@ class HttpMessageSpec extends SparkSuite {
     }
   }
 
+  test("Transfer-Encoding gzip WITHOUT chunked: body runs to EOF and is decoded") {
+    val body = "transfer-coded representation"
+    val gz = graft.plans.GzipBytes.gzip(UTF8String.fromString(body))
+    val head = "HTTP/1.1 200 OK\r\nContent-Length: 3\r\nTransfer-Encoding: gzip\r\n\r\n"
+      .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    // Content-Length must be IGNORED when TE is present (RFC 9112 §6.3)
+    val r = split(head ++ gz)
+    assert(r.getAs[String]("body") == body)
+  }
+
+  test("stacked transfer codings: 'gzip, chunked' undoes chunked then gzip") {
+    val body = "inner payload"
+    val gz = graft.plans.GzipBytes.gzip(UTF8String.fromString(body))
+    val chunked = HttpChunkedPlant.encode(UTF8String.fromBytes(gz), 4).getBytes
+    val head = "HTTP/1.1 200 OK\r\nTransfer-Encoding: gzip, chunked\r\n\r\n"
+      .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val r = split(head ++ chunked)
+    assert(r.getAs[String]("body") == body)
+  }
+
+  test("malformed status digits: 'HTTP/1.1 2000' is not a valid 200") {
+    val r = splitStr("HTTP/1.1 2000 OK\r\n\r\nbody")
+    assert(r.isNullAt(r.fieldIndex("status")), "4-digit status must yield nulls")
+    val ok = splitStr("HTTP/1.1 204\r\n\r\n")
+    assert(ok.getAs[Int]("status") == 204, "bare 3-digit status without reason is fine")
+  }
+
   test("undecodable or unknown content codings keep the raw bytes") {
     val r = splitStr("HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\nnot actually gzip")
     assert(r.getAs[String]("content_encoding") == "gzip")

@@ -236,7 +236,10 @@ class HygieneBpeSpec extends SparkSuite {
     val tSmall = (1 to 3).map(_ => perRowMs(small)).min
     val tBig = (1 to 3).map(_ => perRowMs(big)).min
     info(f"per-row: 64 rules ${tSmall * 1000}%.1f us, 50k rules ${tBig * 1000}%.1f us")
-    assert(tBig < tSmall * 2.5,
+    // the failure mode being excluded is ~780x (cost scaling with m);
+    // the bound is deliberately loose so CI load cannot flake it while
+    // any real dependence on table size still fails by two orders
+    assert(tBig < tSmall * 5.0,
       f"50k-rule per-row cost $tBig%.4f ms vs 64-rule $tSmall%.4f ms — not flat")
   }
 

@@ -16,7 +16,10 @@ class UrlsSpec extends SparkSuite {
       (4L, "https://co.uk", null),                             // host IS a public suffix
       (5L, "https://deep.sub.host.weirdtld/q", "host.weirdtld"), // unknown TLD: 2-label fallback
       (6L, "https://localhost", "localhost"),                  // single unknown label
-      (7L, "https://user.github.io/repo", "user.github.io")    // private-registry entry
+      (7L, "https://user.github.io/repo", "user.github.io"),   // private-registry entry
+      // 4-label suffixes (regional object stores): the deepest join tier
+      (8L, "https://acct.blob.core.windows.net/c", "acct.blob.core.windows.net"),
+      (9L, "https://blob.core.windows.net", null)               // host IS the 4-label suffix
     )
     // bypass plantUrls: feed the resolver directly through extracted()'s
     // text channel by planting each case's URL as the document text —
