@@ -162,6 +162,42 @@ object CrawlPipeline {
       .filter(col("allowed") === 1 && col("pre_stage").isNull)
       .select(col("doc_id"), col("status"), col("canon"), col("text"))
 
+  /** Politeness-aware fetch schedule — the step between frontier
+    * discovery and fetching: canonical hosts partition the queue, and
+    * within a host each fetch waits the PREVIOUS fetch's robots
+    * crawl-delay (a running sum, not a constant stride — delays vary
+    * per robots snapshot). Output: (doc_id, host, seq, not_before_ms).
+    * ONE hash exchange (the per-host window) — the scheduling shuffle
+    * a frontier genuinely needs; everything else is per-row.
+    */
+  def fetchSchedule(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.ops.ScaleOps.widen(Tables.documents(spark, dir))
+    val w = Window.partitionBy(col("host")).orderBy(col("doc_id"))
+    Canonical.canonicalize(
+        docs.select(col("doc_id"), plantUri.as("url"),
+          Robots.robotsMeta(Robots.plantRobots, lit(Robots.Agent)).as("m")))
+      .select(col("doc_id"), col("host"),
+        col("m").getField("crawl_delay_ms").cast("long").as("delay_ms"))
+      .select(col("doc_id"), col("host"),
+        row_number().over(w).as("seq"),
+        coalesce(sum(col("delay_ms")).over(
+          w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+          .as("not_before_ms"))
+  }
+
+  def fetchScheduleOracle: String =
+    s"""WITH src AS (
+       |  SELECT doc_id,
+       |    'crawl' || CAST(doc_id % 23 AS VARCHAR) || '.example.com' AS host,
+       |    CAST(CASE WHEN doc_id % 3 = 0 THEN 500 ELSE 2000 END AS BIGINT) AS delay_ms
+       |  FROM documents)
+       |SELECT doc_id, host,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY host ORDER BY doc_id) AS INTEGER) AS seq,
+       |  CAST(COALESCE(SUM(delay_ms) OVER (PARTITION BY host ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |    AS not_before_ms
+       |FROM src""".stripMargin
+
   def crawlOracle: String = {
     val html2 = "html || ' x' || chr(776) || 'end'"
     val prelude =
@@ -197,8 +233,10 @@ object CrawlPipeline {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_crawl_pipeline" -> ((s, dir) => crawl(s, dir)))
+    "q_crawl_pipeline" -> ((s, dir) => crawl(s, dir)),
+    "q_fetch_schedule" -> ((s, dir) => fetchSchedule(s, dir)))
 
   def oracleSql: Map[String, String] = Map(
-    "q_crawl_pipeline" -> crawlOracle)
+    "q_crawl_pipeline" -> crawlOracle,
+    "q_fetch_schedule" -> fetchScheduleOracle)
 }

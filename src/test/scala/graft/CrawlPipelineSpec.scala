@@ -62,6 +62,32 @@ class CrawlPipelineSpec extends SparkSuite {
     assert(streamed.nonEmpty, "slice must have survivors")
   }
 
+  test("fetch schedule: per-host running-delay offsets, one scheduling exchange") {
+    val rows = CrawlPipeline.fetchSchedule(spark, Sf)
+      .orderBy("host", "seq").collect()
+    assert(rows.nonEmpty)
+    // within a host: seq contiguous from 1; not_before = running sum of
+    // the PRIOR fetches' delays, strictly nondecreasing
+    rows.groupBy(_.getAs[String]("host")).foreach { case (host, hs) =>
+      val sorted = hs.sortBy(_.getAs[Int]("seq"))
+      assert(sorted.head.getAs[Int]("seq") == 1 &&
+        sorted.head.getAs[Long]("not_before_ms") == 0L, host)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b.getAs[Int]("seq") == a.getAs[Int]("seq") + 1)
+          val aDelay = if (a.getAs[Long]("doc_id") % 3 == 0) 500L else 2000L
+          assert(b.getAs[Long]("not_before_ms") ==
+            a.getAs[Long]("not_before_ms") + aDelay,
+            s"$host seq ${b.getAs[Int]("seq")}")
+        case _ =>
+      }
+    }
+    val plan = CrawlPipeline.fetchSchedule(spark, Sf)
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1,
+      "exactly the one per-host scheduling exchange")
+  }
+
   test("plan shape: ONE hash exchange (the dedup fingerprint window), map-only otherwise") {
     val plan = CrawlPipeline.crawl(spark, Sf).queryExecution.executedPlan.toString
     val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).length
