@@ -50,6 +50,44 @@ class HttpMessageSpec extends SparkSuite {
     }
   }
 
+  test("chunked property: random bodies in random-size chunks round-trip exactly") {
+    // test-local encoder with PER-CHUNK random sizes and random
+    // extensions — broader than the fixed-size plant the gate uses
+    val rnd = new scala.util.Random(7)
+    def chunkEncode(body: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      var p = 0
+      while (p < body.length) {
+        val take = math.min(1 + rnd.nextInt(11), body.length - p)
+        val ext = if (rnd.nextInt(4) == 0) ";x=" + rnd.nextInt(9) else ""
+        out.write((Integer.toHexString(take) + ext + "\r\n").getBytes)
+        out.write(body, p, take)
+        out.write("\r\n".getBytes)
+        p += take
+      }
+      out.write("0\r\n".getBytes)
+      if (rnd.nextBoolean()) out.write("X-Trailer: t\r\n".getBytes)
+      out.write("\r\n".getBytes)
+      out.toByteArray
+    }
+    val head = "HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n"
+      .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    for (trial <- 1 to 200) {
+      // random UTF-8 text incl. multibyte, plus occasional raw bytes
+      val body =
+        if (trial % 5 == 0) { val b = new Array[Byte](rnd.nextInt(60)); rnd.nextBytes(b); b }
+        else (0 until rnd.nextInt(40)).map(_ =>
+          "aé語🙂\r\n0".charAt(rnd.nextInt(7))).mkString.getBytes("UTF-8")
+      val r = split(head ++ chunkEncode(body))
+      val got = r.getAs[String]("body")
+      // Row materialization decodes via new String(bytes, UTF_8), so the
+      // expected value is the same decode of the original bytes — exact
+      // for valid UTF-8, identical replacement behavior for raw bytes
+      assert(got == new String(body, "UTF-8"),
+        s"trial $trial: ${body.length}B body diverged")
+    }
+  }
+
   test("chunked framing wins over a present Content-Length (RFC 9112 §6.3)") {
     val chunked = HttpChunkedPlant.encode(UTF8String.fromString("realbody"), 5).toString
     val r = splitStr(

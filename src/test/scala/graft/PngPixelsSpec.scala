@@ -237,6 +237,38 @@ class PngPixelsSpec extends AnyFunSuite {
     }
   }
 
+  test("Adam7 property: random rasters give IDENTICAL stats interlaced vs sequential") {
+    val rnd = new scala.util.Random(123)
+    def png(img: java.awt.image.BufferedImage, interlaced: Boolean): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      if (interlaced) {
+        val w = javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
+        val p = w.getDefaultWriteParam
+        p.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+        val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+        w.setOutput(ios)
+        w.write(null, new javax.imageio.IIOImage(img, null, null), p)
+        ios.close(); w.dispose()
+      } else javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    for (_ <- 1 to 12) {
+      val w = 1 + rnd.nextInt(24); val h = 1 + rnd.nextInt(24)
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rnd.nextInt(1 << 24))
+      val a = statsOf(png(img, interlaced = false))
+      val b = statsOf(png(img, interlaced = true))
+      assert(!a.isNullAt(0) && !b.isNullAt(0), s"${w}x$h failed to decode")
+      (0 until 9).foreach { i =>
+        if (i == 7) assert(a.isNullAt(7) && b.isNullAt(7)) // RGB: no alpha
+        else if (i <= 2 || i == 8)
+          assert(a.getInt(i) == b.getInt(i), s"${w}x$h field $i")
+        else assert(a.getLong(i) == b.getLong(i), s"${w}x$h field $i")
+      }
+    }
+  }
+
   test("malformed and unsupported inputs yield in-struct nulls, never a throw") {
     val truncated = PngPlant.encode(7L).take(40) // signature + IHDR, no pixel data
     val garbage = Array.fill[Byte](64)(0x5a)

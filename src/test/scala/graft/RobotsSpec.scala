@@ -66,6 +66,35 @@ class RobotsSpec extends SparkSuite {
     assert(ok(exact, "bot", "/onl"))
   }
 
+  test("patMatch property: agrees with a regex-built reference on random patterns") {
+    // independent oracle: compile the RFC pattern to a Java regex
+    // (quoted literal segments, .* for '*', anchored when final '$')
+    def refMatch(pattern: String, path: String): Boolean = {
+      val anchored = pattern.nonEmpty && pattern.last == '$'
+      val pat = if (anchored) pattern.dropRight(1) else pattern
+      val re = pat.split("\\*", -1).map(java.util.regex.Pattern.quote).mkString(".*")
+      val full = "\\A" + re + (if (anchored) "\\z" else ".*")
+      java.util.regex.Pattern.compile(full, java.util.regex.Pattern.DOTALL)
+        .matcher(path).matches()
+    }
+    val rnd = new scala.util.Random(42)
+    val alphabet = "ab/.$*"
+    def randStr(max: Int): String =
+      (0 until rnd.nextInt(max)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    var checked = 0
+    for (_ <- 1 to 5000) {
+      val pattern = "/" + randStr(8)
+      val path = "/" + randStr(10)
+      // a non-final '$' inside the pattern is literal in BOTH matchers
+      val robots = s"User-agent: *\nDisallow: $pattern\n"
+      val mine = graft.plans.RobotsAllowed.allowed(robots, "bot", path) == 0
+      val ref = refMatch(pattern, path)
+      assert(mine == ref, s"pattern '$pattern' path '$path': mine=$mine ref=$ref")
+      checked += 1
+    }
+    assert(checked == 5000)
+  }
+
   test("robots_meta: matched-group crawl-delay, sitemaps from anywhere, tolerant parse") {
     import graft.plans.RobotsMeta
     def meta(robots: String, agent: String) = {
