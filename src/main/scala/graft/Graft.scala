@@ -339,4 +339,48 @@ object Graft {
     */
   def imageHeader(content: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     multimodal.Multimodal.decodeHeader(content)
+
+  /** The full crawl ingest chain over (doc_id, blob `.warc.gz` BINARY,
+    * robots STRING): magic sniff → gunzip → WARC walk → HTTP split
+    * (chunked + content codings + charset) → HTML extract → NFC →
+    * canonical URL → RFC 9309 robots screen → hygiene verdict with the
+    * exact-dup split — ONE plan, one exchange. Streaming twin:
+    * [[crawlIngestStream]].
+    */
+  def crawlIngest(spark: SparkSession, sfDir: String): DataFrame =
+    pipelines.CrawlPipeline.crawl(spark, sfDir)
+
+  /** Per-micro-batch stateless crawl ingest: blobs in, robots-allowed
+    * hygiene-surviving pages out; no state store, no watermark.
+    */
+  def crawlIngestStream(raw: DataFrame): DataFrame =
+    pipelines.CrawlPipeline.ingestStream(raw)
+
+  /** Split a WARC response payload into its HTTP message parts:
+    * status, headers, content type/charset/encoding, decoded body.
+    */
+  def httpMessage(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.GraftColumnShim.column(
+      plans.HttpMessage(org.apache.spark.sql.GraftColumnShim.expression(payload)))
+
+  /** RFC 9309 evaluation: 1/0 fetch verdict for (robots_txt, agent,
+    * path), wildcards included.
+    */
+  def robotsAllowed(robots: org.apache.spark.sql.Column,
+      agent: org.apache.spark.sql.Column,
+      path: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    text.Robots.robotsAllowed(robots, agent, path)
+
+  /** Crawl-politeness metadata from robots.txt: the matched group's
+    * crawl-delay (ms) and the file's sitemap listing.
+    */
+  def robotsMeta(robots: org.apache.spark.sql.Column,
+      agent: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    text.Robots.robotsMeta(robots, agent)
+
+  /** Politeness-aware fetch schedule: per canonical host, each fetch's
+    * not_before_ms is the running sum of prior fetches' crawl-delays.
+    */
+  def fetchSchedule(spark: SparkSession, sfDir: String): DataFrame =
+    pipelines.CrawlPipeline.fetchSchedule(spark, sfDir)
 }
