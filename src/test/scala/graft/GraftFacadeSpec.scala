@@ -62,4 +62,26 @@ class GraftFacadeSpec extends SparkSuite {
     assert(Graft.bpeEncode(spark, Sf).limit(1).count() === 1)
     assert(Graft.docEmbedding(spark, Sf).limit(1).count() === 1)
   }
+
+  test("round-9 crawl delegates return rows and the expected columns") {
+    val ing = Graft.crawlIngest(spark, Sf)
+    assert(ing.columns.toSeq ==
+      Seq("doc_id", "status", "canon", "allowed", "stage", "clean_text"))
+    assert(ing.limit(1).count() === 1)
+    val sched = Graft.fetchSchedule(spark, Sf)
+    assert(sched.columns.toSeq == Seq("doc_id", "host", "seq", "not_before_ms"))
+    assert(sched.limit(1).count() === 1)
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val h = Seq("HTTP/1.1 200 OK\r\nContent-Type: a/b\r\n\r\nx").toDF("p")
+      .select(Graft.httpMessage(col("p")).as("h")).select("h.status").head()
+    assert(h.getInt(0) == 200)
+    val allowed = Seq(("User-agent: *\nDisallow: /x\n", "/x/y")).toDF("r", "p")
+      .select(Graft.robotsAllowed(col("r"), lit("bot"), col("p"))).head()
+    assert(allowed.getInt(0) == 0)
+    val meta = Seq("Sitemap: https://a/s.xml\nUser-agent: *\nCrawl-delay: 1\n")
+      .toDF("r").select(Graft.robotsMeta(col("r"), lit("bot")).as("m"))
+      .select("m.crawl_delay_ms").head()
+    assert(meta.getInt(0) == 1000)
+  }
 }
