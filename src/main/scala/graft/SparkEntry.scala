@@ -57,6 +57,7 @@ object SparkEntry {
       (graft.text.Sitemaps.queries, graft.text.Sitemaps.oracleSql),
       (graft.pipelines.Hygiene.queries, graft.pipelines.Hygiene.oracleSql),
       (graft.pipelines.CrawlPipeline.queries, graft.pipelines.CrawlPipeline.oracleSql),
+      (graft.pipelines.Frontier.queries, graft.pipelines.Frontier.oracleSql),
       (AsofJoin.queries, AsofJoin.oracleSql),
       (DateParse.queries, DateParse.oracleSql),
       (CorpusOps.queries, CorpusOps.oracleSql),

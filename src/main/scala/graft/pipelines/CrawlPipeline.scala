@@ -60,6 +60,9 @@ object CrawlPipeline {
       when(id % 6 === 0, lit("#frag")).otherwise(lit("")))
   }
 
+  /** [[plantUriSql]] for composed oracles (Frontier). */
+  def plantUriSqlPublic: String = plantUriSql
+
   private def plantUriSql: String =
     """(CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END) || '://' ||
       |  (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END) ||
