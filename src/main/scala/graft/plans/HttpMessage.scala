@@ -211,13 +211,24 @@ object HttpMessage {
     val bodyBytes: Array[Byte] = contentEncoding match {
       case null | "identity" => framedBytes
       case enc =>
-        // the final coding in a list is the outermost to undo
-        val last = enc.split(',').last.trim
-        last match {
-          case "gzip" | "x-gzip" => gunzipOr(framedBytes, framedBytes)
-          case "deflate" => inflateOr(framedBytes, framedBytes)
-          case _ => framedBytes
+        // walk the coding LIST outermost (last listed) first, mirroring
+        // the transfer-coding loop above — 'gzip, gzip' or 'deflate, gzip'
+        // must undo every layer, not just the outermost; stop at the
+        // first unknown coding (crawl tolerance: keep what we have)
+        val codings = enc.split(',')
+        var cur = framedBytes
+        var ci = codings.length - 1
+        var stop = false
+        while (ci >= 0 && !stop) {
+          codings(ci).trim match {
+            case "gzip" | "x-gzip" => cur = gunzipOr(cur, cur)
+            case "deflate" => cur = inflateOr(cur, cur)
+            case "identity" | "" => // no-op
+            case _ => stop = true
+          }
+          ci -= 1
         }
+        cur
     }
 
     // content-type split + charset param

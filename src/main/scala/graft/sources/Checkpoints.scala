@@ -137,8 +137,14 @@ object Checkpoints {
       case Some(dir) if dir.nonEmpty =>
         // re-point whenever the CONFIGURED dir changes (a stale guard on
         // "some dir is already set" would silently write rounds into
-        // whatever an earlier component chose)
-        if (!lastIterDir.contains(dir)) {
+        // whatever an earlier component chose). The JVM-global cache
+        // alone is not enough: setCheckpointDir is per-SparkContext, so
+        // a NEW context in the same JVM (test rerun, session restart)
+        // must be re-pointed even when the configured dir is unchanged —
+        // checkpoint(eager) throws without one. Hence also consult the
+        // context's own getCheckpointDir.
+        if (!lastIterDir.contains(dir) ||
+            spark.sparkContext.getCheckpointDir.isEmpty) {
           spark.sparkContext.setCheckpointDir(dir)
           lastIterDir = Some(dir)
         }

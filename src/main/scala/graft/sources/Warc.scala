@@ -132,7 +132,11 @@ object Warc {
   /** Same plant with caller-chosen body and target URI (the crawl
     * composition plants HTML bodies and messy URIs).
     */
-  def plantHttpWarc(body: Column, uri: Column): Column = {
+  def plantHttpWarc(body: Column, uri: Column): Column =
+    warcWrap(uri, httpMsg3(body))
+
+  /** The %3 message-framing rotation over a caller-chosen body. */
+  private def httpMsg3(body: Column): Column = {
     val id = col("doc_id")
     // the real stack: Content-Encoding gzip INSIDE Transfer-Encoding
     // chunked — the decoder must undo the transfer coding first, then
@@ -158,16 +162,54 @@ object Warc {
       lit("Content-Type: text/html" + Crlf),
       lit(Crlf),
       body)
-    val msg = when(id % 3 === 0, chunkedMsg)
+    when(id % 3 === 0, chunkedMsg)
       .when(id % 3 === 1, lengthMsg)
       .otherwise(bareMsg)
+  }
+
+  private def warcWrap(uri: Column, msg: Column): Column = concat(
+    lit("WARC/1.0" + Crlf),
+    lit("WARC-Type: response" + Crlf),
+    lit("WARC-Target-URI: "), uri, lit(Crlf),
+    lit("Content-Length: "), octet_length(msg).cast("string"), lit(Crlf),
+    lit(Crlf),
+    msg, lit(Crlf + Crlf))
+
+  // Non-Latin body plants: a fixed prefix in the DECLARED charset's
+  // bytes (invalid as UTF-8 — a byte-naive UTF-8 read mangles it)
+  // followed by the doc_id's ASCII digits. The raw bytes ride a string
+  // column untouched (UTF8String is byte-transparent under concat /
+  // octet_length); only HttpMessage's charset routing turns them into
+  // the text the oracle restates.
+  // "privet" in Cyrillic + space: 7 bytes in cp1251 (one per char)
+  private val Win1251Text = "\u043f\u0440\u0438\u0432\u0435\u0442 "
+  // "konnichiwa" in kana + space: 11 bytes in shift_jis (two per kana)
+  private val SjisText = "\u3053\u3093\u306b\u3061\u306f "
+  private def charsetMsg(declared: String, prefix: String, cs: String): Column = {
+    val body = concat(lit(prefix.getBytes(cs)).cast("string"),
+      col("doc_id").cast("string"))
     concat(
-      lit("WARC/1.0" + Crlf),
-      lit("WARC-Type: response" + Crlf),
-      lit("WARC-Target-URI: "), uri, lit(Crlf),
-      lit("Content-Length: "), octet_length(msg).cast("string"), lit(Crlf),
+      lit("HTTP/1.1 200 OK" + Crlf),
+      lit(s"Content-Type: text/html; charset=$declared" + Crlf),
+      lit("Content-Length: "), octet_length(body).cast("string"), lit(Crlf),
       lit(Crlf),
-      msg, lit(Crlf + Crlf))
+      body)
+  }
+
+  /** The q_warc_http plant: the %3 framing rotation, with doc_id%7==3
+    * overridden to a windows-1251 body and %7==5 to shift_jis — the
+    * charsets a real crawl meets constantly. Routing must go through
+    * the JVM's full codec table (`Charset.forName`), not an
+    * ISO-8859-1/UTF-8 shortlist.
+    */
+  def plantHttpCharsetWarc: Column = {
+    val id = col("doc_id")
+    val uri = concat(lit("http://host"), (id % 23).cast("string"),
+      lit(".example.com/p/"), id.cast("string"))
+    val msg = when(id % 7 === 3, charsetMsg("windows-1251", Win1251Text, "windows-1251"))
+      .when(id % 7 === 5, charsetMsg("shift_jis", SjisText, "shift_jis"))
+      .otherwise(httpMsg3(coalesce(col("text"), lit(""))))
+    warcWrap(uri, msg)
   }
 
   private def httpMessage(c: Column): Column =
@@ -186,7 +228,7 @@ object Warc {
         org.apache.spark.sql.GraftColumnShim.column(
           graft.plans.WarcRecords(
             org.apache.spark.sql.GraftColumnShim.expression(
-              gunzipped(gzipped(plantHttpWarc))))).as("recs"))
+              gunzipped(gzipped(plantHttpCharsetWarc))))).as("recs"))
       .select(col("doc_id"), explode_outer(col("recs")).as("r"))
       .filter(col("r").getField("rec_type") === "response")
       .select(col("doc_id"),
@@ -198,30 +240,68 @@ object Warc {
         col("h").getField("charset").as("charset"),
         col("h").getField("content_encoding").as("content_encoding"),
         col("h").getField("n_headers").as("n_headers"),
-        col("h").getField("headers").as("headers"),
+        // gate contract: top-level columns must be SCALAR — the driver
+        // harness sorts rows via pandas over every column and dies on
+        // array cells (round-9 q_warc_http). U+0001-join, never raw.
+        array_join(col("h").getField("headers"), "\u0001").as("headers"),
         col("h").getField("body").as("body"))
 
+  // "\u043f\u0440\u0438\u0432\u0435\u0442 " / "\u3053\u3093\u306b\u3061\u306f " as the oracle restates them (the DECODED
+  // text the charset routing must produce from the cp1251/shift_jis
+  // byte plants)
+  private val Win1251Sql = "\u043f\u0440\u0438\u0432\u0435\u0442 "
+  private val SjisSql = "\u3053\u3093\u306b\u3061\u306f "
+
   def warcHttpOracle: String =
-    s"""SELECT doc_id,
+    // cs: 0 = the %3 rotation, 1 = windows-1251 plant, 2 = shift_jis
+    // plant (doc_id%7 overrides, mirroring plantHttpCharsetWarc).
+    // headers joined with chr(1) — top-level gate columns must be
+    // scalar (driver sort contract); lists never reach the output.
+    s"""WITH d AS (
+       |  SELECT doc_id, coalesce(text, '') AS t,
+       |    CASE WHEN doc_id % 7 = 3 THEN 1
+       |         WHEN doc_id % 7 = 5 THEN 2 ELSE 0 END AS cs
+       |  FROM documents)
+       |SELECT doc_id,
        |  'http://host' || CAST(doc_id % 23 AS VARCHAR) || '.example.com/p/' ||
        |    CAST(doc_id AS VARCHAR) AS uri,
-       |  CAST(CASE doc_id % 3 WHEN 0 THEN 200 WHEN 1 THEN 404 ELSE 301 END AS INTEGER) AS status,
-       |  CASE doc_id % 3 WHEN 1 THEN 'text/plain' ELSE 'text/html' END AS content_type,
-       |  CASE doc_id % 3 WHEN 0 THEN 'utf-8' ELSE NULL END AS charset,
-       |  CASE doc_id % 3 WHEN 0 THEN 'gzip' ELSE NULL END AS content_encoding,
-       |  CAST(CASE doc_id % 3 WHEN 1 THEN 2 ELSE 3 END AS INTEGER) AS n_headers,
-       |  CASE doc_id % 3
-       |    WHEN 0 THEN ['content-type: text/html; charset=utf-8',
-       |                 'content-encoding: gzip',
-       |                 'transfer-encoding: chunked']
-       |    WHEN 1 THEN ['content-type: text/plain',
-       |                 'content-length: ' || CAST(strlen(coalesce(text, '')) AS VARCHAR)]
-       |    ELSE ['location: http://example.org/moved',
-       |          'x-crawl-note: folded continuation',
-       |          'content-type: text/html']
+       |  CAST(CASE WHEN cs > 0 THEN 200
+       |       ELSE CASE doc_id % 3 WHEN 0 THEN 200 WHEN 1 THEN 404 ELSE 301 END
+       |       END AS INTEGER) AS status,
+       |  CASE WHEN cs = 0 AND doc_id % 3 = 1 THEN 'text/plain'
+       |       ELSE 'text/html' END AS content_type,
+       |  CASE WHEN cs = 1 THEN 'windows-1251'
+       |       WHEN cs = 2 THEN 'shift_jis'
+       |       WHEN doc_id % 3 = 0 THEN 'utf-8' ELSE NULL END AS charset,
+       |  CASE WHEN cs = 0 AND doc_id % 3 = 0 THEN 'gzip' ELSE NULL END
+       |    AS content_encoding,
+       |  CAST(CASE WHEN cs > 0 THEN 2
+       |       WHEN doc_id % 3 = 1 THEN 2 ELSE 3 END AS INTEGER) AS n_headers,
+       |  CASE
+       |    WHEN cs = 1 THEN array_to_string(
+       |      ['content-type: text/html; charset=windows-1251',
+       |       'content-length: ' ||
+       |         CAST(7 + length(CAST(doc_id AS VARCHAR)) AS VARCHAR)], chr(1))
+       |    WHEN cs = 2 THEN array_to_string(
+       |      ['content-type: text/html; charset=shift_jis',
+       |       'content-length: ' ||
+       |         CAST(11 + length(CAST(doc_id AS VARCHAR)) AS VARCHAR)], chr(1))
+       |    WHEN doc_id % 3 = 0 THEN array_to_string(
+       |      ['content-type: text/html; charset=utf-8',
+       |       'content-encoding: gzip',
+       |       'transfer-encoding: chunked'], chr(1))
+       |    WHEN doc_id % 3 = 1 THEN array_to_string(
+       |      ['content-type: text/plain',
+       |       'content-length: ' || CAST(strlen(t) AS VARCHAR)], chr(1))
+       |    ELSE array_to_string(
+       |      ['location: http://example.org/moved',
+       |       'x-crawl-note: folded continuation',
+       |       'content-type: text/html'], chr(1))
        |  END AS headers,
-       |  coalesce(text, '') AS body
-       |FROM documents""".stripMargin
+       |  CASE WHEN cs = 1 THEN '$Win1251Sql' || CAST(doc_id AS VARCHAR)
+       |       WHEN cs = 2 THEN '$SjisSql' || CAST(doc_id AS VARCHAR)
+       |       ELSE t END AS body
+       |FROM d""".stripMargin
 
   def warcOracle: String =
     s"""WITH e AS (

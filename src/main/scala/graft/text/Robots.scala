@@ -217,17 +217,22 @@ object Robots {
       .select(col("doc_id"),
         col("m").getField("crawl_delay_ms").as("crawl_delay_ms"),
         size(col("m").getField("sitemaps")).as("n_sitemaps"),
-        col("m").getField("sitemaps").as("sitemaps"))
+        // gate contract: top-level columns must be SCALAR — the driver
+        // harness sorts rows via pandas over every column and dies on
+        // array cells (round-9 q_robots_meta). U+0001-join, never raw.
+        array_join(col("m").getField("sitemaps"), "\u0001").as("sitemaps"))
 
   def politenessOracle: String =
     s"""SELECT doc_id,
        |  CAST(CASE WHEN doc_id % 3 = 0 THEN 500 ELSE 2000 END AS INTEGER)
        |    AS crawl_delay_ms,
        |  CAST(CASE WHEN doc_id % 4 = 0 THEN 2 ELSE 1 END AS INTEGER) AS n_sitemaps,
+       |  -- chr(1)-joined: top-level gate columns must be scalar (the
+       |  -- driver sort contract; round-9 q_robots_meta crashed on a list)
        |  CASE WHEN doc_id % 4 = 0
-       |    THEN ['https://maps.example.com/s' || CAST(doc_id % 4 AS VARCHAR) || '.xml',
-       |          'https://maps.example.com/extra.xml']
-       |    ELSE ['https://maps.example.com/s' || CAST(doc_id % 4 AS VARCHAR) || '.xml']
+       |    THEN 'https://maps.example.com/s' || CAST(doc_id % 4 AS VARCHAR) || '.xml'
+       |         || chr(1) || 'https://maps.example.com/extra.xml'
+       |    ELSE 'https://maps.example.com/s' || CAST(doc_id % 4 AS VARCHAR) || '.xml'
        |  END AS sitemaps
        |FROM documents""".stripMargin
 

@@ -71,6 +71,27 @@ class SparkEntrySpec extends SparkSuite {
       s"hash-hazardous column types in gated outputs:\n  ${offenders.mkString("\n  ")}")
   }
 
+  test("gated outputs carry only SCALAR top-level columns") {
+    // The driver's oracle harness canonicalizes row order with a pandas
+    // sort over ALL columns; an array/map/struct cell is unhashable there
+    // and crashes the gate before comparison (round-9 q_warc_http /
+    // q_robots_meta). Nested data must be array_join'd (U+0001 separator
+    // by convention) or exploded to (idx, value) rows before gating.
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val bad = fn(spark, Sf).schema.fields.collect {
+          case f if f.dataType.isInstanceOf[ArrayType] ||
+                    f.dataType.isInstanceOf[MapType] ||
+                    f.dataType.isInstanceOf[StructType] =>
+            s"${f.name}: ${f.dataType.simpleString}"
+        }
+        if (bad.nonEmpty) Some(s"$name -> ${bad.mkString(", ")}") else None
+    }
+    assert(offenders.isEmpty,
+      s"non-scalar top-level columns in gated outputs:\n  ${offenders.mkString("\n  ")}")
+  }
+
   test("query names are unique across module registries (no silent overwrite)") {
     // Map ++ would mask a duplicate key; recompute with collision detection
     val perModule = Seq(
