@@ -138,11 +138,13 @@ object Bench {
       else s""","errors":${errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")}"""
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","pass_spread_median":$noise,"queries":$qs,"spreads":$spreadJson,"remeasured":$remeasuredJson,"sf":${jstr(sfDir)}$errJson}"""
-    println(json)
-    // The driver's stdout capture keeps only a ~2 KB tail, which truncated
-    // BENCH_r06.json to 61 of 85 queries ("parsed": null). Persist the full
-    // line to a file too so the artifact can never be cut short. Path is
-    // overridable for tests; failures to write must not fail the bench.
+    // The driver's stdout capture keeps only a tail, which truncated
+    // BENCH_r06.json to 61 of 85 queries and left r9's first ~75 queries
+    // unreadable. The FULL line (per-query + spreads) goes to a file; the
+    // one printed line stays compact — aggregate, the slowest queries,
+    // and a pointer at the file — so the captured artifact parses
+    // end-to-end at any registry size. Path overridable for tests;
+    // failures to write must not fail the bench.
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_out.json")
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(outFile),
@@ -150,6 +152,10 @@ object Bench {
     catch { case e: java.io.IOException =>
       System.err.println(s"bench: could not write $outFile: ${e.getMessage}")
     }
+    val slowest = results.filter(_._2._1 >= 0).sortBy(-_._2._1).take(15)
+      .map { case (k, (mn, _)) => s"${jstr(k)}:$mn" }.mkString("{", ",", "}")
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","pass_spread_median":$noise,"n_queries":${results.length},"queries":$slowest,"queries_note":"slowest 15 of ${results.length}; full per-query map + spreads in queries_full","queries_full":${jstr(outFile)},"remeasured":$remeasuredJson,"sf":${jstr(sfDir)}$errJson}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

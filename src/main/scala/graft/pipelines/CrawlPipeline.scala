@@ -94,7 +94,16 @@ object CrawlPipeline {
     * STREAMING frame; output adds (status, canon, allowed, text, fp,
     * pre_stage).
     */
-  private def statelessStages(raw: DataFrame): DataFrame = {
+  private def statelessStages(raw: DataFrame): DataFrame =
+    Hygiene.withVerdict(statelessWide(raw)
+      .select(col("doc_id"), col("status"), col("canon"), col("allowed"), col("text")))
+
+  /** [[statelessStages]] WITHOUT the narrowing select: keeps `robots`,
+    * `host` and the canonical intermediates on the frame so siblings
+    * (the politeness schedule) can compose more per-row columns onto
+    * the same chain before their own shuffle.
+    */
+  private def statelessWide(raw: DataFrame): DataFrame = {
     // sniff-route as a CASE, not a filter: a `filter(magic_format(...))`
     // is a pushable predicate, and Catalyst pushes it below the widen
     // exchange — the whole blob computation would then run on the
@@ -123,11 +132,9 @@ object CrawlPipeline {
       .select(col("doc_id"), col("robots"), col("url"),
         col("h").getField("status").as("status"), col("text"))
 
-    val canoned = Canonical.canonicalize(sniffed)
+    Canonical.canonicalize(sniffed)
       .withColumn("allowed", Robots.robotsAllowed(
         col("robots"), lit(Robots.Agent), col("path")))
-      .select(col("doc_id"), col("status"), col("canon"), col("allowed"), col("text"))
-    Hygiene.withVerdict(canoned)
   }
 
   /** (doc_id, status, canon, allowed, stage, clean_text). */
@@ -188,6 +195,61 @@ object CrawlPipeline {
           .as("not_before_ms"))
   }
 
+  /** Politeness schedule riding the FULL ingest chain — proves the
+    * X116 `robots_meta` crawl-delay and the X122 scheduler compose with
+    * the X120 blob→canonical→robots chain: blobs in, per-host fetch
+    * offsets out, the delay parsed from the SAME planted robots the
+    * chain screens against, disallowed pages dropped before
+    * scheduling. ONE hash exchange total (the per-host window) — every
+    * stage before it is a per-row expression, so the plan keeps the
+    * X120 discipline.
+    */
+  def crawlSchedule(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.ops.ScaleOps.widen(Tables.documents(spark, dir))
+    val htmlBody = concat(Html.plantHtml, lit(UnicodeTailLit))
+    val blob = shim(graft.plans.GzipBytes(ex(
+      graft.sources.Warc.plantHttpWarc(htmlBody, plantUri))))
+    val wide = statelessWide(
+      docs.select(col("doc_id"), blob.as("blob"), Robots.plantRobots.as("robots")))
+    val w = Window.partitionBy(col("host")).orderBy(col("doc_id"))
+    wide
+      .withColumn("delay_ms", Robots.robotsMeta(col("robots"), lit(Robots.Agent))
+        .getField("crawl_delay_ms").cast("long"))
+      .filter(col("allowed") === 1)
+      .select(col("doc_id"), col("canon"), col("host"),
+        row_number().over(w).as("seq"),
+        coalesce(sum(col("delay_ms")).over(
+          w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+          .as("not_before_ms"))
+  }
+
+  def crawlScheduleOracle: String =
+    s"""WITH src AS (
+       |  SELECT doc_id,
+       |    $plantUriSql AS url,
+       |    ${Robots.plantRobotsSql} AS robots
+       |  FROM documents),
+       |${Canonical.canonicalCtesFrom("src")},
+       |rb AS (
+       |  SELECT s.doc_id, s.robots, n.path
+       |  FROM src s JOIN normed n USING (doc_id)),
+       |${Robots.robotsCtesFrom("rb")},
+       |verd AS (
+       |  SELECT n.doc_id, ${Canonical.canonSelectSql} AS canon, n.host,
+       |    CASE WHEN m.dir IS NULL OR m.dir = 'allow' THEN 1 ELSE 0 END AS allowed,
+       |    CAST(CASE WHEN n.doc_id % 3 = 0 THEN 500 ELSE 2000 END AS BIGINT)
+       |      AS delay_ms
+       |  FROM normed n
+       |  LEFT JOIN (SELECT doc_id, dir FROM matches WHERE rn = 1) m
+       |    USING (doc_id))
+       |SELECT doc_id, canon, host,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY host ORDER BY doc_id) AS INTEGER)
+       |    AS seq,
+       |  CAST(COALESCE(SUM(delay_ms) OVER (PARTITION BY host ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |    AS not_before_ms
+       |FROM verd WHERE allowed = 1""".stripMargin
+
   def fetchScheduleOracle: String =
     s"""WITH src AS (
        |  SELECT doc_id,
@@ -237,9 +299,11 @@ object CrawlPipeline {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_crawl_pipeline" -> ((s, dir) => crawl(s, dir)),
-    "q_fetch_schedule" -> ((s, dir) => fetchSchedule(s, dir)))
+    "q_fetch_schedule" -> ((s, dir) => fetchSchedule(s, dir)),
+    "q_crawl_schedule" -> ((s, dir) => crawlSchedule(s, dir)))
 
   def oracleSql: Map[String, String] = Map(
     "q_crawl_pipeline" -> crawlOracle,
-    "q_fetch_schedule" -> fetchScheduleOracle)
+    "q_fetch_schedule" -> fetchScheduleOracle,
+    "q_crawl_schedule" -> crawlScheduleOracle)
 }

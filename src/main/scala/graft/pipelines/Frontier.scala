@@ -37,23 +37,19 @@ object Frontier {
       .select(col("doc_id"),
         regexp_extract(col("canon"), "^[a-z]+://([^?]+)", 1).as("url_key"))
 
-  /** Exact path: today's (odd) URLs not crawled yesterday (even). */
-  def newUrls(spark: SparkSession, dir: String): DataFrame = {
-    val keys = urlKeys(spark, dir)
-    val seen = keys.filter(col("doc_id") % 2 === 0).select(col("url_key")).distinct()
-    keys.filter(col("doc_id") % 2 === 1)
-      .join(seen, Seq("url_key"), "left_anti")
+  /** Exact core over caller-supplied frames: `today(doc_id, url_key)`
+    * not present in `seen(url_key)`.
+    */
+  def newUrlsFrom(today: DataFrame, seen: DataFrame): DataFrame =
+    today.join(seen, Seq("url_key"), "left_anti")
       .select(col("doc_id"), col("url_key"))
-  }
 
-  /** Bloom-prefiltered path — BIT-IDENTICAL to [[newUrls]]: the sketch
-    * rejects (admits as new) with no false negatives; accepted
+  /** Bloom-prefiltered core — BIT-IDENTICAL to [[newUrlsFrom]]: the
+    * sketch rejects (admits as new) with no false negatives; accepted
     * maybe-seen rows are verified exactly.
     */
-  def newUrlsBloom(spark: SparkSession, dir: String): DataFrame = {
+  def newUrlsBloomFrom(today: DataFrame, seen: DataFrame): DataFrame = {
     import org.apache.spark.sql.GraftColumnShim.{column, expression}
-    val keys = urlKeys(spark, dir)
-    val seen = keys.filter(col("doc_id") % 2 === 0).select(col("url_key")).distinct()
     // sketch over the key's 64-bit hash, built distributed, held as a
     // constant literal (model-sized regardless of seen-set cardinality)
     val bloomAgg = column(new org.apache.spark.sql.catalyst.expressions.aggregate
@@ -61,18 +57,127 @@ object Frontier {
         expression(lit(BloomItems)), expression(lit(BloomBits)))
       .toAggregateExpression())
     val bf = seen.agg(bloomAgg.as("bf")).collect()(0).getAs[Array[Byte]](0)
-    val mightContain = column(
-      new org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
-        org.apache.spark.sql.catalyst.expressions.Literal
-          .create(bf, org.apache.spark.sql.types.BinaryType),
-        expression(xxhash64(col("url_key")))))
-    val today = keys.filter(col("doc_id") % 2 === 1)
-    val definitelyNew = today.filter(!mightContain)
-    val verified = today.filter(mightContain)
-      .join(seen, Seq("url_key"), "left_anti")
-    definitelyNew.select(col("doc_id"), col("url_key"))
-      .unionByName(verified.select(col("doc_id"), col("url_key")))
+    // BloomFilterAggregate over ZERO rows yields NULL, and might_contain
+    // on a null sketch is null — which would fail BOTH branch filters
+    // and silently EMPTY the frontier on an all-new day. An empty
+    // 'yesterday' must admit everything: fall back to the exact path
+    // (whose anti join against the empty seen set keeps every row).
+    if (bf == null) newUrlsFrom(today, seen)
+    else {
+      val mightContain = column(
+        new org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          org.apache.spark.sql.catalyst.expressions.Literal
+            .create(bf, org.apache.spark.sql.types.BinaryType),
+          expression(xxhash64(col("url_key")))))
+      val definitelyNew = today.filter(!mightContain)
+      val verified = today.filter(mightContain)
+        .join(seen, Seq("url_key"), "left_anti")
+      definitelyNew.select(col("doc_id"), col("url_key"))
+        .unionByName(verified.select(col("doc_id"), col("url_key")))
+    }
   }
+
+  /** Yesterday's crawl (even docs) as the seen set. */
+  private def seenKeys(keys: DataFrame): DataFrame =
+    keys.filter(col("doc_id") % 2 === 0).select(col("url_key")).distinct()
+
+  /** Exact path: today's (odd) URLs not crawled yesterday (even). */
+  def newUrls(spark: SparkSession, dir: String): DataFrame = {
+    val keys = urlKeys(spark, dir)
+    newUrlsFrom(keys.filter(col("doc_id") % 2 === 1), seenKeys(keys))
+  }
+
+  /** Bloom-prefiltered path over the same fixture halves. */
+  def newUrlsBloom(spark: SparkSession, dir: String): DataFrame = {
+    val keys = urlKeys(spark, dir)
+    newUrlsBloomFrom(keys.filter(col("doc_id") % 2 === 1), seenKeys(keys))
+  }
+
+  /** Conditional-recrawl frontier — the composition an incremental
+    * crawler runs between discovery and fetch: today's discovered batch
+    * (odd docs) meets the fetch-history table (even docs, keyed on the
+    * canonical host+path, last_fetch = latest stored fetch date per
+    * key) in ONE left-outer join; a URL survives when it is NEW (no
+    * history row) or STALE (its sitemap `lastmod` — the X121 field —
+    * postdates the stored fetch). Survivors feed the X122 politeness
+    * scheduler: per-host sequence + running-delay offsets, with the
+    * crawl delay read from the robots `robots_meta` group (X116), all
+    * in the same lazy plan.
+    *
+    * Scale shape: history aggregates once on url_key (one exchange,
+    * partial max map-side); the join reuses that hash partitioning on
+    * the build side while today's batch shuffles once on the same key —
+    * at test SF AQE broadcasts history instead, and at 100 TB it
+    * degrades gracefully to the co-partitioned shuffle join. The
+    * scheduling window adds the one per-host exchange a frontier
+    * genuinely needs. No driver-side state anywhere.
+    */
+  def recrawl(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = Canonical.canonicalize(
+        graft.ops.ScaleOps.widen(Tables.documents(spark, dir))
+          .select(col("doc_id"), CrawlPipeline.plantUri.as("url"),
+            graft.text.Robots.robotsMeta(graft.text.Robots.plantRobots,
+                lit(graft.text.Robots.Agent))
+              .getField("crawl_delay_ms").cast("long").as("delay_ms")))
+      .select(col("doc_id"), col("host"),
+        regexp_extract(col("canon"), "^[a-z]+://([^?]+)", 1).as("url_key"),
+        col("delay_ms"))
+    // sitemap-lastmod plant for today's rows / stored fetch dates for
+    // history rows: ISO dates compare lexicographically, month keyed to
+    // doc_id — lastmod day 15 vs fetch day 10, so staleness varies with
+    // the month ordering across the key's collision group
+    val today = base.filter(col("doc_id") % 2 === 1)
+      .withColumn("lastmod", concat(lit("2026-0"),
+        (col("doc_id") % 7 + 1).cast("string"), lit("-15")))
+    val history = base.filter(col("doc_id") % 2 === 0)
+      .groupBy(col("url_key"))
+      .agg(max(concat(lit("2026-0"),
+        (col("doc_id") % 7 + 1).cast("string"), lit("-10"))).as("last_fetch"))
+    val w = Window.partitionBy(col("host")).orderBy(col("doc_id"))
+    today.join(history, Seq("url_key"), "left_outer")
+      .filter(col("last_fetch").isNull || col("lastmod") > col("last_fetch"))
+      .withColumn("reason",
+        when(col("last_fetch").isNull, "new").otherwise("stale"))
+      .select(col("doc_id"), col("url_key"), col("host"), col("reason"),
+        col("lastmod"), col("last_fetch"),
+        row_number().over(w).as("seq"),
+        coalesce(sum(col("delay_ms")).over(
+          w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+          .as("not_before_ms"))
+  }
+
+  def recrawlOracle: String =
+    s"""WITH uris AS (
+       |  SELECT doc_id, ${CrawlPipeline.plantUriSqlPublic} AS url FROM documents),
+       |${Canonical.canonicalCtesFrom("uris")},
+       |base AS (
+       |  SELECT doc_id, host,
+       |    regexp_extract(${Canonical.canonSelectSql}, '^[a-z]+://([^?]+)', 1)
+       |      AS url_key,
+       |    CAST(CASE WHEN doc_id % 3 = 0 THEN 500 ELSE 2000 END AS BIGINT)
+       |      AS delay_ms
+       |  FROM normed),
+       |today AS (
+       |  SELECT doc_id, host, url_key, delay_ms,
+       |    '2026-0' || CAST(doc_id % 7 + 1 AS VARCHAR) || '-15' AS lastmod
+       |  FROM base WHERE doc_id % 2 = 1),
+       |hist AS (
+       |  SELECT url_key,
+       |    max('2026-0' || CAST(doc_id % 7 + 1 AS VARCHAR) || '-10') AS last_fetch
+       |  FROM base WHERE doc_id % 2 = 0 GROUP BY url_key),
+       |kept AS (
+       |  SELECT t.doc_id, t.url_key, t.host, t.lastmod, t.delay_ms, h.last_fetch,
+       |    CASE WHEN h.last_fetch IS NULL THEN 'new' ELSE 'stale' END AS reason
+       |  FROM today t LEFT JOIN hist h USING (url_key)
+       |  WHERE h.last_fetch IS NULL OR t.lastmod > h.last_fetch)
+       |SELECT doc_id, url_key, host, reason, lastmod, last_fetch,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY host ORDER BY doc_id) AS INTEGER)
+       |    AS seq,
+       |  CAST(COALESCE(SUM(delay_ms) OVER (PARTITION BY host ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |    AS not_before_ms
+       |FROM kept""".stripMargin
 
   /** One oracle gates BOTH paths (the bloom path is exact). */
   def newUrlsOracle: String =
@@ -91,9 +196,11 @@ object Frontier {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_frontier_new" -> ((s, dir) => newUrls(s, dir)),
-    "q_frontier_new_bloom" -> ((s, dir) => newUrlsBloom(s, dir)))
+    "q_frontier_new_bloom" -> ((s, dir) => newUrlsBloom(s, dir)),
+    "q_frontier_recrawl" -> ((s, dir) => recrawl(s, dir)))
 
   def oracleSql: Map[String, String] = Map(
     "q_frontier_new" -> newUrlsOracle,
-    "q_frontier_new_bloom" -> newUrlsOracle)
+    "q_frontier_new_bloom" -> newUrlsOracle,
+    "q_frontier_recrawl" -> recrawlOracle)
 }

@@ -88,6 +88,34 @@ class CrawlPipelineSpec extends SparkSuite {
       "exactly the one per-host scheduling exchange")
   }
 
+  test("crawl schedule rides the full chain: screened, delayed, ONE exchange") {
+    val rows = CrawlPipeline.crawlSchedule(spark, Sf)
+      .orderBy("host", "seq").collect()
+    assert(rows.nonEmpty)
+    // screening bites: disallowed pages never reach the scheduler
+    val total = graft.Tables.documents(spark, Sf).count()
+    assert(rows.length < total, "robots screening must drop some pages")
+    rows.groupBy(_.getAs[String]("host")).foreach { case (host, hs) =>
+      val sorted = hs.sortBy(_.getAs[Int]("seq"))
+      assert(sorted.head.getAs[Int]("seq") == 1 &&
+        sorted.head.getAs[Long]("not_before_ms") == 0L, host)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          val aDelay = if (a.getAs[Long]("doc_id") % 3 == 0) 500L else 2000L
+          assert(b.getAs[Int]("seq") == a.getAs[Int]("seq") + 1 &&
+            b.getAs[Long]("not_before_ms") ==
+              a.getAs[Long]("not_before_ms") + aDelay, host)
+        case _ =>
+      }
+    }
+    // the X120 discipline holds with the schedule riding along: the
+    // per-host window is the ONLY hash exchange in the whole chain
+    val plan = CrawlPipeline.crawlSchedule(spark, Sf)
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1,
+      s"exactly the one scheduling exchange:\n$plan")
+  }
+
   test("plan shape: ONE hash exchange (the dedup fingerprint window), map-only otherwise") {
     val plan = CrawlPipeline.crawl(spark, Sf).queryExecution.executedPlan.toString
     val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).length

@@ -32,4 +32,59 @@ class FrontierSpec extends SparkSuite {
     assert(plan.contains("might_contain"), "map-side Bloom reject must appear")
     assert(plan.contains("Union"), "definitely-new bypasses the verify join")
   }
+
+  test("bloom path admits EVERYTHING on an empty seen set (null-sketch guard)") {
+    // BloomFilterAggregate over zero rows yields a NULL sketch;
+    // might_contain on it is null and fails BOTH branch filters — an
+    // all-new day must not silently empty the frontier (ADVICE r9)
+    val keys = Frontier.urlKeys(spark, Sf)
+    val today = keys.filter(col("doc_id") % 2 === 1)
+    val emptySeen = keys.filter(lit(false)).select("url_key")
+    val admitted = Frontier.newUrlsBloomFrom(today, emptySeen).count()
+    assert(admitted == today.count(), "empty 'yesterday' must admit all of today")
+  }
+
+  test("recrawl: new OR stale survive, fresh-enough drop, schedule offsets hold") {
+    val keys = Frontier.urlKeys(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val lastFetch = keys.filter(_._1 % 2 == 0)
+      .groupBy(_._2).map { case (k, rs) =>
+        k -> rs.map { case (id, _) => s"2026-0${id % 7 + 1}-10" }.max }
+    val rows = Frontier.recrawl(spark, Sf).collect()
+    val byId = rows.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    keys.filter(_._1 % 2 == 1).foreach { case (id, key) =>
+      val lastmod = s"2026-0${id % 7 + 1}-15"
+      val keep = lastFetch.get(key).forall(f => lastmod > f)
+      assert(byId.contains(id) == keep, s"doc $id keep=$keep")
+      byId.get(id).foreach { r =>
+        assert(r.getAs[String]("reason") ==
+          (if (lastFetch.contains(key)) "stale" else "new"))
+      }
+    }
+    assert(rows.length < keys.count(_._1 % 2 == 1),
+      "the staleness filter must drop some fresh-enough URL")
+    assert(rows.exists(_.getAs[String]("reason") == "stale") &&
+      rows.exists(_.getAs[String]("reason") == "new"))
+    // scheduling contract within each host: contiguous seq, running sum
+    rows.groupBy(_.getAs[String]("host")).foreach { case (host, hs) =>
+      val sorted = hs.sortBy(_.getAs[Int]("seq"))
+      assert(sorted.head.getAs[Int]("seq") == 1 &&
+        sorted.head.getAs[Long]("not_before_ms") == 0L, host)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          val aDelay = if (a.getAs[Long]("doc_id") % 3 == 0) 500L else 2000L
+          assert(b.getAs[Int]("seq") == a.getAs[Int]("seq") + 1 &&
+            b.getAs[Long]("not_before_ms") ==
+              a.getAs[Long]("not_before_ms") + aDelay, host)
+        case _ =>
+      }
+    }
+  }
+
+  test("recrawl plan: one scheduling exchange on host, no cartesian") {
+    val plan = Frontier.recrawl(spark, Sf).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), "history join must be keyed")
+    assert("hashpartitioning\\(host".r.findAllIn(plan).length == 1,
+      s"exactly one per-host scheduling exchange:\n$plan")
+  }
 }
