@@ -129,7 +129,25 @@ object ScaleProbe {
         System.err.println(s"SKEW PROOF FAILED: ${e.getMessage}")
         s"""  "_skew_proof": {"error": "${e.getClass.getSimpleName}"}"""
     }
-    val json = (rows :+ skewRow).mkString(
+    // Bloom-frontier sliver evidence (VERDICT r9 #7): at the 10× corpus,
+    // how many of today's rows survive might_contain and reach the exact
+    // verify anti-join — decomposed into unavoidable true hits vs the
+    // sketch's false positives (the operator's own overhead)
+    val bloomRow = try {
+      val keys = graft.pipelines.Frontier.urlKeys(spark, dst)
+      val today = keys.filter(col("doc_id") % 2 === 1)
+      val seen = keys.filter(col("doc_id") % 2 === 0).select("url_key").distinct()
+      val (t, maybe, truly) = graft.pipelines.Frontier.bloomSliver(today, seen)
+      val fp = maybe - truly
+      val fpFrac = String.format(java.util.Locale.ROOT, "%.6f",
+        Double.box(if (t > 0) fp.toDouble / t else 0.0))
+      s"""  "_bloom_sliver": {"copies": $copies, "today_rows": $t, "verify_join_input": $maybe, "truly_seen": $truly, "false_positives": $fp, "fp_fraction": $fpFrac}"""
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"BLOOM SLIVER FAILED: ${e.getMessage}")
+        s"""  "_bloom_sliver": {"error": "${e.getClass.getSimpleName}"}"""
+    }
+    val json = (rows :+ skewRow :+ bloomRow).mkString(
       s"""{\n  "_meta": {"copies": $copies, "src": "$src", "growth_bound": $GrowthBound},\n""",
       ",\n", "\n}")
     Files.writeString(Paths.get(outFile), json)

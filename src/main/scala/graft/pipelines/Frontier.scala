@@ -48,15 +48,31 @@ object Frontier {
     * sketch rejects (admits as new) with no false negatives; accepted
     * maybe-seen rows are verified exactly.
     */
-  def newUrlsBloomFrom(today: DataFrame, seen: DataFrame): DataFrame = {
+  /** Build the seen-set sketch over the key's 64-bit hash, distributed,
+    * returned as a driver constant (model-sized regardless of seen-set
+    * cardinality). NULL when the seen set is empty — callers must
+    * route around a null sketch.
+    */
+  private def sketchOf(seen: DataFrame): Array[Byte] = {
     import org.apache.spark.sql.GraftColumnShim.{column, expression}
-    // sketch over the key's 64-bit hash, built distributed, held as a
-    // constant literal (model-sized regardless of seen-set cardinality)
     val bloomAgg = column(new org.apache.spark.sql.catalyst.expressions.aggregate
       .BloomFilterAggregate(expression(xxhash64(col("url_key"))),
         expression(lit(BloomItems)), expression(lit(BloomBits)))
       .toAggregateExpression())
-    val bf = seen.agg(bloomAgg.as("bf")).collect()(0).getAs[Array[Byte]](0)
+    seen.agg(bloomAgg.as("bf")).collect()(0).getAs[Array[Byte]](0)
+  }
+
+  private def mightContainCol(bf: Array[Byte]) = {
+    import org.apache.spark.sql.GraftColumnShim.{column, expression}
+    column(
+      new org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        org.apache.spark.sql.catalyst.expressions.Literal
+          .create(bf, org.apache.spark.sql.types.BinaryType),
+        expression(xxhash64(col("url_key")))))
+  }
+
+  def newUrlsBloomFrom(today: DataFrame, seen: DataFrame): DataFrame = {
+    val bf = sketchOf(seen)
     // BloomFilterAggregate over ZERO rows yields NULL, and might_contain
     // on a null sketch is null — which would fail BOTH branch filters
     // and silently EMPTY the frontier on an all-new day. An empty
@@ -64,17 +80,28 @@ object Frontier {
     // (whose anti join against the empty seen set keeps every row).
     if (bf == null) newUrlsFrom(today, seen)
     else {
-      val mightContain = column(
-        new org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
-          org.apache.spark.sql.catalyst.expressions.Literal
-            .create(bf, org.apache.spark.sql.types.BinaryType),
-          expression(xxhash64(col("url_key")))))
+      val mightContain = mightContainCol(bf)
       val definitelyNew = today.filter(!mightContain)
       val verified = today.filter(mightContain)
         .join(seen, Seq("url_key"), "left_anti")
       definitelyNew.select(col("doc_id"), col("url_key"))
         .unionByName(verified.select(col("doc_id"), col("url_key")))
     }
+  }
+
+  /** Measured sliver evidence for the Bloom path: how many of today's
+    * rows actually enter the exact verify anti-join, decomposed into
+    * the unavoidable true hits and the sketch's false positives.
+    * Returns (todayRows, maybeSeen = verify-join input, trulySeen) —
+    * the operator's own overhead is `maybeSeen - trulySeen`, bounded by
+    * the configured fpp regardless of corpus size.
+    */
+  def bloomSliver(today: DataFrame, seen: DataFrame): (Long, Long, Long) = {
+    val bf = sketchOf(seen)
+    val t = today.count()
+    if (bf == null) (t, 0L, 0L)
+    else (t, today.filter(mightContainCol(bf)).count(),
+      today.join(seen, Seq("url_key"), "left_semi").count())
   }
 
   /** Yesterday's crawl (even docs) as the seen set. */
@@ -114,22 +141,33 @@ object Frontier {
     */
   def recrawl(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // Per-doc sitemap snapshot: a urlset whose loc is the MESSY crawl
+    // URI (XML-escaped — the extractor's &amp; decode is on the hot
+    // path) and whose <lastmod> drives staleness. The discovery side
+    // runs the REAL X121 extractor over this XML; the oracle treats
+    // the XML round trip as the identity it is and restates the URI.
+    // lastmod day 15 vs stored fetch day 10, months keyed to doc_id%7
+    // (coprime with the URI plant's key residues, so months genuinely
+    // differ across a url_key's collision group).
+    val xml = graft.ops.ScaleOps.widen(Tables.documents(spark, dir))
+      .select(col("doc_id"), concat(
+        lit("<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n" +
+          "<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">\n" +
+          "  <url>\n    <loc>"),
+        regexp_replace(CrawlPipeline.plantUri, "&", "&amp;"),
+        lit("</loc>\n    <lastmod>2026-0"),
+        (col("doc_id") % 7 + 1).cast("string"),
+        lit("-15</lastmod>\n  </url>\n</urlset>\n")).as("xml"))
     val base = Canonical.canonicalize(
-        graft.ops.ScaleOps.widen(Tables.documents(spark, dir))
-          .select(col("doc_id"), CrawlPipeline.plantUri.as("url"),
-            graft.text.Robots.robotsMeta(graft.text.Robots.plantRobots,
-                lit(graft.text.Robots.Agent))
-              .getField("crawl_delay_ms").cast("long").as("delay_ms")))
+        graft.text.Sitemaps.urlEntries(xml)
+          .select(col("doc_id"), col("loc").as("url"), col("lastmod")))
       .select(col("doc_id"), col("host"),
         regexp_extract(col("canon"), "^[a-z]+://([^?]+)", 1).as("url_key"),
-        col("delay_ms"))
-    // sitemap-lastmod plant for today's rows / stored fetch dates for
-    // history rows: ISO dates compare lexicographically, month keyed to
-    // doc_id — lastmod day 15 vs fetch day 10, so staleness varies with
-    // the month ordering across the key's collision group
+        col("lastmod"),
+        graft.text.Robots.robotsMeta(graft.text.Robots.plantRobots,
+            lit(graft.text.Robots.Agent))
+          .getField("crawl_delay_ms").cast("long").as("delay_ms"))
     val today = base.filter(col("doc_id") % 2 === 1)
-      .withColumn("lastmod", concat(lit("2026-0"),
-        (col("doc_id") % 7 + 1).cast("string"), lit("-15")))
     val history = base.filter(col("doc_id") % 2 === 0)
       .groupBy(col("url_key"))
       .agg(max(concat(lit("2026-0"),

@@ -78,6 +78,13 @@ object Sitemaps {
         nullif(regexp_extract(col("body"), LastmodRe, 1), lit("")).as("lastmod"),
         nullif(regexp_extract(col("body"), PriorityRe, 1), lit("")).as("priority"))
 
+  /** `<url>` entry extraction over a caller-supplied (doc_id, xml)
+    * frame — the composition surface: the recrawl frontier feeds
+    * per-host sitemap snapshots through this exact extractor and joins
+    * the (loc, lastmod) rows against its fetch history.
+    */
+  def urlEntries(df: DataFrame): DataFrame = entries(df, UrlEntryRe, "url")
+
   /** (doc_id, kind 'url'|'sitemap', idx, loc, lastmod, priority) — one
     * row per entry of either shape; a frontier unions the 'sitemap'
     * rows back into its fetch queue and feeds the 'url' rows forward.
