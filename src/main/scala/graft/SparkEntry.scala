@@ -58,6 +58,7 @@ object SparkEntry {
       (graft.pipelines.Hygiene.queries, graft.pipelines.Hygiene.oracleSql),
       (graft.pipelines.CrawlPipeline.queries, graft.pipelines.CrawlPipeline.oracleSql),
       (graft.pipelines.Frontier.queries, graft.pipelines.Frontier.oracleSql),
+      (graft.pipelines.Redirects.queries, graft.pipelines.Redirects.oracleSql),
       (AsofJoin.queries, AsofJoin.oracleSql),
       (DateParse.queries, DateParse.oracleSql),
       (CorpusOps.queries, CorpusOps.oracleSql),

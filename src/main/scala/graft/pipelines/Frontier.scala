@@ -217,6 +217,71 @@ object Frontier {
        |    AS not_before_ms
        |FROM kept""".stripMargin
 
+  /** Crawl snapshot diff — the delta report an incremental crawl emits
+    * after each pass: yesterday's snapshot (even docs) vs today's (odd
+    * docs), each reduced to its LATEST version per canonical url_key
+    * (argmax by doc_id, carried as `max(struct(doc_id, fp))` so the
+    * pick rides the same partial aggregate), then ONE full-outer join
+    * classifies every key: `added` (today only), `removed` (yesterday
+    * only), `changed` (both, fingerprints differ), `unchanged`. The
+    * fingerprint is md5 over the plant's revision tag (url_key plus
+    * the doc's 300-wide id bucket: WIDER than the key plant's 207
+    * stride, so a key's adjacent latest pair sometimes shares the
+    * revision and sometimes straddles a bucket edge — both `changed`
+    * and `unchanged` genuinely occur).
+    *
+    * Scale shape: two partial-aggregated key-sized reductions into one
+    * key-keyed outer join — the join inputs are snapshot-key-sized, not
+    * corpus-sized, and both arrive already hash-partitioned on the join
+    * key, so the diff costs what the snapshots cost to reduce.
+    */
+  def snapshotDelta(spark: SparkSession, dir: String): DataFrame = {
+    val base = urlKeys(spark, dir)
+      .withColumn("fp", md5(concat(col("url_key"), lit("#"),
+        expr("doc_id div 300").cast("string"))))
+    def side(par: Int, doc: String, fp: String) =
+      base.filter(col("doc_id") % 2 === par)
+        .groupBy(col("url_key"))
+        .agg(max(struct(col("doc_id"), col("fp"))).as("m"))
+        .select(col("url_key"), col("m").getField("doc_id").as(doc),
+          col("m").getField("fp").as(fp))
+    side(0, "old_doc", "old_fp")
+      .join(side(1, "new_doc", "new_fp"), Seq("url_key"), "full_outer")
+      .select(col("url_key"),
+        when(col("old_doc").isNull, "added")
+          .when(col("new_doc").isNull, "removed")
+          .when(col("old_fp") === col("new_fp"), "unchanged")
+          .otherwise("changed").as("status"),
+        col("old_doc"), col("new_doc"))
+  }
+
+  def snapshotDeltaOracle: String =
+    s"""WITH uris AS (
+       |  SELECT doc_id, ${CrawlPipeline.plantUriSqlPublic} AS url FROM documents),
+       |${Canonical.canonicalCtesFrom("uris")},
+       |keys AS (
+       |  SELECT doc_id,
+       |    regexp_extract(${Canonical.canonSelectSql}, '^[a-z]+://([^?]+)', 1)
+       |      AS url_key
+       |  FROM normed),
+       |fps AS (
+       |  SELECT doc_id, url_key,
+       |    md5(url_key || '#' || CAST(doc_id // 300 AS VARCHAR)) AS fp
+       |  FROM keys),
+       |y AS (
+       |  SELECT url_key, max(doc_id) AS old_doc, arg_max(fp, doc_id) AS old_fp
+       |  FROM fps WHERE doc_id % 2 = 0 GROUP BY url_key),
+       |t AS (
+       |  SELECT url_key, max(doc_id) AS new_doc, arg_max(fp, doc_id) AS new_fp
+       |  FROM fps WHERE doc_id % 2 = 1 GROUP BY url_key)
+       |SELECT coalesce(y.url_key, t.url_key) AS url_key,
+       |  CASE WHEN y.url_key IS NULL THEN 'added'
+       |       WHEN t.url_key IS NULL THEN 'removed'
+       |       WHEN y.old_fp = t.new_fp THEN 'unchanged'
+       |       ELSE 'changed' END AS status,
+       |  y.old_doc, t.new_doc
+       |FROM y FULL OUTER JOIN t ON y.url_key = t.url_key""".stripMargin
+
   /** One oracle gates BOTH paths (the bloom path is exact). */
   def newUrlsOracle: String =
     s"""WITH uris AS (
@@ -235,10 +300,12 @@ object Frontier {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_frontier_new" -> ((s, dir) => newUrls(s, dir)),
     "q_frontier_new_bloom" -> ((s, dir) => newUrlsBloom(s, dir)),
-    "q_frontier_recrawl" -> ((s, dir) => recrawl(s, dir)))
+    "q_frontier_recrawl" -> ((s, dir) => recrawl(s, dir)),
+    "q_crawl_delta" -> ((s, dir) => snapshotDelta(s, dir)))
 
   def oracleSql: Map[String, String] = Map(
     "q_frontier_new" -> newUrlsOracle,
     "q_frontier_new_bloom" -> newUrlsOracle,
-    "q_frontier_recrawl" -> recrawlOracle)
+    "q_frontier_recrawl" -> recrawlOracle,
+    "q_crawl_delta" -> snapshotDeltaOracle)
 }

@@ -81,6 +81,32 @@ class FrontierSpec extends SparkSuite {
     }
   }
 
+  test("snapshot delta: every key classified correctly, all four statuses occur") {
+    val keys = Frontier.urlKeys(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def latest(par: Int) = keys.filter(_._1 % 2 == par)
+      .groupBy(_._2).map { case (k, rs) =>
+        val d = rs.map(_._1).max; k -> (d, d / 300) }
+    val (y, t) = (latest(0), latest(1))
+    val rows = Frontier.snapshotDelta(spark, Sf).collect()
+    assert(rows.length == (y.keySet ++ t.keySet).size)
+    rows.foreach { r =>
+      val k = r.getAs[String]("url_key")
+      val expected = (y.get(k), t.get(k)) match {
+        case (None, Some(_)) => "added"
+        case (Some(_), None) => "removed"
+        case (Some((_, a)), Some((_, b))) => if (a == b) "unchanged" else "changed"
+        case _ => fail(s"unknown key $k")
+      }
+      assert(r.getAs[String]("status") == expected, k)
+      assert(Option(r.getAs[java.lang.Long]("old_doc")).map(_.toLong) == y.get(k).map(_._1), k)
+      assert(Option(r.getAs[java.lang.Long]("new_doc")).map(_.toLong) == t.get(k).map(_._1), k)
+    }
+    val statuses = rows.map(_.getAs[String]("status")).toSet
+    assert(statuses == Set("added", "removed", "changed", "unchanged"),
+      s"fixture must exercise all four outcomes, got $statuses")
+  }
+
   test("recrawl plan: one scheduling exchange on host, no cartesian") {
     val plan = Frontier.recrawl(spark, Sf).queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), "history join must be keyed")
