@@ -383,4 +383,44 @@ object Graft {
     */
   def fetchSchedule(spark: SparkSession, sfDir: String): DataFrame =
     pipelines.CrawlPipeline.fetchSchedule(spark, sfDir)
+
+  /** Frontier seen-filter, exact core: discovered (doc_id, url_key)
+    * rows not present in the seen set — one LEFT ANTI join.
+    */
+  def frontierNew(today: DataFrame, seen: DataFrame): DataFrame =
+    pipelines.Frontier.newUrlsFrom(today, seen)
+
+  /** Frontier seen-filter, Bloom-prefiltered (bit-identical to
+    * [[frontierNew]]): a fixed-size sketch of the seen keys rejects
+    * definitely-new URLs map-side; only the maybe-seen sliver meets
+    * the seen set in the exact verify anti-join.
+    */
+  def frontierNewBloom(today: DataFrame, seen: DataFrame): DataFrame =
+    pipelines.Frontier.newUrlsBloomFrom(today, seen)
+
+  /** Conditional-recrawl frontier: sitemap-discovered URLs kept when
+    * new or when their lastmod postdates the stored fetch, fed through
+    * the politeness scheduler — one lazy plan.
+    */
+  def frontierRecrawl(spark: SparkSession, sfDir: String): DataFrame =
+    pipelines.Frontier.recrawl(spark, sfDir)
+
+  /** Crawl snapshot diff: per-canonical-key added / removed / changed /
+    * unchanged classification between two snapshots.
+    */
+  def crawlDelta(spark: SparkSession, sfDir: String): DataFrame =
+    pipelines.Frontier.snapshotDelta(spark, sfDir)
+
+  /** Bounded-hop redirect-chain resolution: Location edges from parsed
+    * 301 responses, K keyed self-joins, cycles and over-deep chains
+    * reported `unresolved`.
+    */
+  def redirectResolve(spark: SparkSession, sfDir: String): DataFrame =
+    pipelines.Redirects.resolve(spark, sfDir)
+
+  /** `<url>` entries (loc, lastmod, priority) extracted from sitemap
+    * XML on a (doc_id, xml) frame.
+    */
+  def sitemapUrlEntries(df: DataFrame): DataFrame =
+    text.Sitemaps.urlEntries(df)
 }

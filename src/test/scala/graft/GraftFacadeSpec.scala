@@ -84,4 +84,28 @@ class GraftFacadeSpec extends SparkSuite {
       .select("m.crawl_delay_ms").head()
     assert(meta.getInt(0) == 1000)
   }
+
+  test("round-10 frontier delegates return rows and the expected columns") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val today = Seq((1L, "a.com/x"), (3L, "a.com/y")).toDF("doc_id", "url_key")
+    val seen = Seq("a.com/x").toDF("url_key")
+    assert(Graft.frontierNew(today, seen).collect().map(_.getLong(0)).toSeq == Seq(3L))
+    assert(Graft.frontierNewBloom(today, seen).collect().map(_.getLong(0)).toSeq == Seq(3L))
+    val rec = Graft.frontierRecrawl(spark, Sf)
+    assert(rec.columns.toSeq == Seq("doc_id", "url_key", "host", "reason",
+      "lastmod", "last_fetch", "seq", "not_before_ms"))
+    assert(rec.limit(1).count() === 1)
+    val delta = Graft.crawlDelta(spark, Sf)
+    assert(delta.columns.toSeq == Seq("url_key", "status", "old_doc", "new_doc"))
+    assert(delta.limit(1).count() === 1)
+    val red = Graft.redirectResolve(spark, Sf)
+    assert(red.columns.toSeq ==
+      Seq("doc_id", "url", "final_url", "hops", "final_status"))
+    assert(red.limit(1).count() === 1)
+    val ents = Graft.sitemapUrlEntries(
+      Seq((1L, "<urlset><url><loc>https://a/b&amp;c</loc></url></urlset>"))
+        .toDF("doc_id", "xml"))
+    assert(ents.select("loc").head().getString(0) == "https://a/b&c")
+  }
 }
