@@ -295,6 +295,15 @@ object JpegPixels {
       comps.foreach { c => if (c.h > hMax) hMax = c.h; if (c.v > vMax) vMax = c.v }
       mcusX = (width + 8 * hMax - 1) / (8 * hMax)
       mcusY = (height + 8 * vMax - 1) / (8 * vMax)
+      // TOTAL budget across components, coefficient stores included — a
+      // per-component cap alone lets a crafted 3-component SOF2 with a
+      // huge claimed geometry commit ~800 MB per row before any entropy
+      // data is read (an executor-OOM lever on adversarial crawl blobs).
+      // 4×MaxPixels ints (256 MB) admits every real sampling layout at
+      // the pixel cap except full-res-chroma progressive, which it
+      // bounds to ~10M pixels.
+      val budget = MaxPixels.toLong * 4L
+      var totalInts = 0L
       var i = 0
       while (i < comps.length) {
         val c = comps(i)
@@ -306,6 +315,8 @@ object JpegPixels {
         // Long math: a crafted SOF can make wb*8*hb*8 overflow Int.
         val n = c.wb.toLong * 8L * c.hb.toLong * 8L
         if (n > MaxPixels.toLong * 2L) return false
+        totalInts += (if (progressive) n * 2L else n)
+        if (totalInts > budget) return false
         c.plane = new Array[Int](n.toInt)
         if (progressive) c.coefZ = new Array[Int](n.toInt) // wb*hb*64 == n
         i += 1

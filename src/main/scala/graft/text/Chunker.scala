@@ -69,6 +69,9 @@ object Chunker {
        |SELECT doc_id,
        |  CAST(chunk_id AS BIGINT) AS chunk_id,
        |  CAST(len(list_slice(toks, chunk_id * $s + 1, chunk_id * $s + $c)) AS INTEGER) AS n_toks,
+       |  -- PINNED semantic: an empty/token-free chunk is '' (Spark
+       |  -- concat_ws never yields NULL) — the COALESCE aligns DuckDB's
+       |  -- NULL-on-empty array_to_string to that deliberate choice
        |  COALESCE(array_to_string(list_slice(toks, chunk_id * $s + 1, chunk_id * $s + $c), ' '), '') AS chunk_text
        |FROM e""".stripMargin
   }
