@@ -94,7 +94,12 @@ object Redirects {
           .as("final_status"))
   }
 
-  def resolveOracle: String = {
+  /** CTE chain (no leading WITH) replaying the bounded walk — ends in
+    * `resolved(doc_id, url, final_url, hops, final_status)`; shared by
+    * the q_redirect_resolve oracle and composed oracles (canonical
+    * reconciliation).
+    */
+  def resolveCtes: String = {
     def u(idExpr: String) =
       s"'https://r' || CAST(($idExpr) % 23 AS VARCHAR) || '.example.com/p' || CAST($idExpr AS VARCHAR)"
     val hop = (i: Int) =>
@@ -102,7 +107,7 @@ object Redirects {
          |  SELECT s.doc_id, s.url, coalesce(e.dst, s.cur) AS cur,
          |    s.hops + CASE WHEN e.dst IS NULL THEN 0 ELSE 1 END AS hops
          |  FROM s${i - 1} s LEFT JOIN edges e ON s.cur = e.src)""".stripMargin
-    s"""WITH m AS (
+    s"""m AS (
        |  SELECT doc_id, ${u("doc_id")} AS url,
        |    CASE WHEN doc_id % 7 = 0 THEN NULL
        |         WHEN doc_id % 61 = 13 THEN ${u("doc_id + 1")}
@@ -111,21 +116,91 @@ object Redirects {
        |  FROM documents),
        |edges AS (SELECT url AS src, dst FROM m WHERE dst IS NOT NULL),
        |s0 AS (SELECT doc_id, url, url AS cur, 0 AS hops FROM m),
-       |${(1 to MaxHops).map(hop).mkString(",\n")}
-       |SELECT s.doc_id, s.url, s.cur AS final_url,
-       |  CAST(s.hops AS INTEGER) AS hops,
-       |  -- ok iff the chain LANDED ON a terminal 200 (a dangling
-       |  -- Location, pointing outside the corpus, is unresolved too —
-       |  -- same terminal-join semantics as the engine side)
-       |  CASE WHEN t.url IS NOT NULL THEN 'ok' ELSE 'unresolved' END
-       |    AS final_status
-       |FROM s$MaxHops s LEFT JOIN (SELECT url FROM m WHERE dst IS NULL) t
-       |  ON s.cur = t.url""".stripMargin
+       |${(1 to MaxHops).map(hop).mkString(",\n")},
+       |resolved AS (
+       |  SELECT s.doc_id, s.url, s.cur AS final_url,
+       |    CAST(s.hops AS INTEGER) AS hops,
+       |    -- ok iff the chain LANDED ON a terminal 200 (a dangling
+       |    -- Location, pointing outside the corpus, is unresolved too —
+       |    -- same terminal-join semantics as the engine side)
+       |    CASE WHEN t.url IS NOT NULL THEN 'ok' ELSE 'unresolved' END
+       |      AS final_status
+       |  FROM s$MaxHops s LEFT JOIN (SELECT url FROM m WHERE dst IS NULL) t
+       |    ON s.cur = t.url)""".stripMargin
   }
 
+  def resolveOracle: String =
+    s"""WITH $resolveCtes
+       |SELECT doc_id, url, final_url, hops, final_status FROM resolved""".stripMargin
+
+  /** HTML plant for canonical reconciliation: every doc carries a
+    * stylesheet `<link>` decoy; every fourth additionally declares
+    * `rel="canonical"`, with the attribute order flipped on half of
+    * those (%8==0 href-first) — extraction must not key on order.
+    */
+  def plantCanonicalHtml: Column = {
+    val id = col("doc_id")
+    val href = concat(lit("https://canon"), (id % 23).cast("string"),
+      lit(".example.com/c"), (id / 4).cast("long").cast("string"))
+    val canonTag = when(id % 8 === 0,
+        concat(lit("<link href=\""), href, lit("\" rel=\"canonical\"/>")))
+      .when(id % 4 === 0,
+        concat(lit("<link rel=\"canonical\" href=\""), href, lit("\"/>")))
+      .otherwise(lit(""))
+    concat(lit("<html><head><link rel=\"stylesheet\" href=\"https://static"),
+      (id % 5).cast("string"), lit(".example.com/s.css\"/>"),
+      canonTag, lit("</head><body>p</body></html>"))
+  }
+
+  /** The page's INDEX KEY, reconciled with the precedence every search
+    * and dedup pipeline uses: an explicit `rel="canonical"` link wins,
+    * else the resolved redirect terminal (when the chain actually moved
+    * and resolved), else the URL itself. Output: (doc_id, url,
+    * index_key, source 'canonical'|'redirect'|'self'). Composes X54's
+    * HTML surface with [[resolve]] in one plan — the extraction is
+    * per-row, so the only joins are the resolver's own.
+    */
+  def reconcile(spark: SparkSession, dir: String): DataFrame = {
+    val canon = graft.ops.ScaleOps.widen(Tables.documents(spark, dir))
+      .select(col("doc_id"),
+        nullif(coalesce(
+          nullif(regexp_extract(plantCanonicalHtml,
+            "<link[^>]*rel=\"canonical\"[^>]*href=\"([^\"]+)\"", 1), lit("")),
+          nullif(regexp_extract(plantCanonicalHtml,
+            "<link[^>]*href=\"([^\"]+)\"[^>]*rel=\"canonical\"", 1), lit(""))),
+          lit("")).as("canonical_href"))
+    val moved = col("final_status") === "ok" && col("hops") > 0
+    resolve(spark, dir).join(canon, Seq("doc_id"))
+      .select(col("doc_id"), col("url"),
+        coalesce(col("canonical_href"), when(moved, col("final_url")),
+          col("url")).as("index_key"),
+        when(col("canonical_href").isNotNull, "canonical")
+          .when(moved, "redirect").otherwise("self").as("source"))
+  }
+
+  def reconcileOracle: String =
+    s"""WITH $resolveCtes,
+       |canon AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 4 = 0 THEN
+       |      'https://canon' || CAST(doc_id % 23 AS VARCHAR) ||
+       |      '.example.com/c' || CAST(doc_id // 4 AS VARCHAR)
+       |    END AS canonical_href
+       |  FROM documents)
+       |SELECT r.doc_id, r.url,
+       |  coalesce(c.canonical_href,
+       |    CASE WHEN r.final_status = 'ok' AND r.hops > 0 THEN r.final_url END,
+       |    r.url) AS index_key,
+       |  CASE WHEN c.canonical_href IS NOT NULL THEN 'canonical'
+       |       WHEN r.final_status = 'ok' AND r.hops > 0 THEN 'redirect'
+       |       ELSE 'self' END AS source
+       |FROM resolved r JOIN canon c USING (doc_id)""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_redirect_resolve" -> ((s, dir) => resolve(s, dir)))
+    "q_redirect_resolve" -> ((s, dir) => resolve(s, dir)),
+    "q_canonical_reconcile" -> ((s, dir) => reconcile(s, dir)))
 
   def oracleSql: Map[String, String] = Map(
-    "q_redirect_resolve" -> resolveOracle)
+    "q_redirect_resolve" -> resolveOracle,
+    "q_canonical_reconcile" -> reconcileOracle)
 }

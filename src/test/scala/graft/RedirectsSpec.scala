@@ -34,6 +34,38 @@ class RedirectsSpec extends SparkSuite {
     assert(got.exists(_._2 == "unresolved"))
   }
 
+  test("reconcile: canonical link wins, then a moved-and-resolved chain, then self") {
+    val ids = Tables.documents(spark, Sf).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    def next(j: Long) = if (j % 61 == 13) j + 1 else j - 1
+    def walk(id: Long): (Long, Int, Boolean) = {
+      var cur = id; var hops = 0
+      for (_ <- 1 to Redirects.MaxHops)
+        if (ids.contains(cur) && cur % 7 != 0) { cur = next(cur); hops += 1 }
+      (cur, hops, ids.contains(cur) && cur % 7 == 0)
+    }
+    val rows = Redirects.reconcile(spark, Sf).collect()
+    assert(rows.length == ids.size)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val (cur, hops, ok) = walk(id)
+      val (key, src) =
+        if (id % 4 == 0)
+          (s"https://canon${id % 23}.example.com/c${id / 4}", "canonical")
+        else if (ok && hops > 0) (s"https://r${cur % 23}.example.com/p$cur", "redirect")
+        else (s"https://r${id % 23}.example.com/p$id", "self")
+      assert(r.getAs[String]("index_key") == key &&
+        r.getAs[String]("source") == src, s"doc $id")
+    }
+    val sources = rows.map(_.getAs[String]("source")).toSet
+    assert(sources == Set("canonical", "redirect", "self"))
+    // both planted attribute orders extract (href-first is %8==0)
+    assert(rows.exists(r => r.getAs[Long]("doc_id") % 8 == 0 &&
+      r.getAs[String]("source") == "canonical"))
+    assert(rows.exists(r => r.getAs[Long]("doc_id") % 8 == 4 &&
+      r.getAs[String]("source") == "canonical"))
+  }
+
   test("plan: keyed hash joins only — a redirect walk must never go cartesian") {
     val plan = Redirects.resolve(spark, Sf).queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
