@@ -131,6 +131,31 @@ class HttpMessageSpec extends SparkSuite {
     assert(r.getAs[String]("body") == "ok")
   }
 
+  test("full codec table: windows-1251 and shift_jis bodies decode correctly") {
+    // both single-byte-per-char cp1251 Cyrillic and double-byte
+    // shift_jis kana are invalid as UTF-8 — routing must reach the
+    // JVM's charset registry, not an ISO-8859-1/UTF-8 shortlist
+    val ru = "привет" // "privet"
+    val head1 = "HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=windows-1251\r\n\r\n"
+      .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val r1 = split(head1 ++ ru.getBytes("windows-1251"))
+    assert(r1.getAs[String]("charset") == "windows-1251")
+    assert(r1.getAs[String]("body") == ru)
+
+    val ja = "こんにちは" // "konnichiwa"
+    val head2 = "HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=shift_jis\r\n\r\n"
+      .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val r2 = split(head2 ++ ja.getBytes("shift_jis"))
+    assert(r2.getAs[String]("charset") == "shift_jis")
+    assert(r2.getAs[String]("body") == ja)
+
+    // IANA alias resolution: csKOI8R names the same codec as KOI8-R
+    val head3 = "HTTP/1.1 200 OK\r\nContent-Type: text/plain; charset=csKOI8R\r\n\r\n"
+      .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val r3 = split(head3 ++ ru.getBytes("KOI8-R"))
+    assert(r3.getAs[String]("body") == ru)
+  }
+
   test("obs-fold continuation lines merge into the previous header") {
     val r = splitStr(
       "HTTP/1.1 200 OK\r\nX-Long: part one\r\n\tpart two\r\nContent-Type: a/b\r\n\r\nx")
