@@ -182,18 +182,38 @@ object CrawlPipeline {
     */
   def fetchSchedule(spark: SparkSession, dir: String): DataFrame = {
     val docs = graft.ops.ScaleOps.widen(Tables.documents(spark, dir))
-    val w = Window.partitionBy(col("host")).orderBy(col("doc_id"))
     Canonical.canonicalize(
         docs.select(col("doc_id"), plantUri.as("url"),
           Robots.robotsMeta(Robots.plantRobots, lit(Robots.Agent)).as("m")))
       .select(col("doc_id"), col("host"),
         col("m").getField("crawl_delay_ms").cast("long").as("delay_ms"))
-      .select(col("doc_id"), col("host"),
-        row_number().over(w).as("seq"),
-        coalesce(sum(col("delay_ms")).over(
-          w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
-          .as("not_before_ms"))
+      .select(Seq(col("doc_id"), col("host")) ++ scheduleCols: _*)
   }
+
+  /** THE politeness-schedule columns — the one definition of the
+    * per-host sequencing semantics, shared by [[fetchSchedule]],
+    * [[crawlSchedule]] and [[Frontier.recrawl]]: `seq` numbers fetches
+    * within the canonical host, `not_before_ms` is the running sum of
+    * the PRIOR fetches' delays (exclusive — the first fetch waits 0).
+    * Requires `host`, `doc_id`, `delay_ms` on the frame.
+    */
+  def scheduleCols: Seq[Column] = {
+    val w = Window.partitionBy(col("host")).orderBy(col("doc_id"))
+    Seq(row_number().over(w).as("seq"),
+      coalesce(sum(col("delay_ms")).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+        .as("not_before_ms"))
+  }
+
+  /** [[scheduleCols]]' oracle twin — the same two projections in SQL,
+    * over any relation carrying (host, doc_id, delay_ms).
+    */
+  def scheduleSqlCols: String =
+    s"""CAST(ROW_NUMBER() OVER (PARTITION BY host ORDER BY doc_id) AS INTEGER)
+       |    AS seq,
+       |  CAST(COALESCE(SUM(delay_ms) OVER (PARTITION BY host ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |    AS not_before_ms""".stripMargin
 
   /** Politeness schedule riding the FULL ingest chain — proves the
     * X116 `robots_meta` crawl-delay and the X122 scheduler compose with
@@ -211,16 +231,11 @@ object CrawlPipeline {
       graft.sources.Warc.plantHttpWarc(htmlBody, plantUri))))
     val wide = statelessWide(
       docs.select(col("doc_id"), blob.as("blob"), Robots.plantRobots.as("robots")))
-    val w = Window.partitionBy(col("host")).orderBy(col("doc_id"))
     wide
       .withColumn("delay_ms", Robots.robotsMeta(col("robots"), lit(Robots.Agent))
         .getField("crawl_delay_ms").cast("long"))
       .filter(col("allowed") === 1)
-      .select(col("doc_id"), col("canon"), col("host"),
-        row_number().over(w).as("seq"),
-        coalesce(sum(col("delay_ms")).over(
-          w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
-          .as("not_before_ms"))
+      .select(Seq(col("doc_id"), col("canon"), col("host")) ++ scheduleCols: _*)
   }
 
   def crawlScheduleOracle: String =
@@ -243,11 +258,7 @@ object CrawlPipeline {
        |  LEFT JOIN (SELECT doc_id, dir FROM matches WHERE rn = 1) m
        |    USING (doc_id))
        |SELECT doc_id, canon, host,
-       |  CAST(ROW_NUMBER() OVER (PARTITION BY host ORDER BY doc_id) AS INTEGER)
-       |    AS seq,
-       |  CAST(COALESCE(SUM(delay_ms) OVER (PARTITION BY host ORDER BY doc_id
-       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
-       |    AS not_before_ms
+       |  $scheduleSqlCols
        |FROM verd WHERE allowed = 1""".stripMargin
 
   def fetchScheduleOracle: String =
@@ -257,10 +268,7 @@ object CrawlPipeline {
        |    CAST(CASE WHEN doc_id % 3 = 0 THEN 500 ELSE 2000 END AS BIGINT) AS delay_ms
        |  FROM documents)
        |SELECT doc_id, host,
-       |  CAST(ROW_NUMBER() OVER (PARTITION BY host ORDER BY doc_id) AS INTEGER) AS seq,
-       |  CAST(COALESCE(SUM(delay_ms) OVER (PARTITION BY host ORDER BY doc_id
-       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
-       |    AS not_before_ms
+       |  $scheduleSqlCols
        |FROM src""".stripMargin
 
   def crawlOracle: String = {

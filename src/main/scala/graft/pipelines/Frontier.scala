@@ -97,11 +97,17 @@ object Frontier {
     * the configured fpp regardless of corpus size.
     */
   def bloomSliver(today: DataFrame, seen: DataFrame): (Long, Long, Long) = {
-    val bf = sketchOf(seen)
-    val t = today.count()
-    if (bf == null) (t, 0L, 0L)
-    else (t, today.filter(mightContainCol(bf)).count(),
-      today.join(seen, Seq("url_key"), "left_semi").count())
+    // four actions over the same lineage: persist once, not four
+    // replant+canonicalize passes (probe-path cost, but the widened
+    // plant is the expensive part of the 10× corpus)
+    today.persist(); seen.persist()
+    try {
+      val bf = sketchOf(seen)
+      val t = today.count()
+      if (bf == null) (t, 0L, 0L)
+      else (t, today.filter(mightContainCol(bf)).count(),
+        today.join(seen, Seq("url_key"), "left_semi").count())
+    } finally { today.unpersist(); seen.unpersist(); () }
   }
 
   /** Yesterday's crawl (even docs) as the seen set. */
@@ -172,17 +178,12 @@ object Frontier {
       .groupBy(col("url_key"))
       .agg(max(concat(lit("2026-0"),
         (col("doc_id") % 7 + 1).cast("string"), lit("-10"))).as("last_fetch"))
-    val w = Window.partitionBy(col("host")).orderBy(col("doc_id"))
     today.join(history, Seq("url_key"), "left_outer")
       .filter(col("last_fetch").isNull || col("lastmod") > col("last_fetch"))
       .withColumn("reason",
         when(col("last_fetch").isNull, "new").otherwise("stale"))
-      .select(col("doc_id"), col("url_key"), col("host"), col("reason"),
-        col("lastmod"), col("last_fetch"),
-        row_number().over(w).as("seq"),
-        coalesce(sum(col("delay_ms")).over(
-          w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
-          .as("not_before_ms"))
+      .select(Seq(col("doc_id"), col("url_key"), col("host"), col("reason"),
+        col("lastmod"), col("last_fetch")) ++ CrawlPipeline.scheduleCols: _*)
   }
 
   def recrawlOracle: String =
@@ -210,11 +211,7 @@ object Frontier {
        |  FROM today t LEFT JOIN hist h USING (url_key)
        |  WHERE h.last_fetch IS NULL OR t.lastmod > h.last_fetch)
        |SELECT doc_id, url_key, host, reason, lastmod, last_fetch,
-       |  CAST(ROW_NUMBER() OVER (PARTITION BY host ORDER BY doc_id) AS INTEGER)
-       |    AS seq,
-       |  CAST(COALESCE(SUM(delay_ms) OVER (PARTITION BY host ORDER BY doc_id
-       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
-       |    AS not_before_ms
+       |  ${CrawlPipeline.scheduleSqlCols}
        |FROM kept""".stripMargin
 
   /** Crawl snapshot diff — the delta report an incremental crawl emits

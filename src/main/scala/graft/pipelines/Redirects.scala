@@ -48,9 +48,10 @@ object Redirects {
     */
   def plantHttp: Column = {
     val id = col("doc_id")
-    val nxt = when(id % 61 === 13, id + 1)
-      .when(id % 61 === 14, id - 1)
-      .otherwise(id - 1)
+    // %61==13 points FORWARD; its successor (like every other doc)
+    // points back — that ordinary back-edge closes the 13↔14 2-cycle,
+    // no second special case needed
+    val nxt = when(id % 61 === 13, id + 1).otherwise(id - 1)
     when(id % 7 === 0,
       lit("HTTP/1.1 200 OK\r\nContent-Length: 0\r\n\r\n"))
       .otherwise(concat(
@@ -111,7 +112,6 @@ object Redirects {
        |  SELECT doc_id, ${u("doc_id")} AS url,
        |    CASE WHEN doc_id % 7 = 0 THEN NULL
        |         WHEN doc_id % 61 = 13 THEN ${u("doc_id + 1")}
-       |         WHEN doc_id % 61 = 14 THEN ${u("doc_id - 1")}
        |         ELSE ${u("doc_id - 1")} END AS dst
        |  FROM documents),
        |edges AS (SELECT url AS src, dst FROM m WHERE dst IS NOT NULL),
@@ -163,12 +163,12 @@ object Redirects {
   def reconcile(spark: SparkSession, dir: String): DataFrame = {
     val canon = graft.ops.ScaleOps.widen(Tables.documents(spark, dir))
       .select(col("doc_id"),
-        nullif(coalesce(
+        coalesce(
           nullif(regexp_extract(plantCanonicalHtml,
             "<link[^>]*rel=\"canonical\"[^>]*href=\"([^\"]+)\"", 1), lit("")),
           nullif(regexp_extract(plantCanonicalHtml,
-            "<link[^>]*href=\"([^\"]+)\"[^>]*rel=\"canonical\"", 1), lit(""))),
-          lit("")).as("canonical_href"))
+            "<link[^>]*href=\"([^\"]+)\"[^>]*rel=\"canonical\"", 1), lit("")))
+          .as("canonical_href"))
     val moved = col("final_status") === "ok" && col("hops") > 0
     resolve(spark, dir).join(canon, Seq("doc_id"))
       .select(col("doc_id"), col("url"),

@@ -68,20 +68,7 @@ class CrawlPipelineSpec extends SparkSuite {
     assert(rows.nonEmpty)
     // within a host: seq contiguous from 1; not_before = running sum of
     // the PRIOR fetches' delays, strictly nondecreasing
-    rows.groupBy(_.getAs[String]("host")).foreach { case (host, hs) =>
-      val sorted = hs.sortBy(_.getAs[Int]("seq"))
-      assert(sorted.head.getAs[Int]("seq") == 1 &&
-        sorted.head.getAs[Long]("not_before_ms") == 0L, host)
-      sorted.sliding(2).foreach {
-        case Array(a, b) =>
-          assert(b.getAs[Int]("seq") == a.getAs[Int]("seq") + 1)
-          val aDelay = if (a.getAs[Long]("doc_id") % 3 == 0) 500L else 2000L
-          assert(b.getAs[Long]("not_before_ms") ==
-            a.getAs[Long]("not_before_ms") + aDelay,
-            s"$host seq ${b.getAs[Int]("seq")}")
-        case _ =>
-      }
-    }
+    ScheduleChecks.assertPoliteSchedule(rows.toSeq)
     val plan = CrawlPipeline.fetchSchedule(spark, Sf)
       .queryExecution.executedPlan.toString
     assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1,
@@ -95,19 +82,7 @@ class CrawlPipelineSpec extends SparkSuite {
     // screening bites: disallowed pages never reach the scheduler
     val total = graft.Tables.documents(spark, Sf).count()
     assert(rows.length < total, "robots screening must drop some pages")
-    rows.groupBy(_.getAs[String]("host")).foreach { case (host, hs) =>
-      val sorted = hs.sortBy(_.getAs[Int]("seq"))
-      assert(sorted.head.getAs[Int]("seq") == 1 &&
-        sorted.head.getAs[Long]("not_before_ms") == 0L, host)
-      sorted.sliding(2).foreach {
-        case Array(a, b) =>
-          val aDelay = if (a.getAs[Long]("doc_id") % 3 == 0) 500L else 2000L
-          assert(b.getAs[Int]("seq") == a.getAs[Int]("seq") + 1 &&
-            b.getAs[Long]("not_before_ms") ==
-              a.getAs[Long]("not_before_ms") + aDelay, host)
-        case _ =>
-      }
-    }
+    ScheduleChecks.assertPoliteSchedule(rows.toSeq)
     // the X120 discipline holds with the schedule riding along: the
     // per-host window is the ONLY hash exchange in the whole chain
     val plan = CrawlPipeline.crawlSchedule(spark, Sf)

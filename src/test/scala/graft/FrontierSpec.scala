@@ -66,19 +66,7 @@ class FrontierSpec extends SparkSuite {
     assert(rows.exists(_.getAs[String]("reason") == "stale") &&
       rows.exists(_.getAs[String]("reason") == "new"))
     // scheduling contract within each host: contiguous seq, running sum
-    rows.groupBy(_.getAs[String]("host")).foreach { case (host, hs) =>
-      val sorted = hs.sortBy(_.getAs[Int]("seq"))
-      assert(sorted.head.getAs[Int]("seq") == 1 &&
-        sorted.head.getAs[Long]("not_before_ms") == 0L, host)
-      sorted.sliding(2).foreach {
-        case Array(a, b) =>
-          val aDelay = if (a.getAs[Long]("doc_id") % 3 == 0) 500L else 2000L
-          assert(b.getAs[Int]("seq") == a.getAs[Int]("seq") + 1 &&
-            b.getAs[Long]("not_before_ms") ==
-              a.getAs[Long]("not_before_ms") + aDelay, host)
-        case _ =>
-      }
-    }
+    ScheduleChecks.assertPoliteSchedule(rows.toSeq)
   }
 
   test("snapshot delta: every key classified correctly, all four statuses occur") {
