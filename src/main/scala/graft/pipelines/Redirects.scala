@@ -160,15 +160,22 @@ object Redirects {
     * HTML surface with [[resolve]] in one plan — the extraction is
     * per-row, so the only joins are the resolver's own.
     */
+  /** `rel="canonical"` href out of an HTML column — order-tolerant
+    * (either attribute may come first, other attributes may sit
+    * between; `[^>]*` keeps both probes inside ONE tag), null when the
+    * page declares none.
+    */
+  def canonicalHref(html: Column): Column =
+    coalesce(
+      nullif(regexp_extract(html,
+        "<link[^>]*rel=\"canonical\"[^>]*href=\"([^\"]+)\"", 1), lit("")),
+      nullif(regexp_extract(html,
+        "<link[^>]*href=\"([^\"]+)\"[^>]*rel=\"canonical\"", 1), lit("")))
+
   def reconcile(spark: SparkSession, dir: String): DataFrame = {
     val canon = graft.ops.ScaleOps.widen(Tables.documents(spark, dir))
       .select(col("doc_id"),
-        coalesce(
-          nullif(regexp_extract(plantCanonicalHtml,
-            "<link[^>]*rel=\"canonical\"[^>]*href=\"([^\"]+)\"", 1), lit("")),
-          nullif(regexp_extract(plantCanonicalHtml,
-            "<link[^>]*href=\"([^\"]+)\"[^>]*rel=\"canonical\"", 1), lit("")))
-          .as("canonical_href"))
+        canonicalHref(plantCanonicalHtml).as("canonical_href"))
     val moved = col("final_status") === "ok" && col("hops") > 0
     resolve(spark, dir).join(canon, Seq("doc_id"))
       .select(col("doc_id"), col("url"),

@@ -66,6 +66,35 @@ class RedirectsSpec extends SparkSuite {
       r.getAs[String]("source") == "canonical"))
   }
 
+  test("canonicalHref property: any attribute order and decoy mix extracts right") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260814)
+    val cases = (0 until 300).map { i =>
+      val href = s"https://c$i.example.com/p$i"
+      val declares = i % 3 != 0
+      // the canonical tag's attributes in random order, with noise
+      // attributes interleaved
+      val attrs = rnd.shuffle(List(
+        s"""href="$href"""", """rel="canonical"""",
+        """type="text/html"""", s"""media="screen$i""""))
+      val canonTag = if (declares) attrs.mkString("<link ", " ", "/>") else ""
+      // decoy links before and/or after, never rel=canonical
+      val decoys = List(
+        s"""<link rel="stylesheet" href="https://s$i.example.com/a.css"/>""",
+        s"""<link rel="alternate" href="https://alt$i.example.com/f"/>""")
+      val parts = rnd.shuffle(canonTag :: decoys).mkString
+      (s"<html><head>$parts</head><body>x</body></html>",
+        if (declares) href else null)
+    }
+    val got = cases.map(_._1).toDF("html")
+      .select(graft.pipelines.Redirects.canonicalHref(col("html")))
+      .collect().map(r => if (r.isNullAt(0)) null else r.getString(0))
+    cases.map(_._2).zip(got).zipWithIndex.foreach { case ((exp, act), i) =>
+      assert(act == exp, s"case $i")
+    }
+  }
+
   test("plan: keyed hash joins only — a redirect walk must never go cartesian") {
     val plan = Redirects.resolve(spark, Sf).queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
