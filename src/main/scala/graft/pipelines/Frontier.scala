@@ -279,6 +279,76 @@ object Frontier {
        |  y.old_doc, t.new_doc
        |FROM y FULL OUTER JOIN t ON y.url_key = t.url_key""".stripMargin
 
+  /** Adaptive revisit-policy estimation — the change-rate heuristic
+    * (Cho & Garcia-Molina revisit scheduling) an incremental crawler
+    * maintains per URL: across the last four snapshot generations
+    * (doc_id%4), each key's latest revision per generation is compared
+    * with its predecessor generation (`lag` over the generation order);
+    * `obs` counts consecutive-generation observations, `changes` counts
+    * observed revisions — and the INTEGER ratio buckets the key:
+    * `hot` (changes ≥ ⅔·obs), `warm` (≥ ⅓), `cold`, or `unknown`
+    * (single-generation keys with nothing to compare). All arithmetic
+    * exact integers — no float change-rate crosses the gate.
+    *
+    * Scale shape: the only corpus-sized step is the first partial
+    * aggregate (latest per key×generation, map-side max); the lag
+    * window and the final per-key rollup both run on key-sized data.
+    */
+  def revisitPolicy(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = urlKeys(spark, dir)
+      .withColumn("gen", (col("doc_id") % 4).cast("int"))
+      .withColumn("rev", expr("doc_id div 300"))
+    val latest = base.groupBy(col("url_key"), col("gen"))
+      .agg(max(struct(col("doc_id"), col("rev"))).as("m"))
+      .select(col("url_key"), col("gen"), col("m").getField("rev").as("rev"))
+    val w = Window.partitionBy(col("url_key")).orderBy(col("gen"))
+    latest
+      .withColumn("prev_rev", lag(col("rev"), 1).over(w))
+      .groupBy(col("url_key"))
+      .agg(sum(when(col("prev_rev").isNotNull, 1).otherwise(0))
+          .cast("int").as("obs"),
+        sum(when(col("prev_rev").isNotNull &&
+            col("rev") =!= col("prev_rev"), 1).otherwise(0))
+          .cast("int").as("changes"))
+      .withColumn("revisit",
+        when(col("obs") === 0, "unknown")
+          .when(col("changes") * 3 >= col("obs") * 2, "hot")
+          .when(col("changes") * 3 >= col("obs"), "warm")
+          .otherwise("cold"))
+  }
+
+  def revisitPolicyOracle: String =
+    s"""WITH uris AS (
+       |  SELECT doc_id, ${CrawlPipeline.plantUriSqlPublic} AS url FROM documents),
+       |${Canonical.canonicalCtesFrom("uris")},
+       |keys AS (
+       |  SELECT doc_id,
+       |    regexp_extract(${Canonical.canonSelectSql}, '^[a-z]+://([^?]+)', 1)
+       |      AS url_key,
+       |    CAST(doc_id % 4 AS INTEGER) AS gen, doc_id // 300 AS rev
+       |  FROM normed),
+       |latest AS (
+       |  SELECT url_key, gen, arg_max(rev, doc_id) AS rev
+       |  FROM keys GROUP BY url_key, gen),
+       |lagged AS (
+       |  SELECT url_key, rev,
+       |    LAG(rev) OVER (PARTITION BY url_key ORDER BY gen) AS prev_rev
+       |  FROM latest),
+       |agg AS (
+       |  SELECT url_key,
+       |    CAST(SUM(CASE WHEN prev_rev IS NOT NULL THEN 1 ELSE 0 END)
+       |      AS INTEGER) AS obs,
+       |    CAST(SUM(CASE WHEN prev_rev IS NOT NULL AND rev <> prev_rev
+       |      THEN 1 ELSE 0 END) AS INTEGER) AS changes
+       |  FROM lagged GROUP BY url_key)
+       |SELECT url_key, obs, changes,
+       |  CASE WHEN obs = 0 THEN 'unknown'
+       |       WHEN changes * 3 >= obs * 2 THEN 'hot'
+       |       WHEN changes * 3 >= obs THEN 'warm'
+       |       ELSE 'cold' END AS revisit
+       |FROM agg""".stripMargin
+
   /** One oracle gates BOTH paths (the bloom path is exact). */
   def newUrlsOracle: String =
     s"""WITH uris AS (
@@ -298,11 +368,13 @@ object Frontier {
     "q_frontier_new" -> ((s, dir) => newUrls(s, dir)),
     "q_frontier_new_bloom" -> ((s, dir) => newUrlsBloom(s, dir)),
     "q_frontier_recrawl" -> ((s, dir) => recrawl(s, dir)),
-    "q_crawl_delta" -> ((s, dir) => snapshotDelta(s, dir)))
+    "q_crawl_delta" -> ((s, dir) => snapshotDelta(s, dir)),
+    "q_revisit_policy" -> ((s, dir) => revisitPolicy(s, dir)))
 
   def oracleSql: Map[String, String] = Map(
     "q_frontier_new" -> newUrlsOracle,
     "q_frontier_new_bloom" -> newUrlsOracle,
     "q_frontier_recrawl" -> recrawlOracle,
-    "q_crawl_delta" -> snapshotDeltaOracle)
+    "q_crawl_delta" -> snapshotDeltaOracle,
+    "q_revisit_policy" -> revisitPolicyOracle)
 }

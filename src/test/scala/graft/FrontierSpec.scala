@@ -95,6 +95,36 @@ class FrontierSpec extends SparkSuite {
       s"fixture must exercise all four outcomes, got $statuses")
   }
 
+  test("revisit policy: per-key change rate recomputed, buckets non-vacuous") {
+    val keys = Frontier.urlKeys(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expected = keys.groupBy(_._2).map { case (k, rs) =>
+      // latest revision per generation, compared along the gen order
+      val revByGen = rs.map(_._1).groupBy(_ % 4)
+        .map { case (g, ids) => g -> ids.max / 300 }.toSeq.sortBy(_._1).map(_._2)
+      val pairs = revByGen.sliding(2).filter(_.length == 2).toSeq
+      val obs = pairs.length
+      val changes = pairs.count(p => p(0) != p(1))
+      val bucket =
+        if (obs == 0) "unknown"
+        else if (changes * 3 >= obs * 2) "hot"
+        else if (changes * 3 >= obs) "warm"
+        else "cold"
+      k -> ((obs, changes, bucket))
+    }
+    val rows = Frontier.revisitPolicy(spark, Sf).collect()
+    assert(rows.length == expected.size)
+    rows.foreach { r =>
+      val k = r.getAs[String]("url_key")
+      assert((r.getAs[Int]("obs"), r.getAs[Int]("changes"),
+        r.getAs[String]("revisit")) == expected(k), k)
+    }
+    val buckets = rows.map(_.getAs[String]("revisit")).toSet
+    assert(buckets.contains("unknown") && buckets.contains("hot") &&
+      (buckets.contains("cold") || buckets.contains("warm")),
+      s"fixture too uniform: $buckets")
+  }
+
   test("recrawl plan: one scheduling exchange on host, no cartesian") {
     val plan = Frontier.recrawl(spark, Sf).queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), "history join must be keyed")
