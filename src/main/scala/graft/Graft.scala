@@ -423,4 +423,11 @@ object Graft {
     */
   def sitemapUrlEntries(df: DataFrame): DataFrame =
     text.Sitemaps.urlEntries(df)
+
+  /** Per-key change-rate estimation across snapshot generations:
+    * integer obs/changes counts bucketed hot/warm/cold/unknown — the
+    * revisit-interval heuristic of an incremental crawler.
+    */
+  def revisitPolicy(spark: SparkSession, sfDir: String): DataFrame =
+    pipelines.Frontier.revisitPolicy(spark, sfDir)
 }

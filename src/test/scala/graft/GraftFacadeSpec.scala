@@ -107,5 +107,8 @@ class GraftFacadeSpec extends SparkSuite {
       Seq((1L, "<urlset><url><loc>https://a/b&amp;c</loc></url></urlset>"))
         .toDF("doc_id", "xml"))
     assert(ents.select("loc").head().getString(0) == "https://a/b&c")
+    val pol = Graft.revisitPolicy(spark, Sf)
+    assert(pol.columns.toSeq == Seq("url_key", "obs", "changes", "revisit"))
+    assert(pol.limit(1).count() === 1)
   }
 }
