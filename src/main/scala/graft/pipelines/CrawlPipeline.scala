@@ -271,9 +271,11 @@ object CrawlPipeline {
        |  $scheduleSqlCols
        |FROM src""".stripMargin
 
-  def crawlOracle: String = {
+  /** The composed-oracle prelude (plants + extraction + canonical +
+    * robots CTEs) shared by [[crawlOracle]] and [[hostReportOracle]].
+    */
+  private def crawlPrelude: String = {
     val html2 = "html || ' x' || chr(776) || 'end'"
-    val prelude =
       s"""ph AS (${Html.plantHtmlSql}),
          |src AS (
          |  SELECT doc_id,
@@ -289,7 +291,10 @@ object CrawlPipeline {
          |  SELECT s.doc_id, s.robots, n.path
          |  FROM src s JOIN normed n USING (doc_id)),
          |${Robots.robotsCtesFrom("rb")},""".stripMargin
-    s"""${Hygiene.stagedCtesFrom("cleaned", prelude)}
+  }
+
+  def crawlOracle: String =
+    s"""${Hygiene.stagedCtesFrom("cleaned", crawlPrelude)}
        |SELECT n.doc_id,
        |  CAST(CASE n.doc_id % 3 WHEN 0 THEN 200 WHEN 1 THEN 404 ELSE 301 END
        |       AS INTEGER) AS status,
@@ -303,15 +308,64 @@ object CrawlPipeline {
        |JOIN staged st USING (doc_id)
        |LEFT JOIN (SELECT doc_id, dir FROM matches WHERE rn = 1) m
        |  USING (doc_id)""".stripMargin
+
+  /** Per-host crawl operations report — the budgeting/monitoring
+    * rollup a crawl operator reads after each pass: page count, robots
+    * verdict split, HTTP status mix, and how many allowed pages came
+    * out hygiene-clean (stages 1-5 passed), all per canonical host and
+    * all riding the FULL ingest chain. The per-row chain partial-
+    * aggregates map-side into ONE host-keyed exchange — host
+    * cardinality, not corpus size, crosses the wire.
+    */
+  def hostReport(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.ops.ScaleOps.widen(Tables.documents(spark, dir))
+    val htmlBody = concat(Html.plantHtml, lit(UnicodeTailLit))
+    val blob = shim(graft.plans.GzipBytes(ex(
+      graft.sources.Warc.plantHttpWarc(htmlBody, plantUri))))
+    val wide = statelessWide(
+      docs.select(col("doc_id"), blob.as("blob"), Robots.plantRobots.as("robots")))
+    Hygiene.withVerdict(wide.select(col("doc_id"), col("host"),
+        col("status"), col("allowed"), col("text")))
+      .groupBy(col("host")).agg(
+        count(lit(1)).as("n_pages"),
+        sum(col("allowed").cast("long")).as("n_allowed"),
+        sum(when(col("status") === 200, 1L).otherwise(0L)).as("n_ok"),
+        sum(when(col("status") === 301, 1L).otherwise(0L)).as("n_redirect"),
+        sum(when(col("status") === 404, 1L).otherwise(0L)).as("n_notfound"),
+        sum(when(col("allowed") === 1 && col("pre_stage").isNull, 1L)
+          .otherwise(0L)).as("n_clean"))
   }
+
+  def hostReportOracle: String =
+    s"""${Hygiene.stagedCtesFrom("cleaned", crawlPrelude)}
+       |SELECT n.host,
+       |  CAST(COUNT(*) AS BIGINT) AS n_pages,
+       |  CAST(SUM(CASE WHEN m.dir IS NULL OR m.dir = 'allow' THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_allowed,
+       |  CAST(SUM(CASE WHEN n.doc_id % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_ok,
+       |  CAST(SUM(CASE WHEN n.doc_id % 3 = 2 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_redirect,
+       |  CAST(SUM(CASE WHEN n.doc_id % 3 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_notfound,
+       |  -- hygiene-clean = survived stages 1-5 (staged stage 6 or 7)
+       |  CAST(SUM(CASE WHEN (m.dir IS NULL OR m.dir = 'allow')
+       |    AND st.stage >= 6 THEN 1 ELSE 0 END) AS BIGINT) AS n_clean
+       |FROM normed n
+       |JOIN staged st USING (doc_id)
+       |LEFT JOIN (SELECT doc_id, dir FROM matches WHERE rn = 1) m
+       |  USING (doc_id)
+       |GROUP BY n.host""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_crawl_pipeline" -> ((s, dir) => crawl(s, dir)),
     "q_fetch_schedule" -> ((s, dir) => fetchSchedule(s, dir)),
-    "q_crawl_schedule" -> ((s, dir) => crawlSchedule(s, dir)))
+    "q_crawl_schedule" -> ((s, dir) => crawlSchedule(s, dir)),
+    "q_crawl_host_report" -> ((s, dir) => hostReport(s, dir)))
 
   def oracleSql: Map[String, String] = Map(
     "q_crawl_pipeline" -> crawlOracle,
     "q_fetch_schedule" -> fetchScheduleOracle,
-    "q_crawl_schedule" -> crawlScheduleOracle)
+    "q_crawl_schedule" -> crawlScheduleOracle,
+    "q_crawl_host_report" -> hostReportOracle)
 }

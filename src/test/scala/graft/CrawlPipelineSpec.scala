@@ -91,6 +91,33 @@ class CrawlPipelineSpec extends SparkSuite {
       s"exactly the one scheduling exchange:\n$plan")
   }
 
+  test("host report: counts reconcile with the chain's own output, one exchange") {
+    val rows = CrawlPipeline.hostReport(spark, Sf).collect()
+    val total = Tables.documents(spark, Sf).count()
+    assert(rows.map(_.getAs[Long]("n_pages")).sum == total,
+      "every page lands in exactly one host bucket")
+    // cross-check the per-host splits against the gated chain output
+    val chain = CrawlPipeline.crawl(spark, Sf)
+      .selectExpr("canon", "status", "allowed", "stage").collect()
+      .map(r => (r.getString(0).replaceAll("^https?://", "").takeWhile(_ != '/'),
+        r.getInt(1), r.getInt(2), r.getInt(3)))
+    rows.foreach { r =>
+      val host = r.getAs[String]("host")
+      val hs = chain.filter(_._1 == host)
+      assert(r.getAs[Long]("n_pages") == hs.length, host)
+      assert(r.getAs[Long]("n_allowed") == hs.count(_._3 == 1), host)
+      assert(r.getAs[Long]("n_ok") == hs.count(_._2 == 200), host)
+      assert(r.getAs[Long]("n_redirect") == hs.count(_._2 == 301), host)
+      assert(r.getAs[Long]("n_notfound") == hs.count(_._2 == 404), host)
+      assert(r.getAs[Long]("n_clean") ==
+        hs.count(t => t._3 == 1 && t._4 >= 6), host)
+    }
+    val plan = CrawlPipeline.hostReport(spark, Sf)
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1,
+      "only the host rollup may shuffle")
+  }
+
   test("plan shape: ONE hash exchange (the dedup fingerprint window), map-only otherwise") {
     val plan = CrawlPipeline.crawl(spark, Sf).queryExecution.executedPlan.toString
     val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).length
