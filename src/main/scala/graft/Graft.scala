@@ -430,4 +430,38 @@ object Graft {
     */
   def revisitPolicy(spark: SparkSession, sfDir: String): DataFrame =
     pipelines.Frontier.revisitPolicy(spark, sfDir)
+
+  /** Serialize one WARC/1.0 record (byte framing + sha-256 payload
+    * digest) — the write half of the WARC story; `uri` may be null.
+    */
+  def warcWriteRecord(recType: org.apache.spark.sql.Column,
+      uri: org.apache.spark.sql.Column,
+      payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    sources.WarcWriter.record(recType, uri, payload)
+
+  /** One record as its own gzip member — concat members for the
+    * CommonCrawl `.warc.gz` shard layout.
+    */
+  def warcWriteGzMember(recType: org.apache.spark.sql.Column,
+      uri: org.apache.spark.sql.Column,
+      payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    sources.WarcWriter.gzMember(recType, uri, payload)
+
+  /** WET derivation: 200-responses out of `.warc.gz`, HTML-extracted,
+    * re-serialized as `conversion` records and parsed back.
+    */
+  def wetRecords(spark: SparkSession, sfDir: String): DataFrame =
+    sources.WarcWriter.wetRecords(spark, sfDir)
+
+  /** WAT derivation: per-response fetch metadata + resolved outlinks +
+    * the JSON envelope.
+    */
+  def watRecords(spark: SparkSession, sfDir: String): DataFrame =
+    sources.WarcWriter.watRecords(spark, sfDir)
+
+  /** CDX index: SURT-keyed, globally-ordered capture index with shard
+    * assignments, running byte offsets and payload digests.
+    */
+  def cdxIndex(spark: SparkSession, sfDir: String): DataFrame =
+    pipelines.CdxIndex.index(spark, sfDir)
 }

@@ -68,6 +68,8 @@ object SparkEntry {
       (graft.ops.Graph.queries, graft.ops.Graph.oracleSql),
       (graft.ops.ScaleOps.queries, graft.ops.ScaleOps.oracleSql),
       (graft.sources.Layout.queries, graft.sources.Layout.oracleSql),
+      (graft.sources.WarcWriter.queries, graft.sources.WarcWriter.oracleSql),
+      (graft.pipelines.CdxIndex.queries, graft.pipelines.CdxIndex.oracleSql),
       (Map[String, (SparkSession, String) => DataFrame](
         "q_range_join" -> ((s, dir) => graft.streaming.Sessionize.assignEventsToSessions(s, dir)),
         "q_session_window" -> ((s, dir) => graft.streaming.Sessionize.sessionWindowSummaries(s, dir))),
