@@ -464,4 +464,23 @@ object Graft {
     */
   def cdxIndex(spark: SparkSession, sfDir: String): DataFrame =
     pipelines.CdxIndex.index(spark, sfDir)
+
+  /** RFC 9111 freshness decision per stored response: max-age/Age,
+    * no-cache, Expires against the pinned clock, Last-Modified
+    * heuristic — all integer seconds.
+    */
+  def cacheFreshness(spark: SparkSession, sfDir: String): DataFrame =
+    pipelines.Revalidate.freshness(spark, sfDir)
+
+  /** Conditional-fetch outcome merge: 304 keeps the stored copy, 200
+    * replaces it, 404 tombstones it.
+    */
+  def revalidateMerge(spark: SparkSession, sfDir: String): DataFrame =
+    pipelines.Revalidate.merge(spark, sfDir)
+
+  /** Per-host page-budget allocation over the host report —
+    * largest-remainder method, Σ alloc == budget exactly.
+    */
+  def crawlBudget(spark: SparkSession, sfDir: String): DataFrame =
+    pipelines.CrawlPipeline.crawlBudget(spark, sfDir)
 }

@@ -70,6 +70,7 @@ object SparkEntry {
       (graft.sources.Layout.queries, graft.sources.Layout.oracleSql),
       (graft.sources.WarcWriter.queries, graft.sources.WarcWriter.oracleSql),
       (graft.pipelines.CdxIndex.queries, graft.pipelines.CdxIndex.oracleSql),
+      (graft.pipelines.Revalidate.queries, graft.pipelines.Revalidate.oracleSql),
       (Map[String, (SparkSession, String) => DataFrame](
         "q_range_join" -> ((s, dir) => graft.streaming.Sessionize.assignEventsToSessions(s, dir)),
         "q_session_window" -> ((s, dir) => graft.streaming.Sessionize.sessionWindowSummaries(s, dir))),

@@ -357,15 +357,70 @@ object CrawlPipeline {
        |  USING (doc_id)
        |GROUP BY n.host""".stripMargin
 
+  /** Default page budget for [[crawlBudget]] — prime, so proportional
+    * shares essentially always leave remainders and the largest-
+    * remainder top-up is non-degenerate at any fixture scale.
+    */
+  val PageBudget = 997L
+
+  /** Per-host crawl budget allocation — the step after [[hostReport]]
+    * in a budgeted crawler: split a global page budget across hosts
+    * proportionally to their hygiene-clean yield, EXACT-INTEGER via
+    * the largest-remainder method (floor share first, then +1 to the
+    * hosts with the largest remainders until the budget is spent;
+    * ties broken by host name). Σ alloc == budget always.
+    *
+    * Scale shape: the input is the host REPORT (host cardinality, not
+    * corpus size), persisted once; the two scalars the method needs
+    * (total yield, leftover after floors) are single-row aggregates —
+    * the X103 model-sized-collect discipline — and the top-up set is
+    * an `orderBy().limit(k)` (TakeOrdered, no global-sort funnel)
+    * broadcast back. No corpus-sized data crosses any of it.
+    */
+  def crawlBudget(spark: SparkSession, dir: String, budget: Long = PageBudget): DataFrame = {
+    val rep = hostReport(spark, dir).select(col("host"), col("n_clean"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val total = rep.agg(sum(col("n_clean"))).collect()(0).getLong(0)
+    val floored = rep
+      .withColumn("fl", expr(s"($budget * n_clean) DIV $total"))
+      .withColumn("rem", expr(s"($budget * n_clean) % $total"))
+    val leftover = (budget - floored.agg(sum(col("fl"))).collect()(0).getLong(0)).toInt
+    val topup = floored.orderBy(col("rem").desc, col("host"))
+      .limit(leftover).select(col("host").as("h2"))
+    floored.join(broadcast(topup), col("host") === col("h2"), "left")
+      .select(col("host"), col("n_clean"),
+        (col("fl") + when(col("h2").isNotNull, 1L).otherwise(0L)).as("alloc"))
+  }
+
+  def crawlBudgetOracle: String =
+    s"""WITH rep AS (
+       |  SELECT host, n_clean FROM (${hostReportOracle})),
+       |t AS (SELECT SUM(n_clean) AS total FROM rep),
+       |f AS (
+       |  SELECT host, n_clean,
+       |    ($PageBudget * n_clean) // total AS fl,
+       |    ($PageBudget * n_clean) % total AS rem
+       |  FROM rep, t),
+       |l AS (SELECT $PageBudget - SUM(fl) AS leftover FROM f),
+       |r AS (
+       |  SELECT *, row_number() OVER (ORDER BY rem DESC, host) AS rk
+       |  FROM f)
+       |SELECT host, n_clean,
+       |  CAST(fl + CASE WHEN rk <= (SELECT leftover FROM l) THEN 1 ELSE 0 END
+       |       AS BIGINT) AS alloc
+       |FROM r""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_crawl_pipeline" -> ((s, dir) => crawl(s, dir)),
     "q_fetch_schedule" -> ((s, dir) => fetchSchedule(s, dir)),
     "q_crawl_schedule" -> ((s, dir) => crawlSchedule(s, dir)),
-    "q_crawl_host_report" -> ((s, dir) => hostReport(s, dir)))
+    "q_crawl_host_report" -> ((s, dir) => hostReport(s, dir)),
+    "q_crawl_budget" -> ((s, dir) => crawlBudget(s, dir)))
 
   def oracleSql: Map[String, String] = Map(
     "q_crawl_pipeline" -> crawlOracle,
     "q_fetch_schedule" -> fetchScheduleOracle,
     "q_crawl_schedule" -> crawlScheduleOracle,
-    "q_crawl_host_report" -> hostReportOracle)
+    "q_crawl_host_report" -> hostReportOracle,
+    "q_crawl_budget" -> crawlBudgetOracle)
 }

@@ -91,6 +91,25 @@ class CrawlPipelineSpec extends SparkSuite {
       s"exactly the one scheduling exchange:\n$plan")
   }
 
+  test("budget: largest-remainder allocation spends exactly the budget, within 1 of exact share") {
+    val rows = CrawlPipeline.crawlBudget(spark, Sf).collect()
+    val budget = CrawlPipeline.PageBudget
+    assert(rows.map(_.getAs[Long]("alloc")).sum == budget, "Σ alloc == budget")
+    val total = rows.map(_.getAs[Long]("n_clean")).sum
+    rows.foreach { r =>
+      val fl = budget * r.getAs[Long]("n_clean") / total
+      val a = r.getAs[Long]("alloc")
+      assert(a == fl || a == fl + 1, s"${r.getAs[String]("host")}: $a not in {$fl, ${fl + 1}}")
+    }
+    // the top-up went to the LARGEST remainders (ties by host name)
+    val byRem = rows.map { r =>
+      (budget * r.getAs[Long]("n_clean") % total, r.getAs[String]("host"),
+        r.getAs[Long]("alloc") - budget * r.getAs[Long]("n_clean") / total)
+    }.sortBy { case (rem, host, _) => (-rem, host) }
+    val k = byRem.count(_._3 == 1L)
+    assert(byRem.take(k).forall(_._3 == 1L), s"top-ups must be the $k largest remainders")
+  }
+
   test("host report: counts reconcile with the chain's own output, one exchange") {
     val rows = CrawlPipeline.hostReport(spark, Sf).collect()
     val total = Tables.documents(spark, Sf).count()

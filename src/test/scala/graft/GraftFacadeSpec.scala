@@ -136,5 +136,14 @@ class GraftFacadeSpec extends SparkSuite {
     assert(cdx.columns.toSeq == Seq("surt", "doc_id", "rn", "shard_id",
       "byte_offset", "rec_bytes", "digest"))
     assert(cdx.limit(1).count() === 1)
+    val cf = Graft.cacheFreshness(spark, Sf)
+    assert(cf.columns.toSeq == Seq("doc_id", "policy", "ttl_s", "age_s", "fresh"))
+    assert(cf.limit(1).count() === 1)
+    val rm = Graft.revalidateMerge(spark, Sf)
+    assert(rm.columns.toSeq == Seq("url_key", "status", "outcome", "payload", "digest"))
+    assert(rm.limit(1).count() === 1)
+    val cb = Graft.crawlBudget(spark, Sf)
+    assert(cb.columns.toSeq == Seq("host", "n_clean", "alloc"))
+    assert(cb.limit(1).count() === 1)
   }
 }
