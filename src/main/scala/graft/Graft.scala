@@ -478,6 +478,13 @@ object Graft {
   def revalidateMerge(spark: SparkSession, sfDir: String): DataFrame =
     pipelines.Revalidate.merge(spark, sfDir)
 
+  /** Conditional request per stale copy (RFC 9110 §13.1): skip when
+    * fresh, If-None-Match / If-Modified-Since from the stored
+    * validators otherwise.
+    */
+  def conditionalRequests(spark: SparkSession, sfDir: String): DataFrame =
+    pipelines.Revalidate.conditionalRequests(spark, sfDir)
+
   /** Per-host page-budget allocation over the host report —
     * largest-remainder method, Σ alloc == budget exactly.
     */

@@ -59,13 +59,20 @@ object Revalidate {
   /** Caching-header rotation (doc_id % 4): explicit max-age + Age,
     * no-cache, Expires (past/future IMF-fixdate with doc-varying
     * minutes so the parse is non-degenerate), and header-free with
-    * Last-Modified + Age for the heuristic branch.
+    * Last-Modified + Age for the heuristic branch. Independently of
+    * the caching class, every doc_id % 3 == 0 response also carries an
+    * `ETag` (moduli 3 and 4 are coprime, so every caching class gets
+    * both with-ETag and without-ETag members — [[conditionalRequests]]
+    * needs all validator combinations to occur).
     */
   def plantCachingResponse: Column = {
     val id = col("doc_id")
     def resp(cacheHeaders: Column): Column = concat(
       lit("HTTP/1.1 200 OK" + Crlf),
       cacheHeaders,
+      when(id % 3 === 0,
+        concat(lit("ETag: \"d"), id.cast("string"), lit("-v"),
+          (id % 7).cast("string"), lit("\"" + Crlf))).otherwise(lit("")),
       lit("Content-Length: 1" + Crlf),
       lit(Crlf), lit("b"))
     val maxAge = concat(
@@ -107,11 +114,14 @@ object Revalidate {
       lit(1))
   }
 
-  /** (doc_id, policy, ttl_s, age_s, fresh) — the freshness decision,
-    * computed GENERICALLY from whatever headers the parsed message
-    * carries (the rotation is only the fixture).
+  /** Shared parse-and-decide chain: one [[graft.plans.HttpMessage]]
+    * parse, the RFC 9111 decision columns, AND the stored validators
+    * (`etag`, `lm`) — [[freshness]] and [[conditionalRequests]] each
+    * project their slice, and Catalyst's column pruning collapses the
+    * unused validator (or decision) expressions out of whichever plan
+    * doesn't read them.
     */
-  def freshness(spark: SparkSession, dir: String): DataFrame = {
+  private def decided(spark: SparkSession, dir: String): DataFrame = {
     graft.ops.ScaleOps.widen(Tables.documents(spark, dir))
       .select(col("doc_id"),
         httpMessage(plantCachingResponse).getField("headers").as("hs"))
@@ -119,14 +129,15 @@ object Revalidate {
         hdr(col("hs"), "cache-control").as("cc"),
         hdr(col("hs"), "age").as("ageh"),
         hdr(col("hs"), "expires").as("exp"),
-        hdr(col("hs"), "last-modified").as("lm"))
+        hdr(col("hs"), "last-modified").as("lm"),
+        hdr(col("hs"), "etag").as("etag"))
       .select(col("doc_id"),
-        col("cc"), col("exp"),
+        col("cc"), col("exp"), col("lm"), col("etag"),
         regexp_extract(coalesce(col("cc"), lit("")), "max-age=(\\d+)", 1).as("ma"),
         coalesce(col("ageh").cast("long"), lit(0L)).as("age_s"),
         httpDateEpoch(col("exp")).as("exp_e"),
         httpDateEpoch(col("lm")).as("lm_e"))
-      .select(col("doc_id"),
+      .select(col("doc_id"), col("lm"), col("etag"),
         when(col("cc").contains("no-cache"), "no-cache")
           .when(col("ma") =!= "", "max-age")
           .when(col("exp").isNotNull, "expires")
@@ -135,10 +146,37 @@ object Revalidate {
           .when(col("exp").isNotNull, col("exp_e") - NowEpoch)
           .otherwise(expr(s"($NowEpoch - lm_e) DIV 10")).as("ttl_s"),
         col("age_s"))
-      .select(col("doc_id"), col("policy"), col("ttl_s"), col("age_s"),
+      .select(col("doc_id"), col("lm"), col("etag"),
+        col("policy"), col("ttl_s"), col("age_s"),
         when(col("policy") === "no-cache", 0)
           .when(col("ttl_s") > col("age_s"), 1).otherwise(0).as("fresh"))
   }
+
+  /** (doc_id, policy, ttl_s, age_s, fresh) — the freshness decision,
+    * computed GENERICALLY from whatever headers the parsed message
+    * carries (the rotation is only the fixture).
+    */
+  def freshness(spark: SparkSession, dir: String): DataFrame =
+    decided(spark, dir)
+      .select(col("doc_id"), col("policy"), col("ttl_s"), col("age_s"), col("fresh"))
+
+  /** (doc_id, action, if_none_match, if_modified_since) — the
+    * conditional request a cache SHOULD make for each stale copy
+    * (RFC 9110 §13.1.2: send BOTH validators when both are stored;
+    * If-None-Match alone beats If-Modified-Since alone): `skip` when
+    * the copy is still fresh (no round-trip at all), `conditional`
+    * when at least one validator exists, `unconditional` when the
+    * stored response offered none. Rides the same per-row chain as
+    * [[freshness]] — zero exchanges beyond the widen.
+    */
+  def conditionalRequests(spark: SparkSession, dir: String): DataFrame =
+    decided(spark, dir)
+      .select(col("doc_id"),
+        when(col("fresh") === 1, "skip")
+          .when(col("etag").isNotNull || col("lm").isNotNull, "conditional")
+          .otherwise("unconditional").as("action"),
+        when(col("fresh") === 0, col("etag")).as("if_none_match"),
+        when(col("fresh") === 0, col("lm")).as("if_modified_since"))
 
   def freshnessOracle: String =
     s"""WITH h AS (
@@ -178,6 +216,25 @@ object Revalidate {
        |  CAST(CASE WHEN policy = 'no-cache' THEN 0
        |       WHEN ttl_s > age_s THEN 1 ELSE 0 END AS INTEGER) AS fresh
        |FROM d""".stripMargin
+
+  def conditionalRequestsOracle: String =
+    s"""WITH f AS (${freshnessOracle}),
+       |v AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 3 = 0
+       |         THEN '"d' || CAST(doc_id AS VARCHAR) || '-v' ||
+       |              CAST(doc_id % 7 AS VARCHAR) || '"' END AS etag,
+       |    CASE WHEN doc_id % 4 = 3
+       |         THEN 'Fri, 01 Aug 2025 ' || lpad(CAST(doc_id % 24 AS VARCHAR), 2, '0') || ':00:00 GMT'
+       |         END AS lm
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CASE WHEN fresh = 1 THEN 'skip'
+       |       WHEN etag IS NOT NULL OR lm IS NOT NULL THEN 'conditional'
+       |       ELSE 'unconditional' END AS action,
+       |  CASE WHEN fresh = 0 THEN etag END AS if_none_match,
+       |  CASE WHEN fresh = 0 THEN lm END AS if_modified_since
+       |FROM f JOIN v USING (doc_id)""".stripMargin
 
   /** The conditional-fetch outcome rotation (doc_id % 5): 0 → 304
     * Not Modified, 4 → 404 Gone, else 200 with a replacement body.
@@ -246,9 +303,11 @@ object Revalidate {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cache_freshness" -> ((s, dir) => freshness(s, dir)),
+    "q_conditional_request" -> ((s, dir) => conditionalRequests(s, dir)),
     "q_revalidate_merge" -> ((s, dir) => merge(s, dir)))
 
   def oracleSql: Map[String, String] = Map(
     "q_cache_freshness" -> freshnessOracle,
+    "q_conditional_request" -> conditionalRequestsOracle,
     "q_revalidate_merge" -> mergeOracle)
 }

@@ -64,6 +64,40 @@ class RevalidateSpec extends SparkSuite {
     }
   }
 
+  test("conditional requests: action classes and validators replay RFC 9110 §13.1") {
+    val rows = Revalidate.conditionalRequests(spark, Sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(rows.keySet == fresh.keySet)
+    val actions = rows.values.map(_.getAs[String]("action")).toSet
+    assert(actions == Set("skip", "conditional", "unconditional"),
+      s"all three actions must occur, got $actions")
+    rows.foreach { case (id, r) =>
+      val isFresh = fresh(id).getAs[Int]("fresh") == 1
+      val etag = if (id % 3 == 0) Some(s""""d$id-v${id % 7}"""") else None
+      val lm = if (id % 4 == 3)
+        Some(f"Fri, 01 Aug 2025 ${id % 24}%02d:00:00 GMT") else None
+      val expected =
+        if (isFresh) "skip"
+        else if (etag.isDefined || lm.isDefined) "conditional"
+        else "unconditional"
+      assert(r.getAs[String]("action") == expected, s"doc $id")
+      // validators only ride a STALE request, and only when stored
+      assert(Option(r.getAs[String]("if_none_match")) ==
+        (if (isFresh) None else etag), s"doc $id etag")
+      assert(Option(r.getAs[String]("if_modified_since")) ==
+        (if (isFresh) None else lm), s"doc $id lm")
+    }
+  }
+
+  test("ETag plant leaves the freshness gate untouched (no validator column leaks)") {
+    // the %3 ETag rotation rides the same planted response the freshness
+    // gate parses — its presence must not perturb any decision column
+    fresh.values.foreach { r =>
+      assert(r.schema.fieldNames.toSeq ==
+        Seq("doc_id", "policy", "ttl_s", "age_s", "fresh"))
+    }
+  }
+
   test("merge: outcomes follow the status; payload provenance is correct") {
     import org.apache.spark.sql.Row
     val texts = Tables.documents(spark, Sf)
@@ -93,6 +127,9 @@ class RevalidateSpec extends SparkSuite {
   test("plan shape: freshness is per-row (no hash exchange); merge never goes cartesian") {
     val fPlan = Revalidate.freshness(spark, Sf).queryExecution.executedPlan.toString
     assert("Exchange hashpartitioning".r.findAllIn(fPlan).isEmpty, fPlan)
+    val cPlan = Revalidate.conditionalRequests(spark, Sf)
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(cPlan).isEmpty, cPlan)
     val mPlan = pipelines.Revalidate.merge(spark, Sf).queryExecution.executedPlan.toString
     assert(!mPlan.contains("CartesianProduct"), mPlan)
   }
