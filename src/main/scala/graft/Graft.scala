@@ -424,6 +424,13 @@ object Graft {
   def sitemapUrlEntries(df: DataFrame): DataFrame =
     text.Sitemaps.urlEntries(df)
 
+  /** RSS 2.0 / Atom 1.0 entries (link, title, published_epoch) from
+    * feed XML on a (doc_id, xml) frame — both dialects sniffed off the
+    * root element, dates normalized to one epoch column.
+    */
+  def feedEntries(df: DataFrame): DataFrame =
+    text.Feeds.entries(df)
+
   /** Per-key change-rate estimation across snapshot generations:
     * integer obs/changes counts bucketed hot/warm/cold/unknown — the
     * revisit-interval heuristic of an incremental crawler.

@@ -55,6 +55,7 @@ object SparkEntry {
       (graft.text.Robots.queries, graft.text.Robots.oracleSql),
       (graft.text.Links.queries, graft.text.Links.oracleSql),
       (graft.text.Sitemaps.queries, graft.text.Sitemaps.oracleSql),
+      (graft.text.Feeds.queries, graft.text.Feeds.oracleSql),
       (graft.pipelines.Hygiene.queries, graft.pipelines.Hygiene.oracleSql),
       (graft.pipelines.CrawlPipeline.queries, graft.pipelines.CrawlPipeline.oracleSql),
       (graft.pipelines.Frontier.queries, graft.pipelines.Frontier.oracleSql),
