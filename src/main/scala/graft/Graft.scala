@@ -431,6 +431,12 @@ object Graft {
   def feedEntries(df: DataFrame): DataFrame =
     text.Feeds.entries(df)
 
+  /** Crawl-trap report over a (url, fp) crawl log: per (host,
+    * URL-template) family URL count vs content diversity, trap flag.
+    */
+  def crawlTraps(df: DataFrame): DataFrame =
+    pipelines.Traps.trapReport(df)
+
   /** Per-key change-rate estimation across snapshot generations:
     * integer obs/changes counts bucketed hot/warm/cold/unknown — the
     * revisit-interval heuristic of an incremental crawler.

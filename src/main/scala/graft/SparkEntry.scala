@@ -60,6 +60,7 @@ object SparkEntry {
       (graft.pipelines.CrawlPipeline.queries, graft.pipelines.CrawlPipeline.oracleSql),
       (graft.pipelines.Frontier.queries, graft.pipelines.Frontier.oracleSql),
       (graft.pipelines.Redirects.queries, graft.pipelines.Redirects.oracleSql),
+      (graft.pipelines.Traps.queries, graft.pipelines.Traps.oracleSql),
       (AsofJoin.queries, AsofJoin.oracleSql),
       (DateParse.queries, DateParse.oracleSql),
       (CorpusOps.queries, CorpusOps.oracleSql),
