@@ -437,6 +437,12 @@ object Graft {
   def crawlTraps(df: DataFrame): DataFrame =
     pipelines.Traps.trapReport(df)
 
+  /** Anchor-text rollup per resolved link target over a (base, html)
+    * frame: in-links, distinct source hosts, consensus anchor.
+    */
+  def anchorText(df: DataFrame): DataFrame =
+    text.Anchors.anchorReport(text.Anchors.anchorEdges(df))
+
   /** Per-key change-rate estimation across snapshot generations:
     * integer obs/changes counts bucketed hot/warm/cold/unknown — the
     * revisit-interval heuristic of an incremental crawler.

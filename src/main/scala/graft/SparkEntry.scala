@@ -56,6 +56,7 @@ object SparkEntry {
       (graft.text.Links.queries, graft.text.Links.oracleSql),
       (graft.text.Sitemaps.queries, graft.text.Sitemaps.oracleSql),
       (graft.text.Feeds.queries, graft.text.Feeds.oracleSql),
+      (graft.text.Anchors.queries, graft.text.Anchors.oracleSql),
       (graft.pipelines.Hygiene.queries, graft.pipelines.Hygiene.oracleSql),
       (graft.pipelines.CrawlPipeline.queries, graft.pipelines.CrawlPipeline.oracleSql),
       (graft.pipelines.Frontier.queries, graft.pipelines.Frontier.oracleSql),
