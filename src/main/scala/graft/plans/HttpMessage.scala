@@ -31,6 +31,13 @@ import org.apache.spark.unsafe.types.UTF8String
   *                    original order (deterministic, oracle-friendly)
   *   - `body`         STRING — after chunked decode, content decoding,
   *                    and charset decode
+  *   - `charset_source` STRING — which layer supplied the charset:
+  *                    'header' (Content-Type param), 'meta' (HTML5
+  *                    §13.2.3.2 prescan of the first 1024 body bytes
+  *                    for `<meta charset=…>` / the http-equiv form,
+  *                    consulted only when the header is silent and the
+  *                    media type is HTML/XML-ish), or null (UTF-8
+  *                    fallback)
   *
   * Byte-level discipline: chunk sizes count BYTES, so decode reassembles
   * the raw byte stream FIRST and only then decodes characters — a chunk
@@ -80,10 +87,11 @@ object HttpMessage {
     .add("n_headers", IntegerType)
     .add("headers", ArrayType(StringType, containsNull = false))
     .add("body", StringType)
+    .add("charset_source", StringType)
 
   private def nulls(): GenericInternalRow = {
-    val r = new GenericInternalRow(7)
-    var i = 0; while (i < 7) { r.setNullAt(i); i += 1 }
+    val r = new GenericInternalRow(8)
+    var i = 0; while (i < 8) { r.setNullAt(i); i += 1 }
     r
   }
 
@@ -250,6 +258,20 @@ object HttpMessage {
       }
     }
 
+    // HTML5 meta prescan (WHATWG HTML §13.2.3.2, simplified): when the
+    // TRANSPORT layer declares no charset and the payload is HTML-ish,
+    // scan the first 1024 BYTES (ASCII-superset read — the prescan runs
+    // before any real decode can) for `<meta charset=X>` or the
+    // http-equiv `content="...; charset=X"` form; both reduce to a
+    // charset= attribute inside an unclosed <meta tag. `charset_source`
+    // records which layer won: 'header' | 'meta' | null (fallback).
+    var charsetSource: String = if (charset != null) "header" else null
+    if (charset == null && (mediaType == null || mediaType.contains("html")
+      || mediaType.contains("xml"))) {
+      val sniffed = sniffMetaCharset(bodyBytes)
+      if (sniffed != null) { charset = sniffed; charsetSource = "meta" }
+    }
+
     // charset routing: decode the reassembled BYTES with the declared
     // charset; unknown/unsupported → UTF-8 (the crawl-tolerant default)
     val body: UTF8String =
@@ -269,7 +291,7 @@ object HttpMessage {
       i += 1
     }
 
-    val r = new GenericInternalRow(7)
+    val r = new GenericInternalRow(8)
     r.setInt(0, status)
     if (mediaType != null) r.update(1, UTF8String.fromString(mediaType)) else r.setNullAt(1)
     if (charset != null) r.update(2, UTF8String.fromString(charset)) else r.setNullAt(2)
@@ -278,7 +300,29 @@ object HttpMessage {
     r.setInt(4, names.length)
     r.update(5, new GenericArrayData(headerStrs))
     r.update(6, body)
+    if (charsetSource != null) r.update(7, UTF8String.fromString(charsetSource))
+    else r.setNullAt(7)
     r
+  }
+
+  /** The prescan window the WHATWG algorithm mandates. */
+  val MetaPrescanBytes = 1024
+
+  private val MetaCharsetRe = java.util.regex.Pattern.compile(
+    "<meta[^>]*?charset\\s*=\\s*[\"']?\\s*([A-Za-z0-9_.:+-]+)",
+    java.util.regex.Pattern.CASE_INSENSITIVE)
+
+  /** `<meta charset=...>` / http-equiv prescan over the first
+    * [[MetaPrescanBytes]] bytes: ISO-8859-1 read (byte-transparent —
+    * charset NAMES are ASCII and the real decode hasn't happened yet),
+    * first match wins, lowercased; null when absent.
+    */
+  def sniffMetaCharset(b: Array[Byte]): String = {
+    val n = math.min(b.length, MetaPrescanBytes)
+    if (n == 0) return null
+    val prefix = new String(b, 0, n, java.nio.charset.StandardCharsets.ISO_8859_1)
+    val m = MetaCharsetRe.matcher(prefix)
+    if (m.find()) m.group(1).toLowerCase(java.util.Locale.ROOT) else null
   }
 
   /** Capped gzip decode (multi-member per GZIPInputStream); `orElse`

@@ -324,15 +324,84 @@ object Warc {
        |       ELSE upper(substr(t, 1, 40)) END AS payload
        |FROM e""".stripMargin
 
+  // Meta-prescan plants: the transport header stays charset-SILENT and
+  // the document announces its own encoding (HTML5 §13.2.3.2) — the
+  // attribute form, the http-equiv form, single-quoted and unquoted
+  // values, and a latin-1 body whose 0xE9 byte is invalid UTF-8 (a
+  // fallback decode would mangle it, so the gate proves the sniffed
+  // charset actually routed).
+  private val Latin1Cafe = "café "
+  private val Utf8Hello = "héllo "
+
+  /** HTTP 200 with `Content-Type: text/html` (NO charset param); body
+    * rotation doc_id % 5: meta windows-1251 / http-equiv shift_jis /
+    * single-quoted iso-8859-1 / unquoted utf-8 / no meta at all.
+    */
+  def plantMetaCharsetMsg: Column = {
+    val id = col("doc_id")
+    def wrap(body: Column): Column = concat(
+      lit("HTTP/1.1 200 OK" + Crlf),
+      lit("Content-Type: text/html" + Crlf),
+      lit("Content-Length: "), octet_length(body).cast("string"), lit(Crlf),
+      lit(Crlf), body)
+    def doc(meta: String, textBytes: Array[Byte]): Column = concat(
+      lit(s"<html><head>$meta</head><body>"),
+      lit(textBytes).cast("string"), id.cast("string"), lit("</body>"))
+    val k = id % 5
+    wrap(
+      when(k === 0, doc("<meta charset=\"windows-1251\">",
+        Win1251Text.getBytes("windows-1251")))
+        .when(k === 1, doc(
+          "<meta http-equiv=\"Content-Type\" content=\"text/html; charset=shift_jis\">",
+          SjisText.getBytes("shift_jis")))
+        .when(k === 2, doc("<meta charset='iso-8859-1'>",
+          Latin1Cafe.getBytes("iso-8859-1")))
+        .when(k === 3, doc("<meta charset=utf-8>", Utf8Hello.getBytes("UTF-8")))
+        .otherwise(concat(lit("<html><body>plain "), id.cast("string"),
+          lit("</body>"))))
+  }
+
+  /** (doc_id, charset, charset_source, body) — header-silent messages
+    * routed by the HTML5 meta prescan; per-row, shuffle-free.
+    */
+  def metaCharset(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.ScaleOps.widen(Tables.documents(spark, dir))
+      .select(col("doc_id"), httpMessage(plantMetaCharsetMsg).as("h"))
+      .select(col("doc_id"),
+        col("h").getField("charset").as("charset"),
+        col("h").getField("charset_source").as("charset_source"),
+        col("h").getField("body").as("body"))
+
+  def metaCharsetOracle: String =
+    s"""SELECT doc_id,
+       |  CASE doc_id % 5 WHEN 0 THEN 'windows-1251' WHEN 1 THEN 'shift_jis'
+       |       WHEN 2 THEN 'iso-8859-1' WHEN 3 THEN 'utf-8' END AS charset,
+       |  CASE WHEN doc_id % 5 <= 3 THEN 'meta' END AS charset_source,
+       |  CASE doc_id % 5
+       |    WHEN 0 THEN '<html><head><meta charset="windows-1251"></head><body>' ||
+       |      '$Win1251Sql' || CAST(doc_id AS VARCHAR) || '</body>'
+       |    WHEN 1 THEN '<html><head><meta http-equiv="Content-Type" ' ||
+       |      'content="text/html; charset=shift_jis"></head><body>' ||
+       |      '$SjisSql' || CAST(doc_id AS VARCHAR) || '</body>'
+       |    WHEN 2 THEN '<html><head><meta charset=''iso-8859-1''></head><body>' ||
+       |      'café ' || CAST(doc_id AS VARCHAR) || '</body>'
+       |    WHEN 3 THEN '<html><head><meta charset=utf-8></head><body>' ||
+       |      'héllo ' || CAST(doc_id AS VARCHAR) || '</body>'
+       |    ELSE '<html><body>plain ' || CAST(doc_id AS VARCHAR) || '</body>'
+       |  END AS body
+       |FROM documents""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_warc_records" -> ((s, dir) => warcRecords(s, dir)),
     "q_warc_gzip" -> ((s, dir) => warcGzipRecords(s, dir)),
-    "q_warc_http" -> ((s, dir) => warcHttp(s, dir)))
+    "q_warc_http" -> ((s, dir) => warcHttp(s, dir)),
+    "q_meta_charset" -> ((s, dir) => metaCharset(s, dir)))
 
   def oracleSql: Map[String, String] = Map(
     "q_warc_records" -> warcOracle,
     // compression is content-transparent: the gz path answers to the
     // identical oracle
     "q_warc_gzip" -> warcOracle,
-    "q_warc_http" -> warcHttpOracle)
+    "q_warc_http" -> warcHttpOracle,
+    "q_meta_charset" -> metaCharsetOracle)
 }

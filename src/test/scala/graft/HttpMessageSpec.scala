@@ -248,4 +248,47 @@ class HttpMessageSpec extends SparkSuite {
     assert(r.getAs[Int]("status") == 200)
     assert(r.getAs[String]("body") == "")
   }
+
+  test("meta prescan: header-silent HTML routes through <meta charset>") {
+    val body = "<html><head><meta charset=\"windows-1251\"></head><body>"
+      .getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++
+      "привет".getBytes("windows-1251") ++ "</body>".getBytes
+    val head = ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
+      s"Content-Length: ${body.length}\r\n\r\n").getBytes
+    val r = split(head ++ body)
+    assert(r.getAs[String]("charset") == "windows-1251")
+    assert(r.getAs[String]("charset_source") == "meta")
+    assert(r.getAs[String]("body").contains("привет"))
+  }
+
+  test("meta prescan: http-equiv form, single quotes, unquoted values all match") {
+    def charsetOf(meta: String): String = HttpMessage.sniffMetaCharset(
+      s"<html><head>$meta</head><body>x</body>".getBytes)
+    assert(charsetOf("<meta http-equiv=\"Content-Type\" " +
+      "content=\"text/html; charset=shift_jis\">") == "shift_jis")
+    assert(charsetOf("<meta charset='ISO-8859-1'>") == "iso-8859-1")
+    assert(charsetOf("<meta charset=utf-8>") == "utf-8")
+    assert(charsetOf("<meta name=\"viewport\" content=\"width=1\">") == null)
+  }
+
+  test("meta prescan: header charset WINS over a conflicting meta (charset_source=header)") {
+    val body = "<html><head><meta charset=\"shift_jis\"></head><body>ok</body>"
+    val r = splitStr("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n" +
+      s"Content-Length: ${body.length}\r\n\r\n$body")
+    assert(r.getAs[String]("charset") == "utf-8")
+    assert(r.getAs[String]("charset_source") == "header")
+  }
+
+  test("meta prescan: only the first 1024 bytes are consulted, and non-HTML types are not sniffed") {
+    val pad = "<!-- " + ("x" * 1100) + " -->"
+    val late = s"<html><head>$pad<meta charset=\"shift_jis\"></head><body>ok</body>"
+    val r1 = splitStr("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
+      s"Content-Length: ${late.length}\r\n\r\n$late")
+    assert(r1.isNullAt(r1.fieldIndex("charset")), "meta beyond 1024 bytes must not match")
+    assert(r1.isNullAt(r1.fieldIndex("charset_source")))
+    val body = "<meta charset=\"shift_jis\">not html"
+    val r2 = splitStr("HTTP/1.1 200 OK\r\nContent-Type: application/octet-stream\r\n" +
+      s"Content-Length: ${body.length}\r\n\r\n$body")
+    assert(r2.isNullAt(r2.fieldIndex("charset")), "binary media types are never sniffed")
+  }
 }
