@@ -443,6 +443,12 @@ object Graft {
   def anchorText(df: DataFrame): DataFrame =
     text.Anchors.anchorReport(text.Anchors.anchorEdges(df))
 
+  /** Mirror-host report over a (host, fp) frame: host pairs sharing
+    * most of their content fingerprints, stop-fp capped.
+    */
+  def mirrorHosts(df: DataFrame): DataFrame =
+    pipelines.Mirrors.mirrorReport(df)
+
   /** Per-key change-rate estimation across snapshot generations:
     * integer obs/changes counts bucketed hot/warm/cold/unknown — the
     * revisit-interval heuristic of an incremental crawler.

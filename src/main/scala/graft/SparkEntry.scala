@@ -62,6 +62,7 @@ object SparkEntry {
       (graft.pipelines.Frontier.queries, graft.pipelines.Frontier.oracleSql),
       (graft.pipelines.Redirects.queries, graft.pipelines.Redirects.oracleSql),
       (graft.pipelines.Traps.queries, graft.pipelines.Traps.oracleSql),
+      (graft.pipelines.Mirrors.queries, graft.pipelines.Mirrors.oracleSql),
       (AsofJoin.queries, AsofJoin.oracleSql),
       (DateParse.queries, DateParse.oracleSql),
       (CorpusOps.queries, CorpusOps.oracleSql),
