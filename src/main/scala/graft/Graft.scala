@@ -449,6 +449,12 @@ object Graft {
   def mirrorHosts(df: DataFrame): DataFrame =
     pipelines.Mirrors.mirrorReport(df)
 
+  /** HITS hubs/authorities over a (src, dst) BIGINT edge list — exact
+    * fixed-point integers, bit-reproducible.
+    */
+  def hits(edges: DataFrame, iters: Int = ops.Graph.Iters): DataFrame =
+    ops.Graph.hitsOf(edges, iters)
+
   /** Per-key change-rate estimation across snapshot generations:
     * integer obs/changes counts bucketed hot/warm/cold/unknown — the
     * revisit-interval heuristic of an incremental crawler.

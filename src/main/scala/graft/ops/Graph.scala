@@ -155,11 +155,125 @@ object Graph {
        |FROM r$iters""".stripMargin
   }
 
+  /** HITS hubs & authorities (Kleinberg '99) in the same exact
+    * fixed-point discipline as [[pagerankOf]]: each half-step sums the
+    * opposite score over the edges, then renormalizes by the INTEGER
+    * quotient `q = max(1, Σraw // Scale)` — floor division only, so
+    * the score mass stays ~[[Scale]], every intermediate fits a BIGINT
+    * (raw ≤ Scale·maxdeg ≈ 10¹⁶), and both engines agree bit-for-bit.
+    * No floats anywhere — the usual L2 normalization is exactly what
+    * makes naive HITS non-reproducible across engines.
+    *
+    * Scale shape: the edge list is cached TWICE, partitioned by src
+    * and by dst (each half-step joins on a different side; one cached
+    * copy per side means iterations reshuffle only the node-sized
+    * score table). The normalization quotient is a broadcast one-row
+    * aggregate; the hub table truncates lineage once per FULL round
+    * (the [[pagerankOf]] discipline), while the mid-round auth table —
+    * referenced twice (its own quotient, then the hub update) — is
+    * lazily CACHED instead of checkpointed: the truncation at the hub
+    * step bounds plan depth at two half-steps, and skipping the eager
+    * mid-round materialization job halves the per-iteration job count.
+    */
+  def hitsOf(edgesIn: DataFrame, iters: Int = Iters): DataFrame = {
+    val edges = edgesIn.select(col("src"), col("dst")).distinct()
+    val bySrc = edges.repartition(col("src")).persist(StorageLevel.MEMORY_AND_DISK)
+    val byDst = edges.repartition(col("dst")).persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = nodes.count()
+    val base = Scale / n
+
+    var hubs = graft.sources.Checkpoints.truncateLineage(
+      nodes.select(col("node"), lit(base).as("h")))
+    var auths: DataFrame = null
+    val midCaches = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    for (_ <- 1 to iters) {
+      val araw = hubs.join(bySrc, hubs("node") === bySrc("src"))
+        .groupBy(col("dst")).agg(sum(col("h")).cast("long").as("ar"))
+      val qa = araw.agg(expr(s"greatest(1L, coalesce(sum(ar) DIV ${Scale}L, 1L)) AS q"))
+      auths = nodes.join(araw.withColumnRenamed("dst", "node"), Seq("node"), "left")
+        .crossJoin(broadcast(qa))
+        .select(col("node"), expr("coalesce(ar, 0L) DIV q").as("a"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      midCaches += auths
+      val hraw = auths.join(byDst, auths("node") === byDst("dst"))
+        .groupBy(col("src")).agg(sum(col("a")).cast("long").as("hr"))
+      val qh = hraw.agg(expr(s"greatest(1L, coalesce(sum(hr) DIV ${Scale}L, 1L)) AS q"))
+      hubs = graft.sources.Checkpoints.truncateLineage(
+        nodes.join(hraw.withColumnRenamed("src", "node"), Seq("node"), "left")
+          .crossJoin(broadcast(qh))
+          .select(col("node"), expr("coalesce(hr, 0L) DIV q").as("h")))
+      // the hub truncation just evaluated this round's auth cache; all
+      // EARLIER auth caches are out of every live lineage — release them
+      while (midCaches.size > 1) { midCaches.remove(0).unpersist(); () }
+    }
+    val out = hubs.join(auths, Seq("node"))
+      .select(col("node"), col("h").as("hub_fp"), col("a").as("auth_fp"))
+    bySrc.unpersist()
+    byDst.unpersist()
+    nodes.unpersist()
+    out
+  }
+
+  def tradeHits(spark: SparkSession, dir: String): DataFrame =
+    hitsOf(tradeEdges(spark, dir))
+      .select(col("node"),
+        when(col("node") % 2 === 0, lit("customer")).otherwise(lit("supplier"))
+          .as("kind"),
+        col("hub_fp"), col("auth_fp"))
+
+  /** The identical HITS recurrence as chained CTEs — the loop
+    * unrolled, one (ar, qa, a, hr, qh, h) block per iteration,
+    * generated by the same Scala that drives the Spark loop.
+    */
+  def hitsSql(iters: Int = Iters): String = {
+    val baseSql = s"($Scale // (SELECT n FROM nn))"
+    val steps = (1 to iters).map { i =>
+      val ph = if (i == 1) "h0" else s"h${i - 1}"
+      s"""ar$i AS MATERIALIZED (
+         |  SELECT e.dst AS node, CAST(sum(p.h) AS BIGINT) AS ar
+         |  FROM edges e JOIN $ph p ON p.node = e.src GROUP BY e.dst
+         |), qa$i AS (
+         |  SELECT greatest(1, COALESCE(CAST(sum(ar) // $Scale AS BIGINT), 1)) AS q FROM ar$i
+         |), a$i AS MATERIALIZED (
+         |  SELECT nd.node,
+         |    CAST(COALESCE(ar, 0) // (SELECT q FROM qa$i) AS BIGINT) AS a
+         |  FROM nodes nd LEFT JOIN ar$i USING (node)
+         |), hr$i AS MATERIALIZED (
+         |  SELECT e.src AS node, CAST(sum(p.a) AS BIGINT) AS hr
+         |  FROM edges e JOIN a$i p ON p.node = e.dst GROUP BY e.src
+         |), qh$i AS (
+         |  SELECT greatest(1, COALESCE(CAST(sum(hr) // $Scale AS BIGINT), 1)) AS q FROM hr$i
+         |), h$i AS MATERIALIZED (
+         |  SELECT nd.node,
+         |    CAST(COALESCE(hr, 0) // (SELECT q FROM qh$i) AS BIGINT) AS h
+         |  FROM nodes nd LEFT JOIN hr$i USING (node)
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH edges AS MATERIALIZED (
+       |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+       |), nodes AS MATERIALIZED (
+       |  SELECT src AS node FROM edges UNION SELECT dst FROM edges
+       |), nn AS (SELECT count(*) AS n FROM nodes),
+       |h0 AS MATERIALIZED (SELECT node, CAST($baseSql AS BIGINT) AS h FROM nodes),
+       |$steps
+       |SELECT h.node,
+       |  CASE WHEN h.node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
+       |  h.h AS hub_fp, a.a AS auth_fp
+       |FROM h$iters h JOIN a$iters a ON h.node = a.node""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_pagerank" -> ((s, dir) => tradePagerank(s, dir))
+    "q_pagerank" -> ((s, dir) => tradePagerank(s, dir)),
+    "q_hits" -> ((s, dir) => tradeHits(s, dir))
   )
 
   def oracleSql: Map[String, String] = Map(
-    "q_pagerank" -> pagerankSql()
+    "q_pagerank" -> pagerankSql(),
+    "q_hits" -> hitsSql()
   )
 }

@@ -91,4 +91,43 @@ class GraphSpec extends SparkSuite {
       spark.conf.unset(graft.sources.Checkpoints.IterCheckpointDirKey)
     }
   }
+
+  test("HITS one iteration on a hand-computed micro graph is exact") {
+    // 1→3, 2→3, 1→4: N=4, base = SCALE/4
+    // ar(3) = h(1)+h(2) = 2·base; ar(4) = h(1) = base; total = 3·base
+    // qa = max(1, 3·base // SCALE) = 1 → a = ar
+    // hr(1) = a(3)+a(4) = 3·base; hr(2) = a(3) = 2·base; total = 5·base
+    // qh = max(1, 5·base // SCALE) = 1 → h = hr
+    val edges = Seq((1L, 3L), (2L, 3L), (1L, 4L)).toDF("src", "dst")
+    val got = Graph.hitsOf(edges, iters = 1).collect()
+      .map(r => r.getLong(0) -> ((r.getAs[Long]("hub_fp"), r.getAs[Long]("auth_fp")))).toMap
+    val base = Graph.Scale / 4
+    assert(got(3L) == ((0L, 2 * base)), "pure authority")
+    assert(got(4L) == ((0L, base)))
+    assert(got(1L) == ((3 * base, 0L)), "pure hub")
+    assert(got(2L) == ((2 * base, 0L)))
+  }
+
+  test("HITS on the bipartite trade graph: customers are pure hubs, suppliers pure authorities") {
+    val rows = Graph.tradeHits(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val kind = r.getAs[String]("kind")
+      if (kind == "customer") assert(r.getAs[Long]("auth_fp") == 0L, s"customer ${r.getLong(0)}")
+      else assert(r.getAs[Long]("hub_fp") == 0L, s"supplier ${r.getLong(0)}")
+    }
+    // renormalized mass stays within (Scale/2, 2·Scale): the quotient
+    // q = max(1, total // Scale) FLOORS, so total/q can overshoot Scale
+    // by a factor < (q+1)/q ≤ 2 and undershoot by the same bound
+    val hubMass = rows.map(_.getAs[Long]("hub_fp")).sum
+    val authMass = rows.map(_.getAs[Long]("auth_fp")).sum
+    assert(hubMass < 2 * Graph.Scale && hubMass > Graph.Scale / 2, s"hub mass $hubMass")
+    assert(authMass < 2 * Graph.Scale && authMass > Graph.Scale / 2, s"auth mass $authMass")
+  }
+
+  test("HITS bit-deterministic across runs") {
+    val a = Graph.tradeHits(spark, Sf).collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).sortBy(_._1)
+    val b = Graph.tradeHits(spark, Sf).collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).sortBy(_._1)
+    assert(a.sameElements(b))
+  }
 }
