@@ -455,6 +455,12 @@ object Graft {
   def hits(edges: DataFrame, iters: Int = ops.Graph.Iters): DataFrame =
     ops.Graph.hitsOf(edges, iters)
 
+  /** Reconciled sitemap+feed discovery table keyed on the canonical
+    * URL: per-source announcement counts, earliest announced instant.
+    */
+  def discoveryMerge(spark: SparkSession, sfDir: String): DataFrame =
+    pipelines.Discovery.merged(spark, sfDir)
+
   /** Per-key change-rate estimation across snapshot generations:
     * integer obs/changes counts bucketed hot/warm/cold/unknown — the
     * revisit-interval heuristic of an incremental crawler.

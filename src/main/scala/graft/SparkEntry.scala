@@ -63,6 +63,7 @@ object SparkEntry {
       (graft.pipelines.Redirects.queries, graft.pipelines.Redirects.oracleSql),
       (graft.pipelines.Traps.queries, graft.pipelines.Traps.oracleSql),
       (graft.pipelines.Mirrors.queries, graft.pipelines.Mirrors.oracleSql),
+      (graft.pipelines.Discovery.queries, graft.pipelines.Discovery.oracleSql),
       (AsofJoin.queries, AsofJoin.oracleSql),
       (DateParse.queries, DateParse.oracleSql),
       (CorpusOps.queries, CorpusOps.oracleSql),
