@@ -461,6 +461,15 @@ object Graft {
   def discoveryMerge(spark: SparkSession, sfDir: String): DataFrame =
     pipelines.Discovery.merged(spark, sfDir)
 
+  /** Streaming politeness gate: per-host courtesy delay held across
+    * micro-batches (stateful; watermark-evicted host state).
+    */
+  def politenessStream(
+      candidates: org.apache.spark.sql.Dataset[streaming.PolitenessStream.Candidate],
+      lateness: String = "1 hour")
+      : org.apache.spark.sql.Dataset[streaming.PolitenessStream.Scheduled] =
+    streaming.PolitenessStream.scheduleStream(candidates, lateness)
+
   /** Per-key change-rate estimation across snapshot generations:
     * integer obs/changes counts bucketed hot/warm/cold/unknown — the
     * revisit-interval heuristic of an incremental crawler.
