@@ -285,4 +285,15 @@ class HygieneBpeSpec extends SparkSuite {
         s"pair ${r.getString(0)} disagrees with naive count")
     }
   }
+
+  test("BPE decode round-trip: concatenating a word's tokens reproduces the word exactly") {
+    // sep="" merges are lossless by construction — decode is the
+    // separator-free concat, and the gate's toks column must replay the
+    // vocabulary bit-for-bit (the tokenizer-serving contract)
+    import org.apache.spark.sql.functions._
+    val bad = graft.text.Bpe.encode(spark, Sf)
+      .filter(regexp_replace(col("toks"), " ", "") =!= col("w"))
+      .count()
+    assert(bad == 0L, s"$bad vocabulary words fail the decode round-trip")
+  }
 }
