@@ -461,6 +461,12 @@ object Graft {
   def discoveryMerge(spark: SparkSession, sfDir: String): DataFrame =
     pipelines.Discovery.merged(spark, sfDir)
 
+  /** Corpus-wide paragraph dedup over a (doc_id, text) frame with
+    * blank-line paragraphs: global keep-first, reassembled survivors.
+    */
+  def paragraphDedup(df: DataFrame): DataFrame =
+    text.Paragraphs.dedupParagraphs(df)
+
   /** Streaming politeness gate: per-host courtesy delay held across
     * micro-batches (stateful; watermark-evicted host state).
     */

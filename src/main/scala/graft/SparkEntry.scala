@@ -57,6 +57,7 @@ object SparkEntry {
       (graft.text.Sitemaps.queries, graft.text.Sitemaps.oracleSql),
       (graft.text.Feeds.queries, graft.text.Feeds.oracleSql),
       (graft.text.Anchors.queries, graft.text.Anchors.oracleSql),
+      (graft.text.Paragraphs.queries, graft.text.Paragraphs.oracleSql),
       (graft.pipelines.Hygiene.queries, graft.pipelines.Hygiene.oracleSql),
       (graft.pipelines.CrawlPipeline.queries, graft.pipelines.CrawlPipeline.oracleSql),
       (graft.pipelines.Frontier.queries, graft.pipelines.Frontier.oracleSql),
