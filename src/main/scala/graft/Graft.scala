@@ -431,6 +431,12 @@ object Graft {
   def feedEntries(df: DataFrame): DataFrame =
     text.Feeds.entries(df)
 
+  /** Feed autodiscovery over a (doc_id, base, html) frame: resolved
+    * rss/atom link-rel=alternate targets.
+    */
+  def feedDiscovery(df: DataFrame): DataFrame =
+    text.Feeds.autodiscover(df)
+
   /** Crawl-trap report over a (url, fp) crawl log: per (host,
     * URL-template) family URL count vs content diversity, trap flag.
     */

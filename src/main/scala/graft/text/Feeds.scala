@@ -158,9 +158,81 @@ object Feeds {
     Seq(1, 2, 3).map(entry).mkString("\nUNION ALL\n")
   }
 
+  // ---- feed AUTODISCOVERY (how a crawler finds the feed in the first
+  // place): pages advertise their feeds with
+  //   <link rel="alternate" type="application/rss+xml|atom+xml" href=…>
+  // in the head; attributes come in any order, hrefs are relative as
+  // often as absolute, and stylesheet/link decoys share the tag name.
+
+  val LinkTagRe = "<link[^>]*>"
+
+  private def shim(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    org.apache.spark.sql.GraftColumnShim.column(e)
+  private def ex(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    org.apache.spark.sql.GraftColumnShim.expression(c)
+  private def resolve(base: Column, ref: Column): Column =
+    shim(graft.plans.ResolveUrl(ex(base), ex(ref)))
+
+  /** Autodiscovery plant (doc_id % 4): relative rss href / absolute
+    * atom href / attribute order flipped + stylesheet decoy / no feed
+    * at all (decoy only).
+    */
+  def plantDiscoveryHtml: Column = {
+    val id = col("doc_id")
+    val head = when(id % 4 === 0,
+      lit("<link rel=\"alternate\" type=\"application/rss+xml\" title=\"RSS\" href=\"/feed.xml\">"))
+      .when(id % 4 === 1,
+        concat(lit("<link rel=\"alternate\" type=\"application/atom+xml\" href=\"https://feeds.example.org/s"),
+          (id % 9).cast("string"), lit(".atom\">")))
+      .when(id % 4 === 2,
+        concat(lit("<link rel=\"stylesheet\" href=\"style.css\">\n<link href=\"rss/"),
+          (id % 5).cast("string"),
+          lit(".xml\" type=\"application/rss+xml\" rel=\"alternate\">")))
+      .otherwise(lit("<link rel=\"stylesheet\" href=\"style.css\">"))
+    concat(lit("<html><head>\n"), head, lit("\n</head><body>x</body></html>"))
+  }
+
+  def plantPageUrl: Column =
+    concat(lit("http://h"), (col("doc_id") % 7).cast("string"),
+      lit(".example.com/blog/"), (col("doc_id") % 50).cast("string"), lit("/post"))
+
+  /** (doc_id, feed_url, kind) over a (doc_id, base, html) frame —
+    * attribute-order-tolerant, decoys screened on BOTH rel and type,
+    * hrefs resolved against the page URL; pages without a feed emit
+    * nothing.
+    */
+  def autodiscover(df: DataFrame): DataFrame =
+    df.select(col("doc_id"), col("base"),
+        explode(regexp_extract_all(col("html"), lit(LinkTagRe), lit(0))).as("tag"))
+      .filter(col("tag").contains("rel=\"alternate\"") &&
+        (col("tag").contains("type=\"application/rss+xml\"") ||
+          col("tag").contains("type=\"application/atom+xml\"")))
+      .select(col("doc_id"),
+        resolve(col("base"), regexp_extract(col("tag"), "href=\"([^\"]*)\"", 1))
+          .as("feed_url"),
+        when(col("tag").contains("application/atom+xml"), "atom")
+          .otherwise(lit("rss")).as("kind"))
+
+  def autodiscovered(spark: SparkSession, dir: String): DataFrame =
+    autodiscover(graft.ops.ScaleOps.widen(Tables.documents(spark, dir))
+      .select(col("doc_id"), plantPageUrl.as("base"), plantDiscoveryHtml.as("html")))
+
+  def autodiscoveredOracle: String =
+    s"""SELECT doc_id,
+       |  CASE doc_id % 4
+       |    WHEN 0 THEN 'http://h' || CAST(doc_id % 7 AS VARCHAR) || '.example.com/feed.xml'
+       |    WHEN 1 THEN 'https://feeds.example.org/s' || CAST(doc_id % 9 AS VARCHAR) || '.atom'
+       |    ELSE 'http://h' || CAST(doc_id % 7 AS VARCHAR) || '.example.com/blog/' ||
+       |      CAST(doc_id % 50 AS VARCHAR) || '/rss/' || CAST(doc_id % 5 AS VARCHAR) || '.xml'
+       |  END AS feed_url,
+       |  CASE WHEN doc_id % 4 = 1 THEN 'atom' ELSE 'rss' END AS kind
+       |FROM documents WHERE doc_id % 4 <> 3""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_feed_entries" -> ((s, dir) => extracted(s, dir)))
+    "q_feed_entries" -> ((s, dir) => extracted(s, dir)),
+    "q_feed_discovery" -> ((s, dir) => autodiscovered(s, dir)))
 
   def oracleSql: Map[String, String] = Map(
-    "q_feed_entries" -> extractedOracle)
+    "q_feed_entries" -> extractedOracle,
+    "q_feed_discovery" -> autodiscoveredOracle)
 }

@@ -57,6 +57,31 @@ class FeedsSpec extends SparkSuite {
     assert(!plan.contains("Join"), plan)
   }
 
+  test("autodiscovery: attribute order tolerated, decoys screened, hrefs resolved") {
+    import spark.implicits._
+    val html = """<head>
+      |<link rel="stylesheet" href="style.css">
+      |<link href="rss/3.xml" type="application/rss+xml" rel="alternate">
+      |<link rel="alternate" type="application/atom+xml" href="/a.atom">
+      |</head>""".stripMargin
+    val got = Feeds.autodiscover(
+      Seq((1L, "http://x.example.com/blog/9/post", html)).toDF("doc_id", "base", "html"))
+      .collect().map(r => (r.getString(1), r.getString(2))).toSet
+    assert(got == Set(
+      ("http://x.example.com/blog/9/rss/3.xml", "rss"),
+      ("http://x.example.com/a.atom", "atom")))
+  }
+
+  test("autodiscovery fixture: feedless pages emit nothing; every other page exactly one feed") {
+    val byDoc = Feeds.autodiscovered(spark, Sf).groupBy("doc_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ids = Tables.documents(spark, Sf).select("doc_id").collect().map(_.getLong(0))
+    ids.foreach { id =>
+      if (id % 4 == 3) assert(!byDoc.contains(id), s"doc $id is feedless")
+      else assert(byDoc(id) == 1L, s"doc $id")
+    }
+  }
+
   test("dialect sniff keys off the root element, not the fixture rotation") {
     import spark.implicits._
     val atomXml = "<?xml version=\"1.0\"?>\n<feed>\n<entry>\n" +
