@@ -437,6 +437,12 @@ object Graft {
   def feedDiscovery(df: DataFrame): DataFrame =
     text.Feeds.autodiscover(df)
 
+  /** Page-level robots directives (X-Robots-Tag ∪ meta robots) over a
+    * (doc_id, raw) frame of HTTP responses: noindex/nofollow/noarchive.
+    */
+  def pageRobots(df: DataFrame): DataFrame =
+    text.PageRobots.directives(df)
+
   /** Crawl-trap report over a (url, fp) crawl log: per (host,
     * URL-template) family URL count vs content diversity, trap flag.
     */

@@ -53,6 +53,7 @@ object SparkEntry {
       (graft.text.Unicode.queries, graft.text.Unicode.oracleSql),
       (graft.sources.Warc.queries, graft.sources.Warc.oracleSql),
       (graft.text.Robots.queries, graft.text.Robots.oracleSql),
+      (graft.text.PageRobots.queries, graft.text.PageRobots.oracleSql),
       (graft.text.Links.queries, graft.text.Links.oracleSql),
       (graft.text.Sitemaps.queries, graft.text.Sitemaps.oracleSql),
       (graft.text.Feeds.queries, graft.text.Feeds.oracleSql),
