@@ -443,6 +443,10 @@ object Graft {
   def pageRobots(df: DataFrame): DataFrame =
     text.PageRobots.directives(df)
 
+  /** RFC 3986 §6.2.2 percent-encoding normalization of a URL column. */
+  def pctNormalize(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    text.Canonical.pctNormalize(c)
+
   /** Crawl-trap report over a (url, fp) crawl log: per (host,
     * URL-template) family URL count vs content diversity, trap flag.
     */

@@ -160,9 +160,58 @@ object Canonical {
        |SELECT doc_id, $canonSelectSql AS canon
        |FROM normed""".stripMargin
 
+  // ---- RFC 3986 §6.2.2 percent-encoding normalization (X150): the
+  // equivalence layer IN FRONT of the string canonicalizer — %7Ealice,
+  // %7ealice and ~alice are the same URI. Implemented as the codegen'd
+  // [[graft.plans.PctNormalize]] expression; the gate plants the
+  // uppercase-hex, decode-unreserved, keep-reserved and malformed
+  // classes and the oracle restates each closed-form.
+
+  /** `pct_normalize(c)` as a Column. */
+  def pctNormalize(c: Column): Column =
+    org.apache.spark.sql.GraftColumnShim.column(
+      graft.plans.PctNormalize(
+        org.apache.spark.sql.GraftColumnShim.expression(c)))
+
+  /** Plant (doc_id % 6): decode-unreserved tilde / multi-escape run /
+    * reserved kept + case uppercased / reserved gen+sub delims / the
+    * malformed passthrough / mixed decode-and-keep.
+    */
+  def plantPctUrl: Column = {
+    val id = col("doc_id")
+    concat(lit("http://p"), (id % 7).cast("string"), lit(".example.com"),
+      when(id % 6 === 0, lit("/a/%7euser"))
+        .when(id % 6 === 1, lit("/b/%41%42%63d"))
+        .when(id % 6 === 2, lit("/c%2fd?x=%2f"))
+        .when(id % 6 === 3, lit("/d/%3a%2b"))
+        .when(id % 6 === 4, lit("/e/%G1%"))
+        .otherwise(lit("/f/%54%65st%20x")))
+  }
+
+  def pctNormalized(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.ScaleOps.widen(Tables.documents(spark, dir))
+      .select(col("doc_id"), plantPctUrl.as("url"))
+      .select(col("doc_id"), col("url"), pctNormalize(col("url")).as("normalized"))
+
+  def pctOracle: String =
+    s"""SELECT doc_id,
+       |  'http://p' || CAST(doc_id % 7 AS VARCHAR) || '.example.com' ||
+       |  CASE doc_id % 6
+       |    WHEN 0 THEN '/a/%7euser' WHEN 1 THEN '/b/%41%42%63d'
+       |    WHEN 2 THEN '/c%2fd?x=%2f' WHEN 3 THEN '/d/%3a%2b'
+       |    WHEN 4 THEN '/e/%G1%' ELSE '/f/%54%65st%20x' END AS url,
+       |  'http://p' || CAST(doc_id % 7 AS VARCHAR) || '.example.com' ||
+       |  CASE doc_id % 6
+       |    WHEN 0 THEN '/a/~user' WHEN 1 THEN '/b/ABcd'
+       |    WHEN 2 THEN '/c%2Fd?x=%2F' WHEN 3 THEN '/d/%3A%2B'
+       |    WHEN 4 THEN '/e/%G1%' ELSE '/f/Test%20x' END AS normalized
+       |FROM documents""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_url_canonical" -> ((s, dir) => canonicalUrls(s, dir)))
+    "q_url_canonical" -> ((s, dir) => canonicalUrls(s, dir)),
+    "q_pct_normalize" -> ((s, dir) => pctNormalized(s, dir)))
 
   def oracleSql: Map[String, String] = Map(
-    "q_url_canonical" -> canonicalOracle)
+    "q_url_canonical" -> canonicalOracle,
+    "q_pct_normalize" -> pctOracle)
 }
