@@ -447,6 +447,14 @@ object Graft {
   def pctNormalize(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     text.Canonical.pctNormalize(c)
 
+  /** IDN host → registry (ASCII/Punycode) form — the canonical crawl key. */
+  def idnAscii(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    text.Canonical.idnAscii(c)
+
+  /** IDN host → display (Unicode) form. */
+  def idnUnicode(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    text.Canonical.idnUnicode(c)
+
   /** Crawl-trap report over a (url, fp) crawl log: per (host,
     * URL-template) family URL count vs content diversity, trap flag.
     */

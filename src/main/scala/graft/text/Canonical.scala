@@ -207,11 +207,72 @@ object Canonical {
        |    WHEN 4 THEN '/e/%G1%' ELSE '/f/Test%20x' END AS normalized
        |FROM documents""".stripMargin
 
+  // ---- IDN hosts (X151): RFC 3492 Punycode per label, both
+  // directions, via the codegen'd [[graft.plans.Idn]] expressions. The
+  // plant pairs are ICANN's published IDN test strings plus the
+  // classic German examples, each verified against `java.net.IDN`.
+
+  def idnAscii(c: Column): Column =
+    org.apache.spark.sql.GraftColumnShim.column(
+      graft.plans.IdnAscii(org.apache.spark.sql.GraftColumnShim.expression(c)))
+
+  def idnUnicode(c: Column): Column =
+    org.apache.spark.sql.GraftColumnShim.column(
+      graft.plans.IdnUnicode(org.apache.spark.sql.GraftColumnShim.expression(c)))
+
+  def plantIdnHost: Column = {
+    val id = col("doc_id")
+    when(id % 8 === 0, lit("bücher.example"))
+      .when(id % 8 === 1, lit("münchen.de"))
+      .when(id % 8 === 2, lit("δοκιμή.gr"))
+      .when(id % 8 === 3, lit("испытание.ru"))
+      .when(id % 8 === 4, lit("テスト.jp"))
+      .when(id % 8 === 5, lit("测试.cn"))
+      .when(id % 8 === 6, lit("shop.büro.example"))
+      .otherwise(concat(lit("plain"), (id % 9).cast("string"), lit(".example.com")))
+  }
+
+  /** (doc_id, host, ascii_host, display_host): registry form via
+    * encode, display form via decode of the REGISTRY form — the full
+    * round trip rides one plan.
+    */
+  def idnHosts(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.ScaleOps.widen(Tables.documents(spark, dir))
+      .select(col("doc_id"), plantIdnHost.as("host"))
+      .select(col("doc_id"), col("host"),
+        idnAscii(col("host")).as("ascii_host"))
+      .select(col("doc_id"), col("host"), col("ascii_host"),
+        idnUnicode(col("ascii_host")).as("display_host"))
+
+  def idnOracle: String =
+    s"""SELECT doc_id,
+       |  CASE doc_id % 8
+       |    WHEN 0 THEN 'bücher.example' WHEN 1 THEN 'münchen.de'
+       |    WHEN 2 THEN 'δοκιμή.gr' WHEN 3 THEN 'испытание.ru'
+       |    WHEN 4 THEN 'テスト.jp' WHEN 5 THEN '测试.cn'
+       |    WHEN 6 THEN 'shop.büro.example'
+       |    ELSE 'plain' || CAST(doc_id % 9 AS VARCHAR) || '.example.com' END AS host,
+       |  CASE doc_id % 8
+       |    WHEN 0 THEN 'xn--bcher-kva.example' WHEN 1 THEN 'xn--mnchen-3ya.de'
+       |    WHEN 2 THEN 'xn--jxalpdlp.gr' WHEN 3 THEN 'xn--80akhbyknj4f.ru'
+       |    WHEN 4 THEN 'xn--zckzah.jp' WHEN 5 THEN 'xn--0zwm56d.cn'
+       |    WHEN 6 THEN 'shop.xn--bro-hoa.example'
+       |    ELSE 'plain' || CAST(doc_id % 9 AS VARCHAR) || '.example.com' END AS ascii_host,
+       |  CASE doc_id % 8
+       |    WHEN 0 THEN 'bücher.example' WHEN 1 THEN 'münchen.de'
+       |    WHEN 2 THEN 'δοκιμή.gr' WHEN 3 THEN 'испытание.ru'
+       |    WHEN 4 THEN 'テスト.jp' WHEN 5 THEN '测试.cn'
+       |    WHEN 6 THEN 'shop.büro.example'
+       |    ELSE 'plain' || CAST(doc_id % 9 AS VARCHAR) || '.example.com' END AS display_host
+       |FROM documents""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_url_canonical" -> ((s, dir) => canonicalUrls(s, dir)),
-    "q_pct_normalize" -> ((s, dir) => pctNormalized(s, dir)))
+    "q_pct_normalize" -> ((s, dir) => pctNormalized(s, dir)),
+    "q_idn_hosts" -> ((s, dir) => idnHosts(s, dir)))
 
   def oracleSql: Map[String, String] = Map(
     "q_url_canonical" -> canonicalOracle,
-    "q_pct_normalize" -> pctOracle)
+    "q_pct_normalize" -> pctOracle,
+    "q_idn_hosts" -> idnOracle)
 }
