@@ -461,6 +461,12 @@ object Graft {
   def crawlTraps(df: DataFrame): DataFrame =
     pipelines.Traps.trapReport(df)
 
+  /** Trap-screened frontier admission over a (url, fp) crawl log:
+    * candidates minus trap-family members (broadcast anti-join).
+    */
+  def trapScreen(spark: SparkSession, sfDir: String): DataFrame =
+    pipelines.Traps.screened(spark, sfDir)
+
   /** Anchor-text rollup per resolved link target over a (base, html)
     * frame: in-links, distinct source hosts, consensus anchor.
     */

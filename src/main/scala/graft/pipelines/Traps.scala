@@ -113,8 +113,9 @@ object Traps {
     trapReport(graft.ops.ScaleOps.widen(Tables.documents(spark, dir))
       .select(plantCrawlLog.as("url"), plantFp.as("fp")))
 
-  def reportOracle: String =
-    s"""WITH log AS (
+  /** The shared log+templating CTE chain (no trailing SELECT). */
+  private def tplCtes: String =
+    s"""log AS (
        |  SELECT
        |    'https://site' || CAST(doc_id % 13 AS VARCHAR) || '.example.com' ||
        |    CASE WHEN doc_id % 4 = 0 THEN
@@ -149,7 +150,10 @@ object Traps {
        |         ELSE '?' || array_to_string(list_sort(list_distinct(
        |           list_transform(list_filter(string_split(rawq, '&'), x -> x <> ''),
        |             x -> string_split(x, '=')[1]))), ',') END AS template
-       |  FROM p)
+       |  FROM p)""".stripMargin
+
+  def reportOracle: String =
+    s"""WITH $tplCtes
        |SELECT host, template,
        |  COUNT(DISTINCT url) AS urls,
        |  COUNT(DISTINCT fp) AS contents,
@@ -157,9 +161,38 @@ object Traps {
        |   COUNT(DISTINCT fp) * $MaxDiversityDenom <= COUNT(DISTINCT url) AS INTEGER) AS trap
        |FROM tpl GROUP BY host, template""".stripMargin
 
+  /** Trap-SCREENED frontier admission (X152) — the consumption path of
+    * the report: today's distinct candidate URLs templated the same
+    * way, then anti-joined against the (tiny, page-type-bounded) trap
+    * family set, which BROADCASTS back — the report never shuffles the
+    * candidate stream. Output: the admitted (host, template, url) rows.
+    */
+  def screened(spark: SparkSession, dir: String): DataFrame = {
+    val log = graft.ops.ScaleOps.widen(Tables.documents(spark, dir))
+      .select(plantCrawlLog.as("url"), plantFp.as("fp"))
+    val traps = trapReport(log).filter(col("trap") === 1)
+      .select(col("host"), col("template"))
+    templated(log).select(col("host"), col("template"), col("url")).distinct()
+      .join(broadcast(traps), Seq("host", "template"), "left_anti")
+  }
+
+  def screenedOracle: String =
+    s"""WITH $tplCtes,
+       |rep AS (
+       |  SELECT host, template
+       |  FROM tpl GROUP BY host, template
+       |  HAVING COUNT(DISTINCT url) >= $MinUrls AND
+       |    COUNT(DISTINCT fp) * $MaxDiversityDenom <= COUNT(DISTINCT url))
+       |SELECT DISTINCT c.host, c.template, c.url
+       |FROM tpl c LEFT JOIN rep r
+       |  ON c.host = r.host AND c.template = r.template
+       |WHERE r.host IS NULL""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_crawl_traps" -> ((s, dir) => report(s, dir)))
+    "q_crawl_traps" -> ((s, dir) => report(s, dir)),
+    "q_frontier_trapscreen" -> ((s, dir) => screened(s, dir)))
 
   def oracleSql: Map[String, String] = Map(
-    "q_crawl_traps" -> reportOracle)
+    "q_crawl_traps" -> reportOracle,
+    "q_frontier_trapscreen" -> screenedOracle)
 }

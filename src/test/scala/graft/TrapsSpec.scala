@@ -73,4 +73,22 @@ class TrapsSpec extends SparkSuite {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
     assert(exchanges <= 2, s"expected <= 2 aggregation exchanges, got $exchanges\n$plan")
   }
+
+  test("trap screen: admitted set = all candidates minus trap-family members; broadcast anti-join") {
+    val admitted = Traps.screened(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    val report = Traps.report(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getInt(4)))).toMap
+    val trapFams = report.filter(_._2._2 == 1).keySet
+    assert(trapFams.nonEmpty, "fixture must contain traps")
+    admitted.foreach { case (h, t, _) =>
+      assert(!trapFams.contains((h, t)), s"trap family ($h, $t) leaked through")
+    }
+    val expectedCount = report.filter(_._2._2 == 0).values.map(_._1).sum
+    assert(admitted.length.toLong == expectedCount,
+      "every non-trap candidate must be admitted exactly once")
+    val plan = Traps.screened(spark, Sf).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      "the trap set must broadcast\n" + plan)
+  }
 }
