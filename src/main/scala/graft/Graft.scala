@@ -455,6 +455,10 @@ object Graft {
   def idnUnicode(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     text.Canonical.idnUnicode(c)
 
+  /** Per-user hourly series with gaps materialized and forward-filled. */
+  def hourlyGapFill(spark: SparkSession, sfDir: String): DataFrame =
+    ops.Events.hourlyGapFill(spark, sfDir)
+
   /** Crawl-trap report over a (url, fp) crawl log: per (host,
     * URL-template) family URL count vs content diversity, trap flag.
     */

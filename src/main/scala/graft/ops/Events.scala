@@ -201,6 +201,66 @@ object Events {
        |  w_hr AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
        |           RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW)""".stripMargin
 
+  /** Time-series gap fill with forward fill (X153) — the resample step
+    * every monitoring/feature pipeline runs before ML: per-user hourly
+    * sums over the user's OWN [first, last] hour range, missing hours
+    * materialized by `sequence()` + explode and carried forward from
+    * the last observed hour. The fill uses the grouped-islands trick —
+    * `grp = running count of observed values`, `filled = max over
+    * (user, grp)` — instead of `last(_, ignoreNulls)` so BOTH engines
+    * state the identical formulation (DuckDB's IGNORE NULLS support
+    * differs by version). The first series hour is always observed
+    * (the bound came from an observation), so no null prefix exists.
+    *
+    * Scale shape: one hourly aggregate exchange; bounds reuse the
+    * hourly table; the series join and the two windows all key on
+    * user_id — AQE coalesces the co-partitioned stages. Series length
+    * is bounded by the user's own activity span, never the corpus's.
+    */
+  def hourlyGapFill(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hourly = graft.ops.ScaleOps.widen(Tables.events(spark, dir))
+      .select(col("user_id"),
+        expr("unix_timestamp(ts) div 3600").as("h"),
+        floor(col("value") * 100).cast("long").as("cents"))
+      .groupBy(col("user_id"), col("h"))
+      .agg(sum(col("cents")).as("sum_cents"))
+    val series = hourly.groupBy(col("user_id"))
+      .agg(min(col("h")).as("hmin"), max(col("h")).as("hmax"))
+      .select(col("user_id"), explode(sequence(col("hmin"), col("hmax"))).as("h"))
+    val wCum = Window.partitionBy(col("user_id")).orderBy(col("h"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    series.join(hourly, Seq("user_id", "h"), "left")
+      .withColumn("grp", count(col("sum_cents")).over(wCum))
+      .select(col("user_id"), col("h").as("hour_epoch"),
+        col("sum_cents").isNotNull.cast("int").as("present"),
+        max(col("sum_cents"))
+          .over(Window.partitionBy(col("user_id"), col("grp")))
+          .as("filled_cents"))
+  }
+
+  def hourlyGapFillOracle: String =
+    s"""WITH hourly AS (
+       |  -- epoch_ms is exact BIGINT; CAST(epoch(ts)) would ROUND the
+       |  -- fractional seconds and shift hour boundaries
+       |  SELECT user_id, epoch_ms(ts) // 3600000 AS h,
+       |    SUM(CAST(floor(value * 100) AS BIGINT)) AS sum_cents
+       |  FROM events GROUP BY 1, 2),
+       |bounds AS (
+       |  SELECT user_id, min(h) AS hmin, max(h) AS hmax FROM hourly GROUP BY 1),
+       |series AS (
+       |  SELECT user_id, unnest(range(hmin, hmax + 1)) AS h FROM bounds),
+       |j AS (
+       |  SELECT s.user_id, s.h, hr.sum_cents
+       |  FROM series s LEFT JOIN hourly hr ON hr.user_id = s.user_id AND hr.h = s.h),
+       |g AS (
+       |  SELECT *, count(sum_cents) OVER (PARTITION BY user_id ORDER BY h) AS grp
+       |  FROM j)
+       |SELECT user_id, h AS hour_epoch,
+       |  CAST(sum_cents IS NOT NULL AS INTEGER) AS present,
+       |  CAST(max(sum_cents) OVER (PARTITION BY user_id, grp) AS BIGINT) AS filled_cents
+       |FROM g""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_events_window_stats" -> ((s, dir) => userWindowStats(s, dir)),
     "q_events_rolling" -> ((s, dir) => userRollingSpend(s, dir)),
@@ -208,7 +268,8 @@ object Events {
     "q_events_pivot" -> ((s, dir) => dailyTypePivot(s, dir)),
     "q_events_unpivot" -> ((s, dir) => dailyTypeUnpivot(s, dir)),
     "q_events_rollup" -> ((s, dir) => dailyRollup(s, dir)),
-    "q_events_cube" -> ((s, dir) => dailyCube(s, dir))
+    "q_events_cube" -> ((s, dir) => dailyCube(s, dir)),
+    "q_events_gap_fill" -> ((s, dir) => hourlyGapFill(s, dir))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -218,6 +279,7 @@ object Events {
     "q_events_pivot" -> dailyTypePivotOracle,
     "q_events_unpivot" -> dailyTypeUnpivotOracle,
     "q_events_rollup" -> dailyRollupOracle,
-    "q_events_cube" -> dailyCubeOracle
+    "q_events_cube" -> dailyCubeOracle,
+    "q_events_gap_fill" -> hourlyGapFillOracle
   )
 }

@@ -64,4 +64,34 @@ class EventsSpec extends SparkSuite {
     val view = rows(1)
     assert(view.getString(1) == "view" && view.getLong(2) == 1 && view.getLong(3) == 1)
   }
+
+  test("gap fill: contiguous per-user hour series, forward-carried values") {
+    val rows = graft.ops.Events.hourlyGapFill(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+    val byUser = rows.groupBy(_._1)
+    assert(byUser.nonEmpty)
+    // recompute hourly sums driver-side
+    val hourly = Tables.events(spark, Sf)
+      .select(org.apache.spark.sql.functions.col("user_id"),
+        org.apache.spark.sql.functions.expr("unix_timestamp(ts) div 3600").as("h"),
+        org.apache.spark.sql.functions.expr("CAST(floor(value * 100) AS BIGINT)").as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    byUser.foreach { case (u, rs) =>
+      val hs = rs.map(_._2).sorted
+      assert(hs.sameElements(hs.min to hs.max), s"user $u series not contiguous")
+      var carry = Long.MinValue
+      rs.sortBy(_._2).foreach { case (_, h, present, filled) =>
+        hourly.get((u, h)) match {
+          case Some(c) =>
+            assert(present == 1 && filled == c, s"user $u hour $h observed")
+            carry = c
+          case None =>
+            assert(present == 0 && filled == carry, s"user $u hour $h gap must carry forward")
+        }
+      }
+    }
+    // the fill is doing real work: gaps exist in the fixture
+    assert(rows.exists(_._3 == 0), "fixture has no gaps — the op is untested")
+  }
 }
