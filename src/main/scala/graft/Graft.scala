@@ -459,6 +459,10 @@ object Graft {
   def hourlyGapFill(spark: SparkSession, sfDir: String): DataFrame =
     ops.Events.hourlyGapFill(spark, sfDir)
 
+  /** RFC 9309 §2.3.1 robots fetch-status policy screen. */
+  def robotsStatusScreen(spark: SparkSession, sfDir: String): DataFrame =
+    text.Robots.statusScreen(spark, sfDir)
+
   /** Crawl-trap report over a (url, fp) crawl log: per (host,
     * URL-template) family URL count vs content diversity, trap flag.
     */

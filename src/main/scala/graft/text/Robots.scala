@@ -236,11 +236,79 @@ object Robots {
        |  END AS sitemaps
        |FROM documents""".stripMargin
 
+  // ---- robots FETCH-status access policy (X154, RFC 9309 §2.3.1):
+  // what governs access when fetching robots.txt itself didn't return
+  // a parseable file — the rule every compliant crawler implements and
+  // most ad-hoc ones get wrong:
+  //   2xx/3xx (after following redirects) → parse and apply the rules;
+  //   4xx except 429 ("unavailable")      → crawl is ALLOWED;
+  //   429 / 5xx ("unreachable")           → crawl is DISALLOWED.
+
+  /** Fetch-status rotation: both parse outcomes, a followed redirect,
+    * both unavailable codes, and both unreachable classes.
+    */
+  def plantRobotsStatus: Column = {
+    val k = col("doc_id") % 7
+    when(k === 0, 200).when(k === 1, 200).when(k === 2, 301)
+      .when(k === 3, 404).when(k === 4, 403)
+      .when(k === 5, 503).otherwise(429)
+  }
+
+  /** (doc_id, status, policy, allowed) — policy names the §2.3.1
+    * class; `allowed` is the REAL X116 evaluator's verdict when the
+    * class is `parse`, the constant the RFC mandates otherwise.
+    */
+  def statusScreen(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.ScaleOps.widen(Tables.documents(spark, dir))
+      .select(col("doc_id"), plantRobotsStatus.as("status"),
+        plantRobots.as("robots"), plantPath.as("path"))
+      .select(col("doc_id"), col("status"),
+        when(col("status") < 400, "parse")
+          .when(col("status") === 429 || col("status") >= 500, "disallow_all")
+          .otherwise("allow_all").as("policy"),
+        col("robots"), col("path"))
+      .select(col("doc_id"), col("status"), col("policy"),
+        when(col("policy") === "parse",
+          robotsAllowed(col("robots"), lit(Agent), col("path")).cast("int"))
+          .when(col("policy") === "allow_all", 1)
+          .otherwise(0).as("allowed"))
+
+  def statusOracle: String =
+    s"""WITH r AS (
+       |  SELECT doc_id,
+       |    ${plantRobotsSql} AS robots,
+       |    CASE doc_id % 9
+       |      WHEN 0 THEN '/private/pub/x'
+       |      WHEN 1 THEN '/private/secret'
+       |      WHEN 2 THEN '/data' || CAST(doc_id % 5 AS VARCHAR) || '/f'
+       |      WHEN 3 THEN '/bot/page'
+       |      WHEN 4 THEN '/public/page'
+       |      WHEN 5 THEN '/private'
+       |      WHEN 6 THEN '/file.tmp'
+       |      WHEN 7 THEN '/file.tmp.bak'
+       |      ELSE '/cgi/x/pub/page' END AS path,
+       |    CASE doc_id % 7 WHEN 0 THEN 200 WHEN 1 THEN 200 WHEN 2 THEN 301
+       |      WHEN 3 THEN 404 WHEN 4 THEN 403 WHEN 5 THEN 503 ELSE 429 END AS status
+       |  FROM documents),
+       |${robotsCtesFrom("r")}
+       |SELECT r.doc_id, CAST(r.status AS INTEGER) AS status,
+       |  CASE WHEN r.status < 400 THEN 'parse'
+       |       WHEN r.status = 429 OR r.status >= 500 THEN 'disallow_all'
+       |       ELSE 'allow_all' END AS policy,
+       |  CAST(CASE WHEN r.status < 400 THEN
+       |         CASE WHEN m.dir IS NULL OR m.dir = 'allow' THEN 1 ELSE 0 END
+       |       WHEN r.status = 429 OR r.status >= 500 THEN 0
+       |       ELSE 1 END AS INTEGER) AS allowed
+       |FROM r LEFT JOIN (SELECT doc_id, dir FROM matches WHERE rn = 1) m
+       |  USING (doc_id)""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_robots_screen" -> ((s, dir) => crawlScreen(s, dir)),
-    "q_robots_meta" -> ((s, dir) => politeness(s, dir)))
+    "q_robots_meta" -> ((s, dir) => politeness(s, dir)),
+    "q_robots_status" -> ((s, dir) => statusScreen(s, dir)))
 
   def oracleSql: Map[String, String] = Map(
     "q_robots_screen" -> robotsOracle,
-    "q_robots_meta" -> politenessOracle)
+    "q_robots_meta" -> politenessOracle,
+    "q_robots_status" -> statusOracle)
 }

@@ -141,4 +141,25 @@ class RobotsSpec extends SparkSuite {
     val plan = Robots.crawlScreen(spark, Sf).queryExecution.executedPlan.toString
     assert(!plan.contains("hashpartitioning"))
   }
+
+  test("fetch-status policy (RFC 9309 2.3.1): unavailable allows, unreachable disallows, 2xx/3xx parse") {
+    val rows = graft.text.Robots.statusScreen(spark, Sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Int]("status"), r.getAs[String]("policy"), r.getAs[Int]("allowed")))).toMap
+    val screen = graft.text.Robots.crawlScreen(spark, Sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("allowed")).toMap
+    rows.foreach { case (id, (status, policy, allowed)) =>
+      (id % 7) match {
+        case 3 | 4 =>
+          assert(policy == "allow_all" && allowed == 1, s"doc $id: 4xx must allow")
+        case 5 | 6 =>
+          assert(policy == "disallow_all" && allowed == 0, s"doc $id: 5xx/429 must disallow")
+        case _ =>
+          assert(policy == "parse", s"doc $id")
+          assert(allowed == screen(id),
+            s"doc $id: parse class must defer to the real evaluator")
+      }
+      assert(Set(200, 301, 404, 403, 503, 429).contains(status))
+    }
+  }
 }
