@@ -463,6 +463,10 @@ object Graft {
   def robotsStatusScreen(spark: SparkSession, sfDir: String): DataFrame =
     text.Robots.statusScreen(spark, sfDir)
 
+  /** Unicode script histogram + dominant script over (doc_id, text). */
+  def scriptDetect(df: DataFrame): DataFrame =
+    text.Scripts.detect(df)
+
   /** Crawl-trap report over a (url, fp) crawl log: per (host,
     * URL-template) family URL count vs content diversity, trap flag.
     */

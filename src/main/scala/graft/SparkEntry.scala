@@ -59,6 +59,7 @@ object SparkEntry {
       (graft.text.Feeds.queries, graft.text.Feeds.oracleSql),
       (graft.text.Anchors.queries, graft.text.Anchors.oracleSql),
       (graft.text.Paragraphs.queries, graft.text.Paragraphs.oracleSql),
+      (graft.text.Scripts.queries, graft.text.Scripts.oracleSql),
       (graft.pipelines.Hygiene.queries, graft.pipelines.Hygiene.oracleSql),
       (graft.pipelines.CrawlPipeline.queries, graft.pipelines.CrawlPipeline.oracleSql),
       (graft.pipelines.Frontier.queries, graft.pipelines.Frontier.oracleSql),
