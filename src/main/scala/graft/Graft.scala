@@ -467,6 +467,13 @@ object Graft {
   def scriptDetect(df: DataFrame): DataFrame =
     text.Scripts.detect(df)
 
+  /** Median + MAD + 3·MAD outlier count per key — exact integers,
+    * histogram-selection medians (no per-group row sort).
+    */
+  def robustStats(rows: DataFrame, key: org.apache.spark.sql.Column,
+      v: org.apache.spark.sql.Column): DataFrame =
+    ops.Quantiles.robustStats(rows, key, v)
+
   /** Crawl-trap report over a (url, fp) crawl log: per (host,
     * URL-template) family URL count vs content diversity, trap flag.
     */

@@ -115,13 +115,94 @@ object Quantiles {
     groupedSql(
       "SELECT event_type AS k, CAST(floor(value * 100) AS BIGINT) AS v FROM events")
 
+  /** Type-1 median per key via the same histogram selection, as a
+    * (k, m) relation — `cum·2 ≥ n` is the integer form of the p50 rank
+    * test.
+    */
+  private def median(in: DataFrame): DataFrame = {
+    val hist = in.groupBy(col("k"), col("v")).agg(count(lit(1)).as("cnt"))
+    val byV = Window.partitionBy(col("k")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val whole = Window.partitionBy(col("k"))
+    hist.select(col("k"), col("v"),
+        sum(col("cnt")).over(byV).as("cum"),
+        sum(col("cnt")).over(whole).as("n"))
+      .groupBy(col("k"))
+      .agg(min(when(col("cum") * 2 >= col("n"), col("v"))).as("m"))
+  }
+
+  /** Robust outlier statistics (X156) — median + MAD (median absolute
+    * deviation), the screen quality pipelines use where mean/stddev
+    * would let the outliers move their own threshold: per key the
+    * type-1 median `m`, `mad = median(|v − m|)`, and the count of rows
+    * with `|v − m| > 3·mad`. Exact integers end to end; BOTH medians
+    * run the histogram-selection plan (never a per-group row sort) and
+    * the two model-sized (k, scalar) relations broadcast back to the
+    * row stream.
+    */
+  def robustStats(rows: DataFrame, key: Column, v: Column): DataFrame = {
+    val base = rows.select(key.as("k"), v.cast("long").as("v"))
+    val med = median(base)
+    val dev = base.join(broadcast(med), Seq("k"))
+      .select(col("k"), abs(col("v") - col("m")).as("v"))
+    val mad = median(dev).withColumnRenamed("m", "mad")
+    base.join(broadcast(med), Seq("k")).join(broadcast(mad), Seq("k"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_rows"),
+        max(col("m")).as("median_v"),
+        max(col("mad")).as("mad"),
+        sum(when(abs(col("v") - col("m")) > col("mad") * 3, 1L).otherwise(0L))
+          .as("outliers"))
+  }
+
+  /** Planted heavy-tail fixture: three groups of a bounded base value
+    * with every 97th doc spiked three orders of magnitude — the
+    * outlier branch does real work and restates closed-form.
+    */
+  def robustFixture(spark: SparkSession, dir: String): DataFrame =
+    robustStats(graft.ops.ScaleOps.widen(Tables.documents(spark, dir)),
+      col("doc_id") % 3,
+      when(col("doc_id") % 97 === 0, col("doc_id") * 1000L)
+        .otherwise(col("doc_id") % 500))
+
+  def robustOracle: String = {
+    def med(rel: String, out: String): String =
+      s"""${out}_h AS (SELECT k, v, count(*) AS cnt FROM $rel GROUP BY k, v),
+         |${out}_c AS (
+         |  SELECT k, v,
+         |    sum(cnt) OVER (PARTITION BY k ORDER BY v
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         |    sum(cnt) OVER (PARTITION BY k) AS n
+         |  FROM ${out}_h),
+         |$out AS (
+         |  SELECT k, min(CASE WHEN cum * 2 >= n THEN v END) AS m FROM ${out}_c GROUP BY k)""".stripMargin
+    s"""WITH base AS (
+       |  SELECT doc_id % 3 AS k,
+       |    CASE WHEN doc_id % 97 = 0 THEN doc_id * 1000 ELSE doc_id % 500 END AS v
+       |  FROM documents),
+       |${med("base", "med")},
+       |dev AS (
+       |  SELECT b.k, abs(b.v - med.m) AS v FROM base b JOIN med USING (k)),
+       |${med("dev", "madr")}
+       |SELECT b.k,
+       |  CAST(count(*) AS BIGINT) AS n_rows,
+       |  CAST(max(med.m) AS BIGINT) AS median_v,
+       |  CAST(max(madr.m) AS BIGINT) AS mad,
+       |  CAST(sum(CASE WHEN abs(b.v - med.m) > madr.m * 3 THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS outliers
+       |FROM base b JOIN med USING (k) JOIN madr USING (k)
+       |GROUP BY b.k""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_quantiles_lineitem" -> ((s, dir) => lineitemQuantiles(s, dir)),
-    "q_quantiles_events" -> ((s, dir) => eventQuantiles(s, dir))
+    "q_quantiles_events" -> ((s, dir) => eventQuantiles(s, dir)),
+    "q_robust_stats" -> ((s, dir) => robustFixture(s, dir))
   )
 
   def oracleSql: Map[String, String] = Map(
     "q_quantiles_lineitem" -> lineitemQuantilesOracle,
-    "q_quantiles_events" -> eventQuantilesOracle
+    "q_quantiles_events" -> eventQuantilesOracle,
+    "q_robust_stats" -> robustOracle
   )
 }

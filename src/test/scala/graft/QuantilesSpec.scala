@@ -62,4 +62,40 @@ class QuantilesSpec extends SparkSuite {
       .count(_ == "Exchange hashpartitioning")
     assert(hashes <= 2, s"expected ≤2 hash exchanges (histogram, window):\n$p")
   }
+
+  test("robust stats: median/MAD by hand on a micro set; spikes flag, bulk never does") {
+    import spark.implicits._
+    // group 0: values 1..9 plus a 10000 spike. median of 10 values
+    // (type-1 lower) = 5; |v-5| = {4,3,2,1,0,1,2,3,4,9995} -> sorted
+    // {0,1,1,2,2,3,3,4,4,9995}, lower median = 2; threshold 6 -> only
+    // the spike (9995 > 6) flags
+    val rows = ((1 to 9).map(v => (0L, v.toLong)) :+ ((0L, 10000L))).toDF("k", "v")
+    val got = graft.ops.Quantiles.robustStats(rows, col("k"), col("v")).collect()(0)
+    assert(got.getAs[Long]("n_rows") == 10L)
+    assert(got.getAs[Long]("median_v") == 5L)
+    assert(got.getAs[Long]("mad") == 2L)
+    assert(got.getAs[Long]("outliers") == 1L)
+  }
+
+  test("robust stats fixture: every 97th doc spikes; the spike count matches the plant") {
+    val rows = graft.ops.Quantiles.robustFixture(spark, Sf).collect()
+      .map(r => r.getAs[Long]("k") -> ((r.getAs[Long]("n_rows"), r.getAs[Long]("outliers")))).toMap
+    val ids = Tables.documents(spark, Sf).select("doc_id").collect().map(_.getLong(0))
+    val expected = ids.groupBy(_ % 3).view
+      .mapValues(g => (g.size.toLong, g.count(id => id % 97 == 0 && id > 0).toLong)).toMap
+    assert(rows.keySet == expected.keySet)
+    // doc 0 spikes to 0*1000 = 0 which is NOT an outlier; all other %97
+    // docs land 3 orders of magnitude out and must flag
+    expected.foreach { case (k, (n, spikes)) =>
+      assert(rows(k)._1 == n, s"group $k size")
+      assert(rows(k)._2 == spikes, s"group $k outliers")
+    }
+  }
+
+  test("robust stats plan: both medians run histogram selection; scalars broadcast back") {
+    val plan = graft.ops.Quantiles.robustFixture(spark, Sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
 }
