@@ -474,6 +474,12 @@ object Graft {
       v: org.apache.spark.sql.Column): DataFrame =
     ops.Quantiles.robustStats(rows, key, v)
 
+  /** HTTP 206 partial-content reassembly over a (url, raw) frame:
+    * parts stitched in range order with a tiling completeness verdict.
+    */
+  def rangeReassemble(df: DataFrame): DataFrame =
+    pipelines.RangeFetch.reassemble(df)
+
   /** Crawl-trap report over a (url, fp) crawl log: per (host,
     * URL-template) family URL count vs content diversity, trap flag.
     */

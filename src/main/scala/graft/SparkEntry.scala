@@ -67,6 +67,7 @@ object SparkEntry {
       (graft.pipelines.Traps.queries, graft.pipelines.Traps.oracleSql),
       (graft.pipelines.Mirrors.queries, graft.pipelines.Mirrors.oracleSql),
       (graft.pipelines.Discovery.queries, graft.pipelines.Discovery.oracleSql),
+      (graft.pipelines.RangeFetch.queries, graft.pipelines.RangeFetch.oracleSql),
       (AsofJoin.queries, AsofJoin.oracleSql),
       (DateParse.queries, DateParse.oracleSql),
       (CorpusOps.queries, CorpusOps.oracleSql),
