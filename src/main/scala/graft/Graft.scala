@@ -480,6 +480,12 @@ object Graft {
   def rangeReassemble(df: DataFrame): DataFrame =
     pipelines.RangeFetch.reassemble(df)
 
+  /** WARC revisit-record derivation between two crawl snapshots:
+    * unchanged refetches dedup to payload-free revisit records.
+    */
+  def warcRevisit(spark: SparkSession, sfDir: String): DataFrame =
+    sources.WarcWriter.revisitDerived(spark, sfDir)
+
   /** Crawl-trap report over a (url, fp) crawl log: per (host,
     * URL-template) family URL count vs content diversity, trap flag.
     */

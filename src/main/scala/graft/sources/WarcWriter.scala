@@ -271,13 +271,93 @@ object WarcWriter {
        |    '"]}' AS wat_json
        |FROM l""".stripMargin
 
+  // ---- WARC `revisit` records (X159, ISO 28500 §6.7.2 as practiced
+  // by CommonCrawl): when a refetch returns a payload whose digest
+  // equals the stored copy's, the archive writes a payload-FREE
+  // revisit record (profile `identical-payload-digest`) referencing
+  // the digest instead of duplicating megabytes — the archive layer's
+  // own dedup, upstream of any corpus dedup.
+
+  /** Serialize one revisit record — no payload block, Content-Length
+    * 0, the referenced payload's digest carried in the header.
+    */
+  def revisitRecord(uri: Column, digest: Column): Column = concat(
+    lit("WARC/1.0" + Crlf),
+    lit("WARC-Type: revisit" + Crlf),
+    lit("WARC-Target-URI: "), uri, lit(Crlf),
+    lit("WARC-Profile: identical-payload-digest" + Crlf),
+    lit("WARC-Payload-Digest: sha256:"), digest, lit(Crlf),
+    lit("Content-Length: 0" + Crlf),
+    lit(Crlf), lit(Crlf + Crlf))
+
+  /** Two-snapshot refetch: url g = doc_id div 2 pairs an old (even)
+    * and a new (odd) fetch; every 7th url actually changed (`v2`
+    * payload), the rest refetch identical bytes and MUST derive
+    * revisit records. One url-keyed self-join (AQE-sized), digests via
+    * the same sha256 the writer emits.
+    */
+  def revisitDerived(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.ops.ScaleOps.widen(Tables.documents(spark, dir))
+      .select(col("doc_id"), expr("doc_id div 2").as("g"))
+    val url = concat(lit("http://h"), (col("g") % 23).cast("string"),
+      lit(".example.com/p/"), col("g").cast("string"))
+    val oldSide = docs.filter(col("doc_id") % 2 === 0)
+      .select(col("g"),
+        sha2(concat(lit("body "), col("g").cast("string"), lit(" v1"))
+          .cast("binary"), 256).as("old_digest"))
+    val newSide = docs.filter(col("doc_id") % 2 === 1)
+      .select(col("g"), url.as("url"),
+        concat(lit("body "), col("g").cast("string"),
+          when(col("g") % 7 === 0, lit(" v2")).otherwise(lit(" v1"))).as("payload"))
+    newSide.join(oldSide, Seq("g"))
+      .select(col("url"),
+        when(sha2(col("payload").cast("binary"), 256) === col("old_digest"),
+          lit("revisit")).otherwise(lit("response")).as("rec_type"),
+        when(sha2(col("payload").cast("binary"), 256) === col("old_digest"),
+          revisitRecord(col("url"), col("old_digest")))
+          .otherwise(record(lit("response"), col("url"), col("payload"))).as("rec"))
+      .select(col("url"), col("rec_type"),
+        octet_length(col("rec")).cast("long").as("rec_len"),
+        regexp_extract(col("rec"), DigestRe, 1).as("digest"))
+  }
+
+  def revisitOracle: String = {
+    val crlf = "chr(13) || chr(10)"
+    s"""WITH g AS (
+       |  SELECT doc_id // 2 AS g,
+       |    'http://h' || CAST(doc_id // 2 % 23 AS VARCHAR) || '.example.com/p/' ||
+       |      CAST(doc_id // 2 AS VARCHAR) AS url,
+       |    'body ' || CAST(doc_id // 2 AS VARCHAR) ||
+       |      CASE WHEN doc_id // 2 % 7 = 0 THEN ' v2' ELSE ' v1' END AS payload,
+       |    'body ' || CAST(doc_id // 2 AS VARCHAR) || ' v1' AS old_payload
+       |  FROM documents WHERE doc_id % 2 = 1),
+       |r AS (
+       |  SELECT url,
+       |    CASE WHEN g % 7 = 0 THEN 'response' ELSE 'revisit' END AS rec_type,
+       |    CASE WHEN g % 7 = 0 THEN
+       |      ${recordSql("'response'", "url", "payload")}
+       |    ELSE
+       |      'WARC/1.0' || $crlf || 'WARC-Type: revisit' || $crlf ||
+       |      'WARC-Target-URI: ' || url || $crlf ||
+       |      'WARC-Profile: identical-payload-digest' || $crlf ||
+       |      'WARC-Payload-Digest: sha256:' || sha256(old_payload) || $crlf ||
+       |      'Content-Length: 0' || $crlf || $crlf || $crlf || $crlf
+       |    END AS rec,
+       |    CASE WHEN g % 7 = 0 THEN sha256(payload) ELSE sha256(old_payload) END AS digest
+       |  FROM g)
+       |SELECT url, rec_type, CAST(strlen(rec) AS BIGINT) AS rec_len, digest
+       |FROM r""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_warc_write" -> ((s, dir) => writtenRecords(s, dir)),
     "q_wet_records" -> ((s, dir) => wetRecords(s, dir)),
-    "q_wat_records" -> ((s, dir) => watRecords(s, dir)))
+    "q_wat_records" -> ((s, dir) => watRecords(s, dir)),
+    "q_warc_revisit" -> ((s, dir) => revisitDerived(s, dir)))
 
   def oracleSql: Map[String, String] = Map(
     "q_warc_write" -> writtenOracle,
     "q_wet_records" -> wetOracle,
-    "q_wat_records" -> watOracle)
+    "q_wat_records" -> watOracle,
+    "q_warc_revisit" -> revisitOracle)
 }

@@ -136,4 +136,30 @@ class WarcWriterSpec extends SparkSuite {
       assert("Exchange rangepartitioning".r.findAllIn(plan).isEmpty, s"$name:\n$plan")
     }
   }
+
+  test("revisit derivation: unchanged refetches emit payload-free revisit records") {
+    val rows = graft.sources.WarcWriter.revisitDerived(spark, Sf).collect()
+      .map(r => r.getAs[String]("url") ->
+        ((r.getAs[String]("rec_type"), r.getAs[Long]("rec_len"), r.getAs[String]("digest")))).toMap
+    assert(rows.nonEmpty)
+    rows.foreach { case (url, (t, len, digest)) =>
+      val g = url.split("/").last.toLong
+      if (g % 7 == 0) {
+        assert(t == "response", s"url $url changed: must carry a full record")
+        val payload = s"body $g v2"
+        assert(digest == java.security.MessageDigest.getInstance("SHA-256")
+          .digest(payload.getBytes).map("%02x".format(_)).mkString, url)
+        assert(len > payload.length, "response record must carry the payload")
+      } else {
+        assert(t == "revisit", s"url $url unchanged: must dedup to a revisit record")
+        val payload = s"body $g v1"
+        assert(digest == java.security.MessageDigest.getInstance("SHA-256")
+          .digest(payload.getBytes).map("%02x".format(_)).mkString, url)
+      }
+    }
+    // revisit records never carry the payload: they are shorter than the
+    // SAME url's would-be response record by at least the payload size
+    val revisits = rows.filter(_._2._1 == "revisit")
+    assert(revisits.nonEmpty && rows.values.exists(_._1 == "response"))
+  }
 }
