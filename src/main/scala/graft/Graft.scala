@@ -447,6 +447,14 @@ object Graft {
   def pctNormalize(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     text.Canonical.pctNormalize(c)
 
+  /** Percent-encode a raw path segment (RFC 3986 §3.3 grammar). */
+  def pctEncodePath(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    text.Canonical.pctEncodePath(c)
+
+  /** Percent-encode a raw query value (unreserved-only grammar). */
+  def pctEncodeQuery(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    text.Canonical.pctEncodeQuery(c)
+
   /** IDN host → registry (ASCII/Punycode) form — the canonical crawl key. */
   def idnAscii(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     text.Canonical.idnAscii(c)

@@ -266,13 +266,68 @@ object Canonical {
        |    ELSE 'plain' || CAST(doc_id % 9 AS VARCHAR) || '.example.com' END AS display_host
        |FROM documents""".stripMargin
 
+  // ---- percent-ENCODING (X160): the inverse direction — composing
+  // safe URLs from raw extracted strings, via the codegen'd
+  // [[graft.plans.PctEncode]] (path-segment and query-value grammars).
+
+  def pctEncodePath(c: Column): Column =
+    org.apache.spark.sql.GraftColumnShim.column(
+      graft.plans.PctEncode(
+        org.apache.spark.sql.GraftColumnShim.expression(c), queryMode = false))
+
+  def pctEncodeQuery(c: Column): Column =
+    org.apache.spark.sql.GraftColumnShim.column(
+      graft.plans.PctEncode(
+        org.apache.spark.sql.GraftColumnShim.expression(c), queryMode = true))
+
+  /** Raw-string plant (doc_id % 6): clean / space + sub-delim / Latin-1
+    * multi-byte / Cyrillic multi-byte / slash-and-equals / literal `%`
+    * and `+` — the two grammars diverge on half of them.
+    */
+  def plantRawComponent: Column = {
+    val k = col("doc_id") % 6
+    when(k === 0, lit("plain-segment_1.txt"))
+      .when(k === 1, lit("a b&c"))
+      .when(k === 2, lit("café"))
+      .when(k === 3, lit("привет"))
+      .when(k === 4, lit("q=1/2"))
+      .otherwise(lit("100%+"))
+  }
+
+  def pctEncoded(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.ScaleOps.widen(Tables.documents(spark, dir))
+      .select(col("doc_id"), plantRawComponent.as("raw"))
+      .select(col("doc_id"), col("raw"),
+        pctEncodePath(col("raw")).as("path_enc"),
+        pctEncodeQuery(col("raw")).as("query_enc"))
+
+  def pctEncodeOracle: String =
+    s"""SELECT doc_id,
+       |  CASE doc_id % 6
+       |    WHEN 0 THEN 'plain-segment_1.txt' WHEN 1 THEN 'a b&c'
+       |    WHEN 2 THEN 'café' WHEN 3 THEN 'привет'
+       |    WHEN 4 THEN 'q=1/2' ELSE '100%+' END AS raw,
+       |  CASE doc_id % 6
+       |    WHEN 0 THEN 'plain-segment_1.txt' WHEN 1 THEN 'a%20b&c'
+       |    WHEN 2 THEN 'caf%C3%A9'
+       |    WHEN 3 THEN '%D0%BF%D1%80%D0%B8%D0%B2%D0%B5%D1%82'
+       |    WHEN 4 THEN 'q=1%2F2' ELSE '100%25+' END AS path_enc,
+       |  CASE doc_id % 6
+       |    WHEN 0 THEN 'plain-segment_1.txt' WHEN 1 THEN 'a%20b%26c'
+       |    WHEN 2 THEN 'caf%C3%A9'
+       |    WHEN 3 THEN '%D0%BF%D1%80%D0%B8%D0%B2%D0%B5%D1%82'
+       |    WHEN 4 THEN 'q%3D1%2F2' ELSE '100%25%2B' END AS query_enc
+       |FROM documents""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_url_canonical" -> ((s, dir) => canonicalUrls(s, dir)),
     "q_pct_normalize" -> ((s, dir) => pctNormalized(s, dir)),
-    "q_idn_hosts" -> ((s, dir) => idnHosts(s, dir)))
+    "q_idn_hosts" -> ((s, dir) => idnHosts(s, dir)),
+    "q_pct_encode" -> ((s, dir) => pctEncoded(s, dir)))
 
   def oracleSql: Map[String, String] = Map(
     "q_url_canonical" -> canonicalOracle,
     "q_pct_normalize" -> pctOracle,
-    "q_idn_hosts" -> idnOracle)
+    "q_idn_hosts" -> idnOracle,
+    "q_pct_encode" -> pctEncodeOracle)
 }

@@ -58,4 +58,27 @@ class PctNormalizeSpec extends SparkSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange hashpartitioning"), plan)
   }
+
+  test("encode: grammars, UTF-8 multibyte, and the normalize-of-encode fixpoint") {
+    import graft.plans.PctEncode
+    assert(PctEncode.encode("a b&c", false) == "a%20b&c")
+    assert(PctEncode.encode("a b&c", true) == "a%20b%26c")
+    assert(PctEncode.encode("café", true) == "caf%C3%A9")
+    assert(PctEncode.encode("q=1/2", false) == "q=1%2F2")
+    assert(PctEncode.encode("100%+", true) == "100%25%2B")
+    // encoded output is ALREADY in 6.2.2 normal form
+    val rnd = new scala.util.Random(3)
+    val alphabet = "ab c/&=+%\u00e9\u043f~._-"
+    (1 to 300).foreach { _ =>
+      val s0 = Seq.fill(rnd.nextInt(16))(alphabet(rnd.nextInt(alphabet.length))).mkString
+      for (q <- Seq(true, false)) {
+        val enc = PctEncode.encode(s0, q)
+        assert(PctNormalize.normalize(enc) == enc, s"not normal: $s0 -> $enc")
+        // round trip through the JDK's independent decoder (no '+'-as-space
+        // hazard: query mode escapes '+', path mode never emits one from ' ')
+        assert(java.net.URLDecoder.decode(
+          if (q) enc else enc.replace("+", "%2B"), "UTF-8") == s0, s"round trip $s0")
+      }
+    }
+  }
 }
