@@ -494,6 +494,10 @@ object Graft {
   def warcRevisit(spark: SparkSession, sfDir: String): DataFrame =
     sources.WarcWriter.revisitDerived(spark, sfDir)
 
+  /** HTML table cells as a relation over a (doc_id, html) frame. */
+  def htmlTableCells(df: DataFrame): DataFrame =
+    text.HtmlTables.cells(df)
+
   /** Crawl-trap report over a (url, fp) crawl log: per (host,
     * URL-template) family URL count vs content diversity, trap flag.
     */

@@ -1,0 +1,95 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** HTML table extraction — tables are their own training-data modality
+  * (table-QA, structured pretraining corpora like those behind
+  * table-to-text models are built by exactly this pass over web HTML):
+  * `<table>` → `<tr>` → `<td>/<th>` exploded into a cell RELATION
+  * (doc, table, row, col, is_header, text) with inline markup stripped
+  * from cell text. Grammar is the [[Html]] discipline — anchored
+  * non-greedy regex, three chained posexplodes, all codegen'd builtins,
+  * map-only. Declared scope: FLAT tables (nested `<table>` inside a
+  * cell needs a real parser and is the marked swap point — the regex
+  * stops the outer cell at the inner close tag).
+  *
+  * Reference scope: no crawl surface in the reference; north-star
+  * LLM-pipeline machinery.
+  */
+object HtmlTables {
+
+  val TableRe = "(?s)<table[^>]*>(.*?)</table>"
+  val RowRe = "(?s)<tr[^>]*>(.*?)</tr>"
+  val CellRe = "(?s)<t[dh][^>]*>(.*?)</t[dh]>"
+
+  /** 1 + doc_id%2 tables per page: a 2×2 table with a `<th>` header
+    * row and a styled (`<b>`) cell, odd docs add a 2×3 table with an
+    * EMPTY cell — empty cells must survive as '' rows, not vanish.
+    */
+  def plantTableHtml: Column = {
+    val id = col("doc_id")
+    val t0 = concat(
+      lit("<table class=\"data\">\n  <tr><th> Name </th><th>Value</th></tr>\n" +
+        "  <tr><td>item "), id.cast("string"),
+      lit("</td><td><b>"), (id * 7 % 100).cast("string"),
+      lit("</b></td></tr>\n</table>\n"))
+    val t1 = concat(
+      lit("<table>\n  <tr><th>A</th><th>B</th><th>C</th></tr>\n  <tr><td>x"),
+      (id % 9).cast("string"),
+      lit("</td><td></td><td>y"), (id % 4).cast("string"),
+      lit("</td></tr>\n</table>\n"))
+    concat(lit("<html><body>\n<p>pre</p>\n"), t0,
+      when(id % 2 === 1, t1).otherwise(lit("")), lit("</body></html>"))
+  }
+
+  /** (doc_id, tbl, row, colidx, header, cell) over a (doc_id, html)
+    * frame — inline tags stripped from cell text, whitespace trimmed.
+    */
+  def cells(df: DataFrame): DataFrame =
+    df.select(col("doc_id"),
+        posexplode(regexp_extract_all(col("html"), lit(TableRe), lit(1)))
+          .as(Seq("tbl", "tbody")))
+      .select(col("doc_id"), col("tbl").cast("int").as("tbl"),
+        posexplode(regexp_extract_all(col("tbody"), lit(RowRe), lit(1)))
+          .as(Seq("row", "rbody")))
+      .select(col("doc_id"), col("tbl"), col("row").cast("int").as("row"),
+        (instr(col("rbody"), "<th") > 0).cast("int").as("header"),
+        posexplode(regexp_extract_all(col("rbody"), lit(CellRe), lit(1)))
+          .as(Seq("colidx", "cbody")))
+      .select(col("doc_id"), col("tbl"), col("row"),
+        col("colidx").cast("int").as("colidx"), col("header"),
+        trim(regexp_replace(col("cbody"), "<[^>]*>", "")).as("cell"))
+
+  def extracted(spark: SparkSession, dir: String): DataFrame =
+    cells(graft.ops.ScaleOps.widen(Tables.documents(spark, dir))
+      .select(col("doc_id"), plantTableHtml.as("html")))
+
+  def extractedOracle: String = {
+    def cell(tbl: Int, row: Int, colidx: Int, header: Int, cellSql: String,
+             cond: String = "TRUE"): String =
+      s"""SELECT doc_id, $tbl AS tbl, $row AS row, $colidx AS colidx,
+         |  $header AS header, $cellSql AS cell
+         |FROM documents WHERE $cond""".stripMargin
+    Seq(
+      cell(0, 0, 0, 1, "'Name'"),
+      cell(0, 0, 1, 1, "'Value'"),
+      cell(0, 1, 0, 0, "'item ' || CAST(doc_id AS VARCHAR)"),
+      cell(0, 1, 1, 0, "CAST(doc_id * 7 % 100 AS VARCHAR)"),
+      cell(1, 0, 0, 1, "'A'", "doc_id % 2 = 1"),
+      cell(1, 0, 1, 1, "'B'", "doc_id % 2 = 1"),
+      cell(1, 0, 2, 1, "'C'", "doc_id % 2 = 1"),
+      cell(1, 1, 0, 0, "'x' || CAST(doc_id % 9 AS VARCHAR)", "doc_id % 2 = 1"),
+      cell(1, 1, 1, 0, "''", "doc_id % 2 = 1"),
+      cell(1, 1, 2, 0, "'y' || CAST(doc_id % 4 AS VARCHAR)", "doc_id % 2 = 1")
+    ).mkString("\nUNION ALL\n")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_html_tables" -> ((s, dir) => extracted(s, dir)))
+
+  def oracleSql: Map[String, String] = Map(
+    "q_html_tables" -> extractedOracle)
+}

@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.text.HtmlTables
+
+class HtmlTablesSpec extends SparkSuite {
+
+  test("cells: header detection, inline markup stripped, empty cells kept, positions exact") {
+    import spark.implicits._
+    val html = """<body><table>
+      |<tr><th>H1</th><th> H2 </th></tr>
+      |<tr><td><b>bold</b> text</td><td></td></tr>
+      |</table></body>""".stripMargin
+    val got = HtmlTables.cells(Seq((1L, html)).toDF("doc_id", "html"))
+      .collect().map(r => (r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4), r.getString(5)))
+    assert(got.toSet == Set(
+      (0, 0, 0, 1, "H1"), (0, 0, 1, 1, "H2"),
+      (0, 1, 0, 0, "bold text"), (0, 1, 1, 0, "")))
+  }
+
+  test("multiple tables index independently; rows and cols are 0-based in document order") {
+    import spark.implicits._
+    val html = "<table><tr><td>a</td></tr></table><table><tr><td>b</td><td>c</td></tr></table>"
+    val got = HtmlTables.cells(Seq((1L, html)).toDF("doc_id", "html"))
+      .collect().map(r => (r.getInt(1), r.getInt(2), r.getInt(3), r.getString(5))).toSet
+    assert(got == Set((0, 0, 0, "a"), (1, 0, 0, "b"), (1, 0, 1, "c")))
+  }
+
+  test("fixture: even docs yield 4 cells, odd docs 10; plan is map-only") {
+    val counts = HtmlTables.extracted(spark, Sf).groupBy("doc_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    counts.foreach { case (id, n) =>
+      assert(n == (if (id % 2 == 0) 4L else 10L), s"doc $id")
+    }
+    val plan = HtmlTables.extracted(spark, Sf).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+    assert(!plan.contains("Join"), plan)
+  }
+}
