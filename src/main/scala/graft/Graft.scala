@@ -498,6 +498,12 @@ object Graft {
   def htmlTableCells(df: DataFrame): DataFrame =
     text.HtmlTables.cells(df)
 
+  /** Title / description / OpenGraph metadata over a (doc_id, html)
+    * frame, with the og-falls-back-to-title card rule.
+    */
+  def pageMeta(df: DataFrame): DataFrame =
+    text.PageMeta.extract(df)
+
   /** Crawl-trap report over a (url, fp) crawl log: per (host,
     * URL-template) family URL count vs content diversity, trap flag.
     */

@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.text.PageMeta
+
+class PageMetaSpec extends SparkSuite {
+
+  test("attribute order tolerated; missing fields NULL; og:title falls back to title") {
+    import spark.implicits._
+    val html = """<head><title> T </title>
+      |<meta content="D" name="description">
+      |</head>""".stripMargin
+    val r = PageMeta.extract(Seq((1L, html)).toDF("doc_id", "html")).collect()(0)
+    assert(r.getAs[String]("title") == "T")
+    assert(r.getAs[String]("description") == "D", "flipped attribute order must match")
+    assert(r.isNullAt(r.fieldIndex("og_title")) && r.isNullAt(r.fieldIndex("og_image")))
+    assert(r.getAs[String]("card_title") == "T", "card falls back to the document title")
+    val og = PageMeta.extract(Seq((2L,
+      "<head><meta property=\"og:title\" content=\"O\"></head>")).toDF("doc_id", "html"))
+      .collect()(0)
+    assert(og.getAs[String]("card_title") == "O")
+    assert(og.isNullAt(og.fieldIndex("title")))
+  }
+
+  test("fixture replay: each rotation class lands its fields") {
+    val rows = PageMeta.extracted(spark, Sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    rows.foreach { case (id, r) =>
+      val k = id % 5
+      def n(f: String) = Option(r.getAs[String](f))
+      assert(n("title") == (if (k <= 2) Some(s"Page $id") else None), s"doc $id title")
+      assert(n("description") == (if (k <= 2) Some(s"about ${id % 7}") else None), s"doc $id desc")
+      assert(n("og_title") == (if (k == 0 || k == 3) Some(s"OG ${id % 11}") else None), s"doc $id og")
+      val card = if (k == 0 || k == 3) Some(s"OG ${id % 11}")
+        else if (k <= 2) Some(s"Page $id") else None
+      assert(n("card_title") == card, s"doc $id card")
+    }
+  }
+
+  test("plan is map-only") {
+    val plan = PageMeta.extracted(spark, Sf).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning") && !plan.contains("Join"), plan)
+  }
+}
