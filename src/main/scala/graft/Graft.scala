@@ -504,6 +504,10 @@ object Graft {
   def pageMeta(df: DataFrame): DataFrame =
     text.PageMeta.extract(df)
 
+  /** hreflang language-variant clusters over a (doc_id, html) frame. */
+  def hreflangClusters(df: DataFrame): DataFrame =
+    text.PageMeta.hreflang(df)
+
   /** Crawl-trap report over a (url, fp) crawl log: per (host,
     * URL-template) family URL count vs content diversity, trap flag.
     */

@@ -41,4 +41,40 @@ class PageMetaSpec extends SparkSuite {
     val plan = PageMeta.extracted(spark, Sf).queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange hashpartitioning") && !plan.contains("Join"), plan)
   }
+
+  test("hreflang: variants cluster on x-default, or the smallest href without one") {
+    import spark.implicits._
+    val withDefault = """<head>
+      |<link rel="alternate" hreflang="x-default" href="http://s/en">
+      |<link rel="alternate" hreflang="en" href="http://s/en">
+      |<link rel="alternate" hreflang="de" href="http://s/de">
+      |</head>""".stripMargin
+    val noDefault = """<head>
+      |<link rel="alternate" hreflang="pt" href="http://s/pt">
+      |<link rel="alternate" hreflang="es" href="http://s/es">
+      |<link rel="stylesheet" href="s.css">
+      |</head>""".stripMargin
+    val got = graft.text.PageMeta.hreflang(
+      Seq((1L, withDefault), (2L, noDefault)).toDF("doc_id", "html"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(3)))
+    assert(got.filter(_._1 == 1L).toSet ==
+      Set((1L, "en", "http://s/en"), (1L, "de", "http://s/en")),
+      "x-default names the cluster; the x-default row itself is dropped")
+    assert(got.filter(_._1 == 2L).toSet ==
+      Set((2L, "pt", "http://s/es"), (2L, "es", "http://s/es")),
+      "without x-default the smallest href leads; decoys are screened")
+  }
+
+  test("hreflang fixture: class-0 docs emit 3 variants, class-1 docs 2, others none") {
+    val counts = graft.text.PageMeta.hreflangExtracted(spark, Sf)
+      .groupBy("doc_id").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ids = Tables.documents(spark, Sf).select("doc_id").collect().map(_.getLong(0))
+    ids.foreach { id =>
+      (id % 4) match {
+        case 0 => assert(counts(id) == 3L, s"doc $id")
+        case 1 => assert(counts(id) == 2L, s"doc $id")
+        case _ => assert(!counts.contains(id), s"doc $id must emit nothing")
+      }
+    }
+  }
 }
