@@ -32,12 +32,17 @@ import org.apache.spark.unsafe.types.UTF8String
   *   - `body`         STRING — after chunked decode, content decoding,
   *                    and charset decode
   *   - `charset_source` STRING — which layer supplied the charset:
-  *                    'header' (Content-Type param), 'meta' (HTML5
-  *                    §13.2.3.2 prescan of the first 1024 body bytes
-  *                    for `<meta charset=…>` / the http-equiv form,
-  *                    consulted only when the header is silent and the
-  *                    media type is HTML/XML-ish), or null (UTF-8
-  *                    fallback)
+  *                    'bom' (WHATWG HTML §13.2.3.1: a UTF-8 /
+  *                    UTF-16LE / UTF-16BE byte-order mark on the
+  *                    payload bytes outranks EVERYTHING, including a
+  *                    contradicting Content-Type charset param, and
+  *                    is stripped from the decoded body), 'header'
+  *                    (Content-Type param), 'meta' (HTML5 §13.2.3.2
+  *                    prescan of the first 1024 body bytes for
+  *                    `<meta charset=…>` / the http-equiv form,
+  *                    consulted only when BOM and header are both
+  *                    silent and the media type is HTML/XML-ish), or
+  *                    null (UTF-8 fallback)
   *
   * Byte-level discipline: chunk sizes count BYTES, so decode reassembles
   * the raw byte stream FIRST and only then decodes characters — a chunk
@@ -258,24 +263,48 @@ object HttpMessage {
       }
     }
 
-    // HTML5 meta prescan (WHATWG HTML §13.2.3.2, simplified): when the
-    // TRANSPORT layer declares no charset and the payload is HTML-ish,
-    // scan the first 1024 BYTES (ASCII-superset read — the prescan runs
-    // before any real decode can) for `<meta charset=X>` or the
-    // http-equiv `content="...; charset=X"` form; both reduce to a
-    // charset= attribute inside an unclosed <meta tag. `charset_source`
-    // records which layer won: 'header' | 'meta' | null (fallback).
-    var charsetSource: String = if (charset != null) "header" else null
-    if (charset == null && (mediaType == null || mediaType.contains("html")
-      || mediaType.contains("xml"))) {
+    // Charset precedence, WHATWG HTML §13.2.3 order:
+    //   1. BOM (§13.2.3.1) — a byte-order mark on the decoded payload
+    //      bytes wins over every declaration, header included (BOM'd
+    //      UTF-8 contradicting an iso-8859-1 header is common, and a
+    //      UTF-16 page is pure mojibake under any byte-level fallback).
+    //   2. transport header (Content-Type charset param).
+    //   3. HTML5 meta prescan (§13.2.3.2, simplified): when BOM and
+    //      header are both silent and the payload is HTML-ish, scan the
+    //      first 1024 BYTES (ASCII-superset read — the prescan runs
+    //      before any real decode can) for `<meta charset=X>` or the
+    //      http-equiv `content="...; charset=X"` form.
+    // `charset_source` records which layer won:
+    // 'bom' | 'header' | 'meta' | null (UTF-8 fallback).
+    var charsetSource: String = null
+    val bomCharset = sniffBom(bodyBytes)
+    if (bomCharset != null) { charset = bomCharset; charsetSource = "bom" }
+    else if (charset != null) charsetSource = "header"
+    else if (mediaType == null || mediaType.contains("html")
+      || mediaType.contains("xml")) {
       val sniffed = sniffMetaCharset(bodyBytes)
       if (sniffed != null) { charset = sniffed; charsetSource = "meta" }
     }
 
-    // charset routing: decode the reassembled BYTES with the declared
-    // charset; unknown/unsupported → UTF-8 (the crawl-tolerant default)
+    // charset routing: decode the reassembled BYTES with the winning
+    // charset; unknown/unsupported → UTF-8 (the crawl-tolerant
+    // default). A BOM is an encoding signature, not content — it is
+    // stripped before decode (the UTF-16 decoders get explicit-endian
+    // charsets so the mark is never re-interpreted as text).
     val body: UTF8String =
-      if (charset == null || charset == "utf-8" || charset == "utf8")
+      if (charsetSource == "bom") charset match {
+        case "utf-8" =>
+          UTF8String.fromBytes(bodyBytes, 3, bodyBytes.length - 3)
+        case "utf-16le" =>
+          UTF8String.fromString(
+            new String(bodyBytes, 2, bodyBytes.length - 2,
+              java.nio.charset.StandardCharsets.UTF_16LE))
+        case _ =>
+          UTF8String.fromString(
+            new String(bodyBytes, 2, bodyBytes.length - 2,
+              java.nio.charset.StandardCharsets.UTF_16BE))
+      }
+      else if (charset == null || charset == "utf-8" || charset == "utf8")
         UTF8String.fromBytes(bodyBytes)
       else {
         val cs =
@@ -304,6 +333,19 @@ object HttpMessage {
     else r.setNullAt(7)
     r
   }
+
+  /** WHATWG §13.2.3.1 BOM sniff: 'utf-8' (EF BB BF), 'utf-16be'
+    * (FE FF), 'utf-16le' (FF FE), or null. UTF-16 checked by its
+    * 2-byte signature exactly as the spec orders it — a UTF-32LE
+    * FF FE 00 00 intentionally reads as UTF-16LE (the spec's own
+    * table stops at UTF-16).
+    */
+  def sniffBom(b: Array[Byte]): String =
+    if (b.length >= 3 && b(0) == 0xEF.toByte && b(1) == 0xBB.toByte &&
+      b(2) == 0xBF.toByte) "utf-8"
+    else if (b.length >= 2 && b(0) == 0xFE.toByte && b(1) == 0xFF.toByte) "utf-16be"
+    else if (b.length >= 2 && b(0) == 0xFF.toByte && b(1) == 0xFE.toByte) "utf-16le"
+    else null
 
   /** The prescan window the WHATWG algorithm mandates. */
   val MetaPrescanBytes = 1024

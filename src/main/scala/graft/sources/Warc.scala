@@ -332,37 +332,71 @@ object Warc {
   // charset actually routed).
   private val Latin1Cafe = "café "
   private val Utf8Hello = "héllo "
+  // BOM plants: é forces real UTF-16 code units (0xE9 0x00 / 0x00
+  // 0xE9 — invalid UTF-8 either way round); the BOM'd-UTF-8 body
+  // carries a decoy meta the prescan must never reach
+  private val Utf16Text = "uni café "
+  private val BomUtf8Text = "<html><head><meta charset=koi8-r></head><body>bömé "
 
-  /** HTTP 200 with `Content-Type: text/html` (NO charset param); body
-    * rotation doc_id % 5: meta windows-1251 / http-equiv shift_jis /
-    * single-quoted iso-8859-1 / unquoted utf-8 / no meta at all.
+  /** HTTP 200 `text/html`; body rotation doc_id % 8: meta
+    * windows-1251 / http-equiv shift_jis / single-quoted iso-8859-1 /
+    * unquoted utf-8 / no meta at all (the header-silent meta-prescan
+    * classes, NO charset param) — then the WHATWG §13.2.3.1 BOM
+    * classes: UTF-16LE and UTF-16BE bodies under a silent header
+    * (bytes invalid as UTF-8 — any fallback decode is mojibake, so
+    * the gate proves the BOM actually routed), and a BOM'd UTF-8 body
+    * CONTRADICTING an explicit `charset=iso-8859-1` header param with
+    * a decoy `<meta charset=koi8-r>` inside — bom must beat both.
+    * The per-row doc_id digits are interleaved with NULs to form
+    * valid UTF-16 code units for ASCII (LE: `d 00`, BE: `00 d`).
     */
   def plantMetaCharsetMsg: Column = {
     val id = col("doc_id")
-    def wrap(body: Column): Column = concat(
-      lit("HTTP/1.1 200 OK" + Crlf),
-      lit("Content-Type: text/html" + Crlf),
+    def wrapCt(ct: String, body: Column): Column = concat(
+      lit(s"HTTP/1.1 200 OK$Crlf"),
+      lit(s"Content-Type: $ct$Crlf"),
       lit("Content-Length: "), octet_length(body).cast("string"), lit(Crlf),
       lit(Crlf), body)
+    def wrap(body: Column): Column = wrapCt("text/html", body)
     def doc(meta: String, textBytes: Array[Byte]): Column = concat(
       lit(s"<html><head>$meta</head><body>"),
       lit(textBytes).cast("string"), id.cast("string"), lit("</body>"))
-    val k = id % 5
-    wrap(
-      when(k === 0, doc("<meta charset=\"windows-1251\">",
-        Win1251Text.getBytes("windows-1251")))
-        .when(k === 1, doc(
-          "<meta http-equiv=\"Content-Type\" content=\"text/html; charset=shift_jis\">",
-          SjisText.getBytes("shift_jis")))
-        .when(k === 2, doc("<meta charset='iso-8859-1'>",
-          Latin1Cafe.getBytes("iso-8859-1")))
-        .when(k === 3, doc("<meta charset=utf-8>", Utf8Hello.getBytes("UTF-8")))
-        .otherwise(concat(lit("<html><body>plain "), id.cast("string"),
-          lit("</body>"))))
+    val ids = id.cast("string")
+    val utf16le = concat(
+      lit(Array(0xFF.toByte, 0xFE.toByte) ++ Utf16Text.getBytes("UTF-16LE"))
+        .cast("string"),
+      regexp_replace(ids, "(.)", "$1\u0000"),
+      lit("</body>".getBytes("UTF-16LE")).cast("string"))
+    val utf16be = concat(
+      lit(Array(0xFE.toByte, 0xFF.toByte) ++ Utf16Text.getBytes("UTF-16BE"))
+        .cast("string"),
+      regexp_replace(ids, "(.)", "\u0000$1"),
+      lit("</body>".getBytes("UTF-16BE")).cast("string"))
+    val bomUtf8 = concat(
+      lit(Array(0xEF.toByte, 0xBB.toByte, 0xBF.toByte) ++
+        BomUtf8Text.getBytes("UTF-8")).cast("string"),
+      ids, lit("</body>"))
+    val k = id % 8
+    when(k === 7, wrapCt("text/html; charset=iso-8859-1", bomUtf8))
+      .otherwise(wrap(
+        when(k === 0, doc("<meta charset=\"windows-1251\">",
+          Win1251Text.getBytes("windows-1251")))
+          .when(k === 1, doc(
+            "<meta http-equiv=\"Content-Type\" content=\"text/html; charset=shift_jis\">",
+            SjisText.getBytes("shift_jis")))
+          .when(k === 2, doc("<meta charset='iso-8859-1'>",
+            Latin1Cafe.getBytes("iso-8859-1")))
+          .when(k === 3, doc("<meta charset=utf-8>", Utf8Hello.getBytes("UTF-8")))
+          .when(k === 5, utf16le)
+          .when(k === 6, utf16be)
+          .otherwise(concat(lit("<html><body>plain "), id.cast("string"),
+            lit("</body>")))))
   }
 
-  /** (doc_id, charset, charset_source, body) — header-silent messages
-    * routed by the HTML5 meta prescan; per-row, shuffle-free.
+  /** (doc_id, charset, charset_source, body) — charset routing across
+    * all three WHATWG layers: BOM (§13.2.3.1, beats a contradicting
+    * header) > header param > HTML5 meta prescan; per-row,
+    * shuffle-free.
     */
   def metaCharset(spark: SparkSession, dir: String): DataFrame =
     graft.ops.ScaleOps.widen(Tables.documents(spark, dir))
@@ -374,10 +408,13 @@ object Warc {
 
   def metaCharsetOracle: String =
     s"""SELECT doc_id,
-       |  CASE doc_id % 5 WHEN 0 THEN 'windows-1251' WHEN 1 THEN 'shift_jis'
-       |       WHEN 2 THEN 'iso-8859-1' WHEN 3 THEN 'utf-8' END AS charset,
-       |  CASE WHEN doc_id % 5 <= 3 THEN 'meta' END AS charset_source,
-       |  CASE doc_id % 5
+       |  CASE doc_id % 8 WHEN 0 THEN 'windows-1251' WHEN 1 THEN 'shift_jis'
+       |       WHEN 2 THEN 'iso-8859-1' WHEN 3 THEN 'utf-8'
+       |       WHEN 5 THEN 'utf-16le' WHEN 6 THEN 'utf-16be'
+       |       WHEN 7 THEN 'utf-8' END AS charset,
+       |  CASE WHEN doc_id % 8 <= 3 THEN 'meta'
+       |       WHEN doc_id % 8 >= 5 THEN 'bom' END AS charset_source,
+       |  CASE doc_id % 8
        |    WHEN 0 THEN '<html><head><meta charset="windows-1251"></head><body>' ||
        |      '$Win1251Sql' || CAST(doc_id AS VARCHAR) || '</body>'
        |    WHEN 1 THEN '<html><head><meta http-equiv="Content-Type" ' ||
@@ -387,6 +424,9 @@ object Warc {
        |      'café ' || CAST(doc_id AS VARCHAR) || '</body>'
        |    WHEN 3 THEN '<html><head><meta charset=utf-8></head><body>' ||
        |      'héllo ' || CAST(doc_id AS VARCHAR) || '</body>'
+       |    WHEN 5 THEN '$Utf16Text' || CAST(doc_id AS VARCHAR) || '</body>'
+       |    WHEN 6 THEN '$Utf16Text' || CAST(doc_id AS VARCHAR) || '</body>'
+       |    WHEN 7 THEN '$BomUtf8Text' || CAST(doc_id AS VARCHAR) || '</body>'
        |    ELSE '<html><body>plain ' || CAST(doc_id AS VARCHAR) || '</body>'
        |  END AS body
        |FROM documents""".stripMargin

@@ -291,4 +291,54 @@ class HttpMessageSpec extends SparkSuite {
       s"Content-Length: ${body.length}\r\n\r\n$body")
     assert(r2.isNullAt(r2.fieldIndex("charset")), "binary media types are never sniffed")
   }
+
+  test("BOM sniff: UTF-16LE and UTF-16BE bodies decode, charset_source='bom'") {
+    // bytes are invalid UTF-8 (é is E9 00 / 00 E9) — a fallback decode
+    // would be mojibake, so the assertions prove the BOM actually routed
+    def msg(body: Array[Byte]): Array[Byte] =
+      ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
+        s"Content-Length: ${body.length}\r\n\r\n").getBytes(
+        java.nio.charset.StandardCharsets.US_ASCII) ++ body
+    val le = Array(0xFF.toByte, 0xFE.toByte) ++ "uni café 7</body>".getBytes("UTF-16LE")
+    val rLe = split(msg(le))
+    assert(rLe.getAs[String]("charset") == "utf-16le")
+    assert(rLe.getAs[String]("charset_source") == "bom")
+    assert(rLe.getAs[String]("body") == "uni café 7</body>")
+    val be = Array(0xFE.toByte, 0xFF.toByte) ++ "uni café 9</body>".getBytes("UTF-16BE")
+    val rBe = split(msg(be))
+    assert(rBe.getAs[String]("charset") == "utf-16be")
+    assert(rBe.getAs[String]("charset_source") == "bom")
+    assert(rBe.getAs[String]("body") == "uni café 9</body>")
+  }
+
+  test("BOM precedence: beats a contradicting header charset AND the meta prescan") {
+    // header says iso-8859-1, document says koi8-r, bytes say UTF-8 BOM —
+    // WHATWG §13.2.3.1 puts the BOM above both; the ö/é decode proves it
+    // (an iso-8859-1 read of the UTF-8 bytes yields 'bÃ¶mÃ©')
+    val body = Array(0xEF.toByte, 0xBB.toByte, 0xBF.toByte) ++
+      "<html><head><meta charset=koi8-r></head><body>bömé</body>".getBytes(
+        java.nio.charset.StandardCharsets.UTF_8)
+    val head = ("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=iso-8859-1\r\n" +
+      s"Content-Length: ${body.length}\r\n\r\n").getBytes(
+      java.nio.charset.StandardCharsets.US_ASCII)
+    val r = split(head ++ body)
+    assert(r.getAs[String]("charset") == "utf-8")
+    assert(r.getAs[String]("charset_source") == "bom")
+    // the mark is an encoding signature, not content: stripped from body
+    assert(r.getAs[String]("body") ==
+      "<html><head><meta charset=koi8-r></head><body>bömé</body>")
+  }
+
+  test("sniffBom table: signatures, prefixes, and too-short inputs") {
+    def bom(bytes: Int*): String = HttpMessage.sniffBom(bytes.map(_.toByte).toArray)
+    assert(bom(0xEF, 0xBB, 0xBF, 'x') == "utf-8")
+    assert(bom(0xFE, 0xFF, 0x00, 'x') == "utf-16be")
+    assert(bom(0xFF, 0xFE, 'x', 0x00) == "utf-16le")
+    assert(bom(0xEF, 0xBB) == null, "truncated UTF-8 BOM is not a BOM")
+    assert(bom(0xFE) == null)
+    assert(bom() == null)
+    assert(bom('h', 'i') == null)
+    // a BOM-less non-ASCII UTF-8 body must not false-positive
+    assert(HttpMessage.sniffBom("é".getBytes("UTF-8")) == null)
+  }
 }
