@@ -12,22 +12,39 @@ import graft.Tables
   * (doc, table, row, col, is_header, text) with inline markup stripped
   * from cell text. Grammar is the [[Html]] discipline — anchored
   * non-greedy regex, three chained posexplodes, all codegen'd builtins,
-  * map-only. Declared scope: FLAT tables (nested `<table>` inside a
-  * cell needs a real parser and is the marked swap point — the regex
-  * stops the outer cell at the inner close tag).
+  * map-only.
+  *
+  * Declared scope (lifted one level in r11): INNERMOST tables. A
+  * layout table wrapping a data table — the dominant nested shape on
+  * older web pages — yields the INNER data table with correct rows
+  * instead of the r10 behavior (outer match truncated at the inner
+  * close tag, garbage cells). What is deliberately dropped: the OUTER
+  * layout table's own chrome cells (`nav`/`footer` — not table data)
+  * and, at nesting depth >= 3, mid-level tables (the innermost is
+  * still extracted). Recovering outer-cell text needs a real HTML
+  * parser and remains the marked swap point.
   *
   * Reference scope: no crawl surface in the reference; north-star
   * LLM-pipeline machinery.
   */
 object HtmlTables {
 
-  val TableRe = "(?s)<table[^>]*>(.*?)</table>"
+  /** Innermost-table grammar: tempered dot — a match's body may not
+    * open another table, so the regex engine skips a wrapping layout
+    * table's start position and anchors on the innermost `<table>`
+    * instead (flat tables match exactly as before).
+    */
+  val TableRe = "(?s)<table[^>]*>((?:(?!<table).)*?)</table>"
   val RowRe = "(?s)<tr[^>]*>(.*?)</tr>"
   val CellRe = "(?s)<t[dh][^>]*>(.*?)</t[dh]>"
 
-  /** 1 + doc_id%2 tables per page: a 2×2 table with a `<th>` header
-    * row and a styled (`<b>`) cell, odd docs add a 2×3 table with an
-    * EMPTY cell — empty cells must survive as '' rows, not vanish.
+  /** 2 + doc_id%2 extracted tables per page: a 2×2 table with a `<th>`
+    * header row and a styled (`<b>`) cell, odd docs add a 2×3 table
+    * with an EMPTY cell — empty cells must survive as '' rows, not
+    * vanish — and EVERY page ends with the nested shape: a layout
+    * table (`nav`/`footer` chrome cells) wrapping a 2-row data table.
+    * The extractor must yield the inner data table's rows and skip the
+    * wrapper, with flat-table indices unchanged.
     */
   def plantTableHtml: Column = {
     val id = col("doc_id")
@@ -41,8 +58,13 @@ object HtmlTables {
       (id % 9).cast("string"),
       lit("</td><td></td><td>y"), (id % 4).cast("string"),
       lit("</td></tr>\n</table>\n"))
+    val nested = concat(
+      lit("<table class=\"layout\"><tr><td>nav</td><td>\n" +
+        "<table class=\"inner\"><tr><th>K</th></tr><tr><td>v"),
+      (id % 6).cast("string"),
+      lit("</td></tr></table>\n</td><td>footer</td></tr></table>\n"))
     concat(lit("<html><body>\n<p>pre</p>\n"), t0,
-      when(id % 2 === 1, t1).otherwise(lit("")), lit("</body></html>"))
+      when(id % 2 === 1, t1).otherwise(lit("")), nested, lit("</body></html>"))
   }
 
   /** (doc_id, tbl, row, colidx, header, cell) over a (doc_id, html)
@@ -68,22 +90,27 @@ object HtmlTables {
       .select(col("doc_id"), plantTableHtml.as("html")))
 
   def extractedOracle: String = {
-    def cell(tbl: Int, row: Int, colidx: Int, header: Int, cellSql: String,
+    def cell(tblSql: String, row: Int, colidx: Int, header: Int, cellSql: String,
              cond: String = "TRUE"): String =
-      s"""SELECT doc_id, $tbl AS tbl, $row AS row, $colidx AS colidx,
-         |  $header AS header, $cellSql AS cell
+      s"""SELECT doc_id, CAST($tblSql AS INTEGER) AS tbl, $row AS row,
+         |  $colidx AS colidx, $header AS header, $cellSql AS cell
          |FROM documents WHERE $cond""".stripMargin
     Seq(
-      cell(0, 0, 0, 1, "'Name'"),
-      cell(0, 0, 1, 1, "'Value'"),
-      cell(0, 1, 0, 0, "'item ' || CAST(doc_id AS VARCHAR)"),
-      cell(0, 1, 1, 0, "CAST(doc_id * 7 % 100 AS VARCHAR)"),
-      cell(1, 0, 0, 1, "'A'", "doc_id % 2 = 1"),
-      cell(1, 0, 1, 1, "'B'", "doc_id % 2 = 1"),
-      cell(1, 0, 2, 1, "'C'", "doc_id % 2 = 1"),
-      cell(1, 1, 0, 0, "'x' || CAST(doc_id % 9 AS VARCHAR)", "doc_id % 2 = 1"),
-      cell(1, 1, 1, 0, "''", "doc_id % 2 = 1"),
-      cell(1, 1, 2, 0, "'y' || CAST(doc_id % 4 AS VARCHAR)", "doc_id % 2 = 1")
+      cell("0", 0, 0, 1, "'Name'"),
+      cell("0", 0, 1, 1, "'Value'"),
+      cell("0", 1, 0, 0, "'item ' || CAST(doc_id AS VARCHAR)"),
+      cell("0", 1, 1, 0, "CAST(doc_id * 7 % 100 AS VARCHAR)"),
+      cell("1", 0, 0, 1, "'A'", "doc_id % 2 = 1"),
+      cell("1", 0, 1, 1, "'B'", "doc_id % 2 = 1"),
+      cell("1", 0, 2, 1, "'C'", "doc_id % 2 = 1"),
+      cell("1", 1, 0, 0, "'x' || CAST(doc_id % 9 AS VARCHAR)", "doc_id % 2 = 1"),
+      cell("1", 1, 1, 0, "''", "doc_id % 2 = 1"),
+      cell("1", 1, 2, 0, "'y' || CAST(doc_id % 4 AS VARCHAR)", "doc_id % 2 = 1"),
+      // the nested plant: only the INNER data table is extracted (the
+      // wrapping layout table's nav/footer chrome never appears), at
+      // the table index AFTER the flat tables on the page
+      cell("1 + doc_id % 2", 0, 0, 1, "'K'"),
+      cell("1 + doc_id % 2", 1, 0, 0, "'v' || CAST(doc_id % 6 AS VARCHAR)")
     ).mkString("\nUNION ALL\n")
   }
 

@@ -26,11 +26,35 @@ class HtmlTablesSpec extends SparkSuite {
     assert(got == Set((0, 0, 0, "a"), (1, 0, 0, "b"), (1, 0, 1, "c")))
   }
 
-  test("fixture: even docs yield 4 cells, odd docs 10; plan is map-only") {
+  test("nested: a layout table wrapping a data table yields the INNER table's rows") {
+    import spark.implicits._
+    val html = "<table class=\"layout\"><tr><td>nav</td><td>" +
+      "<table><tr><th>K</th></tr><tr><td>v3</td></tr></table>" +
+      "</td><td>footer</td></tr></table>"
+    val got = HtmlTables.cells(Seq((1L, html)).toDF("doc_id", "html"))
+      .collect().map(r => (r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4), r.getString(5))).toSet
+    // the inner data table, complete and correctly indexed as table 0;
+    // the wrapper's chrome cells (nav/footer) are dropped by design
+    assert(got == Set((0, 0, 0, 1, "K"), (0, 1, 0, 0, "v3")))
+  }
+
+  test("nested: flat tables around a nested one keep their indices; depth-3 yields the innermost") {
+    import spark.implicits._
+    val html = "<table><tr><td>flat</td></tr></table>" + // tbl 0
+      "<table class=\"outer\"><tr><td><table class=\"mid\"><tr><td>" +
+      "<table><tr><td>deep</td></tr></table>" + // tbl 1: innermost only
+      "</td></tr></table></td></tr></table>" +
+      "<table><tr><td>tail</td></tr></table>" // tbl 2
+    val got = HtmlTables.cells(Seq((1L, html)).toDF("doc_id", "html"))
+      .collect().map(r => (r.getInt(1), r.getInt(2), r.getInt(3), r.getString(5))).toSet
+    assert(got == Set((0, 0, 0, "flat"), (1, 0, 0, "deep"), (2, 0, 0, "tail")))
+  }
+
+  test("fixture: even docs yield 6 cells, odd docs 12; plan is map-only") {
     val counts = HtmlTables.extracted(spark, Sf).groupBy("doc_id").count()
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     counts.foreach { case (id, n) =>
-      assert(n == (if (id % 2 == 0) 4L else 10L), s"doc $id")
+      assert(n == (if (id % 2 == 0) 6L else 12L), s"doc $id")
     }
     val plan = HtmlTables.extracted(spark, Sf).queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange hashpartitioning"), plan)
