@@ -814,6 +814,138 @@ object Dedup {
           length(coalesce(col("clean"), lit(""))).cast("long").as("clean_len"))
     }
 
+    // ---- recall gate vs EXACT duplicated substrings (VERDICT r10 #4):
+    // the CDC scrub is a PROXY for Lee et al. 2022's suffix-array span
+    // dedup; this fixture makes the proxy's recall a measured, gated
+    // number instead of a claim. Construction: group g = doc_id div 4
+    // shares one ~590-char / 75-word span S_g; each doc wraps it in
+    // 20-word prefix/suffix text unique to the doc (doc_id inside every
+    // word, and a per-doc group letter at each boundary so the exact
+    // maximal duplicated substring is S_g plus one space each side —
+    // known in closed form). Because prefix/suffix chunks are unique
+    // they survive the scrub intact, so: every removed char lies inside
+    // the shared span (precision 1, pinned structurally by
+    // intact = clean starts-with prefix AND ends-with suffix), and
+    // recall = removed/|S| — shortfall bounded by the two boundary
+    // chunks that straddle doc-unique text (≈ 2×64 expected chars of
+    // ~590). `CdcScrubSpec` pins the measured floor.
+
+    /** (doc_id, text, pre, suf, pre_len, span_len, suf_len). */
+    def recallPlanted(docs: DataFrame): DataFrame = {
+      val id = col("doc_id").cast("string")
+      val g = expr("doc_id div 4").cast("string")
+      val lch = expr("chr(65 + doc_id % 4)")
+      val pre = concat(array_join(transform(sequence(lit(0), lit(19)),
+        j => concat(lit("p"), id, lit("x"), j.cast("string"), lch)), " "), lit(" "))
+      val span = array_join(transform(sequence(lit(0), lit(74)),
+        j => concat(lit("s"), g, lit("w"), j.cast("string"))), " ")
+      val suf = concat(lit(" "), array_join(transform(sequence(lit(0), lit(19)),
+        j => concat(lch, lit("y"), j.cast("string"), lit("q"), id)), " "))
+      docs.select(col("doc_id"), pre.as("pre"), span.as("span"), suf.as("suf"))
+        .select(col("doc_id"), concat(col("pre"), col("span"), col("suf")).as("text"),
+          col("pre"), col("suf"),
+          length(col("pre")).cast("long").as("pre_len"),
+          length(col("span")).cast("long").as("span_len"),
+          length(col("suf")).cast("long").as("suf_len"))
+    }
+
+    /** q_cdc_recall: (doc_id, span_len, removed, removed_in_span,
+      * recall_bp, precision_bp). Each removed chunk's byte range
+      * (running offset over the doc's chunk list) is intersected with
+      * the planted span's range, so the gate reports the two numbers
+      * the Lee-et-al. proxy claim actually rests on, both in integer
+      * basis points: recall = in-span removed ÷ |S| (shortfall = the
+      * two boundary chunks straddling doc-unique text) and precision
+      * = in-span removed ÷ all removed (shortfall = pathologically
+      * SHORT chunks — the CDC rule has no minimum length, and a 2-char
+      * chunk like ` s` recurs across unrelated documents; measured,
+      * not hidden). `CdcScrubSpec` pins the floors.
+      */
+    def spanRecall(spark: SparkSession, dir: String): DataFrame = {
+      val planted = recallPlanted(Tables.documents(spark, dir))
+      val chunks = graft.ops.ScaleOps.widen(planted)
+        .select(col("doc_id"), col("pre_len"), col("span_len"),
+          posexplode(chunkCol(col("text"))).as(Seq("idx", "chunk")))
+        .select(col("doc_id"), col("pre_len"), col("span_len"), col("idx"),
+          md5(col("chunk")).as("m"), length(col("chunk")).cast("long").as("clen"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("idx"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val pos = chunks.withColumn("cstart", coalesce(sum(col("clen")).over(w), lit(0L)))
+      val shared = chunks.groupBy(col("m"))
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") > 1).select(col("m"))
+      val agg = pos.join(shared, Seq("m"), "left_semi")
+        .groupBy(col("doc_id"))
+        .agg(sum(col("clen")).as("removed"),
+          sum(greatest(lit(0L),
+            least(col("cstart") + col("clen"), col("pre_len") + col("span_len"))
+              - greatest(col("cstart"), col("pre_len")))).as("removed_in_span"))
+      planted.select(col("doc_id"), col("span_len"))
+        .join(agg, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("span_len"),
+          coalesce(col("removed"), lit(0L)).as("removed"),
+          coalesce(col("removed_in_span"), lit(0L)).as("removed_in_span"),
+          expr("coalesce(removed_in_span, 0L) * 10000L DIV span_len").as("recall_bp"),
+          expr("CASE WHEN coalesce(removed, 0L) = 0L THEN 10000L " +
+            "ELSE removed_in_span * 10000L DIV removed END").as("precision_bp"))
+    }
+
+    def spanRecallOracle: String = {
+      val bSql = CdcChunks.boundariesSql("text", CdcChunks.DefaultW, CdcChunks.DefaultDivisor)
+      s"""WITH ids AS (
+         |  SELECT doc_id, chr(65 + CAST(doc_id % 4 AS INTEGER)) AS lch,
+         |    doc_id // 4 AS g
+         |  FROM documents),
+         |built AS (
+         |  SELECT doc_id,
+         |    array_to_string(list_transform(range(0, 20),
+         |      j -> 'p' || doc_id || 'x' || j || lch), ' ') || ' ' AS pre,
+         |    array_to_string(list_transform(range(0, 75),
+         |      j -> 's' || g || 'w' || j), ' ') AS span,
+         |    ' ' || array_to_string(list_transform(range(0, 20),
+         |      j -> lch || 'y' || j || 'q' || doc_id), ' ') AS suf
+         |  FROM ids),
+         |d AS (
+         |  SELECT doc_id, pre || span || suf AS text, pre, suf,
+         |    strlen(pre) AS pre_len, strlen(span) AS span_len,
+         |    strlen(suf) AS suf_len
+         |  FROM built),
+         |withb AS (
+         |  SELECT doc_id, text, pre_len, span_len, $bSql AS b FROM d
+         |), chunked AS (
+         |  SELECT doc_id, pre_len, span_len,
+         |    ${CdcChunks.slicesSql("text", "b")} AS ch
+         |  FROM withb
+         |), chunks AS (
+         |  SELECT doc_id, pre_len, span_len, i - 1 AS idx, md5(ch[i]) AS m,
+         |    CAST(strlen(ch[i]) AS BIGINT) AS clen
+         |  FROM chunked, unnest(range(1, len(ch) + 1)) AS t(i)
+         |), pos AS (
+         |  SELECT *, COALESCE(SUM(clen) OVER (PARTITION BY doc_id ORDER BY idx
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cstart
+         |  FROM chunks
+         |), shared AS (
+         |  SELECT m FROM chunks GROUP BY m HAVING count(DISTINCT doc_id) > 1
+         |), agg AS (
+         |  SELECT doc_id, SUM(clen) AS removed,
+         |    SUM(greatest(0, least(cstart + clen, pre_len + span_len)
+         |      - greatest(cstart, pre_len))) AS removed_in_span
+         |  FROM pos WHERE m IN (SELECT m FROM shared)
+         |  GROUP BY doc_id
+         |)
+         |SELECT d.doc_id,
+         |  CAST(span_len AS BIGINT) AS span_len,
+         |  CAST(COALESCE(removed, 0) AS BIGINT) AS removed,
+         |  CAST(COALESCE(removed_in_span, 0) AS BIGINT) AS removed_in_span,
+         |  CAST(COALESCE(removed_in_span, 0) * 10000 // span_len AS BIGINT)
+         |    AS recall_bp,
+         |  CAST(CASE WHEN COALESCE(removed, 0) = 0 THEN 10000
+         |    ELSE removed_in_span * 10000 // removed END AS BIGINT)
+         |    AS precision_bp
+         |FROM d LEFT JOIN agg ON d.doc_id = agg.doc_id""".stripMargin
+    }
+
     def scrubOracle: String = {
       val bSql = CdcChunks.boundariesSql("text", CdcChunks.DefaultW, CdcChunks.DefaultDivisor)
       s"""WITH withb AS (
@@ -867,6 +999,7 @@ object Dedup {
     "q_cdc_chunks" -> ((s, dir) => Cdc.chunkTable(s, dir)),
     "q_cdc_shared_chunks" -> ((s, dir) => Cdc.sharedChunks(s, dir)),
     "q_cdc_scrub" -> ((s, dir) => Cdc.scrubSharedSpans(s, dir)),
+    "q_cdc_recall" -> ((s, dir) => Cdc.spanRecall(s, dir)),
     "q_dedup_incremental" -> ((s, dir) => MinHashLSH.incrementalKeep(s, dir))
   )
 
@@ -884,6 +1017,7 @@ object Dedup {
     "q_cdc_chunks" -> Cdc.chunkTableOracle,
     "q_cdc_shared_chunks" -> Cdc.sharedChunksOracle,
     "q_cdc_scrub" -> Cdc.scrubOracle,
+    "q_cdc_recall" -> Cdc.spanRecallOracle,
     "q_dedup_incremental" -> MinHashLSH.incrementalOracle
   )
 }

@@ -54,4 +54,23 @@ class CdcScrubSpec extends SparkSuite {
     assert(out.filter(col("n_dropped") > 0).count() > 0,
       "no shared chunks in fixture — gate would not exercise removal")
   }
+
+  test("recall gate: measured floors of the CDC proxy vs exact planted spans") {
+    // sf0.01 measured (r11): recall avg 7175 bp / min 1867 bp (one
+    // unlucky span with sparse content-defined boundaries — the honest
+    // weakness of the proxy vs a suffix array, now a number instead of
+    // a claim); precision avg 9996 / min 9854 bp (tiny-chunk
+    // cross-matches). Floors sit under the measurement so regression,
+    // not noise, trips them.
+    val r = Cdc.spanRecall(spark, Sf)
+      .agg(avg(col("recall_bp")).as("ar"), min(col("precision_bp")).as("mp"),
+        avg(col("precision_bp")).as("ap"),
+        max(col("removed") - col("removed_in_span")).as("leak"))
+      .collect()(0)
+    assert(r.getDouble(0) >= 6500, s"avg recall ${r.getDouble(0)} bp under floor")
+    assert(r.getLong(1) >= 9000, s"min precision ${r.getLong(1)} bp under floor")
+    assert(r.getDouble(2) >= 9800, s"avg precision ${r.getDouble(2)} bp under floor")
+    // out-of-span removal stays at tiny-chunk scale, never a word run
+    assert(r.getLong(3) <= 32, s"out-of-span removal ${r.getLong(3)} chars")
+  }
 }
