@@ -45,6 +45,7 @@ object SparkEntry {
       (graft.text.Html.queries, graft.text.Html.oracleSql),
       (graft.text.HtmlTables.queries, graft.text.HtmlTables.oracleSql),
       (graft.text.PageMeta.queries, graft.text.PageMeta.oracleSql),
+      (graft.text.ParallelText.queries, graft.text.ParallelText.oracleSql),
       (graft.text.Urls.queries, graft.text.Urls.oracleSql),
       (graft.text.Retrieval.queries, graft.text.Retrieval.oracleSql),
       (graft.text.Dsir.queries, graft.text.Dsir.oracleSql),
