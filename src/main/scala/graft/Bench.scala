@@ -18,6 +18,51 @@ import org.apache.spark.sql.functions.{bit_xor, col, struct, xxhash64}
   */
 object Bench {
 
+  /** Round-over-round drift alarm: a query whose cold min exceeds this
+    * multiple of its min in the LAST COMMITTED artifact gets an extra
+    * re-measure and a `drift` entry in the output — so a closing run
+    * can never again ship an un-adjudicated regression (the r10
+    * artifact carried the IVF trio at 2-3× on untouched code).
+    */
+  val DriftLimit = 2.0
+
+  def jstr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    } + "\""
+
+  /** Pull the per-query min map out of a prior artifact line — the
+    * FIRST `"queries":{...}` block (the full-file artifact carries the
+    * complete map there; `spreads`/`drift` blocks come later and must
+    * not be swept in). Dependency-free by design: no JSON library in
+    * the unmanaged classpath.
+    */
+  def parseQueriesBlock(json: String): Map[String, Double] = {
+    val start = json.indexOf("\"queries\":{")
+    if (start < 0) return Map.empty
+    val open = json.indexOf('{', start + 10)
+    val close = json.indexOf('}', open)
+    if (open < 0 || close < 0) return Map.empty
+    val body = json.substring(open + 1, close)
+    val Pair = "\"((?:[^\"\\\\]|\\\\.)*)\"\\s*:\\s*(-?[0-9.eE+]+)".r
+    Pair.findAllMatchIn(body).flatMap { m =>
+      try Some(m.group(1) -> m.group(2).toDouble)
+      catch { case _: NumberFormatException => None }
+    }.toMap
+  }
+
+  /** Names whose current min drifted past `limit` × the previous min.
+    * Errored (< 0) and previously-errored rows never flag; new queries
+    * (absent from prev) have no reference and never flag.
+    */
+  def driftedQueries(prev: Map[String, Double], cur: Map[String, Double],
+                     limit: Double): Seq[String] =
+    cur.toSeq.sortBy(_._1).collect {
+      case (name, t) if t > 0 && prev.get(name).exists(p => p > 0 && t > p * limit) =>
+        name
+    }
+
   /** Force full evaluation of every row and column: hash each row to one
     * 64-bit value and XOR-fold (bit_xor never overflows under ANSI mode,
     * unlike sum over 64-bit hashes). Nothing is prunable, output is one
@@ -77,6 +122,19 @@ object Bench {
       */
     val SpreadLimit = 2.0
 
+    // round-over-round drift reference: the LAST COMMITTED full-run
+    // artifact, read BEFORE this run overwrites it. In-run spread alone
+    // cannot catch a contended query whose every pass was inflated —
+    // the r10 artifact shipped the IVF trio at 2-3× their r9 cost with
+    // pass spreads near 1 (unchanged code, contended closing run).
+    val prevFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_PREV",
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_out.json"))
+    val prev: Map[String, Double] =
+      try parseQueriesBlock(new String(
+        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(prevFile)),
+        java.nio.charset.StandardCharsets.UTF_8))
+      catch { case scala.util.control.NonFatal(_) => Map.empty }
+
     def timedRun(name: String, fn: (SparkSession, String) => DataFrame): Option[Double] = {
       // drop persisted intermediates from the warmup/previous pass
       // (CacheManager matches canonicalized plans, so a re-built query
@@ -105,16 +163,30 @@ object Bench {
         timedRun(name, fn).foreach(t => timed(name) = timed(name) :+ t)
         name
     }
+    // drift re-measure (VERDICT r10 #1): any query whose min exceeds
+    // DriftLimit × its last-committed min gets one more cold run too —
+    // whole-run contention shows up HERE even when in-run spread is
+    // flat. The artifact then records prev/after for every drifted
+    // query so a regression ships adjudicated, never silently.
+    val driftBefore = driftedQueries(prev,
+      timed.map { case (k, ts) => k -> ts.filter(_ > 0) }
+        .collect { case (k, ts) if ts.nonEmpty => k -> ts.min }.toMap,
+      DriftLimit)
+    driftBefore.foreach { name =>
+      queries.find(_._1 == name).foreach { case (_, fn) =>
+        timedRun(name, fn).foreach(t => timed(name) = timed(name) :+ t)
+      }
+    }
+    val driftJson = driftBefore.map { name =>
+      val ts = timed.getOrElse(name, Nil).filter(_ > 0)
+      val after = if (ts.isEmpty) -1.0 else ts.min
+      s"${jstr(name)}:{\"prev\":${prev(name)},\"min\":$after,\"still_drifted\":${after > prev(name) * DriftLimit}}"
+    }.mkString("{", ",", "}")
     val results = queries.map { case (name, _) =>
       val ts = timed.getOrElse(name, Nil)
       name -> (if (ts.isEmpty) (-1.0, -1.0) else (ts.min, ts.max))
     }
 
-    def jstr(s: String): String =
-      "\"" + s.flatMap {
-        case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
-        case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
-      } + "\""
     val qs = results.map { case (k, (mn, _)) => s"${jstr(k)}:$mn" }.mkString("{", ",", "}")
     // per-query spread (max/min over all passes, re-measure included):
     // the reader's per-row confidence — a spread near 1 means the min is
@@ -137,7 +209,7 @@ object Bench {
       if (errors.isEmpty) ""
       else s""","errors":${errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")}"""
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","pass_spread_median":$noise,"queries":$qs,"spreads":$spreadJson,"remeasured":$remeasuredJson,"sf":${jstr(sfDir)}$errJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","pass_spread_median":$noise,"queries":$qs,"spreads":$spreadJson,"remeasured":$remeasuredJson,"drift":$driftJson,"sf":${jstr(sfDir)}$errJson}"""
     // The driver's stdout capture keeps only a tail, which truncated
     // BENCH_r06.json to 61 of 85 queries and left r9's first ~75 queries
     // unreadable. The FULL line (per-query + spreads) goes to a file; the
@@ -155,7 +227,7 @@ object Bench {
     val slowest = results.filter(_._2._1 >= 0).sortBy(-_._2._1).take(15)
       .map { case (k, (mn, _)) => s"${jstr(k)}:$mn" }.mkString("{", ",", "}")
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","pass_spread_median":$noise,"n_queries":${results.length},"queries":$slowest,"queries_note":"slowest 15 of ${results.length}; full per-query map + spreads in queries_full","queries_full":${jstr(outFile)},"remeasured":$remeasuredJson,"sf":${jstr(sfDir)}$errJson}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","pass_spread_median":$noise,"n_queries":${results.length},"queries":$slowest,"queries_note":"slowest 15 of ${results.length}; full per-query map + spreads in queries_full","queries_full":${jstr(outFile)},"remeasured":$remeasuredJson,"drift":$driftJson,"sf":${jstr(sfDir)}$errJson}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }
