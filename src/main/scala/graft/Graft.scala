@@ -508,6 +508,29 @@ object Graft {
   def hreflangClusters(df: DataFrame): DataFrame =
     text.PageMeta.hreflang(df)
 
+  /** Integer-exact Gale–Church (1993) segment alignment of two
+    * `array<int>` length columns → ordered bead structs
+    * (a_start, a_count, b_start, b_count); per-row, codegen'd.
+    */
+  def galeChurchAlign(a: org.apache.spark.sql.Column,
+                      b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    text.ParallelText.galeChurch(a, b)
+
+  /** Parallel-text bead pairs over the planted hreflang clusters:
+    * pivot language aligned against every variant via
+    * [[galeChurchAlign]] — (cluster, lang_a, lang_b, bead, spans,
+    * seg_a, seg_b).
+    */
+  def hreflangAligned(spark: SparkSession, sfDir: String): DataFrame =
+    text.ParallelText.hreflangAligned(spark, sfDir)
+
+  /** Measured recall/precision (basis points) of the CDC duplicated-
+    * span scrub against exact planted spans — the Lee et al. 2022
+    * proxy claim as a number.
+    */
+  def cdcSpanRecall(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.Cdc.spanRecall(spark, sfDir)
+
   /** Crawl-trap report over a (url, fp) crawl log: per (host,
     * URL-template) family URL count vs content diversity, trap flag.
     */

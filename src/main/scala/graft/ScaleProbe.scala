@@ -129,19 +129,35 @@ object ScaleProbe {
         System.err.println(s"SKEW PROOF FAILED: ${e.getMessage}")
         s"""  "_skew_proof": {"error": "${e.getClass.getSimpleName}"}"""
     }
-    // Bloom-frontier sliver evidence (VERDICT r9 #7): at the 10× corpus,
-    // how many of today's rows survive might_contain and reach the exact
-    // verify anti-join — decomposed into unavoidable true hits vs the
-    // sketch's false positives (the operator's own overhead)
+    // Bloom-frontier sliver evidence (VERDICT r9 #7, re-planted per
+    // VERDICT r10 #3): at the 10× corpus, how many of today's rows
+    // survive might_contain and reach the exact verify anti-join. The
+    // r10 plant was degenerate — the replicated corpus duplicates every
+    // URL, so ALL of today's candidates were truly seen and the false-
+    // positive fraction was measured over an empty set. Now ~90% of
+    // today's candidates are rewritten to genuinely-NEW URLs (a /new/
+    // suffix keyed by doc_id, so they cannot collide with the seen set)
+    // and the number the X103/X123 scale claim rests on is measured
+    // directly: fp_fraction_new = sketch false positives / truly-new
+    // rows — the share of NEW work the Bloom prefilter needlessly
+    // forces into the exact verify join.
     val bloomRow = try {
       val keys = graft.pipelines.Frontier.urlKeys(spark, dst)
+      // odd docs are today's batch; of those, doc_id % 20 == 1 (1 in 10
+      // odd residues) keeps its original URL — a true revisit — and the
+      // rest get unique new URLs
       val today = keys.filter(col("doc_id") % 2 === 1)
+        .withColumn("url_key",
+          when(col("doc_id") % 20 === 1, col("url_key"))
+            .otherwise(concat(col("url_key"), lit("/new/"),
+              col("doc_id").cast("string"))))
       val seen = keys.filter(col("doc_id") % 2 === 0).select("url_key").distinct()
       val (t, maybe, truly) = graft.pipelines.Frontier.bloomSliver(today, seen)
       val fp = maybe - truly
-      val fpFrac = String.format(java.util.Locale.ROOT, "%.6f",
-        Double.box(if (t > 0) fp.toDouble / t else 0.0))
-      s"""  "_bloom_sliver": {"copies": $copies, "today_rows": $t, "verify_join_input": $maybe, "truly_seen": $truly, "false_positives": $fp, "fp_fraction": $fpFrac}"""
+      val trulyNew = t - truly
+      def frac(num: Long, den: Long) = String.format(java.util.Locale.ROOT,
+        "%.6f", Double.box(if (den > 0) num.toDouble / den else 0.0))
+      s"""  "_bloom_sliver": {"copies": $copies, "today_rows": $t, "verify_join_input": $maybe, "truly_seen": $truly, "truly_new": $trulyNew, "false_positives": $fp, "fp_fraction_new": ${frac(fp, trulyNew)}, "fp_fraction": ${frac(fp, t)}}"""
     } catch {
       case e: Throwable =>
         System.err.println(s"BLOOM SLIVER FAILED: ${e.getMessage}")
