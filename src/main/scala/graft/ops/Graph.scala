@@ -55,30 +55,51 @@ object Graph {
 
   val Iters = 5
 
+  /** Score tables at or under this row count are broadcast in the
+    * iterative half-step joins (a (node, score) row is 16 payload
+    * bytes, so 4M rows ≈ 64 MB hashed — dim-sized); above it the
+    * half-step switches to a co-partitioned shuffle join that never
+    * broadcasts anything node-sized. Integer score sums are
+    * order-insensitive, so the two shapes are bit-identical.
+    */
+  val MaxBroadcastScoreRows = 4000000L
+
   /** PageRank over an arbitrary (src, dst) BIGINT edge list. */
   def pagerankOf(edgesIn: DataFrame, iters: Int = Iters): DataFrame = {
     val edges = edgesIn.select(col("src"), col("dst")).distinct()
     val outd = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    // (src, dst, deg), partitioned by the per-iteration join key ONCE
-    val edgesDeg = edges.join(outd, "src")
-      .repartition(col("src"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
     val nodes = edges.select(col("src").as("node"))
       .union(edges.select(col("dst").as("node")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     val n = nodes.count()
     val base = Scale / n
+    // (src, dst, deg), partitioned by the per-iteration join key ONCE.
+    // NOTE (r11): unlike hitsOf, the physical join mode is left to
+    // Spark's stats — the cached edge list has accurate size stats, so
+    // the optimizer broadcasts it while it fits the threshold (the
+    // measured local winner: the rank side then streams with almost no
+    // tasks) and switches to the co-partitioned shuffle join beyond
+    // (measured at the 10x probe). Forcing either side was measured
+    // SLOWER at both scales; hitsOf needs its explicit modes only
+    // because its statless checkpoint side starves the optimizer.
+    val edgesDeg = edges.join(outd, "src")
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val danglers = nodes
       .join(outd.select(col("src").as("node")), Seq("node"), "left_anti")
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     // lineage truncation per round; spark.graft.iter.checkpointDir flips
     // this to reliable FS checkpoints (see Checkpoints.truncateLineage —
-    // executor-loss recovery vs per-round write, bit-identical results)
+    // executor-loss recovery vs per-round write, bit-identical results).
+    // Per-ROUND (not hitsOf's every-other): nothing mid-round is cached
+    // here, so a two-round lazy chain re-evaluates the rank subtree
+    // through both the dangling and contribution branches — measured
+    // slower at 1x AND 10x than eager per-round truncation.
     var ranks = graft.sources.Checkpoints.truncateLineage(
       nodes.select(col("node"), lit(base).as("r")))
-    for (_ <- 1 to iters) {
+    for (it <- 1 to iters) {
       val dang = ranks.join(danglers, Seq("node"), "left_semi")
         .agg(coalesce(sum(col("r")), lit(0L)).cast("long").as("d"))
       val contrib = ranks
@@ -164,19 +185,43 @@ object Graph {
     * No floats anywhere — the usual L2 normalization is exactly what
     * makes naive HITS non-reproducible across engines.
     *
-    * Scale shape: the edge list is cached TWICE, partitioned by src
-    * and by dst (each half-step joins on a different side; one cached
-    * copy per side means iterations reshuffle only the node-sized
-    * score table). The normalization quotient is a broadcast one-row
-    * aggregate; the hub table truncates lineage once per FULL round
-    * (the [[pagerankOf]] discipline), while the mid-round auth table —
-    * referenced twice (its own quotient, then the hub update) — is
-    * lazily CACHED instead of checkpointed: the truncation at the hub
-    * step bounds plan depth at two half-steps, and skipping the eager
-    * mid-round materialization job halves the per-iteration job count.
+    * Scale shape (reworked r11, VERDICT #7): the DISTINCT edge list is
+    * cached once (it feeds three setup scans) and then cached TWICE
+    * more, partitioned by src and by dst. The half-step join picks its
+    * physical shape from the MEASURED node count (integer sums are
+    * order-insensitive, so both shapes are bit-identical):
+    *
+    *   - score table ≤ [[MaxBroadcastScoreRows]] (a dim-sized graph):
+    *     BROADCAST the scores and scan the edge copy partitioned by the
+    *     half-step's GROUP key — the per-dst/per-src aggregation then
+    *     needs NO exchange at all: a half-step is one cache-scan stage
+    *     plus a tiny score broadcast (the shape that won the bench).
+    *   - larger graphs: `shuffle_hash` on the score side — the edge
+    *     copy partitioned by the JOIN key streams with zero new
+    *     exchange, only node-sized scores shuffle, and nothing
+    *     node-sized is ever broadcast (the shape that holds at 100 TB).
+    *
+    *   Without either, Spark broadcasts the EDGE side: the cached edge
+    *   list is the only side with stats (checkpoint-backed scores are
+    *   statless) and sits under the autoBroadcast threshold at bench
+    *   scale — a corpus-sized hashed relation rebuilt every stage.
+    *
+    * Each half-step's raw-sum table (`araw`/`hraw`, node-sized) is
+    * CACHED before its quotient is taken — the quotient is a broadcast
+    * one-row aggregate over the cache, so the edge-sized join behind it
+    * runs ONCE per half-step instead of twice (once for the quotient,
+    * again for the score update — the r10 plan's hidden 2× edge work).
+    * Lineage is truncated every OTHER round plus once on the final
+    * output: plan depth stays bounded at four half-steps while the
+    * per-run eager-materialization job count drops from iters+0 to
+    * iters/2+1; between truncations nothing is eager — the whole
+    * two-round chain (broadcast quotients included) materializes inside
+    * the next truncation job. Round caches are released only AFTER the
+    * truncation that drains them.
     */
   def hitsOf(edgesIn: DataFrame, iters: Int = Iters): DataFrame = {
     val edges = edgesIn.select(col("src"), col("dst")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val bySrc = edges.repartition(col("src")).persist(StorageLevel.MEMORY_AND_DISK)
     val byDst = edges.repartition(col("dst")).persist(StorageLevel.MEMORY_AND_DISK)
     val nodes = edges.select(col("src").as("node"))
@@ -185,33 +230,55 @@ object Graph {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val n = nodes.count()
     val base = Scale / n
+    val broadcastScores = n <= MaxBroadcastScoreRows
+    // broadcast mode: scan the copy partitioned by the GROUP key so the
+    // aggregation reuses it (no exchange); shuffle mode: scan the copy
+    // partitioned by the JOIN key so only scores shuffle
+    def halfStep(scores: DataFrame, scoreCol: String, joinKey: String,
+                 groupKey: String, outCol: String): DataFrame = {
+      val (edgeSide, scoreSide) =
+        if (broadcastScores) (if (groupKey == "dst") byDst else bySrc, broadcast(scores))
+        else (if (joinKey == "src") bySrc else byDst, scores.hint("shuffle_hash"))
+      edgeSide.join(scoreSide, scores("node") === edgeSide(joinKey))
+        .groupBy(col(groupKey)).agg(sum(col(scoreCol)).cast("long").as(outCol))
+    }
 
     var hubs = graft.sources.Checkpoints.truncateLineage(
       nodes.select(col("node"), lit(base).as("h")))
     var auths: DataFrame = null
-    val midCaches = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-    for (_ <- 1 to iters) {
-      val araw = hubs.join(bySrc, hubs("node") === bySrc("src"))
-        .groupBy(col("dst")).agg(sum(col("h")).cast("long").as("ar"))
+    val roundCaches = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    for (it <- 1 to iters) {
+      val araw = halfStep(hubs, "h", "src", "dst", "ar")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      roundCaches += araw
       val qa = araw.agg(expr(s"greatest(1L, coalesce(sum(ar) DIV ${Scale}L, 1L)) AS q"))
       auths = nodes.join(araw.withColumnRenamed("dst", "node"), Seq("node"), "left")
         .crossJoin(broadcast(qa))
         .select(col("node"), expr("coalesce(ar, 0L) DIV q").as("a"))
+      val hraw = halfStep(auths, "a", "dst", "src", "hr")
         .persist(StorageLevel.MEMORY_AND_DISK)
-      midCaches += auths
-      val hraw = auths.join(byDst, auths("node") === byDst("dst"))
-        .groupBy(col("src")).agg(sum(col("a")).cast("long").as("hr"))
+      roundCaches += hraw
       val qh = hraw.agg(expr(s"greatest(1L, coalesce(sum(hr) DIV ${Scale}L, 1L)) AS q"))
-      hubs = graft.sources.Checkpoints.truncateLineage(
-        nodes.join(hraw.withColumnRenamed("src", "node"), Seq("node"), "left")
-          .crossJoin(broadcast(qh))
-          .select(col("node"), expr("coalesce(hr, 0L) DIV q").as("h")))
-      // the hub truncation just evaluated this round's auth cache; all
-      // EARLIER auth caches are out of every live lineage — release them
-      while (midCaches.size > 1) { midCaches.remove(0).unpersist(); () }
+      hubs = nodes.join(hraw.withColumnRenamed("src", "node"), Seq("node"), "left")
+        .crossJoin(broadcast(qh))
+        .select(col("node"), expr("coalesce(hr, 0L) DIV q").as("h"))
+      if (it % 2 == 0 && it < iters) {
+        // the truncation job just materialized every cache of the last
+        // two rounds and cut hubs' lineage above them — release them all
+        hubs = graft.sources.Checkpoints.truncateLineage(hubs)
+        roundCaches.foreach(_.unpersist())
+        roundCaches.clear()
+      }
     }
-    val out = hubs.join(auths, Seq("node"))
-      .select(col("node"), col("h").as("hub_fp"), col("a").as("auth_fp"))
+    // final truncation doubles as the output materialization: it drains
+    // the remaining (≤ 2 round) chain — the last round's quotient
+    // broadcasts and caches included — so EVERY cache below is safe to
+    // release and the gate reads a flat checkpoint
+    val out = graft.sources.Checkpoints.truncateLineage(
+      hubs.join(auths, Seq("node"))
+        .select(col("node"), col("h").as("hub_fp"), col("a").as("auth_fp")))
+    roundCaches.foreach(_.unpersist())
+    edges.unpersist()
     bySrc.unpersist()
     byDst.unpersist()
     nodes.unpersist()
