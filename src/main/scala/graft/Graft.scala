@@ -648,4 +648,24 @@ object Graft {
     */
   def crawlBudget(spark: SparkSession, sfDir: String): DataFrame =
     pipelines.CrawlPipeline.crawlBudget(spark, sfDir)
+
+  /** Write the planted `.warc.gz` archive (one gzip member per record,
+    * CDX-ordered shards) plus its member-offset sidecar index.
+    */
+  def writeWarcArchive(spark: SparkSession, sfDir: String, outDir: String): Unit =
+    sources.WarcArchive.writeArchive(spark, sfDir, outDir)
+
+  /** GDPR erasure over a written archive: byte-splice the doomed
+    * members out of ONLY the shards that contain them (untouched
+    * shards stay bit-identical), reverify survivors through the
+    * reader. Returns shards rewritten.
+    */
+  def eraseWarcDocs(spark: SparkSession, archiveDir: String, docIds: Seq[Long]): Int =
+    sources.WarcArchive.erase(spark, archiveDir, docIds)
+
+  /** Read an archive back through the multi-member gunzip + WARC walk:
+    * (doc_id, uri, content_length, digest).
+    */
+  def readWarcArchive(spark: SparkSession, archiveDir: String): DataFrame =
+    sources.WarcArchive.readArchive(spark, archiveDir)
 }

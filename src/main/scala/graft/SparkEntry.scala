@@ -81,6 +81,7 @@ object SparkEntry {
       (graft.ops.ScaleOps.queries, graft.ops.ScaleOps.oracleSql),
       (graft.sources.Layout.queries, graft.sources.Layout.oracleSql),
       (graft.sources.WarcWriter.queries, graft.sources.WarcWriter.oracleSql),
+      (graft.sources.WarcArchive.queries, graft.sources.WarcArchive.oracleSql),
       (graft.pipelines.CdxIndex.queries, graft.pipelines.CdxIndex.oracleSql),
       (graft.pipelines.Revalidate.queries, graft.pipelines.Revalidate.oracleSql),
       (Map[String, (SparkSession, String) => DataFrame](
