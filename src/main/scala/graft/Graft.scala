@@ -668,4 +668,13 @@ object Graft {
     */
   def readWarcArchive(spark: SparkSession, archiveDir: String): DataFrame =
     sources.WarcArchive.readArchive(spark, archiveDir)
+
+  /** EXACT duplicated-substring removal (Lee et al. 2022 ExactSubstr
+    * semantics at token granularity): every duplicated span ≥ k tokens
+    * cut from every occurrence — recall 1 by construction, unlike the
+    * CDC proxy. (doc_id, clean, removed_tokens, n_spans).
+    */
+  def scrubExactSpans(docs: DataFrame,
+                      k: Int = dedup.ExactSpans.KTokens): DataFrame =
+    dedup.ExactSpans.scrub(docs, k)
 }

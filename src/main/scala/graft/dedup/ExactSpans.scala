@@ -1,0 +1,138 @@
+package graft.dedup
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** EXACT duplicated-substring removal at token granularity — the real
+  * Lee et al. 2022 "Deduplicating Training Data" ExactSubstr operation
+  * the X102 CDC scrub approximates (and whose measured recall gap the
+  * X164 gate exposed: avg ~72%, min ~19% on content-defined-boundary-
+  * unlucky spans). The suffix-array construction of the paper is
+  * replaced by k-token SHINGLE anchoring, which is exactly equivalent
+  * at the operator's declared granularity and fully relational:
+  *
+  *   - a duplicated token span of length L ≥ k contains only
+  *     duplicated k-shingles, so all L tokens are covered;
+  *   - a shingle straddling the span boundary carries unique context
+  *     tokens, so coverage stops EXACTLY at the span edge;
+  *   - spans shorter than k contain no duplicated shingle and are
+  *     never touched.
+  *
+  * Hence recall = 1 and precision = 1 for duplicated spans ≥ k tokens
+  * — by construction, not measurement (`ExactSpansSpec` pins the edge
+  * cases: exact-k span removed, k−1 span untouched, within-document
+  * repeats, identity on a unique corpus; the `q_exact_span_scrub` gate
+  * answers with the planted fixture's closed-form survivors).
+  *
+  * Duplication is counted over ALL occurrences (cross- and
+  * within-document): every occurrence of a duplicated span is removed,
+  * the paper's ExactSubstr discipline and X102's. Declared scope:
+  * single-space word tokenization — documents reassemble from
+  * surviving tokens space-joined (the CDC scrub remains the byte-exact
+  * path for arbitrary whitespace).
+  *
+  * Scale shape: one corpus-linear shingle explosion carrying only md5
+  * hashes (the 50-token window text is hashed INSIDE the per-document
+  * array transform and never shuffled), one partial-agg count exchange
+  * over shingle hashes, one semi join back, then per-document interval
+  * merge (window keyed by doc) and an array rebuild — no all-pairs
+  * anything, memory bounded by one document.
+  */
+object ExactSpans {
+
+  /** Lee et al.'s span threshold, in tokens. */
+  val KTokens = 50
+
+  /** (doc_id, pos, h): the md5 of each k-token window, one row per
+    * window start. Documents shorter than k contribute nothing.
+    * Windowing is the codegen'd [[graft.plans.ShingleMd5]] byte-range
+    * scan — the equivalent builtin HOF composition evaluates
+    * interpreted and measured 20× slower (see the expression's
+    * Scaladoc); `ExactSpansSpec` pins hash equality between the two.
+    */
+  def shingleStarts(docs: DataFrame, k: Int): DataFrame =
+    docs.select(col("doc_id"),
+        org.apache.spark.sql.GraftColumnShim.column(graft.plans.ShingleMd5(
+          org.apache.spark.sql.GraftColumnShim.expression(col("text")),
+          org.apache.spark.sql.GraftColumnShim.expression(lit(k)))).as("hs"))
+      .select(col("doc_id"), posexplode(col("hs")).as(Seq("pos", "h")))
+
+  /** The builtin-only HOF twin of [[shingleStarts]]'s windowing —
+    * kept as the property-test mirror for [[graft.plans.ShingleMd5]].
+    */
+  def shingleStartsBuiltin(docs: DataFrame, k: Int): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("n", size(col("toks")))
+      .withColumn("hs", when(col("n") >= k,
+        expr(s"transform(sequence(0, n - $k), i -> md5(array_join(slice(toks, i + 1, $k), ' ')))"))
+        .otherwise(expr("cast(array() as array<string>)")))
+      .select(col("doc_id"), posexplode(col("hs")).as(Seq("pos", "h")))
+
+  /** Scrub every duplicated ≥k-token span from a (doc_id, text)
+    * corpus: (doc_id, clean, removed_tokens, n_spans).
+    */
+  def scrub(docs: DataFrame, k: Int = KTokens): DataFrame = {
+    val starts = shingleStarts(docs, k)
+    val dup = starts.groupBy(col("h")).agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).select(col("h"))
+    val dupStarts = starts.join(dup, Seq("h"), "left_semi")
+    // interval union: windows all have length k, so coverage breaks
+    // exactly when a start exceeds the previous start by more than k
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val spans = dupStarts
+      .withColumn("brk",
+        when(col("pos") > lag(col("pos"), 1).over(w) + k, lit(1)).otherwise(lit(0)))
+      .withColumn("island",
+        sum(col("brk")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).as("s"), (max(col("pos")) + lit(k - 1)).as("e"))
+    val spansPerDoc = spans.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("spans"))
+    docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .join(spansPerDoc, Seq("doc_id"), "left")
+      .withColumn("spans",
+        coalesce(col("spans"), expr("cast(array() as array<struct<s:int,e:int>>)")))
+      .select(col("doc_id"),
+        expr("""array_join(transform(filter(
+          zip_with(toks, sequence(0, size(toks) - 1), (t, i) -> struct(t as t, i as i)),
+          x -> NOT exists(spans, sp -> x.i >= sp.s AND x.i <= sp.e)), x -> x.t), ' ')""")
+          .as("clean"),
+        expr("aggregate(spans, 0, (a, sp) -> a + sp.e - sp.s + 1)")
+          .cast("long").as("removed_tokens"),
+        size(col("spans")).cast("long").as("n_spans"))
+  }
+
+  /** q_exact_span_scrub over the X164 planted fixture (20 doc-unique
+    * prefix tokens + a 75-token span shared by each group of 4 + 20
+    * doc-unique suffix tokens): the exact scrub must remove the span
+    * tokens and NOTHING else, so the oracle states the survivors in
+    * closed form — where the CDC proxy measured ~72% avg recall, this
+    * gate pins 75/75 tokens removed on every document.
+    */
+  def planted(spark: SparkSession, dir: String): DataFrame =
+    scrub(Dedup.Cdc.recallPlanted(
+      graft.ops.ScaleOps.widen(Tables.documents(spark, dir)))
+      .select(col("doc_id"), col("text")))
+
+  def plantedOracle: String =
+    s"""WITH ids AS (
+       |  SELECT doc_id, chr(65 + CAST(doc_id % 4 AS INTEGER)) AS lch
+       |  FROM documents)
+       |SELECT doc_id,
+       |  array_to_string(list_transform(range(0, 20),
+       |    j -> 'p' || doc_id || 'x' || j || lch), ' ') || ' ' ||
+       |  array_to_string(list_transform(range(0, 20),
+       |    j -> lch || 'y' || j || 'q' || doc_id), ' ') AS clean,
+       |  CAST(75 AS BIGINT) AS removed_tokens,
+       |  CAST(1 AS BIGINT) AS n_spans
+       |FROM ids""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_exact_span_scrub" -> ((s, dir) => planted(s, dir)))
+
+  def oracleSql: Map[String, String] = Map(
+    "q_exact_span_scrub" -> plantedOracle)
+}

@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.dedup.ExactSpans
+
+/** The by-construction exactness claims of the shingle-anchored exact
+  * span scrub, pinned at the edges where they could silently break.
+  */
+class ExactSpansSpec extends SparkSuite {
+
+  import spark.implicits._
+
+  private def toks(prefix: String, n: Int, salt: String = ""): String =
+    (0 until n).map(i => s"$prefix$salt$i").mkString(" ")
+
+  test("a shared span of exactly k tokens is removed; k-1 survives untouched") {
+    val k = 10
+    val shared10 = toks("s", 10)
+    val shared9 = toks("t", 9)
+    val df = Seq(
+      (1L, s"${toks("a", 5)} $shared10 ${toks("b", 5)} $shared9 ${toks("c", 5)}"),
+      (2L, s"${toks("d", 5)} $shared10 ${toks("e", 5)} $shared9 ${toks("f", 5)}")
+    ).toDF("doc_id", "text")
+    val out = ExactSpans.scrub(df, k).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L) == (s"${toks("a", 5)} ${toks("b", 5)} $shared9 ${toks("c", 5)}", 10L, 1L))
+    assert(out(2L) == (s"${toks("d", 5)} ${toks("e", 5)} $shared9 ${toks("f", 5)}", 10L, 1L))
+  }
+
+  test("within-document repetition: every occurrence removed, two islands") {
+    val k = 10
+    val s = toks("s", 12)
+    val doc = s"${toks("a", 5)} $s ${toks("b", 5)} $s ${toks("c", 5)}"
+    val out = ExactSpans.scrub(Seq((1L, doc)).toDF("doc_id", "text"), k).collect()(0)
+    assert(out.getString(1) == s"${toks("a", 5)} ${toks("b", 5)} ${toks("c", 5)}")
+    assert(out.getLong(2) == 24L)
+    assert(out.getLong(3) == 2L)
+  }
+
+  test("identity on a corpus with no duplicated >=k span") {
+    val k = 10
+    val df = Seq(
+      (1L, toks("a", 30)), (2L, toks("b", 30)), (3L, toks("c", 5))
+    ).toDF("doc_id", "text")
+    val out = ExactSpans.scrub(df, k).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L) == (toks("a", 30), 0L, 0L))
+    assert(out(2L) == (toks("b", 30), 0L, 0L))
+    assert(out(3L) == (toks("c", 5), 0L, 0L), "shorter-than-k docs pass through")
+  }
+
+  test("overlapping duplicated windows merge into ONE maximal span") {
+    val k = 10
+    // 30 shared tokens -> 21 duplicated window starts, all overlapping
+    val s = toks("s", 30)
+    val df = Seq((1L, s"${toks("a", 4)} $s ${toks("b", 4)}"),
+      (2L, s"${toks("c", 4)} $s ${toks("d", 4)}")).toDF("doc_id", "text")
+    val out = ExactSpans.scrub(df, k).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L) == (30L, 1L))
+    assert(out(2L) == (30L, 1L))
+  }
+
+  test("recall closes the X164 gap: planted spans removed completely on the fixture") {
+    val out = ExactSpans.planted(spark, Sf)
+      .agg(min(col("removed_tokens")).as("mn"), max(col("removed_tokens")).as("mx"),
+        max(col("n_spans")).as("sp"))
+      .collect()(0)
+    assert(out.getLong(0) == 75L, "every planted 75-token span fully removed (recall 1)")
+    assert(out.getLong(1) == 75L, "nothing beyond the span removed (precision 1)")
+    assert(out.getLong(2) == 1L)
+  }
+
+  test("shingle_md5 equals the builtin HOF composition (incl. empties and short docs)") {
+    val df = Seq(
+      (1L, toks("a", 30)),
+      (2L, ""), // one empty token
+      (3L, "x  y z"), // consecutive spaces -> empty middle token
+      (4L, toks("a", 9)), // exactly k-1
+      (5L, toks("a", 10)) // exactly k
+    ).toDF("doc_id", "text")
+    val fast = ExactSpans.shingleStarts(df, 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).sorted
+    val slow = ExactSpans.shingleStartsBuiltin(df, 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).sorted
+    assert(fast.nonEmpty)
+    assert(fast.toSeq == slow.toSeq)
+  }
+
+  test("plan shape: one shingle-count exchange, no cartesian") {
+    val plan = ExactSpans.planted(spark, Sf).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+}
