@@ -677,4 +677,17 @@ object Graft {
   def scrubExactSpans(docs: DataFrame,
                       k: Int = dedup.ExactSpans.KTokens): DataFrame =
     dedup.ExactSpans.scrub(docs, k)
+
+  /** Token-BUDGETED corpus mix (the complement of [[mixCorpus]]'s
+    * rate recipe): exact largest-remainder token quotas per source,
+    * hash-order selection. (doc_id, source, toks).
+    */
+  def mixBudget(docs: DataFrame): DataFrame =
+    ops.Mixing.mix(docs)
+
+  /** Per-source budget-mix report: quota, picked docs/tokens, visible
+    * shortfall for availability-capped sources.
+    */
+  def mixBudgetReport(docs: DataFrame): DataFrame =
+    ops.Mixing.mixReport(docs)
 }

@@ -83,6 +83,7 @@ object SparkEntry {
       (graft.sources.WarcWriter.queries, graft.sources.WarcWriter.oracleSql),
       (graft.sources.WarcArchive.queries, graft.sources.WarcArchive.oracleSql),
       (graft.dedup.ExactSpans.queries, graft.dedup.ExactSpans.oracleSql),
+      (graft.ops.Mixing.queries, graft.ops.Mixing.oracleSql),
       (graft.pipelines.CdxIndex.queries, graft.pipelines.CdxIndex.oracleSql),
       (graft.pipelines.Revalidate.queries, graft.pipelines.Revalidate.oracleSql),
       (Map[String, (SparkSession, String) => DataFrame](

@@ -1,0 +1,181 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Deterministic TOKEN-BUDGETED corpus mixing — the complement of
+  * [[CorpusOps.mixCorpus]]'s rate-based epoch replication: that
+  * operator answers "repeat each source at rate r" (Pile-style
+  * up/downsampling); this one answers the budgeted form every
+  * training-data freeze ultimately needs — "fill a budget of B tokens
+  * with these source weights" (LLaMA/Dolma publish exactly such
+  * token-share tables) — selecting documents so each source
+  * contributes its weighted share of TOKENS exactly, bit-reproducibly.
+  *
+  * Semantics, all integer-exact:
+  *   - per-source token quotas by the largest-remainder method
+  *     (`quota_s = ⌊budget·w_s/ΣW⌋` plus +1 for the largest
+  *     remainders, ties by source name) — Σ quotas == budget EXACTLY,
+  *     the X137 crawl-budget discipline applied to tokens;
+  *   - within a source, documents are taken in salted-md5 hash order
+  *     (content-independent, append-stable — the X-cap discipline)
+  *     while the RUNNING token sum stays ≤ the quota: under-fill,
+  *     never overshoot; a source whose quota exceeds its availability
+  *     contributes everything it has (no silent redistribution — the
+  *     shortfall is visible in the report, not papered over).
+  *
+  * Scale shape: the naive form is one `SUM(toks) OVER (PARTITION BY
+  * source ORDER BY h)` window — a 100 TB corpus's largest source
+  * funnels through ONE task. This is the [[CorpusOps.capPerSource]]
+  * two-pass exact rewrite for token prefix sums instead: hash-prefix
+  * sub-buckets refine the order, per-(source, bucket) token sums give
+  * each bucket's starting offset, buckets entirely inside the quota
+  * are kept with NO window, buckets entirely past it are dropped, and
+  * only the ONE boundary bucket per source runs a window — partitioned
+  * by (source, bucket), 1/[[CorpusOps.CapBuckets]] of the source per
+  * task. The oracle states the single-window SPEC; the gate proves the
+  * bucketed plan equals it.
+  *
+  * Reference scope: no mixing surface in the reference; north-star
+  * LLM-pipeline machinery.
+  */
+object Mixing {
+
+  /** Salt decorrelating the mix-order hash from the cap/split hashes. */
+  val MixSalt = "#mix"
+
+  /** The planted weight classes, keyed by source number mod 5 — spans
+    * both regimes deterministically at any sf (sources hold ~5% of
+    * corpus tokens each): classes 1 and 2 of 120 select a strict
+    * prefix; classes 8–10 exceed availability and take the source
+    * whole.
+    */
+  val WeightClasses = Seq(1, 2, 8, 9, 10)
+
+  private def weighted(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("toks"),
+        md5(concat(col("doc_id").cast("string"), lit(MixSalt))).as("h"))
+      .withColumn("w", element_at(
+        array(WeightClasses.map(lit): _*),
+        (regexp_extract(col("source"), "(\\d+)$", 1).cast("int") % 5) + 1)
+        .cast("long"))
+
+  /** (source, w, avail_toks, quota): largest-remainder token quotas
+    * against the whole corpus's token count as the budget.
+    */
+  def quotas(docs: DataFrame): DataFrame = {
+    val d = weighted(docs)
+    val bySrc = d.groupBy(col("source"), col("w"))
+      .agg(sum(col("toks")).as("avail_toks"))
+    // both one-row aggregates broadcast; the topup rank runs over the
+    // source-count-sized table (a window, but provably dim-sized)
+    val budget = d.agg(sum(col("toks")).as("budget"))
+    val sumW = bySrc.agg(sum(col("w")).as("sw"))
+    val fl = bySrc.crossJoin(broadcast(budget)).crossJoin(broadcast(sumW))
+      .withColumn("fl", expr("budget * w DIV sw"))
+      .withColumn("rem", expr("budget * w % sw"))
+    val leftover = fl.agg((max(col("budget")) - sum(col("fl"))).as("l"))
+    val wTop = Window.orderBy(col("rem").desc, col("source"))
+    fl.crossJoin(broadcast(leftover))
+      .withColumn("rk", row_number().over(wTop))
+      .select(col("source"), col("w"), col("avail_toks"),
+        (col("fl") + when(col("rk") <= col("l"), 1L).otherwise(0L)).as("quota"))
+  }
+
+  /** The selected documents: (doc_id, source, toks). */
+  def mix(docs: DataFrame): DataFrame = {
+    val d = weighted(docs)
+      .withColumn("b", conv(substring(col("h"), 1, 2), 16, 10).cast("int"))
+    val q = quotas(docs).select(col("source"), col("quota"))
+    val cnts = d.groupBy(col("source"), col("b")).agg(sum(col("toks")).as("k"))
+    val wStart = Window.partitionBy(col("source")).orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val starts = cnts.withColumn("start", coalesce(sum(col("k")).over(wStart), lit(0L)))
+      .join(broadcast(q), Seq("source"))
+    val joined = d.join(starts, Seq("source", "b"))
+    val keptFull = joined.filter(col("start") + col("k") <= col("quota"))
+    val boundary = joined.filter(col("start") < col("quota")
+      && col("start") + col("k") > col("quota"))
+    val wB = Window.partitionBy(col("source"), col("b"))
+      .orderBy(col("h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val keptBoundary = boundary
+      .withColumn("cum", sum(col("toks")).over(wB))
+      .filter(col("start") + col("cum") <= col("quota"))
+    keptFull.select(col("doc_id"), col("source"), col("toks"))
+      .unionByName(keptBoundary.select(col("doc_id"), col("source"), col("toks")))
+  }
+
+  /** Per-source mixing report: (source, w, quota, picked_docs,
+    * picked_toks, shortfall) — shortfall > 0 names a source whose
+    * availability could not fill its share (never silently
+    * redistributed).
+    */
+  def mixReport(docs: DataFrame): DataFrame =
+    quotas(docs)
+      .join(mix(docs).groupBy(col("source"))
+        .agg(count(lit(1)).as("picked_docs"), sum(col("toks")).as("picked_toks")),
+        Seq("source"), "left")
+      .select(col("source"), col("w"), col("quota"),
+        coalesce(col("picked_docs"), lit(0L)).as("picked_docs"),
+        coalesce(col("picked_toks"), lit(0L)).as("picked_toks"),
+        greatest(lit(0L), col("quota") - col("avail_toks")).as("shortfall"))
+
+  private def mixCtes: String =
+    s"""d AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+       |    md5(CAST(doc_id AS VARCHAR) || '$MixSalt') AS h,
+       |    CAST([${WeightClasses.mkString(", ")}][
+       |      CAST(regexp_extract(source, '(\\d+)$$', 1) AS INTEGER) % 5 + 1]
+       |      AS BIGINT) AS w
+       |  FROM documents),
+       |bysrc AS (
+       |  SELECT source, w, SUM(toks) AS avail_toks FROM d GROUP BY source, w),
+       |tot AS (SELECT SUM(toks) AS budget FROM d),
+       |sw AS (SELECT SUM(w) AS sw FROM bysrc),
+       |fl AS (
+       |  SELECT source, w, avail_toks,
+       |    budget * w // sw AS fl, budget * w % sw AS rem
+       |  FROM bysrc, tot, sw),
+       |lo AS (SELECT MAX(budget) - SUM(fl) AS l FROM fl, tot),
+       |quota AS (
+       |  SELECT source, w, avail_toks,
+       |    CAST(fl + CASE WHEN row_number() OVER (ORDER BY rem DESC, source) <= l
+       |      THEN 1 ELSE 0 END AS BIGINT) AS quota
+       |  FROM fl, lo),
+       |sel AS (
+       |  SELECT d.doc_id, d.source, d.toks,
+       |    SUM(d.toks) OVER (PARTITION BY d.source ORDER BY d.h, d.doc_id
+       |      ROWS UNBOUNDED PRECEDING) AS cum, q.quota
+       |  FROM d JOIN quota q USING (source))""".stripMargin
+
+  def mixOracle: String =
+    s"""WITH $mixCtes
+       |SELECT doc_id, source, toks FROM sel WHERE cum <= quota""".stripMargin
+
+  def reportOracle: String =
+    s"""WITH $mixCtes,
+       |picked AS (
+       |  SELECT source, COUNT(*) AS picked_docs, SUM(toks) AS picked_toks
+       |  FROM sel WHERE cum <= quota GROUP BY source)
+       |SELECT q.source, q.w, q.quota,
+       |  CAST(COALESCE(p.picked_docs, 0) AS BIGINT) AS picked_docs,
+       |  CAST(COALESCE(p.picked_toks, 0) AS BIGINT) AS picked_toks,
+       |  CAST(greatest(0, q.quota - q.avail_toks) AS BIGINT) AS shortfall
+       |FROM quota q LEFT JOIN picked p USING (source)""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mix_budget" -> ((s, dir) =>
+      mix(graft.ops.ScaleOps.widen(Tables.documents(s, dir)))),
+    "q_mix_budget_report" -> ((s, dir) =>
+      mixReport(graft.ops.ScaleOps.widen(Tables.documents(s, dir)))))
+
+  def oracleSql: Map[String, String] = Map(
+    "q_mix_budget" -> mixOracle,
+    "q_mix_budget_report" -> reportOracle)
+}
