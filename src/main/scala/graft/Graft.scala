@@ -690,4 +690,11 @@ object Graft {
     */
   def mixBudgetReport(docs: DataFrame): DataFrame =
     ops.Mixing.mixReport(docs)
+
+  /** Rule-based sentence segmentation of a (doc_id, text) frame:
+    * (doc_id, seg_idx, segment) — abbreviation / initial / lowercase-
+    * continuation boundaries merged back.
+    */
+  def segmentSentences(docs: DataFrame): DataFrame =
+    text.Sentences.segments(docs)
 }
