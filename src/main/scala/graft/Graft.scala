@@ -697,4 +697,10 @@ object Graft {
     */
   def segmentSentences(docs: DataFrame): DataFrame =
     text.Sentences.segments(docs)
+
+  /** Smallest token window containing all query terms, per document —
+    * the proximity signal next to [[graft.text.Retrieval]]'s BM25.
+    */
+  def minWindowProximity(spark: SparkSession, sfDir: String): DataFrame =
+    text.Proximity.minWindow(spark, sfDir)
 }

@@ -85,6 +85,7 @@ object SparkEntry {
       (graft.dedup.ExactSpans.queries, graft.dedup.ExactSpans.oracleSql),
       (graft.ops.Mixing.queries, graft.ops.Mixing.oracleSql),
       (graft.text.Sentences.queries, graft.text.Sentences.oracleSql),
+      (graft.text.Proximity.queries, graft.text.Proximity.oracleSql),
       (graft.pipelines.CdxIndex.queries, graft.pipelines.CdxIndex.oracleSql),
       (graft.pipelines.Revalidate.queries, graft.pipelines.Revalidate.oracleSql),
       (Map[String, (SparkSession, String) => DataFrame](
