@@ -703,4 +703,11 @@ object Graft {
     */
   def minWindowProximity(spark: SparkSession, sfDir: String): DataFrame =
     text.Proximity.minWindow(spark, sfDir)
+
+  /** IDN homograph screen over a (doc_id, host) frame: UTS #39-style
+    * confusable skeleton, per-label mixed-script test, spoof flag
+    * against the protected-name list.
+    */
+  def screenConfusables(hosts: DataFrame): DataFrame =
+    text.Confusables.screen(hosts)
 }

@@ -86,6 +86,7 @@ object SparkEntry {
       (graft.ops.Mixing.queries, graft.ops.Mixing.oracleSql),
       (graft.text.Sentences.queries, graft.text.Sentences.oracleSql),
       (graft.text.Proximity.queries, graft.text.Proximity.oracleSql),
+      (graft.text.Confusables.queries, graft.text.Confusables.oracleSql),
       (graft.pipelines.CdxIndex.queries, graft.pipelines.CdxIndex.oracleSql),
       (graft.pipelines.Revalidate.queries, graft.pipelines.Revalidate.oracleSql),
       (Map[String, (SparkSession, String) => DataFrame](
