@@ -710,4 +710,12 @@ object Graft {
     */
   def screenConfusables(hosts: DataFrame): DataFrame =
     text.Confusables.screen(hosts)
+
+  /** Weekly cohort retention matrix over the events table. */
+  def cohortRetention(spark: SparkSession, sfDir: String): DataFrame =
+    ops.Events.cohortRetention(spark, sfDir)
+
+  /** Ordered view→click→purchase funnel with a 24h per-hop horizon. */
+  def funnelStages(spark: SparkSession, sfDir: String): DataFrame =
+    ops.Events.funnel(spark, sfDir)
 }

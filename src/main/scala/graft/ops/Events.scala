@@ -261,7 +261,89 @@ object Events {
        |  CAST(max(sum_cents) OVER (PARTITION BY user_id, grp) AS BIGINT) AS filled_cents
        |FROM g""".stripMargin
 
+  /** Weekly cohort retention — the product-analytics matrix every
+    * event warehouse serves: users cohorted by their FIRST active
+    * epoch-week, one row per (cohort, week offset) with the distinct
+    * users still active then. Weeks are `unix_seconds div 604800`
+    * (the gap-fill epoch discipline — never a rounding cast). Two
+    * aggregates + one user-keyed join; the (user, week) dedup bounds
+    * everything downstream at |users|·|weeks|.
+    */
+  def cohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val uw = graft.ops.ScaleOps.widen(Tables.events(spark, dir))
+      .select(col("user_id"), expr("unix_timestamp(ts) div 604800").as("wk"))
+      .distinct()
+    val firstW = uw.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_wk"))
+    uw.join(firstW, Seq("user_id"))
+      .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("offset_wk"))
+      .agg(count(lit(1)).cast("long").as("active_users"))
+  }
+
+  def cohortRetentionOracle: String =
+    s"""WITH uw AS (
+       |  SELECT DISTINCT user_id, epoch_ms(ts) // 604800000 AS wk
+       |  FROM events),
+       |first AS (
+       |  SELECT user_id, MIN(wk) AS cohort_wk FROM uw GROUP BY user_id)
+       |SELECT f.cohort_wk, u.wk - f.cohort_wk AS offset_wk,
+       |  CAST(COUNT(*) AS BIGINT) AS active_users
+       |FROM uw u JOIN first f USING (user_id)
+       |GROUP BY f.cohort_wk, u.wk - f.cohort_wk""".stripMargin
+
+  /** Funnel window between consecutive stages, in exact microseconds. */
+  val FunnelHorizonUs = 86400000000L
+
+  /** Ordered funnel view → click → purchase: a user reaches stage 2
+    * only with a click STRICTLY AFTER their first view and within the
+    * horizon, stage 3 likewise after that click — order and horizon
+    * both matter (a click before any view never counts), all in exact
+    * epoch microseconds. Per-stage conditional min-aggregates + two
+    * user-keyed joins; work bounded by the per-type event counts.
+    * (stage, users).
+    */
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    val e = graft.ops.ScaleOps.widen(Tables.events(spark, dir))
+      .select(col("user_id"), col("event_type"),
+        expr("unix_micros(ts)").as("us"))
+    val tv = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("us")).as("tv"))
+    val tc = e.filter(col("event_type") === "click")
+      .join(tv, Seq("user_id"))
+      .filter(col("us") > col("tv") && col("us") <= col("tv") + FunnelHorizonUs)
+      .groupBy(col("user_id")).agg(min(col("us")).as("tc"))
+    val tp = e.filter(col("event_type") === "purchase")
+      .join(tc, Seq("user_id"))
+      .filter(col("us") > col("tc") && col("us") <= col("tc") + FunnelHorizonUs)
+      .groupBy(col("user_id")).agg(min(col("us")).as("tp"))
+    tv.join(tc.select(col("user_id"), lit(1).as("c2")), Seq("user_id"), "left")
+      .join(tp.select(col("user_id"), lit(1).as("c3")), Seq("user_id"), "left")
+      .select((lit(1) + coalesce(col("c2"), lit(0)) + coalesce(col("c3"), lit(0)))
+        .as("stage"))
+      .groupBy(col("stage")).agg(count(lit(1)).cast("long").as("users"))
+  }
+
+  def funnelOracle: String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+       |tv AS (
+       |  SELECT user_id, MIN(us) AS tv FROM e
+       |  WHERE event_type = 'view' GROUP BY user_id),
+       |tc AS (
+       |  SELECT e.user_id, MIN(us) AS tc FROM e JOIN tv USING (user_id)
+       |  WHERE event_type = 'click' AND us > tv AND us <= tv + $FunnelHorizonUs
+       |  GROUP BY e.user_id),
+       |tp AS (
+       |  SELECT e.user_id, MIN(us) AS tp FROM e JOIN tc USING (user_id)
+       |  WHERE event_type = 'purchase' AND us > tc AND us <= tc + $FunnelHorizonUs
+       |  GROUP BY e.user_id)
+       |SELECT 1 + (tc IS NOT NULL)::INTEGER + (tp IS NOT NULL)::INTEGER AS stage,
+       |  CAST(COUNT(*) AS BIGINT) AS users
+       |FROM tv LEFT JOIN tc USING (user_id) LEFT JOIN tp USING (user_id)
+       |GROUP BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cohort_retention" -> ((s, dir) => cohortRetention(s, dir)),
+    "q_funnel" -> ((s, dir) => funnel(s, dir)),
     "q_events_window_stats" -> ((s, dir) => userWindowStats(s, dir)),
     "q_events_rolling" -> ((s, dir) => userRollingSpend(s, dir)),
     "q_events_json" -> ((s, dir) => hourlyJsonAgg(s, dir)),
@@ -273,6 +355,8 @@ object Events {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_cohort_retention" -> cohortRetentionOracle,
+    "q_funnel" -> funnelOracle,
     "q_events_window_stats" -> userWindowStatsOracle,
     "q_events_rolling" -> userRollingSpendOracle,
     "q_events_json" -> hourlyJsonAggOracle,
