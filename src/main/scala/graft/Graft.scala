@@ -718,4 +718,10 @@ object Graft {
   /** Ordered view→click→purchase funnel with a 24h per-hop horizon. */
   def funnelStages(spark: SparkSession, sfDir: String): DataFrame =
     ops.Events.funnel(spark, sfDir)
+
+  /** Bucketed interval-containment join of events into per-user
+    * windows — chunk-replicated, equi-joined, never a cartesian.
+    */
+  def intervalJoin(spark: SparkSession, sfDir: String): DataFrame =
+    ops.IntervalJoin.joined(spark, sfDir)
 }

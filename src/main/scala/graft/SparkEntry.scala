@@ -87,6 +87,7 @@ object SparkEntry {
       (graft.text.Sentences.queries, graft.text.Sentences.oracleSql),
       (graft.text.Proximity.queries, graft.text.Proximity.oracleSql),
       (graft.text.Confusables.queries, graft.text.Confusables.oracleSql),
+      (graft.ops.IntervalJoin.queries, graft.ops.IntervalJoin.oracleSql),
       (graft.pipelines.CdxIndex.queries, graft.pipelines.CdxIndex.oracleSql),
       (graft.pipelines.Revalidate.queries, graft.pipelines.Revalidate.oracleSql),
       (Map[String, (SparkSession, String) => DataFrame](
