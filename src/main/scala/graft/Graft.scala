@@ -724,4 +724,11 @@ object Graft {
     */
   def intervalJoin(spark: SparkSession, sfDir: String): DataFrame =
     ops.IntervalJoin.joined(spark, sfDir)
+
+  /** Streaming funnel: per-user stage transitions over an event
+    * stream, state evicted by event-time timeout.
+    */
+  def funnelStream(events: org.apache.spark.sql.Dataset[streaming.FunnelStream.Ev])
+      : org.apache.spark.sql.Dataset[streaming.FunnelStream.StageReached] =
+    streaming.FunnelStream.funnelStream(events)
 }
