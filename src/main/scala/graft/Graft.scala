@@ -731,4 +731,11 @@ object Graft {
   def funnelStream(events: org.apache.spark.sql.Dataset[streaming.FunnelStream.Ev])
       : org.apache.spark.sql.Dataset[streaming.FunnelStream.StageReached] =
     streaming.FunnelStream.funnelStream(events)
+
+  /** JSONL parse with malformed-line quarantine over a (doc_id, line)
+    * frame: (doc_id, is_valid, fields…) — invalid lines flagged, never
+    * dropped or thrown.
+    */
+  def parseJsonLines(lines: DataFrame): DataFrame =
+    sources.JsonLines.parse(lines)
 }

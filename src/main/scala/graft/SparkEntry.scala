@@ -88,6 +88,7 @@ object SparkEntry {
       (graft.text.Proximity.queries, graft.text.Proximity.oracleSql),
       (graft.text.Confusables.queries, graft.text.Confusables.oracleSql),
       (graft.ops.IntervalJoin.queries, graft.ops.IntervalJoin.oracleSql),
+      (graft.sources.JsonLines.queries, graft.sources.JsonLines.oracleSql),
       (graft.pipelines.CdxIndex.queries, graft.pipelines.CdxIndex.oracleSql),
       (graft.pipelines.Revalidate.queries, graft.pipelines.Revalidate.oracleSql),
       (Map[String, (SparkSession, String) => DataFrame](
