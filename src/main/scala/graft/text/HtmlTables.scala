@@ -36,15 +36,16 @@ object HtmlTables {
     */
   val TableRe = "(?s)<table[^>]*>((?:(?!<table).)*?)</table>"
   val RowRe = "(?s)<tr[^>]*>(.*?)</tr>"
-  val CellRe = "(?s)<t[dh][^>]*>(.*?)</t[dh]>"
 
   /** 2 + doc_id%2 extracted tables per page: a 2×2 table with a `<th>`
-    * header row and a styled (`<b>`) cell, odd docs add a 2×3 table
+    * header row and a styled (`<b>`) cell, odd docs add a 3-row table
     * with an EMPTY cell — empty cells must survive as '' rows, not
-    * vanish — and EVERY page ends with the nested shape: a layout
-    * table (`nav`/`footer` chrome cells) wrapping a 2-row data table.
-    * The extractor must yield the inner data table's rows and skip the
-    * wrapper, with flat-table indices unchanged.
+    * vanish — whose last row opens with `colspan="2"` (the next cell
+    * must land at colidx 2, not 1), and EVERY page ends with the
+    * nested shape: a layout table (`nav`/`footer` chrome cells)
+    * wrapping a 2-row data table. The extractor must yield the inner
+    * data table's rows and skip the wrapper, with flat-table indices
+    * unchanged.
     */
   def plantTableHtml: Column = {
     val id = col("doc_id")
@@ -57,7 +58,10 @@ object HtmlTables {
       lit("<table>\n  <tr><th>A</th><th>B</th><th>C</th></tr>\n  <tr><td>x"),
       (id % 9).cast("string"),
       lit("</td><td></td><td>y"), (id % 4).cast("string"),
-      lit("</td></tr>\n</table>\n"))
+      // the colspan row: 'wide' spans columns 0-1, so 'z' sits at
+      // colidx 2 — a span-blind extractor would mis-place it at 1
+      lit("</td></tr>\n  <tr><td colspan=\"2\">wide"), (id % 5).cast("string"),
+      lit("</td><td>z</td></tr>\n</table>\n"))
     val nested = concat(
       lit("<table class=\"layout\"><tr><td>nav</td><td>\n" +
         "<table class=\"inner\"><tr><th>K</th></tr><tr><td>v"),
@@ -67,10 +71,24 @@ object HtmlTables {
       when(id % 2 === 1, t1).otherwise(lit("")), nested, lit("</body></html>"))
   }
 
+  /** Whole-cell grammar (attributes kept — `colspan` lives there). */
+  val CellFullRe = "(?s)<t[dh][^>]*>.*?</t[dh]>"
+
   /** (doc_id, tbl, row, colidx, header, cell) over a (doc_id, html)
     * frame — inline tags stripped from cell text, whitespace trimmed.
+    * `colidx` is COLSPAN-AWARE (r11): a cell's index is the running
+    * sum of the spans before it, so `<td colspan=2>` shifts every
+    * later cell right — without it any real-world table with a
+    * spanning header mis-aligns every column. The prefix sums are
+    * computed inside the per-row ARRAY world (an `aggregate` fold)
+    * before the cell explode, so the plan stays map-only — a window
+    * would have bought the same indices for an exchange.
     */
-  def cells(df: DataFrame): DataFrame =
+  def cells(df: DataFrame): DataFrame = {
+    val spanOf = (c: Column) => {
+      val sp = regexp_extract(c, "(?i)colspan\\s*=\\s*\"?(\\d+)", 1)
+      when(sp === "", lit(1)).otherwise(greatest(lit(1), sp.cast("int")))
+    }
     df.select(col("doc_id"),
         posexplode(regexp_extract_all(col("html"), lit(TableRe), lit(1)))
           .as(Seq("tbl", "tbody")))
@@ -79,11 +97,17 @@ object HtmlTables {
           .as(Seq("row", "rbody")))
       .select(col("doc_id"), col("tbl"), col("row").cast("int").as("row"),
         (instr(col("rbody"), "<th") > 0).cast("int").as("header"),
-        posexplode(regexp_extract_all(col("rbody"), lit(CellRe), lit(1)))
-          .as(Seq("colidx", "cbody")))
+        regexp_extract_all(col("rbody"), lit(CellFullRe), lit(0)).as("cs"))
+      .withColumn("offsets", slice(
+        aggregate(col("cs"), array(lit(0)),
+          (acc, c) => concat(acc, array(element_at(acc, -1) + spanOf(c)))),
+        lit(1), size(col("cs"))))
+      .select(col("doc_id"), col("tbl"), col("row"), col("header"),
+        explode(arrays_zip(col("cs"), col("offsets"))).as("z"))
       .select(col("doc_id"), col("tbl"), col("row"),
-        col("colidx").cast("int").as("colidx"), col("header"),
-        trim(regexp_replace(col("cbody"), "<[^>]*>", "")).as("cell"))
+        col("z").getField("offsets").cast("int").as("colidx"), col("header"),
+        trim(regexp_replace(col("z").getField("cs"), "<[^>]*>", "")).as("cell"))
+  }
 
   def extracted(spark: SparkSession, dir: String): DataFrame =
     cells(graft.ops.ScaleOps.widen(Tables.documents(spark, dir))
@@ -106,6 +130,9 @@ object HtmlTables {
       cell("1", 1, 0, 0, "'x' || CAST(doc_id % 9 AS VARCHAR)", "doc_id % 2 = 1"),
       cell("1", 1, 1, 0, "''", "doc_id % 2 = 1"),
       cell("1", 1, 2, 0, "'y' || CAST(doc_id % 4 AS VARCHAR)", "doc_id % 2 = 1"),
+      // colspan row: 'wide' spans columns 0-1 so 'z' lands at colidx 2
+      cell("1", 2, 0, 0, "'wide' || CAST(doc_id % 5 AS VARCHAR)", "doc_id % 2 = 1"),
+      cell("1", 2, 2, 0, "'z'", "doc_id % 2 = 1"),
       // the nested plant: only the INNER data table is extracted (the
       // wrapping layout table's nav/footer chrome never appears), at
       // the table index AFTER the flat tables on the page

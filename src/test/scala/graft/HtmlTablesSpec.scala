@@ -50,11 +50,21 @@ class HtmlTablesSpec extends SparkSuite {
     assert(got == Set((0, 0, 0, "flat"), (1, 0, 0, "deep"), (2, 0, 0, "tail")))
   }
 
-  test("fixture: even docs yield 6 cells, odd docs 12; plan is map-only") {
+  test("colspan shifts later cells: wide cell at 0, the next at colidx 2") {
+    import spark.implicits._
+    val html = "<table><tr><td colspan=\"2\">w</td><td>z</td></tr>" +
+      "<tr><td>a</td><td>b</td><td>c</td></tr></table>"
+    val got = HtmlTables.cells(Seq((1L, html)).toDF("doc_id", "html"))
+      .collect().map(r => (r.getInt(2), r.getInt(3), r.getString(5))).toSet
+    assert(got == Set((0, 0, "w"), (0, 2, "z"),
+      (1, 0, "a"), (1, 1, "b"), (1, 2, "c")))
+  }
+
+  test("fixture: even docs yield 6 cells, odd docs 14; plan is map-only") {
     val counts = HtmlTables.extracted(spark, Sf).groupBy("doc_id").count()
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     counts.foreach { case (id, n) =>
-      assert(n == (if (id % 2 == 0) 6L else 12L), s"doc $id")
+      assert(n == (if (id % 2 == 0) 6L else 14L), s"doc $id")
     }
     val plan = HtmlTables.extracted(spark, Sf).queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange hashpartitioning"), plan)
