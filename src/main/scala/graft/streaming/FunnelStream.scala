@@ -27,7 +27,17 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * Declared scope: per-user event-time order within each batch is
   * restored by sorting, and batches are assumed watermark-ordered
   * across batches (standard Append semantics); a late event beyond the
-  * watermark is dropped by the watermark itself.
+  * watermark is dropped by the watermark itself. DECLARED DIVERGENCE
+  * (pinned in FunnelStreamSpec): an event that is within the lateness
+  * allowance but event-time EARLIER than events already folded in a
+  * previous micro-batch (e.g. an earlier first view arriving one batch
+  * after the click it would have qualified) is folded in arrival
+  * order, not event order — the fold is monotone (`tv` is never
+  * retroactively lowered), so the stream may settle one stage LOWER
+  * than the serial recurrence for such users. Callers needing
+  * bit-equality with the batch operator under cross-batch reordering
+  * should set `lateness = "0 seconds"` so the watermark itself
+  * enforces the ordering assumption.
   *
   * Reference scope: no streaming in the reference; §2.10 north-star
   * machinery. Unit-pinned (streaming — no row oracle possible): the
@@ -80,8 +90,14 @@ object FunnelStream {
           case _ => ()
         }
       }
-      state.update(st)
-      if (st.tv != Unset) {
+      if (st.tv == Unset) {
+        // still no view (click/purchase-only user — untracked views,
+        // bots): nothing to anchor a timeout on, so storing the
+        // all-Unset state would leak forever. Keep NO state; the
+        // funnel can only start at a future view, which re-creates it.
+        if (state.exists) state.remove()
+      } else {
+        state.update(st)
         // after first-view + 2 horizons nothing can advance the funnel
         val doneMs = st.tv / 1000L + 2L * (HorizonUs / 1000L)
         state.setTimeoutTimestamp(math.max(doneMs, state.getCurrentWatermarkMs() + 1))

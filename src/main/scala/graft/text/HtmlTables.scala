@@ -86,7 +86,7 @@ object HtmlTables {
     */
   def cells(df: DataFrame): DataFrame = {
     val spanOf = (c: Column) => {
-      val sp = regexp_extract(c, "(?i)colspan\\s*=\\s*\"?(\\d+)", 1)
+      val sp = regexp_extract(c, "(?i)colspan\\s*=\\s*[\"']?(\\d+)", 1)
       when(sp === "", lit(1)).otherwise(greatest(lit(1), sp.cast("int")))
     }
     df.select(col("doc_id"),

@@ -65,6 +65,46 @@ class FunnelStreamSpec extends SparkSuite {
       8L -> FunnelStream.serialStage(evs.filter(_.user_id == 8L))))
   }
 
+  test("view-less users leave NO state behind (bounded memory on bot traffic)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // click/purchase-only users across two batches: every invocation
+    // folds to all-Unset, so zero state rows must survive either batch
+    val mem = MemoryStream[Ev]
+    val q = FunnelStream.funnelStream(mem.toDS())
+      .writeStream.format("memory").queryName("funnel_botless").outputMode("append").start()
+    mem.addData((1L to 50L).map(u => Ev(u, "click", ts(T0 + u))): _*)
+    q.processAllAvailable()
+    mem.addData((1L to 50L).map(u => Ev(u, "purchase", ts(T0 + 1000 + u))): _*)
+    q.processAllAvailable()
+    val stateRows = q.lastProgress.stateOperators.head.numRowsTotal
+    q.stop()
+    assert(stateRows == 0L, s"view-less users leaked $stateRows state rows")
+    assert(spark.sql("SELECT * FROM funnel_botless").count() == 0L)
+  }
+
+  test("DECLARED divergence: in-lateness but cross-batch-reordered view folds in " +
+    "arrival order (stream stage 1 vs serial 2); lateness=0 drops it instead") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // click arrives in batch 1, the view it would qualify arrives in
+    // batch 2 with an EARLIER event time (within the 1h lateness).
+    val evs1 = Seq(Ev(9L, "click", ts(T0 + 1000)))
+    val evs2 = Seq(Ev(9L, "view", ts(T0)))
+    val mem = MemoryStream[Ev]
+    val q = FunnelStream.funnelStream(mem.toDS())
+      .writeStream.format("memory").queryName("funnel_ooo").outputMode("append").start()
+    mem.addData(evs1: _*); q.processAllAvailable()
+    mem.addData(evs2: _*); q.processAllAvailable()
+    val got = spark.sql("SELECT user_id, stage FROM funnel_ooo")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    q.stop()
+    // serial recurrence (event order) would reach stage 2; the stream's
+    // monotone fold cannot retroactively lower tv → stage 1 only
+    assert(FunnelStream.serialStage(evs1 ++ evs2) == 2)
+    assert(got == Set((9L, 1)))
+  }
+
   test("the serial recurrence matches the batch operator's stage counts on the fixture") {
     import org.apache.spark.sql.functions._
     val byStage = graft.ops.Events.funnel(spark, Sf)

@@ -60,6 +60,15 @@ class HtmlTablesSpec extends SparkSuite {
       (1, 0, "a"), (1, 1, "b"), (1, 2, "c")))
   }
 
+  test("colspan quoting styles: single-quoted and unquoted both honored") {
+    import spark.implicits._
+    val html = "<table><tr><td colspan='2'>w</td><td>z</td></tr>" +
+      "<tr><td colspan=3>all</td></tr></table>"
+    val got = HtmlTables.cells(Seq((1L, html)).toDF("doc_id", "html"))
+      .collect().map(r => (r.getInt(2), r.getInt(3), r.getString(5))).toSet
+    assert(got == Set((0, 0, "w"), (0, 2, "z"), (1, 0, "all")))
+  }
+
   test("fixture: even docs yield 6 cells, odd docs 14; plan is map-only") {
     val counts = HtmlTables.extracted(spark, Sf).groupBy("doc_id").count()
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
