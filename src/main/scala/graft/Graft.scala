@@ -678,6 +678,16 @@ object Graft {
                       k: Int = dedup.ExactSpans.KTokens): DataFrame =
     dedup.ExactSpans.scrub(docs, k)
 
+  /** Whitespace-exact ExactSubstr: duplicate spans matched over the
+    * whitespace-normalized token stream, surviving text spliced back
+    * from the ORIGINAL bytes — tabs/newlines/multi-space round-trip
+    * exactly and a span-free document returns byte-identical. The
+    * recall-1 default for real (unnormalized) corpora.
+    */
+  def scrubExactSpansWs(docs: DataFrame,
+                        k: Int = dedup.ExactSpans.KTokens): DataFrame =
+    dedup.ExactSpans.scrubWs(docs, k)
+
   /** Token-BUDGETED corpus mix (the complement of [[mixCorpus]]'s
     * rate recipe): exact largest-remainder token quotas per source,
     * hash-order selection. (doc_id, source, toks).

@@ -1,6 +1,6 @@
 package graft.dedup
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -71,26 +71,33 @@ object ExactSpans {
         .otherwise(expr("cast(array() as array<string>)")))
       .select(col("doc_id"), posexplode(col("hs")).as(Seq("pos", "h")))
 
-  /** Scrub every duplicated ≥k-token span from a (doc_id, text)
-    * corpus: (doc_id, clean, removed_tokens, n_spans).
+  /** Duplicated-span detection shared by both scrub paths: from the
+    * (doc_id, pos, h) window table to per-document sorted token-index
+    * spans (doc_id, spans: array<struct<s,e>>), inclusive both ends.
     */
-  def scrub(docs: DataFrame, k: Int = KTokens): DataFrame = {
-    val starts = shingleStarts(docs, k)
+  private def dupSpansPerDoc(starts: DataFrame, k: Int): DataFrame = {
     val dup = starts.groupBy(col("h")).agg(count(lit(1)).as("c"))
       .filter(col("c") > 1).select(col("h"))
     val dupStarts = starts.join(dup, Seq("h"), "left_semi")
     // interval union: windows all have length k, so coverage breaks
     // exactly when a start exceeds the previous start by more than k
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val spans = dupStarts
+    dupStarts
       .withColumn("brk",
         when(col("pos") > lag(col("pos"), 1).over(w) + k, lit(1)).otherwise(lit(0)))
       .withColumn("island",
         sum(col("brk")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
       .groupBy(col("doc_id"), col("island"))
       .agg(min(col("pos")).as("s"), (max(col("pos")) + lit(k - 1)).as("e"))
-    val spansPerDoc = spans.groupBy(col("doc_id"))
+      .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("spans"))
+  }
+
+  /** Scrub every duplicated ≥k-token span from a (doc_id, text)
+    * corpus: (doc_id, clean, removed_tokens, n_spans).
+    */
+  def scrub(docs: DataFrame, k: Int = KTokens): DataFrame = {
+    val spansPerDoc = dupSpansPerDoc(shingleStarts(docs, k), k)
     docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
       .join(spansPerDoc, Seq("doc_id"), "left")
       .withColumn("spans",
@@ -100,6 +107,48 @@ object ExactSpans {
           zip_with(toks, sequence(0, size(toks) - 1), (t, i) -> struct(t as t, i as i)),
           x -> NOT exists(spans, sp -> x.i >= sp.s AND x.i <= sp.e)), x -> x.t), ' ')""")
           .as("clean"),
+        expr("aggregate(spans, 0, (a, sp) -> a + sp.e - sp.s + 1)")
+          .cast("long").as("removed_tokens"),
+        size(col("spans")).cast("long").as("n_spans"))
+  }
+
+  /** WHITESPACE-EXACT scrub — lifts [[scrub]]'s single-space declared
+    * scope to arbitrary whitespace, making the recall-1 path the
+    * default for real text (previously such corpora fell back to the
+    * X102 CDC proxy with its measured ~72% avg / ~19% min recall,
+    * X164). Three moves:
+    *
+    *   1. HASH over the whitespace-normalized form
+    *      (`regexp_replace(text, "\\s+", " ")` + trim): token indices
+    *      in that form align 1:1 with whitespace-delimited tokens of
+    *      the original, and two occurrences of a span MATCH even when
+    *      their internal whitespace differs (tab vs space vs newline —
+    *      the Lee et al. duplicated-content notion, not byte identity);
+    *   2. detect spans by token index exactly as [[scrub]];
+    *   3. REASSEMBLE by splicing the ORIGINAL byte ranges
+    *      ([[graft.plans.SpliceTokenSpans]]): a span (s, e) removes
+    *      bytes `[start-of-token-s, end-of-token-e)` — tokens plus the
+    *      whitespace strictly inside the span — so surviving text
+    *      round-trips byte-for-byte, whitespace included, and a
+    *      span-free document is returned identical
+    *      (`ExactSpansSpec` pins the identity round-trip).
+    *
+    * Same scale shape as [[scrub]]: the normalize+hash is per-document
+    * map work, only hashes shuffle, and the splice is a single
+    * byte-scan per document.
+    */
+  def scrubWs(docs: DataFrame, k: Int = KTokens): DataFrame = {
+    val norm = docs.select(col("doc_id"), col("text"),
+      trim(regexp_replace(col("text"), "\\s+", " ")).as("ntext"))
+    val spansPerDoc = dupSpansPerDoc(
+      shingleStarts(norm.select(col("doc_id"), col("ntext").as("text")), k), k)
+    norm.join(spansPerDoc, Seq("doc_id"), "left")
+      .withColumn("spans",
+        coalesce(col("spans"), expr("cast(array() as array<struct<s:int,e:int>>)")))
+      .select(col("doc_id"),
+        org.apache.spark.sql.GraftColumnShim.column(graft.plans.SpliceTokenSpans(
+          org.apache.spark.sql.GraftColumnShim.expression(col("text")),
+          org.apache.spark.sql.GraftColumnShim.expression(col("spans")))).as("clean"),
         expr("aggregate(spans, 0, (a, sp) -> a + sp.e - sp.s + 1)")
           .cast("long").as("removed_tokens"),
         size(col("spans")).cast("long").as("n_spans"))
@@ -130,9 +179,69 @@ object ExactSpans {
        |  CAST(1 AS BIGINT) AS n_spans
        |FROM ids""".stripMargin
 
+  /** The X164 planted shape rebuilt with MESSY whitespace, for the
+    * whitespace-exact gate: 20 doc-unique prefix tokens separated by a
+    * cycling tab / double-space / newline, a newline, the 75-token span
+    * shared by each group of 4 — separated INSIDE by a per-document
+    * alternation of space and tab, so the four occurrences differ
+    * byte-wise but match token-wise — then space+newline, then 20
+    * doc-unique suffix tokens separated by alternating space/newline.
+    */
+  def plantedWs(docs: DataFrame): DataFrame = {
+    val id = col("doc_id").cast("string")
+    val g = expr("doc_id div 4").cast("string")
+    val lch = expr("chr(65 + doc_id % 4)")
+    def sepPre(j: Column): Column =
+      when(j === 19, lit("")).when(j % 3 === 0, lit("\t"))
+        .when(j % 3 === 1, lit("  ")).otherwise(lit("\n"))
+    def sepSpan(j: Column): Column =
+      when(j === 74, lit(""))
+        .when((j + col("doc_id")) % 2 === 0, lit(" ")).otherwise(lit("\t"))
+    def sepSuf(j: Column): Column =
+      when(j === 19, lit("")).when(j % 2 === 0, lit(" ")).otherwise(lit("\n"))
+    val pre = array_join(transform(sequence(lit(0), lit(19)),
+      j => concat(lit("p"), id, lit("x"), j.cast("string"), lch, sepPre(j))), "")
+    val span = array_join(transform(sequence(lit(0), lit(74)),
+      j => concat(lit("s"), g, lit("w"), j.cast("string"), sepSpan(j))), "")
+    val suf = array_join(transform(sequence(lit(0), lit(19)),
+      j => concat(lch, lit("y"), j.cast("string"), lit("q"), id, sepSuf(j))), "")
+    docs.select(col("doc_id"),
+      concat(pre, lit("\n"), span, lit(" \n"), suf).as("text"))
+  }
+
+  /** q_exact_span_scrub_ws: the whitespace-exact scrub over
+    * [[plantedWs]] — the span's 75 tokens vanish as one byte splice
+    * `[start-of-token, end-of-token)`, so the whitespace that framed
+    * the span (the '\n' before it, the ' \n' after) SURVIVES and the
+    * oracle states the clean text byte-exactly in closed form.
+    */
+  def plantedWsScrub(spark: SparkSession, dir: String): DataFrame =
+    scrubWs(plantedWs(graft.ops.ScaleOps.widen(Tables.documents(spark, dir))
+      .select(col("doc_id"))))
+
+  def plantedWsOracle: String =
+    s"""WITH ids AS (
+       |  SELECT doc_id, chr(65 + CAST(doc_id % 4 AS INTEGER)) AS lch
+       |  FROM documents)
+       |SELECT doc_id,
+       |  array_to_string(list_transform(range(0, 20),
+       |    j -> 'p' || doc_id || 'x' || j || lch ||
+       |      CASE WHEN j = 19 THEN '' WHEN j % 3 = 0 THEN chr(9)
+       |           WHEN j % 3 = 1 THEN '  ' ELSE chr(10) END), '')
+       |  || chr(10) || ' ' || chr(10) ||
+       |  array_to_string(list_transform(range(0, 20),
+       |    j -> lch || 'y' || j || 'q' || doc_id ||
+       |      CASE WHEN j = 19 THEN '' WHEN j % 2 = 0 THEN ' '
+       |           ELSE chr(10) END), '') AS clean,
+       |  CAST(75 AS BIGINT) AS removed_tokens,
+       |  CAST(1 AS BIGINT) AS n_spans
+       |FROM ids""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_exact_span_scrub" -> ((s, dir) => planted(s, dir)))
+    "q_exact_span_scrub" -> ((s, dir) => planted(s, dir)),
+    "q_exact_span_scrub_ws" -> ((s, dir) => plantedWsScrub(s, dir)))
 
   def oracleSql: Map[String, String] = Map(
-    "q_exact_span_scrub" -> plantedOracle)
+    "q_exact_span_scrub" -> plantedOracle,
+    "q_exact_span_scrub_ws" -> plantedWsOracle)
 }

@@ -88,6 +88,76 @@ class ExactSpansSpec extends SparkSuite {
     assert(fast.toSeq == slow.toSeq)
   }
 
+  test("scrubWs identity: a span-free corpus round-trips BYTE-exactly, whitespace kept") {
+    val k = 10
+    val df = Seq(
+      (1L, "  leading \t tabs\nand\n\nnewlines " + toks("a", 12) + "  "),
+      (2L, toks("b", 30).replace(" ", "\t")),
+      (3L, ""), (4L, " \n\t ")
+    ).toDF("doc_id", "text")
+    val out = ExactSpans.scrubWs(df, k).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    df.collect().foreach { r =>
+      assert(out(r.getLong(0)) == (r.getString(1), 0L),
+        s"doc ${r.getLong(0)} must round-trip byte-exactly")
+    }
+  }
+
+  test("scrubWs: occurrences with DIFFERENT internal whitespace still match; " +
+    "splice removes token-to-token bytes only, framing whitespace survives") {
+    val k = 10
+    val sharedToks = (0 until 12).map(i => s"s$i")
+    val span1 = sharedToks.mkString("\t") // tabs inside
+    val span2 = sharedToks.mkString(" ") // single spaces inside
+    val df = Seq(
+      (1L, s"${toks("a", 5)} \n$span1\n  ${toks("b", 5)}"),
+      (2L, s"${toks("c", 5)}  $span2 ${toks("d", 5)}")
+    ).toDF("doc_id", "text")
+    val out = ExactSpans.scrubWs(df, k).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    // byte splice = [start of s0, end of s11): the ' \n' before and
+    // '\n  ' after doc 1's span survive verbatim
+    assert(out(1L) == (s"${toks("a", 5)} \n\n  ${toks("b", 5)}", 12L, 1L))
+    assert(out(2L) == (s"${toks("c", 5)}   ${toks("d", 5)}", 12L, 1L))
+  }
+
+  test("scrubWs splice is byte-offset-safe on multi-byte content (emoji, CJK)") {
+    val k = 10
+    val span = toks("s", 12)
+    val df = Seq(
+      (1L, s"☃a 你好😀 c0 c1 c2 $span 🎉end"),
+      (2L, s"d0 d1 d2 d3 d4 $span e0é e1")
+    ).toDF("doc_id", "text")
+    val out = ExactSpans.scrubWs(df, k).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out(1L) == (s"☃a 你好😀 c0 c1 c2  🎉end", 12L))
+    assert(out(2L) == (s"d0 d1 d2 d3 d4  e0é e1", 12L))
+  }
+
+  test("scrubWs: k-1 messy-whitespace span untouched; exactly-k removed") {
+    val k = 10
+    val shared10 = (0 until 10).map(i => s"s$i").mkString("\n")
+    val shared9 = (0 until 9).map(i => s"t$i").mkString("\t")
+    val df = Seq(
+      (1L, s"${toks("a", 3)} $shared10 ${toks("m", 5)} $shared9 ${toks("b", 3)}"),
+      (2L, s"${toks("c", 3)} $shared10 ${toks("n", 5)} $shared9 ${toks("d", 3)}")
+    ).toDF("doc_id", "text")
+    val out = ExactSpans.scrubWs(df, k).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L) == (s"${toks("a", 3)}  ${toks("m", 5)} $shared9 ${toks("b", 3)}", 10L, 1L))
+    assert(out(2L) == (s"${toks("c", 3)}  ${toks("n", 5)} $shared9 ${toks("d", 3)}", 10L, 1L))
+  }
+
+  test("plantedWs fixture: 75/75 span tokens removed on every doc, framing ws survives") {
+    val out = ExactSpans.plantedWsScrub(spark, Sf)
+    val agg = out.agg(min(col("removed_tokens")), max(col("removed_tokens")),
+      max(col("n_spans"))).collect()(0)
+    assert(agg.getLong(0) == 75L && agg.getLong(1) == 75L && agg.getLong(2) == 1L)
+    // the newline before the span and the ' \n' after it both survive
+    val one = out.filter(col("doc_id") === 0L).collect()(0).getString(1)
+    assert(one.contains("\n \n"), "framing whitespace must survive the splice")
+  }
+
   test("plan shape: one shingle-count exchange, no cartesian") {
     val plan = ExactSpans.planted(spark, Sf).queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), plan)

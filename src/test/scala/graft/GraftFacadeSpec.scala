@@ -146,4 +146,17 @@ class GraftFacadeSpec extends SparkSuite {
     assert(cb.columns.toSeq == Seq("host", "n_clean", "alloc"))
     assert(cb.limit(1).count() === 1)
   }
+
+  test("round-12 delegates: whitespace-exact span scrub round-trips and scrubs") {
+    import spark.implicits._
+    val shared = (0 until 60).map(i => s"s$i").mkString(" ")
+    val df = Seq((1L, s"a0\ta1\n$shared  tail1"),
+      (2L, s"b0 b1\n\n$shared\ttail2")).toDF("doc_id", "text")
+    val out = Graft.scrubExactSpansWs(df).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out(1L) == ("a0\ta1\n  tail1", 60L))
+    assert(out(2L) == ("b0 b1\n\n\ttail2", 60L))
+    val unique = Seq((3L, "x0\n x1\tx2  ")).toDF("doc_id", "text")
+    assert(Graft.scrubExactSpansWs(unique).collect()(0).getString(1) == "x0\n x1\tx2  ")
+  }
 }
