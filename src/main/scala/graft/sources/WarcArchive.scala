@@ -33,10 +33,14 @@ import graft.text.Canonical
   * Erasure ([[erase]]):
   *  1. affected shards come from the INDEX (one bounded semi join —
   *     never an archive scan);
-  *  2. each affected shard is rewritten by STREAMING the surviving
-  *     member ranges into a temp file (seek + bounded copy; shard
-  *     bytes never fully in memory) and renaming over the original —
-  *     a fully-doomed shard's file is deleted outright;
+  *  2. each affected shard is rewritten ON AN EXECUTOR by STREAMING
+  *     the surviving member ranges into an attempt-unique temp file
+  *     (seek + bounded copy; shard bytes never fully in memory; the
+  *     live file is read-only so retries are safe), then the driver
+  *     finalizes with metadata-only renames — a GDPR request touching
+  *     thousands of shards parallelizes across the cluster instead of
+  *     serializing through one machine; a fully-doomed shard's file is
+  *     deleted outright;
   *  3. the index partitions of affected shards are rewritten with
   *     surviving offsets shifted down by the removed bytes before
   *     them (dynamic partition overwrite — untouched index partitions
@@ -82,6 +86,11 @@ object WarcArchive {
   }
 
   def shardFileName(shardId: Long): String = f"shard-$shardId%05d.warc.gz"
+
+  /** Diagnostic: how many distinct tasks the last [[erase]] call's
+    * splice fanned across (spec-pinned > 1 for multi-shard erasures).
+    */
+  @volatile private[graft] var lastSplicePartitions: Int = 0
 
   /** The planted capture set — the X134 plant (messy URI →
     * canonicalization → SURT) with the payload carrying its doc_id on
@@ -172,11 +181,23 @@ object WarcArchive {
     spark.catalog.refreshByPath(outDir)
   }
 
-  def readIndex(spark: SparkSession, outDir: String): DataFrame =
-    // partition-column type inference reads `shard_id=N` dirs as INT;
-    // pin the index schema back to the written LONG
-    spark.read.parquet(new Path(outDir, "_index").toString)
+  def readIndex(spark: SparkSession, outDir: String): DataFrame = {
+    // load the EXPLICIT shard_id=N partition dirs with basePath rather
+    // than the `_index` root: a root whose name starts with `_` is a
+    // hidden path to DataSource's listing filter, which WARNs "All
+    // paths were ignored" on every read (the round-11 bench-tail noise)
+    // before falling back to reading it anyway
+    val idxRoot = new Path(outDir, "_index")
+    val fs = idxRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = Option(fs.globStatus(new Path(idxRoot, "shard_id=*")))
+      .getOrElse(Array.empty).map(_.getPath.toString)
+    require(parts.nonEmpty, s"no index partitions under $idxRoot")
+    spark.read.option("basePath", idxRoot.toString)
+      .parquet(scala.collection.immutable.ArraySeq.unsafeWrapArray(parts): _*)
+      // partition-column type inference reads `shard_id=N` dirs as INT;
+      // pin the index schema back to the written LONG
       .withColumn("shard_id", col("shard_id").cast("long"))
+  }
 
   /** Erase every capture of `docIds` from the archive at `outDir`.
     * Returns the number of shard files rewritten (deleted shards
@@ -211,38 +232,65 @@ object WarcArchive {
         col("member_bytes"), col("digest"), col("shard_id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    // splice each affected shard: stream surviving ranges to a temp
-    // file, rename over the original. Driver loop bounded by the
-    // erasure request (work ∝ affected shards); each copy is
-    // seek + bounded-buffer streaming, never a whole shard in memory.
-    val doomedSet = docIds.toSet
-    val keepRanges = affIdx
-      .select(col("shard_id"), col("doc_id"), col("member_offset"), col("member_bytes"))
-      .as[(Long, Long, Long, Long)].collect()
-      .groupBy(_._1)
-    for (shard <- affected) {
-      val ranges = keepRanges(shard).sortBy(_._3)
-      val survivors = ranges.filterNot(r => doomedSet(r._2))
+    // splice each affected shard ON EXECUTORS: the per-shard survivor
+    // ranges travel as one grouped row per shard (never via the
+    // driver), each task streams its shards' surviving ranges into an
+    // ATTEMPT-UNIQUE temp file (seek + bounded copy; shard bytes never
+    // fully in memory; the live file is only READ, so task retries and
+    // speculative twins are safe — losers just leave an orphan temp,
+    // swept below). The driver then finalizes with a metadata-only
+    // delete+rename loop — at a thousand affected shards that is a
+    // thousand FS metadata RPCs, not a thousand serialized byte copies
+    // (the round-11 shape this replaces).
+    val outStr = outDir
+    val bcConf = spark.sparkContext.broadcast(
+      new SerConf(spark.sparkContext.hadoopConfiguration))
+    val nTasks = math.max(1,
+      math.min(affected.length, spark.sparkContext.defaultParallelism))
+    val spliced = affIdx
+      .select(col("shard_id"), col("member_offset"), col("member_bytes"),
+        coalesce(col("is_doomed"), lit(false)).as("d"))
+      .groupBy(col("shard_id"))
+      .agg(sort_array(collect_list(struct(
+        col("member_offset"), col("member_bytes"), col("d")))).as("ms"))
+      .as[(Long, Seq[(Long, Long, Boolean)])]
+      .repartition(nTasks)
+      .map { case (shard, ms) =>
+        val survivors = ms.filterNot(_._3)
+        val tc = org.apache.spark.TaskContext.get()
+        val pid = if (tc == null) 0 else tc.partitionId()
+        if (survivors.isEmpty) (shard, "", pid)
+        else {
+          val tfs = new Path(outStr).getFileSystem(bcConf.value.conf)
+          val attempt = if (tc == null) "local" else tc.taskAttemptId().toString
+          val tmpName = shardFileName(shard) + ".erase_tmp." + attempt
+          val in = tfs.open(new Path(outStr, shardFileName(shard)))
+          val os = tfs.create(new Path(outStr, tmpName), true)
+          val buf = new Array[Byte](1 << 16)
+          try survivors.foreach { case (off, len, _) =>
+            in.seek(off)
+            var left = len
+            while (left > 0) {
+              val n = in.read(buf, 0, math.min(left, buf.length.toLong).toInt)
+              require(n > 0, s"short read splicing shard $shard at offset $off")
+              os.write(buf, 0, n); left -= n
+            }
+          } finally { in.close(); os.close() }
+          (shard, tmpName, pid)
+        }
+      }.collect()
+    lastSplicePartitions = spliced.map(_._3).distinct.length
+    spliced.foreach { case (shard, tmpName, _) =>
       val live = new Path(outDir, shardFileName(shard))
-      if (survivors.isEmpty) {
-        fs.delete(live, true)
-      } else {
-        val tmp = new Path(outDir, shardFileName(shard) + ".erase_tmp")
-        val in = fs.open(live)
-        val os = fs.create(tmp, true)
-        val buf = new Array[Byte](1 << 16)
-        try survivors.foreach { case (_, _, off, len) =>
-          in.seek(off)
-          var left = len
-          while (left > 0) {
-            val n = in.read(buf, 0, math.min(left, buf.length.toLong).toInt)
-            require(n > 0, s"short read splicing $live at offset $off")
-            os.write(buf, 0, n); left -= n
-          }
-        } finally { in.close(); os.close() }
-        fs.delete(live, true)
-        require(fs.rename(tmp, live), s"rename $tmp -> $live failed")
-      }
+      fs.delete(live, true)
+      if (tmpName.nonEmpty)
+        require(fs.rename(new Path(outDir, tmpName), live),
+          s"rename $tmpName -> $live failed")
+    }
+    // sweep temp files left by failed or speculative-loser attempts
+    fs.globStatus(new Path(outDir, "*.erase_tmp.*")) match {
+      case null => ()
+      case stale => stale.foreach(s => fs.delete(s.getPath, false))
     }
 
     // index rewrite: dynamic partition overwrite touches only the

@@ -98,6 +98,53 @@ class WarcArchiveSpec extends SparkSuite {
     assert(shardMd5s(out) == beforeSecond)
   }
 
+  test("erase: a multi-shard erasure fans the splice across >1 task") {
+    val out = tmpDir("graft_warcarch_spec_par")
+    WarcArchive.writeArchive(spark, Sf, out)
+    val idx = indexRows(out)
+    val shards = idx.map(_._1).distinct.sorted
+    assert(shards.length > 1)
+    // one doomed doc from EVERY shard -> every shard spliced
+    val doomed = shards.map(s => idx.filter(_._1 == s).map(_._2).min).toSeq
+    val rewritten = WarcArchive.erase(spark, out, doomed)
+    assert(rewritten == shards.length)
+    assert(WarcArchive.lastSplicePartitions > 1,
+      s"splice must distribute: ${WarcArchive.lastSplicePartitions} task(s) " +
+        s"for ${shards.length} shards")
+    assertContiguous(out)
+    val survivors = WarcArchive.readArchive(spark, out)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    doomed.foreach(d => assert(!survivors(d)))
+    assert(survivors.size.toLong == idx.length - doomed.size)
+    // no temp droppings from the distributed pass
+    assert(fs.globStatus(new Path(out, "*.erase_tmp.*")).forall(_ => false),
+      "orphan erase temp files left behind")
+  }
+
+  test("erase: two sequential erasures of the SAME shard compose — the second " +
+    "reads the first's rewritten index and offsets stay exact") {
+    val out = tmpDir("graft_warcarch_spec_seq")
+    WarcArchive.writeArchive(spark, Sf, out)
+    val idx = indexRows(out)
+    val targetShard = idx.map(_._1).min
+    val inShard = idx.filter(_._1 == targetShard).map(_._2).sorted
+    assert(inShard.length >= 5, "need enough docs in the shard for two rounds")
+    // round 1 erases even positions, round 2 odd positions of the SAME
+    // shard: round 2's splice must run off the POST-round-1 offsets
+    // (any stale-index read would slice garbage and fail the digest
+    // re-verify inside erase)
+    val round1 = inShard.zipWithIndex.collect { case (d, i) if i % 2 == 0 => d }.take(2).toSeq
+    val round2 = inShard.zipWithIndex.collect { case (d, i) if i % 2 == 1 => d }.take(2).toSeq
+    assert(WarcArchive.erase(spark, out, round1) == 1)
+    assertContiguous(out)
+    assert(WarcArchive.erase(spark, out, round2) == 1)
+    assertContiguous(out)
+    val survivors = WarcArchive.readArchive(spark, out)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    (round1 ++ round2).foreach(d => assert(!survivors(d), s"doc $d still readable"))
+    assert(survivors.size.toLong == idx.length - round1.size - round2.size)
+  }
+
   test("erase: a fully-doomed shard's file and index partition are deleted") {
     val out = tmpDir("graft_warcarch_spec_full")
     WarcArchive.writeArchive(spark, Sf, out)
