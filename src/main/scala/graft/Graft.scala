@@ -204,6 +204,22 @@ object Graft {
   def qualityModelScore(spark: SparkSession, sfDir: String): DataFrame =
     text.QualityModel.score(spark, sfDir)
 
+  /** TRAIN the quality classifier natively: heuristic-teacher seed
+    * labels → Naive Bayes class counts per hash slot → fixed-point
+    * integer log-odds weight table, ready for [[qualityModelScore]]'s
+    * scorer. (slot, cnt_pos, cnt_neg, w).
+    */
+  def qualityTrain(spark: SparkSession, sfDir: String): DataFrame =
+    text.QualityTrain.train(spark, sfDir)
+
+  /** Train on any labeled corpus (text, label) — the distillation seam. */
+  def qualityTrainDocs(labeled: DataFrame): DataFrame =
+    text.QualityTrain.trainDocs(labeled)
+
+  /** Score any corpus with any (slot, w) table — trained or shipped. */
+  def qualityScoreDocs(docs: DataFrame, weights: DataFrame): DataFrame =
+    text.QualityModel.scoreDocs(docs, weights)
+
   /** SemDeDup semantic deduplication: IVF-cluster-bucketed cosine
     * near-dup pairs and the keep-one-representative corpus.
     */

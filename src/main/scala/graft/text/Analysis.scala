@@ -124,6 +124,33 @@ object Analysis {
     )
   }
 
+  /** The quality heuristic as ONE scaled BIGINT in [0, 100000] — the
+    * exact-integer core `quality_score` divides by 1e5: t4·4 +
+    * (10000−s4)·3 + l4·3, every term an exact-integer-valued double
+    * (floors of ratios ×1e4), so the cast is exact and a threshold on
+    * it is an integer comparison in both engines. NULL for token-less
+    * docs (no evidence, no verdict) — the seed-labeling contract
+    * [[QualityTrain]] rests on.
+    */
+  def qualityQFromTokens(toks: Column): Column = {
+    val n = size(toks)
+    val nD = n.cast("double")
+    val t4 = floor(size(array_distinct(toks)).cast("double") * 10000 / nD)
+    val s4 = floor(hits(toks, TextOps.Stopwords).cast("double") * 10000 / nD)
+    val l4 = least(lit(10000.0), nD * 100)
+    when(n > 0, (t4 * 4 + (lit(10000.0) - s4) * 3 + l4 * 3).cast("long"))
+  }
+
+  /** [[qualityQFromTokens]]' DuckDB twin over a token-list expression. */
+  def qualityQSql(toks: String): String = {
+    val n = s"len($toks)"
+    val nD = s"CAST($n AS DOUBLE)"
+    val t4 = s"floor(CAST(len(list_distinct($toks)) AS DOUBLE) * 10000 / $nD)"
+    val s4 = s"floor(CAST(len(list_filter($toks, t -> t IN (${TextOps.stopwordListSql}))) AS DOUBLE) * 10000 / $nD)"
+    val l4 = s"least(10000.0, $nD * 100)"
+    s"CASE WHEN $n > 0 THEN CAST($t4 * 4 + (10000.0 - $s4) * 3 + $l4 * 3 AS BIGINT) END"
+  }
+
   def qualitySqlColumns(c: String): Seq[(String, String)] = {
     val toks = TextOps.tokenizeSql(c)
     val n = s"len($toks)"

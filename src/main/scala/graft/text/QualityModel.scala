@@ -54,11 +54,24 @@ object QualityModel {
     * boundary. Docs with no tokens are absent (no features, no verdict)
     * — same contract as [[DocEmbedding.docEmbedding]].
     */
-  def score(spark: SparkSession, dir: String): DataFrame = {
-    val toks = graft.ops.ScaleOps.widen(Tables.documents(spark, dir))
+  def score(spark: SparkSession, dir: String): DataFrame =
+    scoreWith(spark, dir, weights(spark, dir))
+
+  /** [[score]] against ANY (slot, w) weight table — the seam the
+    * [[QualityTrain]] trained model plugs into (same hash, same slots,
+    * so a trained table and the fixture table are interchangeable).
+    */
+  def scoreWith(spark: SparkSession, dir: String, wtable: DataFrame): DataFrame =
+    scoreDocs(graft.ops.ScaleOps.widen(Tables.documents(spark, dir)), wtable)
+
+  /** The scorer core over ANY (doc_id, text) corpus and (slot, w)
+    * table — the train→score composition seam.
+    */
+  def scoreDocs(docs: DataFrame, wtable: DataFrame): DataFrame = {
+    val toks = docs
       .select(col("doc_id"), explode(TextOps.preprocess(col("text"))).as("token"))
       .select(col("doc_id"), DocEmbedding.slotOf(col("token")).as("slot"))
-    toks.join(broadcast(weights(spark, dir)), "slot")
+    toks.join(broadcast(wtable), "slot")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_toks"), sum(col("w")).as("sum_w"))
       .select(col("doc_id"), col("n_toks"), col("sum_w"),

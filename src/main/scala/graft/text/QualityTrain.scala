@@ -1,0 +1,176 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.sim.DocEmbedding
+
+/** NATIVE training for the model-based quality filter — closes the loop
+  * [[QualityModel]] (X75) left open: X75 scores against a fixture
+  * weight table; real pipelines label a seed set, TRAIN, then filter
+  * the corpus with the trained model. Multinomial Naive Bayes over
+  * hashed-token features is that trainer done as pure counting, so the
+  * whole fit is relational and oracle-able end to end:
+  *
+  *   - seed labels come from the heuristic teacher — the X9 quality
+  *     score's exact-integer core ([[Analysis.qualityQFromTokens]])
+  *     thresholded at [[LabelThreshold]] (the classic distillation
+  *     shape: heuristic labeler → model student; token-less docs carry
+  *     no label and sit out);
+  *   - features are the SAME hashed slots X75 scores with
+  *     ([[DocEmbedding.slotOf]], 48-bit md5 fold mod
+  *     [[DocEmbedding.VocabSlots]]) over the SAME preprocessed token
+  *     stream, so the trained table drops into [[QualityModel]]'s
+  *     scorer unchanged;
+  *   - the per-slot weight is the add-one-smoothed class log-odds in
+  *     the X86/X100 msb discipline EXTENDED to fixed point: whole-bit
+  *     `msb(x) = length(bin(x))` collapses every slot whose class
+  *     ratio sits inside one octave of the global ratio to w = 0 (on
+  *     the fixture's ≈2:1 seed that is EVERY slot — an all-zero
+  *     model), so the quantizer here is `log2fp(x)` = ⌊log₂x⌋ in
+  *     sixteenths, the within-octave remainder linearly interpolated:
+  *     `(msb(x)−1)·16 + (16x DIV 2^(msb(x)−1)) − 16`. Pure integer
+  *     arithmetic in both engines (bin/length, one integral divide,
+  *     one variable shift), exactly monotone in x, and
+  *     `w = log2fp(cnt_pos+1) − log2fp(tot_pos+V) −
+  *     log2fp(cnt_neg+1) + log2fp(tot_neg+V)` is the add-one-smoothed
+  *     log-odds in 1/16-bit units.
+  *
+  * Scale shape: one token-explode map stage (labels are computed
+  * per-row on the same pass, no join back to the corpus), ONE
+  * partial-agg count exchange on slot (vocab-sized output), and the
+  * class totals re-aggregate from the vocab-sized counts — a broadcast
+  * single-row scalar, never a second corpus pass. Training work at
+  * 100 TB is one pass plus vocab-sized reductions.
+  */
+object QualityTrain {
+
+  /** Seed-label threshold on the scaled-integer heuristic quality
+    * (observed fixture range ≈ 55k–74k, median ≈ 64.5k — mid-range so
+    * both classes stay populated at every scale factor, spec-pinned).
+    */
+  val LabelThreshold = 64000L
+
+  /** ⌊log₂x⌋ in sixteenths (x ≥ 1), within-octave remainder linearly
+    * interpolated — Spark SQL form (the DuckDB twin is
+    * [[log2fpDuckSql]]; `QualityTrainSpec` pins exact agreement and
+    * monotonicity over a dense range).
+    */
+  def log2fpSparkSql(x: String): String =
+    s"((length(bin($x)) - 1) * 16 + ($x * 16) DIV " +
+      s"shiftleft(CAST(1 AS BIGINT), CAST(length(bin($x)) - 1 AS INT)) - 16)"
+
+  def log2fpDuckSql(x: String): String =
+    s"((length(bin($x)) - 1) * 16 + ($x * 16) // " +
+      s"(CAST(1 AS BIGINT) << CAST(length(bin($x)) - 1 AS INTEGER)) - 16)"
+
+  /** The labeled seed: (doc_id, text, label) — heuristic-teacher
+    * verdict per document; token-less docs (no label evidence) absent.
+    */
+  def seed(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.ScaleOps.widen(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("text"),
+        (Analysis.qualityQFromTokens(TextOps.tokenize(col("text")))
+          >= LabelThreshold).as("label"))
+      .filter(col("label").isNotNull)
+
+  /** Fit the classifier: (slot, cnt_pos, cnt_neg, w) — one row per
+    * vocabulary slot SEEN in the seed (absent slots carry no evidence;
+    * [[QualityModel]]'s inner scoring join skips them, matching the
+    * fixture-table contract).
+    */
+  def train(spark: SparkSession, dir: String): DataFrame =
+    trainDocs(seed(spark, dir))
+
+  /** [[train]]'s core over ANY labeled corpus (text, label) — the seam
+    * `QualityTrainSpec` trains planted marker corpora through (the
+    * fixture's vocabulary is label-uniform BY DESIGN, so its trained
+    * weights are correctly near zero; discriminative behavior is
+    * pinned on plants where signal exists).
+    */
+  def trainDocs(labeled: DataFrame): DataFrame = {
+    val v = DocEmbedding.VocabSlots
+    val slots = labeled
+      .select(col("label"), explode(TextOps.preprocess(col("text"))).as("token"))
+      .select(col("label"), DocEmbedding.slotOf(col("token")).as("slot"))
+    val counts = slots.groupBy(col("slot")).agg(
+      sum(when(col("label"), 1L).otherwise(0L)).as("cnt_pos"),
+      sum(when(!col("label"), 1L).otherwise(0L)).as("cnt_neg"))
+    val totals = counts.agg(
+      sum(col("cnt_pos")).as("tot_pos"), sum(col("cnt_neg")).as("tot_neg"))
+    counts.crossJoin(broadcast(totals))
+      .select(col("slot"), col("cnt_pos"), col("cnt_neg"),
+        expr(s"${log2fpSparkSql("cnt_pos + 1")} - ${log2fpSparkSql(s"tot_pos + $v")}"
+          + s" - ${log2fpSparkSql("cnt_neg + 1")} + ${log2fpSparkSql(s"tot_neg + $v")}")
+          .cast("long").as("w"))
+  }
+
+  /** q_quality_train_score: the composition the pipelines actually run
+    * — the trained table fed straight into the X75 scorer.
+    */
+  def trainedScore(spark: SparkSession, dir: String): DataFrame =
+    QualityModel.scoreWith(spark, dir,
+      train(spark, dir).select(col("slot"), col("w")))
+
+  /** The shared oracle prelude: seed labels → hashed slots →
+    * class-conditional counts → totals, in DuckDB.
+    */
+  private def trainCtes: String = {
+    val v = DocEmbedding.VocabSlots
+    s"""lab AS (
+       |  SELECT doc_id, text,
+       |    (${Analysis.qualityQSql(TextOps.tokenizeSql("text"))}) >= $LabelThreshold AS label
+       |  FROM documents
+       |  WHERE len(${TextOps.tokenizeSql("text")}) > 0),
+       |toks AS (
+       |  SELECT label, unnest(${TextOps.preprocessSql("text")}) AS token FROM lab),
+       |hashed AS (
+       |  SELECT label, md5(token) AS h FROM toks),
+       |slots AS (
+       |  SELECT label, (${TextOps.md5HexFold12Sql("h")}) % $v AS slot FROM hashed),
+       |counts AS (
+       |  SELECT slot,
+       |    CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS cnt_pos,
+       |    CAST(sum(CASE WHEN label THEN 0 ELSE 1 END) AS BIGINT) AS cnt_neg
+       |  FROM slots GROUP BY slot),
+       |tot AS (
+       |  SELECT CAST(sum(cnt_pos) AS BIGINT) AS tot_pos,
+       |    CAST(sum(cnt_neg) AS BIGINT) AS tot_neg
+       |  FROM counts),
+       |model AS (
+       |  SELECT slot, cnt_pos, cnt_neg,
+       |    CAST(${log2fpDuckSql("cnt_pos + 1")} - ${log2fpDuckSql(s"tot_pos + $v")}
+       |      - ${log2fpDuckSql("cnt_neg + 1")} + ${log2fpDuckSql(s"tot_neg + $v")} AS BIGINT) AS w
+       |  FROM counts, tot)""".stripMargin
+  }
+
+  def trainOracle: String =
+    s"""WITH $trainCtes
+       |SELECT slot, cnt_pos, cnt_neg, w FROM model""".stripMargin
+
+  def trainedScoreOracle: String =
+    s"""WITH $trainCtes,
+       |dtoks AS (
+       |  SELECT doc_id, unnest(${TextOps.preprocessSql("text")}) AS token FROM documents
+       |), dhashed AS (
+       |  SELECT doc_id, md5(token) AS h FROM dtoks
+       |), dslots AS (
+       |  SELECT doc_id, (${TextOps.md5HexFold12Sql("h")}) % ${DocEmbedding.VocabSlots} AS slot FROM dhashed
+       |), agg AS (
+       |  SELECT doc_id, count(*) AS n_toks, CAST(sum(w) AS BIGINT) AS sum_w
+       |  FROM dslots JOIN model USING (slot) GROUP BY doc_id
+       |)
+       |SELECT doc_id, n_toks, sum_w,
+       |  (1000 * sum_w) // n_toks AS score_q,
+       |  ((1000 * sum_w) // n_toks) > ${QualityModel.KeepThreshold} AS keep
+       |FROM agg""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_quality_train" -> ((s, dir) => train(s, dir)),
+    "q_quality_train_score" -> ((s, dir) => trainedScore(s, dir)))
+
+  def oracleSql: Map[String, String] = Map(
+    "q_quality_train" -> trainOracle,
+    "q_quality_train_score" -> trainedScoreOracle)
+}

@@ -158,5 +158,12 @@ class GraftFacadeSpec extends SparkSuite {
     assert(out(2L) == ("b0 b1\n\n\ttail2", 60L))
     val unique = Seq((3L, "x0\n x1\tx2  ")).toDF("doc_id", "text")
     assert(Graft.scrubExactSpansWs(unique).collect()(0).getString(1) == "x0\n x1\tx2  ")
+    val model = Graft.qualityTrain(spark, Sf)
+    assert(model.columns.toSeq == Seq("slot", "cnt_pos", "cnt_neg", "w"))
+    assert(model.limit(1).count() === 1)
+    val scored = Graft.qualityScoreDocs(
+      Seq((1L, "alpha beta")).toDF("doc_id", "text"),
+      model.select(col("slot"), col("w")))
+    assert(scored.columns.toSeq == Seq("doc_id", "n_toks", "sum_w", "score_q", "keep"))
   }
 }
