@@ -216,6 +216,16 @@ object Graft {
   def qualityTrainDocs(labeled: DataFrame): DataFrame =
     text.QualityTrain.trainDocs(labeled)
 
+  /** Train per-language char-bigram profiles from (lang_true, text). */
+  def langProfiles(labeled: DataFrame): DataFrame =
+    text.LangProfile.profilesFrom(labeled)
+
+  /** Classify (doc_id, text) against a profile table: (doc_id,
+    * lang_pred, score); no-evidence docs absent.
+    */
+  def langClassify(docs: DataFrame, profiles: DataFrame): DataFrame =
+    text.LangProfile.classify(docs, profiles)
+
   /** Score any corpus with any (slot, w) table — trained or shipped. */
   def qualityScoreDocs(docs: DataFrame, weights: DataFrame): DataFrame =
     text.QualityModel.scoreDocs(docs, weights)
