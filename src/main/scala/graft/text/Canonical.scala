@@ -232,6 +232,55 @@ object Canonical {
       .otherwise(concat(lit("plain"), (id % 9).cast("string"), lit(".example.com")))
   }
 
+  /** The UTS-46 mapping plants (round-12 sibling of [[plantIdnHost]]):
+    * each case exercises one mapping rule — ß deviation, ZWJ deletion,
+    * ligature and width NFKC folds, final sigma, and a
+    * prohibited-code-point rejection (space inside a label). Expected
+    * registry forms confirmed against `java.net.IDN` (IDNA2003).
+    */
+  def plantIdnUtsHost: Column = {
+    val id = col("doc_id")
+    when(id % 6 === 0, lit("faß.de"))
+      .when(id % 6 === 1, lit("a‍b.example"))
+      .when(id % 6 === 2, lit("ﬁrm.example"))
+      .when(id % 6 === 3, lit("ｅｘａｍｐｌｅ.com"))
+      .when(id % 6 === 4, lit("σολος.gr"))
+      .otherwise(lit("bad host.example"))
+  }
+
+  /** q_idn_hosts_uts46: the mapping-rule plants through the same
+    * encode→decode plan as [[idnHosts]]. Deviation characters do NOT
+    * display-round-trip (transitional mapping is lossy by design:
+    * faß → fass stays fass), so this gate states both forms
+    * closed-form instead of asserting round-trip.
+    */
+  def idnHostsUts46(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.ScaleOps.widen(Tables.documents(spark, dir))
+      .select(col("doc_id"), plantIdnUtsHost.as("host"))
+      .select(col("doc_id"), col("host"),
+        idnAscii(col("host")).as("ascii_host"))
+      .select(col("doc_id"), col("host"), col("ascii_host"),
+        idnUnicode(col("ascii_host")).as("display_host"))
+
+  def idnUts46Oracle: String =
+    s"""SELECT doc_id,
+       |  CASE doc_id % 6
+       |    WHEN 0 THEN 'faß.de' WHEN 1 THEN 'a' || chr(8205) || 'b.example'
+       |    WHEN 2 THEN 'ﬁrm.example' WHEN 3 THEN 'ｅｘａｍｐｌｅ.com'
+       |    WHEN 4 THEN 'σολος.gr'
+       |    ELSE 'bad host.example' END AS host,
+       |  CASE doc_id % 6
+       |    WHEN 0 THEN 'fass.de' WHEN 1 THEN 'ab.example'
+       |    WHEN 2 THEN 'firm.example' WHEN 3 THEN 'example.com'
+       |    WHEN 4 THEN 'xn--wxahbnd.gr'
+       |    ELSE 'bad host.example' END AS ascii_host,
+       |  CASE doc_id % 6
+       |    WHEN 0 THEN 'fass.de' WHEN 1 THEN 'ab.example'
+       |    WHEN 2 THEN 'firm.example' WHEN 3 THEN 'example.com'
+       |    WHEN 4 THEN 'σολοσ.gr'
+       |    ELSE 'bad host.example' END AS display_host
+       |FROM documents""".stripMargin
+
   /** (doc_id, host, ascii_host, display_host): registry form via
     * encode, display form via decode of the REGISTRY form — the full
     * round trip rides one plan.
@@ -323,11 +372,13 @@ object Canonical {
     "q_url_canonical" -> ((s, dir) => canonicalUrls(s, dir)),
     "q_pct_normalize" -> ((s, dir) => pctNormalized(s, dir)),
     "q_idn_hosts" -> ((s, dir) => idnHosts(s, dir)),
+    "q_idn_hosts_uts46" -> ((s, dir) => idnHostsUts46(s, dir)),
     "q_pct_encode" -> ((s, dir) => pctEncoded(s, dir)))
 
   def oracleSql: Map[String, String] = Map(
     "q_url_canonical" -> canonicalOracle,
     "q_pct_normalize" -> pctOracle,
     "q_idn_hosts" -> idnOracle,
+    "q_idn_hosts_uts46" -> idnUts46Oracle,
     "q_pct_encode" -> pctEncodeOracle)
 }

@@ -21,9 +21,6 @@ class IdnSpec extends SparkSuite {
   }
 
   test("agrees with java.net.IDN on randomized multi-script lowercase labels") {
-    // no ß (nameprep maps it to "ss") and no final sigma — the declared
-    // simplification is lowercase-only mapping, so the agreement
-    // property holds on characters nameprep leaves alone
     val scripts = Seq(
       ('a' to 'z').mkString, "äöüé", "αβγδε", "абвгд", "あいうえ", "测试例字")
     val rnd = new scala.util.Random(11)
@@ -37,6 +34,55 @@ class IdnSpec extends SparkSuite {
       assert(Idn.toAsciiHost(host) == viaJdk, s"host=$host")
       assert(Idn.toUnicodeHost(viaJdk) == host, s"round trip of $host")
     }
+  }
+
+  test("agrees with java.net.IDN on DEVIATION and mapped characters too " +
+    "(ß, final sigma, ZWJ/ZWNJ, soft hyphen, ligature, full-width)") {
+    val scripts = Seq(
+      ('a' to 'z').mkString, "äöüé", "αβγδε", "абвгд",
+      "ßς", "‌‍­", "ﬁﬀ", "ｅｘａ")
+    val rnd = new scala.util.Random(23)
+    var checked = 0
+    (1 to 500).foreach { _ =>
+      // anchor with a base letter so deletions cannot empty the label
+      val label = "x" + (1 to rnd.nextInt(8)).map { _ =>
+        val s = scripts(rnd.nextInt(scripts.size))
+        s.charAt(rnd.nextInt(s.length))
+      }.mkString
+      val host = s"$label.example"
+      val viaJdk = try Some(java.net.IDN.toASCII(host)) catch {
+        case _: IllegalArgumentException => None // jdk rejects some combos
+      }
+      viaJdk.foreach { jdk =>
+        assert(Idn.toAsciiHost(host) == jdk, s"host=${host.map(c => f"\\u$c%04x").mkString}")
+        checked += 1
+      }
+    }
+    assert(checked > 400, s"only $checked of 500 labels were comparable")
+  }
+
+  test("UTS-46 mapping goldens: the round-12 vectors, jdk-confirmed") {
+    val vectors = Seq(
+      "faß.de" -> "fass.de",
+      "a‍b.example" -> "ab.example", // ZWJ deleted
+      "ﬁrm.example" -> "firm.example", // NFKC ligature fold
+      "ｅｘａｍｐｌｅ.com" -> "example.com", // NFKC width fold
+      "σολος.gr" -> "xn--wxahbnd.gr", // final sigma -> sigma
+      "STRASSE-ß.de" -> "strasse-ss.de")
+    vectors.foreach { case (uni, ascii) =>
+      assert(Idn.toAsciiHost(uni) == ascii, s"map $uni")
+      assert(Idn.toAsciiHost(uni) == java.net.IDN.toASCII(uni), s"jdk parity $uni")
+    }
+  }
+
+  test("prohibited code points REJECT the label verbatim, never a fake registry form") {
+    assert(Idn.toAsciiHost("bad host.example") == "bad host.example")
+    assert(Idn.toAsciiHost("Bad\u0007Bell.Example") == "Bad\u0007Bell.example",
+      "rejected label passes through untouched; clean labels still lowercase")
+    assert(Idn.toAsciiHost("ok\uE000pua.example") == "ok\uE000pua.example",
+      "private-use survives mapping -> rejected verbatim")
+    // deletion-only label maps to empty: degenerate but defined
+    assert(Idn.toAsciiHost("\u200D.example") == ".example")
   }
 
   test("uppercase folds before encoding; malformed xn-- labels decode to themselves") {
