@@ -524,6 +524,14 @@ object Graft {
   def htmlTableCells(df: DataFrame): DataFrame =
     text.HtmlTables.cells(df)
 
+  /** NESTING-AWARE table extraction over a (doc_id, html) frame:
+    * every table at every depth with (depth, parent) tree edges,
+    * wrapper-cell text recovered. [[htmlTableCells]] is the
+    * innermost-only fast path.
+    */
+  def htmlTableTree(df: DataFrame): DataFrame =
+    text.HtmlTables.cellsNested(df)
+
   /** Title / description / OpenGraph metadata over a (doc_id, html)
     * frame, with the og-falls-back-to-title card rule.
     */

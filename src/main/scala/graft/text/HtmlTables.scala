@@ -113,6 +113,71 @@ object HtmlTables {
     cells(graft.ops.ScaleOps.widen(Tables.documents(spark, dir))
       .select(col("doc_id"), plantTableHtml.as("html")))
 
+  /** NESTING-AWARE extraction (round 12 — the declared parser swap
+    * point, filled): every table at every depth via the codegen'd
+    * [[graft.plans.HtmlTableTree]] stack scan, outer-cell text
+    * recovered (a wrapper cell sees its own text; the nested table's
+    * content belongs to the nested table's rows). Columns add `depth`
+    * and `parent` — the table-tree edges. [[cells]] stays the
+    * innermost-only map-only fast path; on flat pages the two agree
+    * (spec-pinned).
+    */
+  def cellsNested(df: DataFrame): DataFrame =
+    df.select(col("doc_id"),
+        explode(org.apache.spark.sql.GraftColumnShim.column(
+          graft.plans.HtmlTableTree(
+            org.apache.spark.sql.GraftColumnShim.expression(col("html"))))).as("c"))
+      .select(col("doc_id"),
+        col("c").getField("tbl").as("tbl"),
+        col("c").getField("depth").as("depth"),
+        col("c").getField("parent").as("parent"),
+        col("c").getField("row").as("row"),
+        col("c").getField("colidx").as("colidx"),
+        col("c").getField("header").as("header"),
+        col("c").getField("cell").as("cell"))
+
+  def extractedNested(spark: SparkSession, dir: String): DataFrame =
+    cellsNested(graft.ops.ScaleOps.widen(Tables.documents(spark, dir))
+      .select(col("doc_id"), plantTableHtml.as("html")))
+
+  /** The same plant through the tree parser: the flat tables repeat
+    * the [[extractedOracle]] rows (now with depth 0, parent −1), and
+    * the nested plant contributes BOTH layers — the layout wrapper's
+    * own nav/'' /footer cells (the round-11 extractor dropped these by
+    * design) and the inner data table at depth 1 with its parent edge.
+    */
+  def extractedNestedOracle: String = {
+    def cell(tblSql: String, depth: Int, parentSql: String, row: Int, colidx: Int,
+             header: Int, cellSql: String, cond: String = "TRUE"): String =
+      s"""SELECT doc_id, CAST($tblSql AS INTEGER) AS tbl,
+         |  $depth AS depth, CAST($parentSql AS INTEGER) AS parent,
+         |  $row AS row, $colidx AS colidx, $header AS header, $cellSql AS cell
+         |FROM documents WHERE $cond""".stripMargin
+    val L = "1 + doc_id % 2" // layout wrapper's table index
+    Seq(
+      cell("0", 0, "-1", 0, 0, 1, "'Name'"),
+      cell("0", 0, "-1", 0, 1, 1, "'Value'"),
+      cell("0", 0, "-1", 1, 0, 0, "'item ' || CAST(doc_id AS VARCHAR)"),
+      cell("0", 0, "-1", 1, 1, 0, "CAST(doc_id * 7 % 100 AS VARCHAR)"),
+      cell("1", 0, "-1", 0, 0, 1, "'A'", "doc_id % 2 = 1"),
+      cell("1", 0, "-1", 0, 1, 1, "'B'", "doc_id % 2 = 1"),
+      cell("1", 0, "-1", 0, 2, 1, "'C'", "doc_id % 2 = 1"),
+      cell("1", 0, "-1", 1, 0, 0, "'x' || CAST(doc_id % 9 AS VARCHAR)", "doc_id % 2 = 1"),
+      cell("1", 0, "-1", 1, 1, 0, "''", "doc_id % 2 = 1"),
+      cell("1", 0, "-1", 1, 2, 0, "'y' || CAST(doc_id % 4 AS VARCHAR)", "doc_id % 2 = 1"),
+      cell("1", 0, "-1", 2, 0, 0, "'wide' || CAST(doc_id % 5 AS VARCHAR)", "doc_id % 2 = 1"),
+      cell("1", 0, "-1", 2, 2, 0, "'z'", "doc_id % 2 = 1"),
+      // the layout WRAPPER's own cells — recovered since round 12;
+      // the cell that hosts the inner table keeps only its own text ('')
+      cell(L, 0, "-1", 0, 0, 0, "'nav'"),
+      cell(L, 0, "-1", 0, 1, 0, "''"),
+      cell(L, 0, "-1", 0, 2, 0, "'footer'"),
+      // the inner data table, one level down, parent = the wrapper
+      cell(s"2 + doc_id % 2", 1, L, 0, 0, 1, "'K'"),
+      cell(s"2 + doc_id % 2", 1, L, 1, 0, 0, "'v' || CAST(doc_id % 6 AS VARCHAR)")
+    ).mkString("\nUNION ALL\n")
+  }
+
   def extractedOracle: String = {
     def cell(tblSql: String, row: Int, colidx: Int, header: Int, cellSql: String,
              cond: String = "TRUE"): String =
@@ -142,8 +207,10 @@ object HtmlTables {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_html_tables" -> ((s, dir) => extracted(s, dir)))
+    "q_html_tables" -> ((s, dir) => extracted(s, dir)),
+    "q_html_tables_nested" -> ((s, dir) => extractedNested(s, dir)))
 
   def oracleSql: Map[String, String] = Map(
-    "q_html_tables" -> extractedOracle)
+    "q_html_tables" -> extractedOracle,
+    "q_html_tables_nested" -> extractedNestedOracle)
 }

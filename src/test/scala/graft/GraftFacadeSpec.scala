@@ -165,5 +165,11 @@ class GraftFacadeSpec extends SparkSuite {
       Seq((1L, "alpha beta")).toDF("doc_id", "text"),
       model.select(col("slot"), col("w")))
     assert(scored.columns.toSeq == Seq("doc_id", "n_toks", "sum_w", "score_q", "keep"))
+    val tree = Graft.htmlTableTree(Seq(
+      (1L, "<table><tr><td><table><tr><td>x</td></tr></table></td></tr></table>"))
+      .toDF("doc_id", "html"))
+    assert(tree.columns.toSeq == Seq("doc_id", "tbl", "depth", "parent", "row",
+      "colidx", "header", "cell"))
+    assert(tree.count() === 2)
   }
 }

@@ -69,6 +69,52 @@ class HtmlTablesSpec extends SparkSuite {
     assert(got == Set((0, 0, "w"), (0, 2, "z"), (1, 0, "all")))
   }
 
+  test("tree parser: depth-3 nesting recovers ALL layers with parent edges") {
+    import spark.implicits._
+    val html = "<table><tr><td>L0a</td><td>" +
+      "<table><tr><td>L1</td><td>" +
+      "<table><tr><th>L2</th></tr></table>" +
+      "</td></tr></table>" +
+      "</td><td>L0b</td></tr></table>"
+    val got = HtmlTables.cellsNested(Seq((1L, html)).toDF("doc_id", "html"))
+      .collect().map(r => (r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4),
+        r.getInt(5), r.getInt(6), r.getString(7))).toSet
+    assert(got == Set(
+      (0, 0, -1, 0, 0, 0, "L0a"), (0, 0, -1, 0, 1, 0, ""), (0, 0, -1, 0, 2, 0, "L0b"),
+      (1, 1, 0, 0, 0, 0, "L1"), (1, 1, 0, 0, 1, 0, ""),
+      (2, 2, 1, 0, 0, 1, "L2")))
+  }
+
+  test("tree parser: outer-cell text AROUND a nested table is recovered") {
+    import spark.implicits._
+    val html = "<table><tr><td>before <table><tr><td>in</td></tr></table> after</td></tr></table>"
+    val got = HtmlTables.cellsNested(Seq((1L, html)).toDF("doc_id", "html"))
+      .collect().map(r => (r.getInt(1), r.getString(7))).toSet
+    assert(got == Set((0, "before  after"), (1, "in")))
+  }
+
+  test("tree parser agrees with the innermost fast path on FLAT pages") {
+    import spark.implicits._
+    val html = "<table><tr><th>H</th></tr><tr><td colspan='2'>a</td><td><i>b</i></td></tr></table>" +
+      "<table><tr><td></td><td>x</td></tr></table>"
+    val df = Seq((1L, html)).toDF("doc_id", "html")
+    val flat = HtmlTables.cells(df)
+      .collect().map(r => (r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4), r.getString(5))).toSet
+    val tree = HtmlTables.cellsNested(df)
+      .collect().map(r => (r.getInt(1), r.getInt(4), r.getInt(5), r.getInt(6), r.getString(7))).toSet
+    assert(flat == tree)
+    assert(flat.nonEmpty)
+  }
+
+  test("tree parser tolerance: comments, stray closes, unclosed EOF, self-closing inline") {
+    import spark.implicits._
+    val html = "</td></table><table><!-- <tr><td>ghost</td></tr> -->" +
+      "<tr><td>a<br/>b</td><td>tail" // unclosed cell, row, table
+    val got = HtmlTables.cellsNested(Seq((1L, html)).toDF("doc_id", "html"))
+      .collect().map(r => (r.getInt(1), r.getInt(4), r.getInt(5), r.getString(7))).toSet
+    assert(got == Set((0, 0, 0, "ab"), (0, 0, 1, "tail")))
+  }
+
   test("fixture: even docs yield 6 cells, odd docs 14; plan is map-only") {
     val counts = HtmlTables.extracted(spark, Sf).groupBy("doc_id").count()
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
