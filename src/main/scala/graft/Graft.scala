@@ -729,6 +729,20 @@ object Graft {
   def mixBudget(docs: DataFrame): DataFrame =
     ops.Mixing.mix(docs)
 
+  /** Temperature-balanced multilingual mix (α = ½): per-language
+    * quotas ∝ isqrt(tokens) by largest remainder, hash-order
+    * selection. (doc_id, lang, toks).
+    */
+  def mixTemperature(docs: DataFrame): DataFrame =
+    ops.Mixing.mixTemperature(docs)
+
+  /** The temperature-mix quota table: (lang, avail_toks, w, quota,
+    * share_bp, prop_bp) — share vs proportional makes the α-curve
+    * reshaping visible.
+    */
+  def mixTemperatureReport(docs: DataFrame): DataFrame =
+    ops.Mixing.temperatureQuotas(docs)
+
   /** Per-source budget-mix report: quota, picked docs/tokens, visible
     * shortfall for availability-capped sources.
     */

@@ -60,4 +60,39 @@ class MixingSpec extends SparkSuite {
       .findAllMatchIn(plan).map(_.group(1)).toSeq
     assert(nlj.forall(_ == "Cross"), s"non-scalar nested-loop join: $nlj\n$plan")
   }
+
+  test("isqrt is exactly floor(sqrt(x)) across boundaries and large values") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val xs = (0L to 5000L) ++
+      Seq((1L << 40) - 1, 1L << 40, (1L << 40) + 1, (1L << 52) - 1, 1L << 52)
+    val got = xs.toDF("x").select(col("x"), graft.ops.Mixing.isqrt(col("x")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    xs.foreach { x =>
+      val s = got(x)
+      assert(s * s <= x && (s + 1) * (s + 1) > x, s"isqrt($x) = $s")
+    }
+  }
+
+  test("temperature mix: quotas sum to the budget; the head language's share " +
+    "drops below proportional, every tail language's rises above") {
+    import org.apache.spark.sql.functions._
+    val rep = graft.ops.Mixing.temperatureQuotas(
+      graft.Tables.documents(spark, Sf)).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(3), r.getLong(4), r.getLong(5)))
+    val budgetTarget = rep.map(_._2).sum / 2
+    assert(rep.map(_._3).sum == budgetTarget, "quotas must sum exactly to budget")
+    val byAvail = rep.sortBy(-_._2)
+    val head = byAvail.head
+    assert(head._4 < head._5, s"head lang ${head._1} share must drop: $head")
+    byAvail.tail.foreach { l =>
+      assert(l._4 > l._5, s"tail lang ${l._1} share must rise: $l")
+    }
+    // selection respects quotas per language
+    val picked = graft.ops.Mixing.mixTemperature(graft.Tables.documents(spark, Sf))
+      .groupBy(col("lang")).agg(sum(col("toks")).as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val quotas = rep.map(r => r._1 -> r._3).toMap
+    picked.foreach { case (l, t) => assert(t <= quotas(l), s"$l overshoots") }
+  }
 }
