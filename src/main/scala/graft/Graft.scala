@@ -226,6 +226,13 @@ object Graft {
   def langClassify(docs: DataFrame, profiles: DataFrame): DataFrame =
     text.LangProfile.classify(docs, profiles)
 
+  /** Stateless stream twin: adds `lang_pred` (NULL = no evidence) via
+    * one per-row expression against a collected profile map.
+    */
+  def langClassifyStream(docs: DataFrame,
+                         model: Map[(String, String), Long]): DataFrame =
+    text.LangProfile.classifyStream(docs, model)
+
   /** Score any corpus with any (slot, w) table — trained or shipped. */
   def qualityScoreDocs(docs: DataFrame, weights: DataFrame): DataFrame =
     text.QualityModel.scoreDocs(docs, weights)
@@ -531,6 +538,13 @@ object Graft {
     */
   def htmlTableTree(df: DataFrame): DataFrame =
     text.HtmlTables.cellsNested(df)
+
+  /** Markdown linearization of a cell relation (from either
+    * extractor): (doc_id, tbl, md) — pipes escaped, header separator
+    * after a row-0 header.
+    */
+  def tableMarkdown(cells: DataFrame): DataFrame =
+    text.HtmlTables.markdown(cells)
 
   /** Title / description / OpenGraph metadata over a (doc_id, html)
     * frame, with the og-falls-back-to-title card rule.

@@ -206,11 +206,68 @@ object HtmlTables {
     ).mkString("\nUNION ALL\n")
   }
 
+  /** Markdown LINEARIZATION of the cell relation — the serialization
+    * table-to-text pretraining corpora feed the model (a table is only
+    * trainable once it is a token stream): one `| a | b |` line per
+    * row in colidx order, a `| --- |` separator after a row-0 header,
+    * pipes escaped and newlines flattened inside cells so the table
+    * structure survives tokenization. (doc_id, tbl, md).
+    *
+    * Two exchanges: per-(doc, tbl, row) cell fold (map-side combinable)
+    * then the table-sized row fold; line assembly and the separator
+    * splice run in the array world — no window.
+    */
+  def markdown(cellsDf: DataFrame): DataFrame = {
+    val esc = regexp_replace(
+      regexp_replace(col("cell"), "\n", " "), "\\|", "\\\\|")
+    val lines = cellsDf
+      .groupBy(col("doc_id"), col("tbl"), col("row"), col("header"))
+      .agg(sort_array(collect_list(struct(col("colidx"), esc.as("c")))).as("cs"))
+      .select(col("doc_id"), col("tbl"), col("row"), col("header"),
+        concat(lit("| "),
+          array_join(expr("transform(cs, x -> x.c)"), " | "), lit(" |")).as("line"),
+        size(col("cs")).as("nc"))
+    lines.groupBy(col("doc_id"), col("tbl"))
+      .agg(sort_array(collect_list(
+        struct(col("row"), col("header"), col("line"), col("nc")))).as("rs"))
+      .select(col("doc_id"), col("tbl"),
+        expr("""array_join(flatten(transform(rs, r ->
+          IF(r.row = 0 AND r.header = 1,
+             array(r.line, '|' || repeat(' --- |', r.nc)),
+             array(r.line)))), '\n')""").as("md"))
+  }
+
+  /** q_table_markdown: the planted pages' innermost cells linearized. */
+  def extractedMarkdown(spark: SparkSession, dir: String): DataFrame =
+    markdown(extracted(spark, dir))
+
+  def markdownOracle: String =
+    s"""WITH cells AS (
+       |${extractedOracle.linesIterator.map("  " + _).mkString("\n")}
+       |),
+       |lines AS (
+       |  SELECT doc_id, tbl, row, header,
+       |    '| ' || string_agg(replace(replace(cell, chr(10), ' '), '|', '\\|'),
+       |      ' | ' ORDER BY colidx) || ' |' AS line,
+       |    COUNT(*) AS nc
+       |  FROM cells GROUP BY doc_id, tbl, row, header),
+       |parts AS (
+       |  SELECT doc_id, tbl, row, 0 AS pidx, line AS part FROM lines
+       |  UNION ALL
+       |  SELECT doc_id, tbl, row, 1 AS pidx,
+       |    '|' || repeat(' --- |', CAST(nc AS INTEGER)) AS part
+       |  FROM lines WHERE row = 0 AND header = 1)
+       |SELECT doc_id, tbl,
+       |  string_agg(part, chr(10) ORDER BY row, pidx) AS md
+       |FROM parts GROUP BY doc_id, tbl""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_html_tables" -> ((s, dir) => extracted(s, dir)),
-    "q_html_tables_nested" -> ((s, dir) => extractedNested(s, dir)))
+    "q_html_tables_nested" -> ((s, dir) => extractedNested(s, dir)),
+    "q_table_markdown" -> ((s, dir) => extractedMarkdown(s, dir)))
 
   def oracleSql: Map[String, String] = Map(
     "q_html_tables" -> extractedOracle,
-    "q_html_tables_nested" -> extractedNestedOracle)
+    "q_html_tables_nested" -> extractedNestedOracle,
+    "q_table_markdown" -> markdownOracle)
 }

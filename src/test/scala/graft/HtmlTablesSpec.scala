@@ -115,6 +115,30 @@ class HtmlTablesSpec extends SparkSuite {
     assert(got == Set((0, 0, 0, "ab"), (0, 0, 1, "tail")))
   }
 
+  test("markdown linearization: header separator, pipe escaping, newline flattening") {
+    import spark.implicits._
+    val html = "<table><tr><th>K</th><th>V</th></tr>" +
+      "<tr><td>a|b</td><td>l1\nl2</td></tr></table>"
+    val md = HtmlTables.markdown(HtmlTables.cells(Seq((1L, html)).toDF("doc_id", "html")))
+      .collect()(0).getString(2)
+    assert(md ==
+      "| K | V |\n| --- | --- |\n| a\\|b | l1 l2 |")
+  }
+
+  test("markdown: headerless tables get no separator; composes with the tree parser") {
+    import spark.implicits._
+    val html = "<table><tr><td>plain</td></tr></table>" +
+      "<table><tr><td><table><tr><th>deep</th></tr></table></td></tr></table>"
+    val mds = HtmlTables.markdown(
+      HtmlTables.cellsNested(Seq((1L, html)).toDF("doc_id", "html"))
+        .select(col("doc_id"), col("tbl"), col("row"), col("colidx"),
+          col("header"), col("cell")))
+      .collect().map(r => r.getInt(1) -> r.getString(2)).toMap
+    assert(mds(0) == "| plain |")
+    assert(mds(1) == "|  |") // the wrapper's own (empty) cell
+    assert(mds(2) == "| deep |\n| --- |")
+  }
+
   test("fixture: even docs yield 6 cells, odd docs 14; plan is map-only") {
     val counts = HtmlTables.extracted(spark, Sf).groupBy("doc_id").count()
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
