@@ -546,6 +546,19 @@ object Graft {
   def tableMarkdown(cells: DataFrame): DataFrame =
     text.HtmlTables.markdown(cells)
 
+  /** T5-style span corruption over (doc_id, text): (doc_id, input,
+    * target, n_spans) — bit-reproducible sentinel masking, lossless
+    * (target splices back into input).
+    */
+  def spanCorrupt(docs: DataFrame): DataFrame =
+    text.Objectives.spanCorrupt(docs)
+
+  /** Fill-in-the-middle (PSM) samples over (doc_id, text): (doc_id,
+    * psm, p1, p2); sub-3-token docs carry no sample.
+    */
+  def fimSamples(docs: DataFrame): DataFrame =
+    text.Objectives.fim(docs)
+
   /** Title / description / OpenGraph metadata over a (doc_id, html)
     * frame, with the og-falls-back-to-title card rule.
     */

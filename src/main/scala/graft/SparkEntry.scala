@@ -38,6 +38,7 @@ object SparkEntry {
       (graft.text.QualityModel.queries, graft.text.QualityModel.oracleSql),
       (graft.text.QualityTrain.queries, graft.text.QualityTrain.oracleSql),
       (graft.text.LangProfile.queries, graft.text.LangProfile.oracleSql),
+      (graft.text.Objectives.queries, graft.text.Objectives.oracleSql),
       (graft.text.Contamination.queries, graft.text.Contamination.oracleSql),
       (graft.text.Repetition.queries, graft.text.Repetition.oracleSql),
       (graft.text.Boilerplate.queries, graft.text.Boilerplate.oracleSql),
