@@ -559,6 +559,12 @@ object Graft {
   def fimSamples(docs: DataFrame): DataFrame =
     text.Objectives.fim(docs)
 
+  /** Per-language tokenizer fertility: (lang, words, bpe_toks,
+    * fertility_bp) — the multilingual vocab-audit table.
+    */
+  def bpeFertility(spark: SparkSession, sfDir: String): DataFrame =
+    text.Bpe.fertility(spark, sfDir)
+
   /** Title / description / OpenGraph metadata over a (doc_id, html)
     * frame, with the og-falls-back-to-title card rule.
     */

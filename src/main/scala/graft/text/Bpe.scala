@@ -167,8 +167,16 @@ object Bpe {
     * formulation `graft.text.Phrases.mergeCte` uses, instantiated per
     * merge with an empty joiner.
     */
-  def encodeOracle: String = {
-    val tk = TextOps.tokenizeSql("text")
+  def encodeOracle: String =
+    s"""WITH $encodeCtes,
+       |$mergeBlocksSql
+       |SELECT v.w, v.wcnt, e.n_tok, e.toks FROM vocab v JOIN (
+       |  SELECT w, count(*) AS n_tok, string_agg(tok, ' ' ORDER BY pos) AS toks
+       |  FROM m$UseMerges GROUP BY w
+       |) e ON e.w = v.w""".stripMargin
+
+  /** The per-rank greedy-merge CTE chain — chars → m1 → … → m_UseMerges. */
+  private def mergeBlocksSql: String = {
     def block(i: Int, in: String, out: String): String =
       s"""${out}_m AS (
          |  SELECT w, pos, tok, lead(tok) OVER win AS nxt,
@@ -190,9 +198,55 @@ object Bpe {
          |  SELECT w, ROW_NUMBER() OVER (PARTITION BY w ORDER BY pos) - 1 AS pos, tok
          |  FROM ${out}_em WHERE consumed = 0
          |)""".stripMargin
-    val blocks = (1 to UseMerges)
+    (1 to UseMerges)
       .map(i => block(i, if (i == 1) "chars" else s"m${i - 1}", s"m$i")).mkString(",\n")
-    s"""WITH words AS (
+  }
+
+  /** Per-LANGUAGE tokenizer fertility (X183) — THE multilingual
+    * tokenizer-audit number: BPE tokens emitted per word, by language
+    * (a tokenizer trained on a head language inflates the token bill
+    * of every tail language; recipes compare exactly this table before
+    * committing a vocab). Words join the vocab-level encoding of
+    * [[encode]] (the corpus never re-encodes — the vocab-sized
+    * (w, n_tok) table broadcasts), fertility in integer basis points:
+    * (lang, words, bpe_toks, fertility_bp).
+    */
+  def fertility(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.ops.ScaleOps.widen(Tables.documents(spark, dir))
+    val lw = docs
+      .select(col("lang"), explode(TextOps.tokenize(col("text"))).as("w"))
+      .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("lwcnt"))
+    val enc = encode(spark, dir).select(col("w"), col("n_tok"))
+    lw.join(broadcast(enc), Seq("w"))
+      .groupBy(col("lang"))
+      .agg(sum(col("lwcnt")).as("words"),
+        sum(col("lwcnt") * col("n_tok")).as("bpe_toks"))
+      .select(col("lang"), col("words"), col("bpe_toks"),
+        expr("(10000 * bpe_toks) DIV words").as("fertility_bp"))
+  }
+
+  def fertilityOracle: String =
+    s"""WITH $encodeCtes,
+       |$mergeBlocksSql,
+       |enc AS (
+       |  SELECT w, count(*) AS n_tok FROM m$UseMerges GROUP BY w),
+       |lw AS (
+       |  SELECT lang, unnest(${TextOps.tokenizeSql("text")}) AS w FROM documents),
+       |lwc AS (
+       |  SELECT lang, w, count(*) AS lwcnt FROM lw GROUP BY lang, w)
+       |SELECT lang,
+       |  CAST(SUM(lwcnt) AS BIGINT) AS words,
+       |  CAST(SUM(lwcnt * n_tok) AS BIGINT) AS bpe_toks,
+       |  CAST((10000 * SUM(lwcnt * n_tok)) // SUM(lwcnt) AS BIGINT) AS fertility_bp
+       |FROM lwc JOIN enc USING (w) GROUP BY lang""".stripMargin
+
+  /** The shared oracle prelude: corpus words → vocab → merge table →
+    * char-split — [[encodeOracle]] and the X183 fertility oracle both
+    * append the per-rank merge blocks to it.
+    */
+  private def encodeCtes: String = {
+    val tk = TextOps.tokenizeSql("text")
+    s"""words AS (
        |  SELECT unnest($tk) AS w FROM documents
        |), vocab AS (
        |  SELECT w, count(*) AS wcnt FROM words GROUP BY w
@@ -210,21 +264,18 @@ object Bpe {
        |), chars AS (
        |  SELECT w, i - 1 AS pos, string_split(w, '')[i] AS tok
        |  FROM vocab, unnest(range(1, len(string_split(w, '')) + 1)) AS u(i)
-       |),
-       |$blocks
-       |SELECT v.w, v.wcnt, e.n_tok, e.toks FROM vocab v JOIN (
-       |  SELECT w, count(*) AS n_tok, string_agg(tok, ' ' ORDER BY pos) AS toks
-       |  FROM m$UseMerges GROUP BY w
-       |) e ON e.w = v.w""".stripMargin
+       |)""".stripMargin
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bpe_pairs" -> ((s, dir) => topPairs(s, dir)),
-    "q_bpe_encode" -> ((s, dir) => encode(s, dir))
+    "q_bpe_encode" -> ((s, dir) => encode(s, dir)),
+    "q_bpe_fertility" -> ((s, dir) => fertility(s, dir))
   )
 
   def oracleSql: Map[String, String] = Map(
     "q_bpe_pairs" -> topPairsOracle,
-    "q_bpe_encode" -> encodeOracle
+    "q_bpe_encode" -> encodeOracle,
+    "q_bpe_fertility" -> fertilityOracle
   )
 }

@@ -296,4 +296,19 @@ class HygieneBpeSpec extends SparkSuite {
       .count()
     assert(bad == 0L, s"$bad vocabulary words fail the decode round-trip")
   }
+
+  test("fertility: per-language bpe-tokens-per-word, exact join of corpus and vocab encode") {
+    import org.apache.spark.sql.functions._
+    val f = graft.text.Bpe.fertility(spark, Sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(f.keySet == Set("en", "de", "es", "fr", "zh"))
+    f.values.foreach { case (words, toks, bp) =>
+      assert(words > 0 && toks >= words, "a word encodes to >= 1 token")
+      assert(bp == 10000L * toks / words)
+      assert(bp >= 10000L && bp < 100000L)
+    }
+    // the vocab-encode side must reach the corpus join as a BROADCAST
+    val plan = graft.text.Bpe.fertility(spark, Sf).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1500))
+  }
 }
