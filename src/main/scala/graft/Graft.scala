@@ -565,6 +565,18 @@ object Graft {
   def bpeFertility(spark: SparkSession, sfDir: String): DataFrame =
     text.Bpe.fertility(spark, sfDir)
 
+  /** Per-document cross-corpus n-gram novelty: (doc_id, windows,
+    * novel, novelty_bp) — low = template/near-copy mass.
+    */
+  def noveltyScores(docs: DataFrame): DataFrame =
+    text.Signals.novelty(docs)
+
+  /** Token-coverage curve: smallest frequency-ranked vocab reaching
+    * 50/75/90/95/99/100% of occurrences.
+    */
+  def vocabCoverage(docs: DataFrame): DataFrame =
+    text.Signals.vocabCoverage(docs)
+
   /** Title / description / OpenGraph metadata over a (doc_id, html)
     * frame, with the og-falls-back-to-title card rule.
     */

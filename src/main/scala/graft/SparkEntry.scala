@@ -39,6 +39,7 @@ object SparkEntry {
       (graft.text.QualityTrain.queries, graft.text.QualityTrain.oracleSql),
       (graft.text.LangProfile.queries, graft.text.LangProfile.oracleSql),
       (graft.text.Objectives.queries, graft.text.Objectives.oracleSql),
+      (graft.text.Signals.queries, graft.text.Signals.oracleSql),
       (graft.text.Contamination.queries, graft.text.Contamination.oracleSql),
       (graft.text.Repetition.queries, graft.text.Repetition.oracleSql),
       (graft.text.Boilerplate.queries, graft.text.Boilerplate.oracleSql),
