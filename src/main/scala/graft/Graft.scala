@@ -577,6 +577,12 @@ object Graft {
   def vocabCoverage(docs: DataFrame): DataFrame =
     text.Signals.vocabCoverage(docs)
 
+  /** Dedup-impact report: cluster-size histogram with doc/token
+    * savings — predicts the apply step exactly.
+    */
+  def dedupReport(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.clusterReport(spark, sfDir)
+
   /** Title / description / OpenGraph metadata over a (doc_id, html)
     * frame, with the og-falls-back-to-title card rule.
     */

@@ -978,6 +978,54 @@ object Dedup {
 
   // ---- query registry ----
 
+  /** X186: the dedup-IMPACT report — the table a data team reads to
+    * decide whether running the collapse is worth the compute: a
+    * cluster-size histogram with the doc and token savings each size
+    * class buys. Rides the CHECKPOINTED cluster table (the X23
+    * pair-table consumer discipline: no LSH re-run), joins the corpus
+    * only for per-doc token counts, then two cluster-sized aggregates.
+    * `dropped_*` counts everything but each cluster's representative
+    * (the component-min doc — exactly what [[dropNearDupsFromClusters]]
+    * keeps, so the report PREDICTS the apply step's effect row by row).
+    * (cluster_size, n_clusters, docs, dropped_docs, dropped_toks).
+    */
+  def clusterReport(spark: SparkSession, dir: String): DataFrame = {
+    val cl = PairTable.wordClusters(spark, dir)
+    val tok = Tables.documents(spark, dir).select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("t"))
+    cl.join(tok, "doc_id")
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("sz"),
+        sum(when(col("doc_id") =!= col("cluster_id"), col("t"))
+          .otherwise(0L)).as("dtoks"))
+      .groupBy(col("sz"))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(col("sz")).as("docs"),
+        sum(col("sz") - 1).as("dropped_docs"),
+        sum(col("dtoks")).as("dropped_toks"))
+      .select(col("sz").as("cluster_size"), col("n_clusters"),
+        col("docs"), col("dropped_docs"), col("dropped_toks"))
+  }
+
+  def clusterReportOracle: String =
+    s"""WITH cl AS (
+       |  SELECT * FROM (
+       |${Components.oracleOn(MinHashLSH.oracle).linesIterator.map("    " + _).mkString("\n")}
+       |  ) c),
+       |tok AS (
+       |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS t
+       |  FROM documents),
+       |per AS (
+       |  SELECT cluster_id, count(*) AS sz,
+       |    SUM(CASE WHEN doc_id <> cluster_id THEN t ELSE 0 END) AS dtoks
+       |  FROM cl JOIN tok USING (doc_id) GROUP BY cluster_id)
+       |SELECT CAST(sz AS BIGINT) AS cluster_size,
+       |  CAST(count(*) AS BIGINT) AS n_clusters,
+       |  CAST(sum(sz) AS BIGINT) AS docs,
+       |  CAST(sum(sz - 1) AS BIGINT) AS dropped_docs,
+       |  CAST(sum(dtoks) AS BIGINT) AS dropped_toks
+       |FROM per GROUP BY sz""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> ((s, dir) => Exact.dedupExact(Tables.documents(s, dir))),
     "q_dedup_neardup" -> ((s, dir) => MinHashLSH.nearDupPairs(s, dir)),
@@ -991,6 +1039,7 @@ object Dedup {
         Tables.documents(s, dir).select("doc_id", "lang", "source"),
         PairTable.wordClusters(s, dir))),
     "q_dedup_clusters" -> ((s, dir) => PairTable.wordClusters(s, dir)),
+    "q_dedup_report" -> ((s, dir) => clusterReport(s, dir)),
     "q_dedup_simhash" -> ((s, dir) =>
       Tables.documents(s, dir)
         .select(col("doc_id"), SimHash.tokenDigests(col("text")).as("dg"))
@@ -1011,6 +1060,7 @@ object Dedup {
       s"""SELECT doc_id, lang, source FROM documents
          |WHERE doc_id NOT IN (${Components.dropSetSqlOn(MinHashLSH.oracle)})""".stripMargin,
     "q_dedup_clusters" -> Components.oracleOn(MinHashLSH.oracle),
+    "q_dedup_report" -> clusterReportOracle,
     "q_dedup_simhash" ->
       s"SELECT doc_id, CAST(${SimHash.simhashSql("text")} AS BIGINT) AS simhash FROM documents",
     "q_simhash_neardup" -> SimHash.nearDup48Oracle,

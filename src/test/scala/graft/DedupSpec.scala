@@ -219,4 +219,18 @@ class DedupSpec extends SparkSuite {
       .collect().map(_.getLong(0)).toSet
     assert(kept == Set(20L, 30L, 40L), s"got $kept")
   }
+
+  test("cluster report predicts the apply step exactly: dropped_docs == docs removed") {
+    import org.apache.spark.sql.functions._
+    val rep = graft.dedup.Dedup.clusterReport(spark, Sf)
+      .agg(sum(col("dropped_docs")), sum(col("docs")), sum(col("dropped_toks")))
+      .collect()(0)
+    val total = Tables.documents(spark, Sf).count()
+    val kept = graft.dedup.Dedup.dropNearDupsFromClusters(
+      Tables.documents(spark, Sf).select(col("doc_id")),
+      graft.dedup.Dedup.PairTable.wordClusters(spark, Sf)).count()
+    assert(rep.getLong(0) == total - kept,
+      s"report dropped ${rep.getLong(0)} != apply removed ${total - kept}")
+    assert(rep.getLong(2) > 0, "planted dup families must carry dropped tokens")
+  }
 }
