@@ -320,11 +320,16 @@ object WarcArchive {
     // recomputed digest to match the index — a bad splice cannot
     // return success
     if (survivingShards.nonEmpty) {
-      val files = spark.read.format("binaryFile")
-        .option("pathGlobFilter", "shard-*.warc.gz").load(outDir)
+      // load the affected shard FILES explicitly — a directory load
+      // with a post-scan filter on the path-derived shard_id still
+      // READS every shard's bytes (the predicate is not a partition
+      // filter), which would make the verify pass's I/O proportional
+      // to the whole archive instead of the erasure request
+      val paths = survivingShards.toSeq.sorted
+        .map(s => new Path(outDir, shardFileName(s)).toString)
+      val files = spark.read.format("binaryFile").load(paths: _*)
         .withColumn("shard_id",
           regexp_extract(col("path"), "shard-(\\d+)\\.warc\\.gz$", 1).cast("long"))
-        .filter(col("shard_id").isin(survivingShards.toSeq.map(Long.box): _*))
         .select(col("shard_id"), col("content"))
       val reread = files.join(newIdx, Seq("shard_id"))
         .withColumn("member", expr("substring(content, member_offset + 1, member_bytes)"))
