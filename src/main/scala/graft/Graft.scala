@@ -216,6 +216,18 @@ object Graft {
   def qualityTrainDocs(labeled: DataFrame): DataFrame =
     text.QualityTrain.trainDocs(labeled)
 
+  /** Incremental trainer steps: additive count tables per batch,
+    * merged then reweighted — bit-identical to whole-corpus training.
+    */
+  def qualityTrainCounts(labeled: DataFrame): DataFrame =
+    text.QualityTrain.countsOf(labeled)
+
+  def qualityMergeCounts(tables: DataFrame*): DataFrame =
+    text.QualityTrain.mergeCounts(tables: _*)
+
+  def qualityWeights(counts: DataFrame): DataFrame =
+    text.QualityTrain.weightsOf(counts)
+
   /** Train per-language char-bigram profiles from (lang_true, text). */
   def langProfiles(labeled: DataFrame): DataFrame =
     text.LangProfile.profilesFrom(labeled)

@@ -89,14 +89,35 @@ object QualityTrain {
     * weights are correctly near zero; discriminative behavior is
     * pinned on plants where signal exists).
     */
-  def trainDocs(labeled: DataFrame): DataFrame = {
-    val v = DocEmbedding.VocabSlots
-    val slots = labeled
+  def trainDocs(labeled: DataFrame): DataFrame =
+    weightsOf(countsOf(labeled))
+
+  /** The sufficient statistics alone: (slot, cnt_pos, cnt_neg). Counts
+    * are ADDITIVE — the whole reason Naive Bayes trains incrementally:
+    * [[mergeCounts]] of any partition of the corpus equals training on
+    * the union (gate-pinned).
+    */
+  def countsOf(labeled: DataFrame): DataFrame =
+    labeled
       .select(col("label"), explode(TextOps.preprocess(col("text"))).as("token"))
       .select(col("label"), DocEmbedding.slotOf(col("token")).as("slot"))
-    val counts = slots.groupBy(col("slot")).agg(
-      sum(when(col("label"), 1L).otherwise(0L)).as("cnt_pos"),
-      sum(when(!col("label"), 1L).otherwise(0L)).as("cnt_neg"))
+      .groupBy(col("slot")).agg(
+        sum(when(col("label"), 1L).otherwise(0L)).as("cnt_pos"),
+        sum(when(!col("label"), 1L).otherwise(0L)).as("cnt_neg"))
+
+  /** Sum count tables from independently trained batches — the
+    * incremental/federated update step (new seed data arrives, only
+    * its counts are computed; weights recompute from the merged
+    * sufficient statistics, never from re-reading old corpora).
+    */
+  def mergeCounts(tables: DataFrame*): DataFrame =
+    tables.reduce(_ unionByName _)
+      .groupBy(col("slot")).agg(
+        sum(col("cnt_pos")).as("cnt_pos"), sum(col("cnt_neg")).as("cnt_neg"))
+
+  /** Weights from a count table (smoothing + [[log2fpSparkSql]]). */
+  def weightsOf(counts: DataFrame): DataFrame = {
+    val v = DocEmbedding.VocabSlots
     val totals = counts.agg(
       sum(col("cnt_pos")).as("tot_pos"), sum(col("cnt_neg")).as("tot_neg"))
     counts.crossJoin(broadcast(totals))
@@ -104,6 +125,19 @@ object QualityTrain {
         expr(s"${log2fpSparkSql("cnt_pos + 1")} - ${log2fpSparkSql(s"tot_pos + $v")}"
           + s" - ${log2fpSparkSql("cnt_neg + 1")} + ${log2fpSparkSql(s"tot_neg + $v")}")
           .cast("long").as("w"))
+  }
+
+  /** q_quality_train_merged: train EVEN and ODD doc_ids independently,
+    * merge the sufficient statistics, recompute weights — answered by
+    * the SAME oracle as [[train]] on the whole seed, because count
+    * additivity makes the two bit-identical. This is the claim an
+    * incremental trainer rests on, stated as a gate.
+    */
+  def trainMerged(spark: SparkSession, dir: String): DataFrame = {
+    val s = seed(spark, dir)
+    weightsOf(mergeCounts(
+      countsOf(s.filter(col("doc_id") % 2 === 0)),
+      countsOf(s.filter(col("doc_id") % 2 === 1))))
   }
 
   /** q_quality_train_score: the composition the pipelines actually run
@@ -168,9 +202,13 @@ object QualityTrain {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_quality_train" -> ((s, dir) => train(s, dir)),
-    "q_quality_train_score" -> ((s, dir) => trainedScore(s, dir)))
+    "q_quality_train_score" -> ((s, dir) => trainedScore(s, dir)),
+    "q_quality_train_merged" -> ((s, dir) => trainMerged(s, dir)))
 
   def oracleSql: Map[String, String] = Map(
     "q_quality_train" -> trainOracle,
-    "q_quality_train_score" -> trainedScoreOracle)
+    "q_quality_train_score" -> trainedScoreOracle,
+    // count additivity makes batch-merge training bit-identical to
+    // whole-seed training — the merged gate answers to the SAME oracle
+    "q_quality_train_merged" -> trainOracle)
 }

@@ -81,4 +81,21 @@ class QualityTrainSpec extends SparkSuite {
     assert(ws.forall(w => math.abs(w) <= 16L),
       s"label-uniform vocab should train near-zero weights, got ${ws.min}..${ws.max}")
   }
+
+  test("incremental training: merged batch counts train the IDENTICAL model") {
+    import org.apache.spark.sql.functions.col
+    val whole = QualityTrain.train(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val merged = QualityTrain.trainMerged(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(merged == whole, "count additivity must make the two bit-identical")
+    // a three-way partition merges the same way
+    val s = QualityTrain.seed(spark, Sf)
+    val three = QualityTrain.weightsOf(QualityTrain.mergeCounts(
+      QualityTrain.countsOf(s.filter(col("doc_id") % 3 === 0)),
+      QualityTrain.countsOf(s.filter(col("doc_id") % 3 === 1)),
+      QualityTrain.countsOf(s.filter(col("doc_id") % 3 === 2)))).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(three == whole)
+  }
 }
