@@ -28,6 +28,7 @@ object SparkEntry {
       (DistinctUpsert.queries, DistinctUpsert.oracleSql),
       (Dedup.queries, Dedup.oracleSql),
       (graft.dedup.Winnow.queries, graft.dedup.Winnow.oracleSql),
+      (graft.dedup.SetSim.queries, graft.dedup.SetSim.oracleSql),
       (Similarity.queries, Similarity.oracleSql),
       (graft.sim.DocEmbedding.queries, graft.sim.DocEmbedding.oracleSql),
       (graft.sim.SemDedup.queries, graft.sim.SemDedup.oracleSql),
@@ -57,6 +58,7 @@ object SparkEntry {
       (graft.text.Blocklist.queries, graft.text.Blocklist.oracleSql),
       (graft.text.Canonical.queries, graft.text.Canonical.oracleSql),
       (graft.text.Chunker.queries, graft.text.Chunker.oracleSql),
+      (graft.text.ChatTemplate.queries, graft.text.ChatTemplate.oracleSql),
       (graft.text.Unicode.queries, graft.text.Unicode.oracleSql),
       (graft.sources.Warc.queries, graft.sources.Warc.oracleSql),
       (graft.text.Robots.queries, graft.text.Robots.oracleSql),

@@ -1026,8 +1026,49 @@ object Dedup {
        |  CAST(sum(dtoks) AS BIGINT) AS dropped_toks
        |FROM per GROUP BY sz""".stripMargin
 
+  /** Quality-aware cluster REPRESENTATIVES (X190): instead of the
+    * component-min doc_id the apply step keeps by default, keep each
+    * cluster's HIGHEST-quality member — ties by doc_id asc so the
+    * choice is total. Production dedup recipes do exactly this (the
+    * canonical copy should be the cleanest one, not the one that
+    * happened to crawl first); quality is the X9 exact-integer score
+    * ([[graft.text.Analysis.qualityQFromTokens]]), so both engines
+    * rank identically. Shape: one pair-table-sized metadata join +
+    * one cluster-keyed window — never touches corpus text beyond the
+    * per-member score already computed by the quality pass.
+    */
+  def repsOf(clusters: DataFrame, quality: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_id")).orderBy(col("q").desc, col("doc_id"))
+    clusters.join(quality, "doc_id")
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("cluster_id"), col("doc_id"), col("q"))
+  }
+
+  def qualityReps(spark: SparkSession, dir: String): DataFrame =
+    repsOf(PairTable.wordClusters(spark, dir),
+      Tables.documents(spark, dir).select(col("doc_id"),
+        graft.text.Analysis.qualityQFromTokens(
+          graft.text.TextOps.tokenize(col("text"))).as("q")))
+
+  def qualityRepsOracle: String =
+    s"""WITH cl AS (
+       |  SELECT * FROM (
+       |${Components.oracleOn(MinHashLSH.oracle).linesIterator.map("    " + _).mkString("\n")}
+       |  ) c),
+       |qt AS (
+       |  SELECT doc_id,
+       |    ${graft.text.Analysis.qualityQSql(graft.text.TextOps.tokenizeSql("text"))} AS q
+       |  FROM documents)
+       |SELECT cluster_id, doc_id, q FROM (
+       |  SELECT cl.cluster_id, cl.doc_id, qt.q,
+       |    row_number() OVER (PARTITION BY cluster_id ORDER BY qt.q DESC, cl.doc_id) AS rn
+       |  FROM cl JOIN qt USING (doc_id)) WHERE rn = 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> ((s, dir) => Exact.dedupExact(Tables.documents(s, dir))),
+    "q_dedup_rep_quality" -> ((s, dir) => qualityReps(s, dir)),
     "q_dedup_neardup" -> ((s, dir) => MinHashLSH.nearDupPairs(s, dir)),
     "q_dedup_chargram" -> ((s, dir) => MinHashLSH.charGramPairs(s, dir)),
     // consumes the materialized pair TABLE (PairTable), not a re-run of
@@ -1054,6 +1095,7 @@ object Dedup {
 
   def oracleSql: Map[String, String] = Map(
     "q_dedup_exact" -> Exact.oracle,
+    "q_dedup_rep_quality" -> qualityRepsOracle,
     "q_dedup_neardup" -> MinHashLSH.oracle,
     "q_dedup_chargram" -> MinHashLSH.charGramOracle,
     "q_dedup_apply" ->

@@ -1,0 +1,191 @@
+package graft.dedup
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Exact set-similarity join with PREFIX FILTERING — the recall-1 exact
+  * counterpart of the MinHash-LSH family (X2): every pair of documents
+  * whose shingle-SET Jaccard is ≥ τ, with the exact intersection /
+  * union sizes, and NOTHING missed. MinHash trades recall for speed
+  * (a τ-pair can fail to collide in any band); this operator is what a
+  * pipeline runs when the dedup decision must be auditable — the pair
+  * list IS the ground truth the X31-style recall gates measure against.
+  *
+  * The trick that makes exactness affordable (the AllPairs/PPJoin
+  * prefix-filter principle — public literature, re-derived here): order
+  * each document's shingles by GLOBAL rarity (document frequency asc,
+  * hash asc — a total order), and keep only the first
+  * `p = |s| − ⌈τ·|s|⌉ + 1` as the document's PREFIX. Completeness: if
+  * Jaccard(A,B) ≥ τ then |A∩B| ≥ τ·|A| (because |A∪B| ≥ |A|), so at
+  * most ⌈τ|A|⌉ − 1 < |A∩B| shingles of A lie OUTSIDE the intersection's
+  * order-minimum t... concretely: let t = the order-minimum of A∩B. If
+  * t were outside A's prefix, all of A∩B would sit in A's last
+  * ⌈τ|A|⌉ − 1 positions — fewer than |A∩B| slots. Contradiction; t is
+  * in A's prefix, and symmetrically in B's. Every qualifying pair
+  * therefore collides on at least one PREFIX×PREFIX shingle, and the
+  * candidate join only carries each document's rarest few shingles —
+  * exactly the ones with short postings lists.
+  *
+  * Scale shape: shingling is the X167 codegen `shingle_md5` scan; the
+  * exchanges carry (doc_id, hash) pairs — text never shuffles. Document
+  * frequency is one hash-keyed aggregate; the per-doc rarity order is a
+  * doc-keyed window (never global — no rank over the corpus-sized
+  * shingle vocabulary is ever materialized: the prefix needs only the
+  * WITHIN-document order, which is the global order restricted to the
+  * doc). The candidate join is prefix×prefix on the hash — by
+  * construction the rarest shingles, so postings lists are short; the
+  * verify join touches full sets only for surviving candidates. At τ =
+  * 0.8 a candidate's verify cost is ∝ its own size, and candidates are
+  * ∝ true near-dup mass, not corpus².
+  *
+  * Reference scope: no similarity-join surface in the reference (643
+  * lines of ETL scripting); north-star LLM-pipeline machinery next to
+  * `Dedup.MinHashLSH` (see SURVEY.md §2.12 X187).
+  */
+object SetSim {
+
+  /** Jaccard threshold in basis points (0.8): the MinHash family's
+    * published operating point, so the two operators are comparable on
+    * the same corpus.
+    */
+  val TauBp = 8000
+
+  /** Shingle width — the word-3-gram space MinHash banding uses. */
+  val K = 3
+
+  /** Distinct shingle-hash sets: (doc_id, h). Documents shorter than
+    * [[K]] tokens have no shingles and are ABSENT (no evidence, no
+    * verdict — the house contract).
+    */
+  def shingleSets(docs: DataFrame, k: Int = K): DataFrame =
+    ExactSpans.shingleStarts(docs, k).select(col("doc_id"), col("h")).distinct()
+
+  /** The prefix table (doc_id, h): each document's first
+    * `sz − ⌈τ·sz⌉ + 1` shingles in global (df asc, h asc) rarity order
+    * — ⌈τ·sz⌉ computed as `(tauBp·sz + 9999) DIV 10000`, all integer.
+    */
+  def prefixes(sets: DataFrame, tauBp: Int = TauBp): DataFrame = {
+    val df = sets.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val sized = sets.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("h"))
+    sets.join(df, Seq("h"))
+      .withColumn("rn", row_number().over(w))
+      .join(sized, Seq("doc_id"))
+      .filter(col("rn") <= expr(s"sz - (($tauBp * sz + 9999) DIV 10000) + 1"))
+      .select(col("doc_id"), col("h"))
+  }
+
+  /** Candidate pairs (a < b) sharing at least one prefix shingle. */
+  def candidates(sets: DataFrame, tauBp: Int = TauBp): DataFrame =
+    candidatesFrom(prefixes(sets, tauBp))
+
+  private def candidatesFrom(p: DataFrame): DataFrame =
+    p.select(col("doc_id").as("a"), col("h"))
+      .join(p.select(col("doc_id").as("b"), col("h")), Seq("h"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"))
+      .distinct()
+
+  /** The exact join: (a, b, inter_sz, union_sz, jac_bp) for every pair
+    * with Jaccard ≥ τ — jac_bp = ⌊10000·|A∩B| / |A∪B|⌋, all integer.
+    *
+    * The set table feeds five plan branches (df, prefix rank, both
+    * verify sides, sizes) and the prefix table both candidate sides —
+    * persist both so the shingle scan runs once, not seven times (the
+    * C1 discipline `MinHashLSH.nearDupPairsOn` applies at the same
+    * fan-out points; at cluster scale the same role is played by
+    * checkpointing the signature table).
+    */
+  def similarityJoin(docs: DataFrame, tauBp: Int = TauBp, k: Int = K): DataFrame = {
+    val sets = shingleSets(docs, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sized = sets.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val p = prefixes(sets, tauBp)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val inter = candidatesFrom(p)
+      .join(sets.select(col("doc_id").as("a"), col("h")), Seq("a"))
+      .join(sets.select(col("doc_id").as("b"), col("h")), Seq("b", "h"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter_sz"))
+    inter
+      .join(sized.select(col("doc_id").as("a"), col("sz").as("sa")), Seq("a"))
+      .join(sized.select(col("doc_id").as("b"), col("sz").as("sb")), Seq("b"))
+      .withColumn("union_sz", col("sa") + col("sb") - col("inter_sz"))
+      .filter(col("inter_sz") * 10000 >= col("union_sz") * tauBp)
+      .select(col("a"), col("b"), col("inter_sz"), col("union_sz"),
+        expr("(10000 * inter_sz) DIV union_sz").as("jac_bp"))
+  }
+
+  /** Brute-force DuckDB mirror — ALL pairs, exact Jaccard filter. The
+    * gate therefore checks recall as well as precision: a shingle the
+    * prefix filter wrongly skipped would show up as a missing row.
+    */
+  def oracle(tauBp: Int = TauBp, k: Int = K): String =
+    s"""WITH d AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks,
+       |    len(string_split(text, ' ')) AS n
+       |  FROM documents),
+       |sh AS (
+       |  SELECT DISTINCT doc_id,
+       |    unnest(list_transform(range(0, n - $k + 1), i ->
+       |      md5(array_to_string(toks[i + 1 : i + $k], ' ')))) AS h
+       |  FROM d WHERE n >= $k),
+       |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter_sz
+       |  FROM sh x JOIN sh y ON x.h = y.h AND x.doc_id < y.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT a, b, CAST(inter_sz AS BIGINT) AS inter_sz,
+       |  CAST(sa.sz + sb.sz - inter_sz AS BIGINT) AS union_sz,
+       |  CAST((10000 * inter_sz) // (sa.sz + sb.sz - inter_sz) AS BIGINT) AS jac_bp
+       |FROM inter JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
+       |WHERE 10000 * inter_sz >= $tauBp * (sa.sz + sb.sz - inter_sz)""".stripMargin
+
+  /** Cross-source duplication MATRIX (X189): how many exact τ-pairs
+    * link each unordered pair of sources — the table a curation team
+    * reads before weighting sources (a source that mostly republishes
+    * another adds duplicates, not signal; the mixing quotas X168/X180
+    * assume sources are distinct mass). Rides [[similarityJoin]]'s
+    * exact pair list, so the matrix is ground truth, not an LSH
+    * estimate; the two metadata joins are corpus-row-sized on doc_id
+    * and the final aggregate is sources² — a handful of rows.
+    */
+  def crossSourceMatrix(docs: DataFrame, tauBp: Int = TauBp, k: Int = K): DataFrame = {
+    val pairs = similarityJoin(docs.select(col("doc_id"), col("text")), tauBp, k)
+    val src = docs.select(col("doc_id"), col("source"))
+    pairs
+      .join(src.select(col("doc_id").as("a"), col("source").as("source_of_a")), Seq("a"))
+      .join(src.select(col("doc_id").as("b"), col("source").as("source_of_b")), Seq("b"))
+      .select(least(col("source_of_a"), col("source_of_b")).as("src_a"),
+        greatest(col("source_of_a"), col("source_of_b")).as("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("pairs"))
+  }
+
+  def crossSourceOracle(tauBp: Int = TauBp, k: Int = K): String =
+    s"""WITH p AS (
+       |  SELECT * FROM (
+       |${oracle(tauBp, k).linesIterator.map("    " + _).mkString("\n")}
+       |  ) t)
+       |SELECT least(da.source, db.source) AS src_a,
+       |  greatest(da.source, db.source) AS src_b,
+       |  CAST(count(*) AS BIGINT) AS pairs
+       |FROM p
+       |JOIN documents da ON da.doc_id = p.a
+       |JOIN documents db ON db.doc_id = p.b
+       |GROUP BY 1, 2""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_setsim_join" -> ((s, dir) => similarityJoin(
+      graft.ops.ScaleOps.widen(Tables.documents(s, dir))
+        .select(col("doc_id"), col("text")))),
+    "q_setsim_sources" -> ((s, dir) => crossSourceMatrix(
+      graft.ops.ScaleOps.widen(Tables.documents(s, dir))
+        .select(col("doc_id"), col("text"), col("source")))))
+
+  def oracleSql: Map[String, String] = Map(
+    "q_setsim_join" -> oracle(),
+    "q_setsim_sources" -> crossSourceOracle())
+}

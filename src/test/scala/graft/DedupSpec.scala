@@ -233,4 +233,23 @@ class DedupSpec extends SparkSuite {
       s"report dropped ${rep.getLong(0)} != apply removed ${total - kept}")
     assert(rep.getLong(2) > 0, "planted dup families must carry dropped tokens")
   }
+
+  test("quality reps pick the highest-quality member, ties by doc_id") {
+    import spark.implicits._
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (8L, 7L))
+      .toDF("doc_id", "cluster_id")
+    val quality = Seq((1L, 10L), (2L, 99L), (3L, 99L), (7L, 5L), (8L, 5L))
+      .toDF("doc_id", "q")
+    val reps = Dedup.repsOf(clusters, quality).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(reps == Map(1L -> (2L, 99L), 7L -> (7L, 5L)))
+  }
+
+  test("fixture quality reps cover every cluster exactly once") {
+    val reps = Dedup.qualityReps(spark, Sf)
+    val clusters = Dedup.PairTable.wordClusters(spark, Sf)
+      .select("cluster_id").distinct().count()
+    assert(reps.count() == clusters)
+    assert(reps.select("cluster_id").distinct().count() == clusters)
+  }
 }
