@@ -59,6 +59,7 @@ object SparkEntry {
       (graft.text.Canonical.queries, graft.text.Canonical.oracleSql),
       (graft.text.Chunker.queries, graft.text.Chunker.oracleSql),
       (graft.text.ChatTemplate.queries, graft.text.ChatTemplate.oracleSql),
+      (graft.multimodal.ImageHash.queries, graft.multimodal.ImageHash.oracleSql),
       (graft.text.Unicode.queries, graft.text.Unicode.oracleSql),
       (graft.sources.Warc.queries, graft.sources.Warc.oracleSql),
       (graft.text.Robots.queries, graft.text.Robots.oracleSql),

@@ -85,15 +85,36 @@ object PngPixels {
 
   private val Signature = Array[Int](0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
 
-  /** Static so generated code calls it directly. Never null, never throws. */
-  def parse(b: Array[Byte]): InternalRow = {
-    if (b == null || b.length < 45) return nulls // sig+IHDR+IDAT hdr+IEND minimum
+  /** Per-pixel visitor for [[walk]]. `a` is -1 when the color layout
+    * carries no alpha (gray / RGB / palette without tRNS); 16-bit
+    * samples arrive as their high byte (the standard 16→8 downsample).
+    * Coordinates are TRUE image-plane (x, y) — Adam7 pass-grid
+    * positions are mapped back — so position-dependent consumers
+    * (the dHash grid) and position-free ones (channel stats) share
+    * one decode core.
+    */
+  trait RgbSink {
+    def pixel(x: Int, y: Int, r: Int, g: Int, bl: Int, a: Int): Unit
+  }
+
+  /** Header facts the stats consumer needs after the pixel walk. */
+  final class Info(val w: Int, val h: Int, val colorType: Int, val hasTrns: Boolean)
+
+  /** The shared standards-path decode: signature → IHDR → PLTE/tRNS →
+    * IDAT concatenation → inflate → all five filter reconstructions,
+    * emitting every pixel into `sink`. Returns null on any malformed /
+    * truncated / unsupported stream (the caller maps that to its own
+    * null shape). Memory stays O(2·rowBytes): scanline pair only,
+    * never a full pixel buffer.
+    */
+  def walk(b: Array[Byte], sink: RgbSink): Info = {
+    if (b == null || b.length < 45) return null // sig+IHDR+IDAT hdr+IEND minimum
     var i = 0
-    while (i < 8) { if ((b(i) & 0xff) != Signature(i)) return nulls; i += 1 }
+    while (i < 8) { if ((b(i) & 0xff) != Signature(i)) return null; i += 1 }
 
     // IHDR is always the first chunk (PNG spec §11.2.2)
     if (be32(b, 8) != 13L || b(12) != 'I' || b(13) != 'H' || b(14) != 'D' || b(15) != 'R')
-      return nulls
+      return null
     val width = be32(b, 16)
     val height = be32(b, 20)
     val bitDepth = b(24) & 0xff
@@ -106,21 +127,21 @@ object PngPixels {
       case 3 => 1
       case 4 => 2
       case 6 => 4
-      case _ => return nulls
+      case _ => return null
     }
     // supported: depths 8/16 for gray/RGB/LA/RGBA; 1/2/4/8 for palette
     val depthOk =
       if (colorType == 3) bitDepth == 1 || bitDepth == 2 || bitDepth == 4 || bitDepth == 8
       else bitDepth == 8 || bitDepth == 16
-    if (!depthOk || interlace > 1) return nulls
-    if (width <= 0 || height <= 0 || width > (1 << 24) || height > (1 << 24)) return nulls
+    if (!depthOk || interlace > 1) return null
+    if (width <= 0 || height <= 0 || width > (1 << 24) || height > (1 << 24)) return null
     val w = width.toInt
     val h = height.toInt
 
     // walk chunks: concatenate every IDAT payload (the zlib stream may
     // split at arbitrary byte boundaries across chunks — PNG spec §10),
     // and capture PLTE / tRNS for palette images
-    var p = 33 // 8 sig + 25 IHDR chunk
+    val p = 33 // 8 sig + 25 IHDR chunk
     val n = b.length
     var idatLen = 0
     var plte: Array[Byte] = null
@@ -141,8 +162,8 @@ object PngPixels {
       val next = at.toLong + 12 + size
       at = if (next > n || next <= at) -1 else next.toInt
     }
-    if (idatLen <= 0) return nulls
-    if (colorType == 3 && plte == null) return nulls
+    if (idatLen <= 0) return null
+    if (colorType == 3 && plte == null) return null
     val nPal = if (plte == null) 0 else plte.length / 3
     val z = new Array[Byte](idatLen)
     var zp = 0
@@ -160,10 +181,10 @@ object PngPixels {
     // inflate + unfilter scanline by scanline: memory stays O(2·rowBytes).
     // PNG filters operate on BYTES with the per-pixel byte distance bpp
     // (1 for sub-byte palette depths) regardless of sample layout.
-    // Adam7 interlace needs NO deinterlace buffer here: the output is
-    // channel sums + peak, which are pixel-order independent, and every
-    // pixel appears in exactly one pass — each pass is just a smaller
-    // sub-image with its own scanline filtering (prior resets per pass).
+    // Adam7 interlace needs NO deinterlace buffer: every pixel appears in
+    // exactly one pass — each pass is a smaller sub-image with its own
+    // scanline filtering (prior resets per pass) — and the sink receives
+    // image-plane coordinates, so consumers never see pass order.
     val bpp = math.max(1, channels * bitDepth / 8)
     val lineBytes = (w * channels * bitDepth + 7) / 8
     val rowBytes = 1 + lineBytes
@@ -172,8 +193,6 @@ object PngPixels {
     val raw = new Array[Byte](rowBytes) // filtered scanline as inflated
     val cur = new Array[Byte](lineBytes) // reconstructed current scanline
     val prior = new Array[Byte](lineBytes) // reconstructed previous scanline
-    var sumR = 0L; var sumG = 0L; var sumB = 0L; var sumA = 0L
-    var peak = 0
     // Adam7 pass grid: (xStart, yStart, xStep, yStep)
     val passes: Array[Array[Int]] =
       if (interlace == 0) Array(Array(0, 0, 1, 1))
@@ -189,139 +208,135 @@ object PngPixels {
         val lineBytesP = (wp * channels * bitDepth + 7) / 8
         val rowBytesP = 1 + lineBytesP
         if (wp > 0 && hp > 0) {
-      var y = 0
-      while (y < hp) {
-        // fill one full scanline (Inflater may return partial reads)
-        var got = 0
-        while (got < rowBytesP) {
-          val k = inflater.inflate(raw, got, rowBytesP - got)
-          if (k == 0) {
-            if (inflater.finished() || inflater.needsDictionary()) return nulls
-            if (inflater.needsInput()) return nulls // truncated stream
-          }
-          got += k
-        }
-        val filter = raw(0) & 0xff
-        var x = 0
-        while (x < lineBytesP) {
-          val rw = raw(1 + x) & 0xff
-          val a = if (x >= bpp) cur(x - bpp) & 0xff else 0 // left
-          val up = if (y > 0) prior(x) & 0xff else 0 // above
-          val c = if (x >= bpp && y > 0) prior(x - bpp) & 0xff else 0 // upper-left
-          val recon = filter match {
-            case 0 => rw
-            case 1 => (rw + a) & 0xff
-            case 2 => (rw + up) & 0xff
-            case 3 => (rw + ((a + up) >> 1)) & 0xff
-            case 4 =>
-              val pp = a + up - c
-              val pa = math.abs(pp - a); val pb = math.abs(pp - up); val pc = math.abs(pp - c)
-              val pred = if (pa <= pb && pa <= pc) a else if (pb <= pc) up else c
-              (rw + pred) & 0xff
-            case _ => return nulls
-          }
-          cur(x) = recon.toByte
-          x += 1
-        }
+          var y = 0
+          while (y < hp) {
+            // fill one full scanline (Inflater may return partial reads)
+            var got = 0
+            while (got < rowBytesP) {
+              val k = inflater.inflate(raw, got, rowBytesP - got)
+              if (k == 0) {
+                if (inflater.finished() || inflater.needsDictionary()) return null
+                if (inflater.needsInput()) return null // truncated stream
+              }
+              got += k
+            }
+            val filter = raw(0) & 0xff
+            var x = 0
+            while (x < lineBytesP) {
+              val rw = raw(1 + x) & 0xff
+              val a = if (x >= bpp) cur(x - bpp) & 0xff else 0 // left
+              val up = if (y > 0) prior(x) & 0xff else 0 // above
+              val c = if (x >= bpp && y > 0) prior(x - bpp) & 0xff else 0 // upper-left
+              val recon = filter match {
+                case 0 => rw
+                case 1 => (rw + a) & 0xff
+                case 2 => (rw + up) & 0xff
+                case 3 => (rw + ((a + up) >> 1)) & 0xff
+                case 4 =>
+                  val pp = a + up - c
+                  val pa = math.abs(pp - a); val pb = math.abs(pp - up); val pc = math.abs(pp - c)
+                  val pred = if (pa <= pb && pa <= pc) a else if (pb <= pc) up else c
+                  (rw + pred) & 0xff
+                case _ => return null
+              }
+              cur(x) = recon.toByte
+              x += 1
+            }
 
-        // accumulate this scanline's samples per color layout
-        if (colorType == 3) {
-          // palette: unpack indices, look up PLTE; tRNS gives per-index
-          // alpha (opaque past its end, per the spec)
-          val perByte = 8 / bitDepth
-          val mask = (1 << bitDepth) - 1
-          var px = 0
-          while (px < wp) {
-            val byteIdx = px / perByte
-            val shift = 8 - bitDepth * (px % perByte + 1)
-            val idx = (cur(byteIdx) >> shift) & mask
-            if (idx >= nPal) return nulls
-            val pr = plte(3 * idx) & 0xff
-            val pg = plte(3 * idx + 1) & 0xff
-            val pb2 = plte(3 * idx + 2) & 0xff
-            sumR += pr; sumG += pg; sumB += pb2
-            if (pr > peak) peak = pr
-            if (pg > peak) peak = pg
-            if (pb2 > peak) peak = pb2
-            if (trns != null) {
-              val al = if (idx < trns.length) trns(idx) & 0xff else 255
-              sumA += al
-              if (al > peak) peak = al
-            }
-            px += 1
-          }
-        } else if (bitDepth == 16) {
-          // 16-bit samples: the high byte is the 8-bit projection (the
-          // standard 16→8 downsample); stats stay in the 8-bit domain
-          var s = 0
-          val nSamp = wp * channels
-          while (s < nSamp) {
-            val v = cur(2 * s) & 0xff
-            if (v > peak) peak = v
-            colorType match {
-              case 0 => sumR += v; sumG += v; sumB += v
-              case 2 => (s % 3) match {
-                case 0 => sumR += v
-                case 1 => sumG += v
-                case _ => sumB += v
+            // emit this scanline's pixels at image-plane coordinates
+            val py = ys + y * yStep
+            if (colorType == 3) {
+              // palette: unpack indices, look up PLTE; tRNS gives
+              // per-index alpha (opaque past its end, per the spec)
+              val perByte = 8 / bitDepth
+              val mask = (1 << bitDepth) - 1
+              var px = 0
+              while (px < wp) {
+                val byteIdx = px / perByte
+                val shift = 8 - bitDepth * (px % perByte + 1)
+                val idx = (cur(byteIdx) >> shift) & mask
+                if (idx >= nPal) return null
+                val al =
+                  if (trns != null) { if (idx < trns.length) trns(idx) & 0xff else 255 }
+                  else -1
+                sink.pixel(xs + px * xStep, py,
+                  plte(3 * idx) & 0xff, plte(3 * idx + 1) & 0xff,
+                  plte(3 * idx + 2) & 0xff, al)
+                px += 1
               }
-              case 4 => if (s % 2 == 0) { sumR += v; sumG += v; sumB += v }
-                else sumA += v
-              case _ => (s % 4) match { // 6 = RGBA
-                case 0 => sumR += v
-                case 1 => sumG += v
-                case 2 => sumB += v
-                case _ => sumA += v
+            } else {
+              // 8-bit samples sit at consecutive bytes; 16-bit samples
+              // project to their HIGH byte (standard 16→8 downsample)
+              val step = if (bitDepth == 16) 2 else 1
+              var px = 0
+              while (px < wp) {
+                val base = px * channels * step
+                val ix = xs + px * xStep
+                colorType match {
+                  case 0 =>
+                    val v = cur(base) & 0xff
+                    sink.pixel(ix, py, v, v, v, -1)
+                  case 2 =>
+                    sink.pixel(ix, py, cur(base) & 0xff, cur(base + step) & 0xff,
+                      cur(base + 2 * step) & 0xff, -1)
+                  case 4 =>
+                    val v = cur(base) & 0xff
+                    sink.pixel(ix, py, v, v, v, cur(base + step) & 0xff)
+                  case _ => // 6 = RGBA
+                    sink.pixel(ix, py, cur(base) & 0xff, cur(base + step) & 0xff,
+                      cur(base + 2 * step) & 0xff, cur(base + 3 * step) & 0xff)
+                }
+                px += 1
               }
             }
-            s += 1
+            System.arraycopy(cur, 0, prior, 0, lineBytesP)
+            y += 1
           }
-        } else {
-          var x = 0
-          while (x < lineBytesP) {
-            val recon = cur(x) & 0xff
-            if (recon > peak) peak = recon
-            colorType match {
-              case 0 => // gray: replicate into all three brightness sums
-                sumR += recon; sumG += recon; sumB += recon
-              case 2 => (x % 3) match {
-                case 0 => sumR += recon
-                case 1 => sumG += recon
-                case _ => sumB += recon
-              }
-              case 4 => if (x % 2 == 0) { sumR += recon; sumG += recon; sumB += recon }
-                else sumA += recon
-              case _ => (x % 4) match { // 6 = RGBA
-                case 0 => sumR += recon
-                case 1 => sumG += recon
-                case 2 => sumB += recon
-                case _ => sumA += recon
-              }
-            }
-            x += 1
-          }
-        }
-        System.arraycopy(cur, 0, prior, 0, lineBytesP)
-        y += 1
-      }
         } // pass non-empty
         pi += 1
       }
     } catch {
-      case _: java.util.zip.DataFormatException => return nulls
+      case _: java.util.zip.DataFormatException => return null
     } finally {
       inflater.end()
     }
+    new Info(w, h, colorType, trns != null)
+  }
 
-    val hasAlpha = colorType == 4 || colorType == 6 || (colorType == 3 && trns != null)
+  /** Channel-stats sink: the original q_multimodal_pixels consumer. */
+  private final class StatsSink extends RgbSink {
+    var sumR = 0L; var sumG = 0L; var sumB = 0L; var sumA = 0L
+    var peak = 0
+    def pixel(x: Int, y: Int, r: Int, g: Int, bl: Int, a: Int): Unit = {
+      sumR += r; sumG += g; sumB += bl
+      if (r > peak) peak = r
+      if (g > peak) peak = g
+      if (bl > peak) peak = bl
+      if (a >= 0) { sumA += a; if (a > peak) peak = a }
+    }
+  }
+
+  /** Static so generated code calls it directly. Never null, never throws. */
+  def parse(b: Array[Byte]): InternalRow = {
+    val s = new StatsSink
+    val info = walk(b, s)
+    if (info == null) return nulls
+    val hasAlpha = info.colorType == 4 || info.colorType == 6 ||
+      (info.colorType == 3 && info.hasTrns)
     // palette pixels REPORT as RGB triples (what the lookup emits)
-    val outChannels = if (colorType == 3) (if (trns != null) 4 else 3) else channels
+    val outChannels = info.colorType match {
+      case 0 => 1
+      case 2 => 3
+      case 3 => if (info.hasTrns) 4 else 3
+      case 4 => 2
+      case _ => 4
+    }
     val r = new GenericInternalRow(9)
-    r.setInt(0, w); r.setInt(1, h); r.setInt(2, outChannels)
-    r.setLong(3, w.toLong * h)
-    r.setLong(4, sumR); r.setLong(5, sumG); r.setLong(6, sumB)
-    if (hasAlpha) r.setLong(7, sumA) else r.setNullAt(7)
-    r.setInt(8, peak)
+    r.setInt(0, info.w); r.setInt(1, info.h); r.setInt(2, outChannels)
+    r.setLong(3, info.w.toLong * info.h)
+    r.setLong(4, s.sumR); r.setLong(5, s.sumG); r.setLong(6, s.sumB)
+    if (hasAlpha) r.setLong(7, s.sumA) else r.setNullAt(7)
+    r.setInt(8, s.peak)
     r
   }
 }
