@@ -62,6 +62,7 @@ object SparkEntry {
       (graft.multimodal.ImageHash.queries, graft.multimodal.ImageHash.oracleSql),
       (graft.text.Unicode.queries, graft.text.Unicode.oracleSql),
       (graft.sources.Warc.queries, graft.sources.Warc.oracleSql),
+      (graft.sources.Tar.queries, graft.sources.Tar.oracleSql),
       (graft.text.Robots.queries, graft.text.Robots.oracleSql),
       (graft.text.PageRobots.queries, graft.text.PageRobots.oracleSql),
       (graft.text.Links.queries, graft.text.Links.oracleSql),
