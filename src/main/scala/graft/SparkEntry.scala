@@ -80,6 +80,7 @@ object SparkEntry {
       (graft.pipelines.Discovery.queries, graft.pipelines.Discovery.oracleSql),
       (graft.pipelines.RangeFetch.queries, graft.pipelines.RangeFetch.oracleSql),
       (AsofJoin.queries, AsofJoin.oracleSql),
+      (graft.ops.Scd.queries, graft.ops.Scd.oracleSql),
       (DateParse.queries, DateParse.oracleSql),
       (CorpusOps.queries, CorpusOps.oracleSql),
       (graft.ops.FuzzyJoin.queries, graft.ops.FuzzyJoin.oracleSql),
