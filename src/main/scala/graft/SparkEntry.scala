@@ -45,6 +45,7 @@ object SparkEntry {
       (graft.text.Repetition.queries, graft.text.Repetition.oracleSql),
       (graft.text.Boilerplate.queries, graft.text.Boilerplate.oracleSql),
       (graft.text.Redact.queries, graft.text.Redact.oracleSql),
+      (graft.text.Pseudonym.queries, graft.text.Pseudonym.oracleSql),
       (graft.text.Bpe.queries, graft.text.Bpe.oracleSql),
       (graft.text.HeavyHitters.queries, graft.text.HeavyHitters.oracleSql),
       (graft.text.Html.queries, graft.text.Html.oracleSql),
