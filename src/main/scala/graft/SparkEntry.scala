@@ -82,6 +82,7 @@ object SparkEntry {
       (graft.pipelines.RangeFetch.queries, graft.pipelines.RangeFetch.oracleSql),
       (AsofJoin.queries, AsofJoin.oracleSql),
       (graft.ops.Scd.queries, graft.ops.Scd.oracleSql),
+      (graft.ops.JsonProfile.queries, graft.ops.JsonProfile.oracleSql),
       (DateParse.queries, DateParse.oracleSql),
       (CorpusOps.queries, CorpusOps.oracleSql),
       (graft.ops.FuzzyJoin.queries, graft.ops.FuzzyJoin.oracleSql),
