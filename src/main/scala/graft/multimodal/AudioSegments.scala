@@ -1,0 +1,106 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Audio voice-activity segmentation (X196) — silence trimming and
+  * utterance splitting, the first pass of every speech-data pipeline:
+  * [[graft.plans.WavSegments]] walks REAL planted WAV bytes (the
+  * q_multimodal_pcm chunk-walk + sample-loop, refactored behind a
+  * shared sample sink) and emits each maximal |v| ≥ threshold run as
+  * (start, end, n_samples, peak) in ONE pass — per-blob output is the
+  * handful of segments, never a per-sample row, so a 100 TB audio
+  * sweep stays map-only (the explode-then-window alternative shuffles
+  * every sample of every file).
+  *
+  * The plant alternates 8-sample near-silence blocks (|v| ≤ 3) with
+  * loud blocks (v ∈ [8192, 24575]) so segments land on closed-form
+  * boundaries, including a truncated trailing run; the oracle
+  * recomputes the samples from the formulas and runs a generic SQL
+  * gaps-and-islands segmentation — it pins the OPERATOR's semantics,
+  * not just the plant's block layout.
+  */
+object AudioSegments {
+
+  val Threshold = 1000
+
+  private def le16h(c: Column): Column = {
+    val be = lpad(hex(c), 4, "0")
+    concat(substring(be, 3, 2), substring(be, 1, 2))
+  }
+  private def le32h(c: Column): Column = {
+    val be = lpad(hex(c), 8, "0")
+    concat(substring(be, 7, 2), substring(be, 5, 2),
+      substring(be, 3, 2), substring(be, 1, 2))
+  }
+
+  /** Real WAV bytes: RIFF/fmt/data framing with alternating 8-sample
+    * silence/loud blocks. Bytes are the sample's two's complement:
+    * (u − 32768) mod 2¹⁶ = (u + 32768) % 65536.
+    */
+  def plantWavSeg: Column = {
+    val f = (lit(16) + col("doc_id") % 17).cast("long")
+    val dataSize = f * 2
+    def u(i: Column) =
+      when((i.cast("long") / 8).cast("long") % 2 === 0,
+        lit(32768L) + (col("doc_id") + i) % 7 - 3)
+        .otherwise(lit(40960L) + (col("doc_id") * 7919 + i * 104729) % 16384)
+    val samples = array_join(
+      transform(sequence(lit(0L), f - 1), i => le16h((u(i) + 32768) % 65536)), "")
+    unhex(concat(
+      lit("52494646"), le32h(lit(36L) + dataSize), lit("57415645"),
+      lit("666D7420"), le32h(lit(16L)),
+      le16h(lit(1L)), le16h(lit(1L)), le32h(lit(16000L)),
+      le32h(lit(32000L)), le16h(lit(2L)), le16h(lit(16L)),
+      lit("64617461"), le32h(dataSize),
+      samples))
+  }
+
+  /** (media_id, seg_idx, start, end, n_samples, peak). */
+  def segments(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.ScaleOps.widen(Tables.documents(spark, dir))
+      .select(col("doc_id").as("media_id"), plantWavSeg.as("content"))
+      .select(col("media_id"), posexplode_outer(
+        org.apache.spark.sql.GraftColumnShim.column(graft.plans.WavSegments(
+          org.apache.spark.sql.GraftColumnShim.expression(col("content")),
+          Threshold))).as(Seq("seg_idx", "s")))
+      .filter(col("s").isNotNull)
+      .select(col("media_id"), col("seg_idx").cast("int").as("seg_idx"),
+        col("s").getField("start").as("start"),
+        col("s").getField("end").as("end"),
+        col("s").getField("n_samples").as("n_samples"),
+        col("s").getField("peak").as("peak"))
+
+  def segmentsOracle: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, 16 + doc_id % 17 AS f FROM documents),
+       |s AS (
+       |  SELECT doc_id, i,
+       |    (CASE WHEN (i // 8) % 2 = 0 THEN 32768 + (doc_id + i) % 7 - 3
+       |          ELSE 40960 + (doc_id * 7919 + i * 104729) % 16384 END)
+       |      - 32768 AS v
+       |  FROM d, unnest(range(0, f)) AS u(i)),
+       |act AS (SELECT doc_id, i, abs(v) AS a FROM s WHERE abs(v) >= $Threshold),
+       |isl AS (
+       |  SELECT doc_id, i, a,
+       |    i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS g
+       |  FROM act),
+       |seg AS (
+       |  SELECT doc_id AS media_id, min(i) AS st, max(i) + 1 AS en,
+       |    count(*) AS n_samples, max(a) AS peak
+       |  FROM isl GROUP BY doc_id, g)
+       |SELECT media_id,
+       |  CAST(row_number() OVER (PARTITION BY media_id ORDER BY st) - 1
+       |    AS INTEGER) AS seg_idx,
+       |  CAST(st AS BIGINT) AS start, CAST(en AS BIGINT) AS "end",
+       |  CAST(n_samples AS BIGINT) AS n_samples, CAST(peak AS BIGINT) AS peak
+       |FROM seg""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_audio_segments" -> ((s, dir) => segments(s, dir)))
+
+  def oracleSql: Map[String, String] = Map(
+    "q_audio_segments" -> segmentsOracle)
+}

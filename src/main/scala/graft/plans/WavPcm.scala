@@ -69,10 +69,22 @@ object WavPcm {
     b(p) == t.charAt(0) && b(p + 1) == t.charAt(1) &&
       b(p + 2) == t.charAt(2) && b(p + 3) == t.charAt(3)
 
-  /** Static so generated code calls it directly. Never null, never throws. */
-  def parse(b: Array[Byte]): InternalRow = {
+  /** Per-sample visitor for [[walk]] — decoded signed 16-bit value at
+    * sample index i. Lets stats and segmentation consumers share one
+    * chunk walk + sample loop without ever materializing a sample
+    * array (the PngPixels.walk discipline).
+    */
+  trait SampleSink {
+    def sample(i: Int, v: Int): Unit
+  }
+
+  /** Shared decode: chunk walk to fmt/data, then every 16-bit PCM
+    * sample into `sink`. Returns the sample count, or -1 when the blob
+    * is not decodable linear 16-bit PCM.
+    */
+  def walk(b: Array[Byte], sink: SampleSink): Int = {
     if (b == null || b.length < 12 || !tag(b, 0, "RIFF") || !tag(b, 8, "WAVE"))
-      return nulls
+      return -1
     var fmtCode = -1; var bits = -1
     var dataAt = -1; var dataLen = 0L
     var p = 12
@@ -93,23 +105,38 @@ object WavPcm {
       p = if (next > n || next <= p) -1 else next.toInt
     }
     // decodable = linear PCM at 16 bits with a located data chunk
-    if (fmtCode != 1 || bits != 16 || dataAt < 0) return nulls
+    if (fmtCode != 1 || bits != 16 || dataAt < 0) return -1
     // bytes actually present: a header-only or truncated blob declares
     // more than the buffer carries — decode what's there
     val avail = math.min(dataLen, (n - dataAt).toLong)
     val k = (avail / 2L).toInt
     var i = 0
-    var sumAbs = 0L; var peak = 0L; var clip = 0L
     while (i < k) {
-      val v = le16(b, dataAt + 2 * i).toShort.toInt
+      sink.sample(i, le16(b, dataAt + 2 * i).toShort.toInt)
+      i += 1
+    }
+    k
+  }
+
+  private final class StatsSink extends SampleSink {
+    var sumAbs = 0L; var peak = 0L; var clip = 0L
+    def sample(i: Int, v: Int): Unit = {
       val a = if (v < 0) -v.toLong else v.toLong
       sumAbs += a
       if (a > peak) peak = a
       if (v == 32767 || v == -32768) clip += 1
-      i += 1
     }
+  }
+
+  /** Static so generated code calls it directly. Never null, never throws. */
+  def parse(b: Array[Byte]): InternalRow = {
+    val s = new StatsSink
+    val k = walk(b, s)
+    if (k < 0) return nulls
     val r = new GenericInternalRow(4)
-    r.setLong(0, k.toLong); r.setLong(1, sumAbs); r.setLong(2, peak); r.setLong(3, clip)
+    r.setLong(0, k.toLong); r.setLong(1, s.sumAbs); r.setLong(2, s.peak)
+    r.setLong(3, s.clip)
     r
   }
+
 }
