@@ -177,7 +177,55 @@ object SetSim {
        |JOIN documents db ON db.doc_id = p.b
        |GROUP BY 1, 2""".stripMargin
 
+  /** MEASURED MinHash-LSH recall against this operator's exact pair
+    * list (X197) — the audit the X31 ANN-recall gate runs for the
+    * similarity family, now for dedup: of the pairs whose TRUE
+    * shingle-set Jaccard is ≥ τ, how many does the banded MinHash
+    * pipeline (X2, 4×2 bands at the same published 0.8 operating
+    * point) actually surface? One row: (n_exact, n_lsh, n_hit,
+    * recall_bp) — recall_bp null only on a corpus with zero true
+    * pairs (no evidence, no verdict). Both sides are oracle-mirrored,
+    * so the gate pins the MEASUREMENT, not a hoped-for property; LSH
+    * misses (band non-collisions, hash-fold artifacts) show up as
+    * n_hit < n_exact, exactly what a production dedup audit reports.
+    */
+  def lshRecall(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.ops.ScaleOps.widen(Tables.documents(spark, dir))
+    val ex = similarityJoin(docs.select(col("doc_id"), col("text")))
+      .select(col("a"), col("b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ls = Dedup.MinHashLSH.nearDupPairs(spark, dir)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val hit = ex.join(ls, Seq("a", "b"), "left_semi")
+    ex.agg(count(lit(1)).as("n_exact"))
+      .crossJoin(broadcast(ls.agg(count(lit(1)).as("n_lsh"))))
+      .crossJoin(broadcast(hit.agg(count(lit(1)).as("n_hit"))))
+      .select(col("n_exact"), col("n_lsh"), col("n_hit"),
+        when(col("n_exact") > 0,
+          expr("(10000 * n_hit) DIV n_exact")).as("recall_bp"))
+  }
+
+  def lshRecallOracle: String =
+    s"""WITH ex AS (
+       |  SELECT a, b FROM (
+       |${oracle().linesIterator.map("    " + _).mkString("\n")}
+       |  ) t),
+       |ls AS (
+       |  SELECT doc_a AS a, doc_b AS b FROM (
+       |${Dedup.MinHashLSH.oracle.linesIterator.map("    " + _).mkString("\n")}
+       |  ) t),
+       |n AS (
+       |  SELECT (SELECT count(*) FROM ex) AS n_exact,
+       |    (SELECT count(*) FROM ls) AS n_lsh,
+       |    (SELECT count(*) FROM ex JOIN ls USING (a, b)) AS n_hit)
+       |SELECT CAST(n_exact AS BIGINT) AS n_exact,
+       |  CAST(n_lsh AS BIGINT) AS n_lsh, CAST(n_hit AS BIGINT) AS n_hit,
+       |  CASE WHEN n_exact > 0
+       |       THEN CAST((10000 * n_hit) // n_exact AS BIGINT) END AS recall_bp
+       |FROM n""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_lsh_recall" -> ((s, dir) => lshRecall(s, dir)),
     "q_setsim_join" -> ((s, dir) => similarityJoin(
       graft.ops.ScaleOps.widen(Tables.documents(s, dir))
         .select(col("doc_id"), col("text")))),
@@ -186,6 +234,7 @@ object SetSim {
         .select(col("doc_id"), col("text"), col("source")))))
 
   def oracleSql: Map[String, String] = Map(
+    "q_dedup_lsh_recall" -> lshRecallOracle,
     "q_setsim_join" -> oracle(),
     "q_setsim_sources" -> crossSourceOracle())
 }

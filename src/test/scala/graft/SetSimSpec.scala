@@ -90,6 +90,14 @@ class SetSimSpec extends SparkSuite {
     assert(m == Map(("books", "web") -> 2L, ("web", "web") -> 1L))
   }
 
+  test("lsh recall audit: hits bounded by both sides, recall in basis points") {
+    val r = graft.dedup.SetSim.lshRecall(spark, Sf).collect()(0)
+    val (nEx, nLsh, nHit) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(nEx > 0, "fixture plants true pairs")
+    assert(nHit <= nEx && nHit <= nLsh)
+    assert(r.getLong(3) == 10000 * nHit / nEx)
+  }
+
   test("singleton sets keep a full prefix (p = 1) so identical twins are found") {
     import spark.implicits._
     val docs = Seq((1L, "x y z"), (2L, "x y z")).toDF("doc_id", "text")
