@@ -67,8 +67,14 @@ object SetSim {
     * `sz − ⌈τ·sz⌉ + 1` shingles in global (df asc, h asc) rarity order
     * — ⌈τ·sz⌉ computed as `(tauBp·sz + 9999) DIV 10000`, all integer.
     */
-  def prefixes(sets: DataFrame, tauBp: Int = TauBp): DataFrame = {
-    val df = sets.groupBy(col("h")).agg(count(lit(1)).as("df"))
+  def prefixes(sets: DataFrame, tauBp: Int = TauBp): DataFrame =
+    prefixesWith(sets,
+      sets.groupBy(col("h")).agg(count(lit(1)).as("df")), tauBp)
+
+  /** [[prefixes]] against an EXTERNAL document-frequency table — the
+    * incremental path shares one rarity order across both sides.
+    */
+  def prefixesWith(sets: DataFrame, df: DataFrame, tauBp: Int): DataFrame = {
     val sized = sets.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("h"))
     sets.join(df, Seq("h"))
@@ -177,6 +183,70 @@ object SetSim {
        |JOIN documents db ON db.doc_id = p.b
        |GROUP BY 1, 2""".stripMargin
 
+  /** Incremental EXACT dedup (X198) — the production "dedupe the new
+    * crawl batch against the already-indexed corpus" shape for the
+    * recall-1 operator: a batch document (doc_id % 10 == 0, the X42
+    * split) is dropped when some INDEX document's true Jaccard with it
+    * is ≥ τ. The candidate join is BATCH prefixes × INDEX prefixes —
+    * never index×index — under ONE shared rarity order (df over the
+    * union; production maintains that table incrementally alongside
+    * the index), so completeness carries over: the order-min common
+    * shingle of a τ-pair sits in both sides' prefixes. Within-batch
+    * near-dups are [[similarityJoin]]'s job, not this filter's —
+    * dropping them here would double-count against the index append
+    * (the X42 contract).
+    */
+  def incrementalKeep(spark: SparkSession, dir: String,
+      tauBp: Int = TauBp, k: Int = K): DataFrame = {
+    val sets = shingleSets(
+      graft.ops.ScaleOps.widen(Tables.documents(spark, dir))
+        .select(col("doc_id"), col("text")), k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val df = sets.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val isBatch = col("doc_id") % 10 === 0
+    val batch = sets.filter(isBatch)
+    val index = sets.filter(!isBatch)
+    val pb = prefixesWith(batch, df, tauBp)
+    val pi = prefixesWith(index, df, tauBp)
+    val cand = pb.select(col("doc_id").as("b"), col("h"))
+      .join(pi.select(col("doc_id").as("i"), col("h")), Seq("h"))
+      .select(col("b"), col("i")).distinct()
+    val sized = sets.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val dropped = cand
+      .join(batch.select(col("doc_id").as("b"), col("h")), Seq("b"))
+      .join(index.select(col("doc_id").as("i"), col("h")), Seq("i", "h"))
+      .groupBy(col("b"), col("i")).agg(count(lit(1)).as("inter_sz"))
+      .join(sized.select(col("doc_id").as("b"), col("sz").as("sb")), Seq("b"))
+      .join(sized.select(col("doc_id").as("i"), col("sz").as("si")), Seq("i"))
+      .filter(col("inter_sz") * 10000 >= (col("sb") + col("si") - col("inter_sz")) * tauBp)
+      .select(col("b").as("doc_id")).distinct()
+    batch.select(col("doc_id")).distinct()
+      .join(dropped, Seq("doc_id"), "left_anti")
+  }
+
+  def incrementalOracle(tauBp: Int = TauBp, k: Int = K): String =
+    s"""WITH d AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks,
+       |    len(string_split(text, ' ')) AS n
+       |  FROM documents),
+       |sh AS (
+       |  SELECT DISTINCT doc_id,
+       |    unnest(list_transform(range(0, n - $k + 1), i ->
+       |      md5(array_to_string(toks[i + 1 : i + $k], ' ')))) AS h
+       |  FROM d WHERE n >= $k),
+       |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT b.doc_id AS bid, i.doc_id AS iid, count(*) AS inter_sz
+       |  FROM sh b JOIN sh i ON b.h = i.h
+       |  WHERE b.doc_id % 10 = 0 AND i.doc_id % 10 <> 0
+       |  GROUP BY 1, 2),
+       |dropped AS (
+       |  SELECT DISTINCT bid FROM inter
+       |  JOIN sz sb ON sb.doc_id = bid JOIN sz si ON si.doc_id = iid
+       |  WHERE 10000 * inter_sz >= $tauBp * (sb.sz + si.sz - inter_sz))
+       |SELECT DISTINCT doc_id FROM sh
+       |WHERE doc_id % 10 = 0 AND doc_id NOT IN (SELECT bid FROM dropped)""".stripMargin
+
   /** MEASURED MinHash-LSH recall against this operator's exact pair
     * list (X197) — the audit the X31 ANN-recall gate runs for the
     * similarity family, now for dedup: of the pairs whose TRUE
@@ -226,6 +296,7 @@ object SetSim {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_lsh_recall" -> ((s, dir) => lshRecall(s, dir)),
+    "q_setsim_incremental" -> ((s, dir) => incrementalKeep(s, dir)),
     "q_setsim_join" -> ((s, dir) => similarityJoin(
       graft.ops.ScaleOps.widen(Tables.documents(s, dir))
         .select(col("doc_id"), col("text")))),
@@ -235,6 +306,7 @@ object SetSim {
 
   def oracleSql: Map[String, String] = Map(
     "q_dedup_lsh_recall" -> lshRecallOracle,
+    "q_setsim_incremental" -> incrementalOracle(),
     "q_setsim_join" -> oracle(),
     "q_setsim_sources" -> crossSourceOracle())
 }

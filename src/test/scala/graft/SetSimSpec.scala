@@ -98,6 +98,26 @@ class SetSimSpec extends SparkSuite {
     assert(r.getLong(3) == 10000 * nHit / nEx)
   }
 
+  test("incremental keep: batch docs tau-similar to any index doc drop, others stay") {
+    import spark.implicits._
+    val kept = graft.dedup.SetSim.incrementalKeep(spark, Sf).collect()
+      .map(_.getLong(0)).toSet
+    assert(kept.nonEmpty)
+    assert(kept.forall(_ % 10 == 0), "only batch docs can be kept")
+    // exact cross-check against similarityJoin's full pair list: a batch
+    // doc is dropped iff it pairs with an index doc at tau
+    val docs = Tables.documents(spark, Sf).select(col("doc_id"), col("text"))
+    val pairs = graft.dedup.SetSim.similarityJoin(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val droppedExpected = pairs.flatMap { case (a, b) =>
+      Seq(a -> b, b -> a)
+    }.filter { case (x, y) => x % 10 == 0 && y % 10 != 0 }.map(_._1).toSet
+    val allBatch = graft.dedup.SetSim.shingleSets(docs)
+      .select("doc_id").distinct().collect().map(_.getLong(0))
+      .filter(_ % 10 == 0).toSet
+    assert(kept == allBatch -- droppedExpected)
+  }
+
   test("singleton sets keep a full prefix (p = 1) so identical twins are found") {
     import spark.implicits._
     val docs = Seq((1L, "x y z"), (2L, "x y z")).toDF("doc_id", "text")
