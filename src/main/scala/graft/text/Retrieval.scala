@@ -181,15 +181,148 @@ object Retrieval {
        |FROM sat GROUP BY doc_id
        |ORDER BY score_m DESC, doc_id LIMIT $TopK""".stripMargin
 
+  // ---- RM3 pseudo-relevance feedback (X200) -------------------------
+
+  /** Expansion terms kept, and the milli-weights of original vs
+    * expansion terms in the reranking query.
+    */
+  val ExpTerms = 5
+  val OrigWeightM = 1000L
+  val ExpWeightM = 500L
+
+  /** The BM25 tf-saturation pipeline over an arbitrary weighted term
+    * list (term, idf_bits, w) — shared by the plain top-k and the RM3
+    * rerank so the arithmetic can't drift between them.
+    */
+  private def weightedScores(post: DataFrame, terms: DataFrame): DataFrame = {
+    val dl = post.groupBy(col("doc_id")).agg(sum(col("tf")).cast("long").as("dl"))
+    val avg = dl.agg(expr("CAST((sum(dl) * 1000) DIV count(*) AS BIGINT)")
+      .as("avgdl_m"))
+    post.join(broadcast(terms), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(avg))
+      .withColumn("ratio_m", expr("(dl * 1000000) DIV avgdl_m"))
+      .withColumn("norm_m",
+        lit(1000L) - lit(BMilli) + expr(s"($BMilli * ratio_m) DIV 1000"))
+      .withColumn("denom_m", expr(s"tf * 1000 + ($K1Milli * norm_m) DIV 1000"))
+      .withColumn("sat_m",
+        expr(s"(tf * ${K1Milli + 1000L} * 1000) DIV denom_m"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms_hit"),
+        sum(col("w") * col("idf_bits") * col("sat_m")).cast("long").as("score_w"))
+  }
+
+  /** RM3 expansion terms: over the BM25 top-k FEEDBACK set, score each
+    * non-query term by Σ tf·idf_bits and keep the top [[ExpTerms]] —
+    * the pseudo-relevance-feedback step that makes a lexical retriever
+    * find documents sharing no original query term. All integer;
+    * feedback-set postings only (TopK docs), model sides broadcast.
+    */
+  def rm3TermsOf(docs: DataFrame): DataFrame = {
+    val post = postingsOf(docs)
+    val stats = termStatsOfPostings(post, docs)
+    val qterms = stats.orderBy(desc("cf"), asc("term")).limit(NumQueryTerms)
+      .select(col("term"))
+    val fb = bm25TopKOf(docs).select(col("doc_id"))
+    post.join(broadcast(fb), "doc_id")
+      .join(stats.select(col("term"), col("idf_bits")), "term")
+      .join(broadcast(qterms), Seq("term"), "left_anti")
+      .groupBy(col("term"))
+      .agg(sum(col("tf") * col("idf_bits")).cast("long").as("fscore"))
+      .orderBy(desc("fscore"), asc("term")).limit(ExpTerms)
+  }
+
+  /** RM3 rerank: original terms at weight 1000 milli + expansion terms
+    * at 500, same saturation arithmetic, top-k by (score_w desc,
+    * doc_id). Documents matching ONLY expansion terms can now rank —
+    * the point of the operator.
+    */
+  def rm3TopKOf(docs: DataFrame): DataFrame = {
+    val post = postingsOf(docs)
+    val stats = termStatsOfPostings(post, docs)
+    val qterms = stats.orderBy(desc("cf"), asc("term")).limit(NumQueryTerms)
+      .select(col("term"), col("idf_bits"), lit(OrigWeightM).as("w"))
+    val exp = rm3TermsOf(docs).select(col("term"))
+      .join(stats.select(col("term"), col("idf_bits")), "term")
+      .select(col("term"), col("idf_bits"), lit(ExpWeightM).as("w"))
+    weightedScores(post, qterms.unionByName(exp))
+      .orderBy(desc("score_w"), asc("doc_id"))
+      .limit(TopK)
+  }
+
+  private def rm3Ctes: String =
+    s"""post AS (${postingsOracle}),
+       |nn AS (SELECT count(*) AS n_docs FROM documents),
+       |stats AS (
+       |  SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf,
+       |    CAST(length(bin(n_docs)) - length(bin(count(*))) AS BIGINT) AS idf_bits
+       |  FROM post CROSS JOIN nn GROUP BY term, n_docs
+       |), dl AS (
+       |  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM post GROUP BY doc_id
+       |), avgdl AS (
+       |  SELECT CAST((sum(dl) * 1000) // count(*) AS BIGINT) AS avgdl_m FROM dl
+       |), qterms AS (
+       |  SELECT term, idf_bits FROM stats ORDER BY cf DESC, term LIMIT $NumQueryTerms
+       |), sat1 AS (
+       |  SELECT p.doc_id, q.idf_bits,
+       |    (p.tf * ${K1Milli + 1000L} * 1000) //
+       |      (p.tf * 1000 + ($K1Milli * (1000 - $BMilli +
+       |        ($BMilli * ((d.dl * 1000000) // a.avgdl_m)) // 1000)) // 1000) AS sat_m
+       |  FROM post p
+       |  JOIN qterms q ON q.term = p.term
+       |  JOIN dl d ON d.doc_id = p.doc_id
+       |  CROSS JOIN avgdl a
+       |), top10 AS (
+       |  SELECT doc_id FROM sat1 GROUP BY doc_id
+       |  ORDER BY CAST(sum(idf_bits * sat_m) AS BIGINT) DESC, doc_id LIMIT $TopK
+       |), fbt AS (
+       |  SELECT p.term, CAST(sum(p.tf * s.idf_bits) AS BIGINT) AS fscore
+       |  FROM post p JOIN top10 t ON t.doc_id = p.doc_id
+       |  JOIN stats s ON s.term = p.term
+       |  WHERE p.term NOT IN (SELECT term FROM qterms)
+       |  GROUP BY p.term
+       |  ORDER BY fscore DESC, p.term LIMIT $ExpTerms
+       |)""".stripMargin
+
+  def rm3TermsOracle: String =
+    s"""WITH ${rm3Ctes}
+       |SELECT term, fscore FROM fbt""".stripMargin
+
+  def rm3TopKOracle: String =
+    s"""WITH ${rm3Ctes},
+       |wq AS (
+       |  SELECT term, idf_bits, $OrigWeightM AS w FROM qterms
+       |  UNION ALL
+       |  SELECT f.term, s.idf_bits, $ExpWeightM FROM fbt f
+       |  JOIN stats s ON s.term = f.term
+       |), sat2 AS (
+       |  SELECT p.doc_id, q.idf_bits, q.w,
+       |    (p.tf * ${K1Milli + 1000L} * 1000) //
+       |      (p.tf * 1000 + ($K1Milli * (1000 - $BMilli +
+       |        ($BMilli * ((d.dl * 1000000) // a.avgdl_m)) // 1000)) // 1000) AS sat_m
+       |  FROM post p
+       |  JOIN wq q ON q.term = p.term
+       |  JOIN dl d ON d.doc_id = p.doc_id
+       |  CROSS JOIN avgdl a
+       |)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms_hit,
+       |  CAST(sum(w * idf_bits * sat_m) AS BIGINT) AS score_w
+       |FROM sat2 GROUP BY doc_id
+       |ORDER BY score_w DESC, doc_id LIMIT $TopK""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_inverted_postings" -> ((s, dir) => postings(s, dir)),
     "q_term_stats" -> ((s, dir) => termStats(s, dir)),
-    "q_bm25_topk" -> ((s, dir) => bm25TopK(s, dir))
+    "q_bm25_topk" -> ((s, dir) => bm25TopK(s, dir)),
+    "q_rm3_terms" -> ((s, dir) => rm3TermsOf(Tables.documents(s, dir))),
+    "q_rm3_topk" -> ((s, dir) => rm3TopKOf(Tables.documents(s, dir)))
   )
 
   def oracleSql: Map[String, String] = Map(
     "q_inverted_postings" -> postingsOracle,
     "q_term_stats" -> termStatsOracle,
-    "q_bm25_topk" -> bm25TopKOracle
+    "q_bm25_topk" -> bm25TopKOracle,
+    "q_rm3_terms" -> rm3TermsOracle,
+    "q_rm3_topk" -> rm3TopKOracle
   )
 }

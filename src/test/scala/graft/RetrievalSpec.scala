@@ -94,4 +94,27 @@ class RetrievalSpec extends SparkSuite {
     val p = df.queryExecution.executedPlan.toString
     assert(p.contains("ReusedExchange"), s"postings recomputed per branch:\n$p")
   }
+
+  test("rm3 expansion terms exclude the original query terms") {
+    val docs = Tables.documents(spark, Sf)
+    val q = Retrieval.termStatsOf(docs)
+      .orderBy(org.apache.spark.sql.functions.desc("cf"),
+        org.apache.spark.sql.functions.asc("term"))
+      .limit(Retrieval.NumQueryTerms)
+      .collect().map(_.getString(0)).toSet
+    val exp = Retrieval.rm3TermsOf(docs).collect().map(_.getString(0)).toSet
+    assert(exp.size == Retrieval.ExpTerms)
+    assert(exp.intersect(q).isEmpty)
+  }
+
+  test("rm3 rerank is well-formed and reachable by expansion-only docs") {
+    val docs = Tables.documents(spark, Sf)
+    val rows = Retrieval.rm3TopKOf(docs).collect()
+    assert(rows.length == Retrieval.TopK)
+    // scores strictly ordered by (score desc, doc_id asc)
+    val scores = rows.map(r => (r.getLong(2), r.getLong(0)))
+    assert(scores.sameElements(scores.sortBy(s => (-s._1, s._2))))
+    // weighting means a doc can match more terms than the 3 originals
+    assert(rows.exists(_.getLong(1) > Retrieval.NumQueryTerms.toLong))
+  }
 }
