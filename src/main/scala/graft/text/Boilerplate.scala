@@ -179,13 +179,110 @@ object Boilerplate {
        |FROM collapsed""".stripMargin
   }
 
+  // ---- per-HOST template removal (X201) ------------------------------
+
+  /** A host's template needs this many pages before the ratio rule
+    * fires (tiny hosts give no statistical evidence), and must appear
+    * on ≥ half of them.
+    */
+  val MinHostPages = 5
+
+  /** Per-host template plant: 3 of every 4 pages of a host open with
+    * the host's own 5-token banner — host-frequent but globally unique
+    * (each contains the host name), exactly the shape the GLOBAL
+    * [[MinDocs]] rule of [[lineDedup]] cannot see when hosts are small
+    * relative to the corpus.
+    */
+  def plantHostTemplate(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("source"),
+      when(col("doc_id") % 4 =!= 3,
+        concat(lit("promo "), col("source"), lit(" banner offer today "), col("text")))
+        .otherwise(col("text")).as("text"))
+
+  /** Per-HOST template removal — the web-curation pass GLOBAL line-df
+    * misses: a segment appearing on ≥ 50% of a HOST's pages (host ≥
+    * [[MinHostPages]] pages) is that host's chrome (nav, banner,
+    * footer) and is stripped from every page of the host — but the
+    * same text on another host survives, because template-ness is
+    * host-relative. (doc_id, n_segments, n_template, clean_text).
+    *
+    * Scale shape: segments carry md5s keyed by (source, h) — the
+    * candidate aggregate is host-local, so hosts partition across the
+    * cluster and no host's decision reads another host's pages; page
+    * counts are a host-sized dim join.
+    */
+  def hostTemplates(spark: SparkSession, dir: String): DataFrame = {
+    val docs = plantHostTemplate(
+      graft.ops.ScaleOps.widen(Tables.documents(spark, dir)))
+    val segs = docs
+      .select(col("doc_id"), col("source"), TextOps.tokenize(col("text")).as("tk"))
+      .select(col("doc_id"), col("source"),
+        posexplode(segmentsOf(col("tk"))).as(Seq("pos", "seg")))
+      .withColumn("h", md5(col("seg")))
+    val pages = segs.select(col("source"), col("doc_id")).distinct()
+      .groupBy(col("source")).agg(count(lit(1)).as("pages"))
+    val tmpl = segs.select(col("source"), col("h"), col("doc_id")).distinct()
+      .groupBy(col("source"), col("h")).agg(count(lit(1)).as("nd"))
+      .join(pages, Seq("source"))
+      .filter(col("pages") >= MinHostPages && col("nd") * 2 >= col("pages"))
+      .select(col("source"), col("h"), lit(true).as("is_tmpl"))
+    segs.join(tmpl, Seq("source", "h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_segments"),
+        sum(when(col("is_tmpl"), 1L).otherwise(0L)).as("n_template"),
+        array_join(
+          transform(
+            sort_array(collect_list(
+              when(col("is_tmpl").isNull, struct(col("pos"), col("seg"))))),
+            s => s.getField("seg")),
+          " ").as("clean_text"))
+  }
+
+  def hostTemplatesOracle: String = {
+    val tk = TextOps.tokenizeSql("text")
+    s"""WITH planted AS (
+       |  SELECT doc_id, source,
+       |    CASE WHEN doc_id % 4 <> 3
+       |         THEN 'promo ' || source || ' banner offer today ' || text
+       |         ELSE text END AS text
+       |  FROM documents
+       |), toks AS (
+       |  SELECT doc_id, source, $tk AS tk FROM planted
+       |), segx AS (
+       |  SELECT doc_id, source, unnest(
+       |    CASE WHEN len(tk) > 0 THEN
+       |      list_transform(range(0, (len(tk) - 1) // $SegTokens + 1),
+       |        i -> {'pos': i, 'seg': array_to_string(tk[i*$SegTokens+1 : i*$SegTokens+$SegTokens], ' ')})
+       |    ELSE [] END) AS u
+       |  FROM toks
+       |), segs AS (
+       |  SELECT doc_id, source, u.pos AS pos, u.seg AS seg, md5(u.seg) AS h FROM segx
+       |), pages AS (
+       |  SELECT source, count(DISTINCT doc_id) AS pages FROM segs GROUP BY source
+       |), tmpl AS (
+       |  SELECT source, h FROM (SELECT DISTINCT source, h, doc_id FROM segs)
+       |  JOIN pages USING (source)
+       |  GROUP BY source, h, pages
+       |  HAVING pages >= $MinHostPages AND count(*) * 2 >= pages
+       |)
+       |SELECT s.doc_id,
+       |  count(*) AS n_segments,
+       |  CAST(sum(CASE WHEN t.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_template,
+       |  coalesce(string_agg(CASE WHEN t.h IS NULL THEN s.seg END, ' ' ORDER BY s.pos), '')
+       |    AS clean_text
+       |FROM segs s LEFT JOIN tmpl t ON t.source = s.source AND t.h = s.h
+       |GROUP BY s.doc_id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_line_dedup" -> ((s, dir) => lineDedup(s, dir)),
+    "q_host_templates" -> ((s, dir) => hostTemplates(s, dir)),
     "q_run_collapse" -> ((s, dir) => runCollapse(s, dir))
   )
 
   def oracleSql: Map[String, String] = Map(
     "q_line_dedup" -> lineDedupOracle,
+    "q_host_templates" -> hostTemplatesOracle,
     "q_run_collapse" -> runCollapseOracle
   )
 }

@@ -91,4 +91,35 @@ class BoilerplateSpec extends SparkSuite {
     assert(rows === expected)
     assert(rows.values.sum > 0, "the plant must actually create runs")
   }
+
+  test("host templates strip host-relatively: same text on a small host survives") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val banner = "promo x banner offer today" // one exact 5-token segment
+    // hostA: 6 pages, 4 carry the banner (>= 50%); hostB: 2 pages with
+    // the SAME banner text (below MinHostPages -> never a template)
+    val rows =
+      (0 until 6).map(i => (i.toLong, "hostA",
+        (if (i < 4) banner + " " else "") + s"alpha beta gamma delta epsilon$i")) ++
+      Seq((10L, "hostB", banner + " one two three four five"),
+          (11L, "hostB", banner + " six seven eight nine ten"))
+    val docs = rows.toDF("doc_id", "source", "text")
+    // bypass the fixture plant: run the core stages directly
+    val segs = docs
+      .select(col("doc_id"), col("source"),
+        graft.text.TextOps.tokenize(col("text")).as("tk"))
+      .select(col("doc_id"), col("source"),
+        posexplode(graft.text.Boilerplate.segmentsOf(col("tk"))).as(Seq("pos", "seg")))
+      .withColumn("h", md5(col("seg")))
+    val pages = segs.select(col("source"), col("doc_id")).distinct()
+      .groupBy(col("source")).agg(count(lit(1)).as("pages"))
+    val tmpl = segs.select(col("source"), col("h"), col("doc_id")).distinct()
+      .groupBy(col("source"), col("h")).agg(count(lit(1)).as("nd"))
+      .join(pages, Seq("source"))
+      .filter(col("pages") >= graft.text.Boilerplate.MinHostPages &&
+        col("nd") * 2 >= col("pages"))
+      .collect()
+    val tmplHosts = tmpl.map(_.getString(0)).toSet
+    assert(tmplHosts == Set("hostA"), s"got $tmplHosts")
+  }
 }
