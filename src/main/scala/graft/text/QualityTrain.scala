@@ -150,13 +150,18 @@ object QualityTrain {
   /** The shared oracle prelude: seed labels → hashed slots →
     * class-conditional counts → totals, in DuckDB.
     */
-  private def trainCtes: String = {
+  private def trainCtes: String = trainCtesWhere("TRUE")
+
+  /** [[trainCtes]] restricted to a doc_id predicate — the train/test
+    * split seam the held-out evaluation uses.
+    */
+  private def trainCtesWhere(cond: String): String = {
     val v = DocEmbedding.VocabSlots
     s"""lab AS (
        |  SELECT doc_id, text,
        |    (${Analysis.qualityQSql(TextOps.tokenizeSql("text"))}) >= $LabelThreshold AS label
        |  FROM documents
-       |  WHERE len(${TextOps.tokenizeSql("text")}) > 0),
+       |  WHERE len(${TextOps.tokenizeSql("text")}) > 0 AND ($cond)),
        |toks AS (
        |  SELECT label, unnest(${TextOps.preprocessSql("text")}) AS token FROM lab),
        |hashed AS (
@@ -200,13 +205,95 @@ object QualityTrain {
        |  ((1000 * sum_w) // n_toks) > ${QualityModel.KeepThreshold} AS keep
        |FROM agg""".stripMargin
 
+  /** HELD-OUT evaluation (X202): train on doc_id % 3 ≠ 0, score the
+    * % 3 = 0 held-out third, compare against the teacher labels —
+    * (n, tp, fp, fn, tn, accuracy_bp, precision_bp, recall_bp, f1_bp),
+    * all integer basis points with null-guarded divisions. A held-out
+    * doc none of whose tokens hit a trained slot has no score and
+    * predicts NEGATIVE (coalesce false — the conservative keep
+    * decision). This is the number a pipeline reads before trusting
+    * the classifier on the other 99.9% of the corpus; the one-row
+    * shape is what a training log records per round. On the fixture
+    * the vocabulary is label-uniform BY DESIGN, so the gate records
+    * the degenerate all-keep prediction (tn = fn = 0, accuracy ≈ the
+    * base rate) — catching exactly such a useless classifier before
+    * deployment is what this report is FOR; discriminative behavior
+    * is spec-pinned on a planted marker corpus where eval reaches
+    * F1 = 10000.
+    */
+  def evalHoldout(spark: SparkSession, dir: String): DataFrame = {
+    val sd = seed(spark, dir)
+    val model = trainDocs(sd.filter(col("doc_id") % 3 =!= 0))
+      .select(col("slot"), col("w"))
+    val test = sd.filter(col("doc_id") % 3 === 0)
+    val scored = QualityModel.scoreDocs(
+      test.select(col("doc_id"), col("text")), model)
+      .select(col("doc_id"), col("keep"))
+    val cm = test.select(col("doc_id"), col("label"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("label"), coalesce(col("keep"), lit(false)).as("pred"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("label") && col("pred"), 1L).otherwise(0L)).as("tp"),
+        sum(when(!col("label") && col("pred"), 1L).otherwise(0L)).as("fp"),
+        sum(when(col("label") && !col("pred"), 1L).otherwise(0L)).as("fn"),
+        sum(when(!col("label") && !col("pred"), 1L).otherwise(0L)).as("tn"))
+    cm.select(col("n"), col("tp"), col("fp"), col("fn"), col("tn"),
+      expr("(10000 * (tp + tn)) DIV n").as("accuracy_bp"),
+      when(col("tp") + col("fp") > 0,
+        expr("(10000 * tp) DIV (tp + fp)")).as("precision_bp"),
+      when(col("tp") + col("fn") > 0,
+        expr("(10000 * tp) DIV (tp + fn)")).as("recall_bp"),
+      when(col("tp") * 2 + col("fp") + col("fn") > 0,
+        expr("(20000 * tp) DIV (2 * tp + fp + fn)")).as("f1_bp"))
+  }
+
+  def evalHoldoutOracle: String =
+    s"""WITH ${trainCtesWhere("doc_id % 3 <> 0")},
+       |test AS (
+       |  SELECT doc_id, text,
+       |    (${Analysis.qualityQSql(TextOps.tokenizeSql("text"))}) >= $LabelThreshold AS label
+       |  FROM documents
+       |  WHERE len(${TextOps.tokenizeSql("text")}) > 0 AND doc_id % 3 = 0),
+       |dtoks AS (
+       |  SELECT doc_id, unnest(${TextOps.preprocessSql("text")}) AS token FROM test),
+       |dslots AS (
+       |  SELECT doc_id,
+       |    (${TextOps.md5HexFold12Sql("md5(token)")}) % ${DocEmbedding.VocabSlots} AS slot
+       |  FROM dtoks),
+       |agg AS (
+       |  SELECT doc_id, count(*) AS n_toks, CAST(sum(w) AS BIGINT) AS sum_w
+       |  FROM dslots JOIN model USING (slot) GROUP BY doc_id),
+       |pred AS (
+       |  SELECT t.label,
+       |    coalesce(((1000 * a.sum_w) // a.n_toks) > ${QualityModel.KeepThreshold},
+       |      false) AS pred
+       |  FROM test t LEFT JOIN agg a USING (doc_id)),
+       |cm AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(CASE WHEN label AND pred THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+       |    CAST(sum(CASE WHEN NOT label AND pred THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+       |    CAST(sum(CASE WHEN label AND NOT pred THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+       |    CAST(sum(CASE WHEN NOT label AND NOT pred THEN 1 ELSE 0 END) AS BIGINT) AS tn
+       |  FROM pred)
+       |SELECT n, tp, fp, fn, tn,
+       |  CAST((10000 * (tp + tn)) // n AS BIGINT) AS accuracy_bp,
+       |  CASE WHEN tp + fp > 0 THEN CAST((10000 * tp) // (tp + fp) AS BIGINT) END
+       |    AS precision_bp,
+       |  CASE WHEN tp + fn > 0 THEN CAST((10000 * tp) // (tp + fn) AS BIGINT) END
+       |    AS recall_bp,
+       |  CASE WHEN 2 * tp + fp + fn > 0
+       |       THEN CAST((20000 * tp) // (2 * tp + fp + fn) AS BIGINT) END AS f1_bp
+       |FROM cm""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_quality_train" -> ((s, dir) => train(s, dir)),
     "q_quality_train_score" -> ((s, dir) => trainedScore(s, dir)),
-    "q_quality_train_merged" -> ((s, dir) => trainMerged(s, dir)))
+    "q_quality_train_merged" -> ((s, dir) => trainMerged(s, dir)),
+    "q_quality_eval" -> ((s, dir) => evalHoldout(s, dir)))
 
   def oracleSql: Map[String, String] = Map(
     "q_quality_train" -> trainOracle,
+    "q_quality_eval" -> evalHoldoutOracle,
     "q_quality_train_score" -> trainedScoreOracle,
     // count additivity makes batch-merge training bit-identical to
     // whole-seed training — the merged gate answers to the SAME oracle

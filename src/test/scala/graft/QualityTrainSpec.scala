@@ -98,4 +98,31 @@ class QualityTrainSpec extends SparkSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
     assert(three == whole)
   }
+
+  test("held-out eval on the fixture: consistent confusion cells and bp formulas") {
+    val r = QualityTrain.evalHoldout(spark, Sf).collect()(0)
+    val (n, tp, fp, fn, tn) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    assert(n > 0 && tp + fp + fn + tn == n)
+    assert(r.getLong(5) == 10000 * (tp + tn) / n)
+    if (tp + fp > 0) assert(r.getLong(6) == 10000 * tp / (tp + fp))
+    if (tp + fn > 0) assert(r.getLong(7) == 10000 * tp / (tp + fn))
+  }
+
+  test("a discriminative planted model evaluates at F1 = 10000 on marker held-outs") {
+    val filler = "alpha beta gamma delta"
+    val lab = ((0 until 20).map(_ => (s"$filler excellentmarker excellentmarker excellentmarker", true))
+      ++ (0 until 20).map(_ => (s"$filler awfulmarker awfulmarker awfulmarker", false))).toDF("text", "label")
+    val model = QualityTrain.trainDocs(lab).select(col("slot"), col("w"))
+    val held = Seq(
+      (1L, "excellentmarker excellentmarker alpha", true),
+      (2L, "awfulmarker awfulmarker beta", false),
+      (3L, "excellentmarker gamma excellentmarker", true)).toDF("doc_id", "text", "label")
+    val pred = QualityModel.scoreDocs(held.select(col("doc_id"), col("text")), model)
+      .select(col("doc_id"), col("keep"))
+    val cells = held.join(pred, Seq("doc_id"), "left")
+      .select(col("label"), coalesce(col("keep"), lit(false)).as("p"))
+      .collect().map(r => (r.getBoolean(0), r.getBoolean(1)))
+    assert(cells.forall { case (l, p) => l == p }, "perfect separation expected")
+  }
 }
