@@ -84,6 +84,7 @@ object SparkEntry {
       (AsofJoin.queries, AsofJoin.oracleSql),
       (graft.ops.Scd.queries, graft.ops.Scd.oracleSql),
       (graft.ops.JsonProfile.queries, graft.ops.JsonProfile.oracleSql),
+      (graft.ops.Privacy.queries, graft.ops.Privacy.oracleSql),
       (DateParse.queries, DateParse.oracleSql),
       (CorpusOps.queries, CorpusOps.oracleSql),
       (graft.ops.FuzzyJoin.queries, graft.ops.FuzzyJoin.oracleSql),

@@ -137,12 +137,31 @@ object ImageHash {
        |  ON x.w = y.w AND x.h = y.h AND x.media_id < y.media_id
        |WHERE bit_count(xor(x.dhash, y.dhash)) <= $MaxHam""".stripMargin
 
+  /** Image near-dup CLUSTERS (X205): connected components over the
+    * banded Hamming pairs — the same closure the text dedup apply
+    * rides (a chain A~B~C must collapse together even when A and C
+    * never share a band); label propagation runs over the PAIR table
+    * only, never the image table.
+    */
+  def clusters(spark: SparkSession, dir: String): DataFrame =
+    graft.dedup.Dedup.Components.of(
+      hammingPairs(plantedDhash(spark, dir, expr("doc_id DIV 2")))
+        .select(col("a").as("doc_a"), col("b").as("doc_b")))
+
+  def clustersOracle: String =
+    graft.dedup.Dedup.Components.oracleOn(
+      s"""SELECT a AS doc_a, b AS doc_b FROM (
+         |${neardupOracle.linesIterator.map("  " + _).mkString("\n")}
+         |) t""".stripMargin)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_image_dhash" -> ((s, dir) => plantedDhash(s, dir, col("doc_id"))),
     "q_image_neardup" -> ((s, dir) => hammingPairs(
-      plantedDhash(s, dir, expr("doc_id DIV 2")))))
+      plantedDhash(s, dir, expr("doc_id DIV 2")))),
+    "q_image_clusters" -> ((s, dir) => clusters(s, dir)))
 
   def oracleSql: Map[String, String] = Map(
     "q_image_dhash" -> dhashOracle,
-    "q_image_neardup" -> neardupOracle)
+    "q_image_neardup" -> neardupOracle,
+    "q_image_clusters" -> clustersOracle)
 }

@@ -279,6 +279,38 @@ object Events {
       .agg(count(lit(1)).cast("long").as("active_users"))
   }
 
+  /** Journey prefix length for the path report. */
+  val PathLen = 5
+
+  /** USER-JOURNEY PATH analysis (X203): each user's first [[PathLen]]
+    * events in (event-time, event_id) total order, joined `a>b>c`, and
+    * the user count per distinct path — the Sankey/flow table product
+    * analytics reads next to the X172 funnel (the funnel counts ONE
+    * prescribed order; this surfaces the orders that actually happen).
+    * One user-keyed sorted-collect + one path-keyed count; path
+    * cardinality is event-type^PathLen at worst, tiny next to users.
+    */
+  def eventPaths(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("event_type"))
+      .groupBy(col("user_id"))
+      .agg(array_join(
+        transform(
+          slice(sort_array(collect_list(
+            struct(col("us"), col("event_id"), col("event_type")))), 1, PathLen),
+          x => x.getField("event_type")), ">").as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n_users"))
+
+  def eventPathsOracle: String =
+    s"""WITH p AS (
+       |  SELECT user_id, array_to_string(
+       |    (list(event_type ORDER BY epoch_us(ts), event_id))[1:$PathLen], '>')
+       |    AS path
+       |  FROM events GROUP BY user_id)
+       |SELECT path, CAST(count(*) AS BIGINT) AS n_users
+       |FROM p GROUP BY path""".stripMargin
+
   def cohortRetentionOracle: String =
     s"""WITH uw AS (
        |  SELECT DISTINCT user_id, epoch_ms(ts) // 604800000 AS wk
@@ -342,6 +374,7 @@ object Events {
        |GROUP BY 1""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_event_paths" -> ((s, dir) => eventPaths(s, dir)),
     "q_cohort_retention" -> ((s, dir) => cohortRetention(s, dir)),
     "q_funnel" -> ((s, dir) => funnel(s, dir)),
     "q_events_window_stats" -> ((s, dir) => userWindowStats(s, dir)),
@@ -355,6 +388,7 @@ object Events {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_event_paths" -> eventPathsOracle,
     "q_cohort_retention" -> cohortRetentionOracle,
     "q_funnel" -> funnelOracle,
     "q_events_window_stats" -> userWindowStatsOracle,

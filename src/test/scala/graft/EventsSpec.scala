@@ -94,4 +94,27 @@ class EventsSpec extends SparkSuite {
     // the fill is doing real work: gaps exist in the fixture
     assert(rows.exists(_._3 == 0), "fixture has no gaps — the op is untested")
   }
+
+  test("event paths: truncation at PathLen, full path for short users, tie order") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val us = 1000000L
+    def t(ms: Long) = new java.sql.Timestamp(ms)
+    val df = Seq(
+      (1L, t(1), 10L, "a", 0.0, "{}"),
+      (2L, t(2), 10L, "b", 0.0, "{}"),
+      (3L, t(3), 10L, "c", 0.0, "{}"),
+      (4L, t(4), 10L, "d", 0.0, "{}"),
+      (5L, t(5), 10L, "e", 0.0, "{}"),
+      (6L, t(6), 10L, "f", 0.0, "{}"), // 6th event: truncated away
+      (8L, t(1), 20L, "y", 0.0, "{}"), // same-ms tie: event_id 7 first
+      (7L, t(1), 20L, "x", 0.0, "{}"),
+      (9L, t(9), 30L, "solo", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val tmp = java.nio.file.Files.createTempDirectory("paths").toString
+    df.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val got = graft.ops.Events.eventPaths(spark, tmp).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("a>b>c>d>e" -> 1L, "x>y" -> 1L, "solo" -> 1L))
+  }
 }
