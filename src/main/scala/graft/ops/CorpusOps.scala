@@ -64,6 +64,48 @@ object CorpusOps {
     docs.select(col("doc_id"), md5Bucket(col("doc_id")).as("bucket"))
       .withColumn("split", labelFromBucket(col("bucket")))
 
+  /** SPLIT-LEAKAGE audit (X206): every exact near-dup pair (X187's
+    * recall-1 list) labeled with both members' split assignments,
+    * counted per unordered split pair — the off-diagonal rows ARE
+    * train/test contamination at near-dup granularity (the object doc
+    * above says "split AFTER dedup so near-dup pairs can't straddle
+    * splits"; this table MEASURES that hazard instead of assuming the
+    * ordering was followed — X34 decontamination checks exact n-grams,
+    * this checks whole-document near-identity). Two doc_id metadata
+    * joins over the pair list + a splits²-row aggregate.
+    */
+  def splitLeakage(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = graft.dedup.SetSim.similarityJoin(
+      ScaleOps.widen(Tables.documents(spark, dir))
+        .select(col("doc_id"), col("text")))
+      .select(col("a"), col("b"))
+    val lab = stratifiedSplit(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("split"))
+    pairs
+      .join(lab.select(col("doc_id").as("a"), col("split").as("split_of_a")), Seq("a"))
+      .join(lab.select(col("doc_id").as("b"), col("split").as("split_of_b")), Seq("b"))
+      .select(least(col("split_of_a"), col("split_of_b")).as("split_a"),
+        greatest(col("split_of_a"), col("split_of_b")).as("split_b"))
+      .groupBy(col("split_a"), col("split_b"))
+      .agg(count(lit(1)).as("pairs"))
+  }
+
+  def splitLeakageOracle: String =
+    s"""WITH p AS (
+       |  SELECT a, b FROM (
+       |${graft.dedup.SetSim.oracle().linesIterator.map("    " + _).mkString("\n")}
+       |  ) t),
+       |s AS (
+       |${splitOracle.linesIterator.map("  " + _).mkString("\n")}
+       |)
+       |SELECT least(sa.split, sb.split) AS split_a,
+       |  greatest(sa.split, sb.split) AS split_b,
+       |  CAST(count(*) AS BIGINT) AS pairs
+       |FROM p
+       |JOIN s sa ON sa.doc_id = p.a
+       |JOIN s sb ON sb.doc_id = p.b
+       |GROUP BY 1, 2""".stripMargin
+
   def splitOracle: String = {
     val fold = TextOps.md5HexFold12Sql("d")
     s"""SELECT doc_id, bucket,
@@ -623,6 +665,7 @@ object CorpusOps {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_lm_bigram" -> ((s, dir) => bigramSurprisal(s, dir)),
     "q_corpus_split" -> ((s, dir) => stratifiedSplit(Tables.documents(s, dir))),
+    "q_split_leakage" -> ((s, dir) => splitLeakage(s, dir)),
     "q_corpus_sample" -> ((s, dir) => stratifiedSample(Tables.documents(s, dir))),
     "q_corpus_mix" -> ((s, dir) => mixCorpus(Tables.documents(s, dir))),
     "q_tfidf_topterms" -> ((s, dir) => tfidfTopTerms(s, dir)),
@@ -636,6 +679,7 @@ object CorpusOps {
   def oracleSql: Map[String, String] = Map(
     "q_lm_bigram" -> bigramSurprisalOracle,
     "q_corpus_split" -> splitOracle,
+    "q_split_leakage" -> splitLeakageOracle,
     "q_corpus_sample" -> sampleOracle,
     "q_corpus_mix" -> mixOracle,
     "q_tfidf_topterms" -> tfidfOracle,
