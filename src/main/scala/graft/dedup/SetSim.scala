@@ -98,30 +98,69 @@ object SetSim {
   /** The exact join: (a, b, inter_sz, union_sz, jac_bp) for every pair
     * with Jaccard ≥ τ — jac_bp = ⌊10000·|A∩B| / |A∪B|⌋, all integer.
     *
-    * The set table feeds five plan branches (df, prefix rank, both
-    * verify sides, sizes) and the prefix table both candidate sides —
-    * persist both so the shingle scan runs once, not seven times (the
-    * C1 discipline `MinHashLSH.nearDupPairsOn` applies at the same
-    * fan-out points; at cluster scale the same role is played by
-    * checkpointing the signature table).
+    * EXACT-COPY COLLAPSE first (the X36 discipline
+    * `MinHashLSH.nearDupPairsOn` applies): documents with identical
+    * shingle SETS group under a set-fingerprint representative, the
+    * prefix/verify machinery runs over UNIQUE sets only, and member
+    * pairs are restored afterwards — cross-group pairs inherit the rep
+    * pair's exact stats (identical sets, identical intersection),
+    * within-group pairs are jac = 10000 with inter = union = sz
+    * unconditionally (τ ≤ 1). Candidate and verify work is therefore ∝
+    * unique CONTENT, not corpus size — on a copy-heavy corpus the
+    * expansion's size is the output's size, never the join's.
+    *
+    * The unique-set table feeds five plan branches (df, prefix rank,
+    * both verify sides, sizes) and the prefix table both candidate
+    * sides — persist both so the shingle scan runs once, not seven
+    * times (the C1 discipline; at cluster scale the same role is
+    * played by checkpointing the signature table).
     */
   def similarityJoin(docs: DataFrame, tauBp: Int = TauBp, k: Int = K): DataFrame = {
-    val sets = shingleSets(docs, k)
+    val w = Window.partitionBy(col("fp"))
+    val withRep = docs
+      .select(col("doc_id"),
+        org.apache.spark.sql.GraftColumnShim.column(graft.plans.ShingleMd5(
+          org.apache.spark.sql.GraftColumnShim.expression(col("text")),
+          org.apache.spark.sql.GraftColumnShim.expression(lit(k)))).as("hs"))
+      .select(col("doc_id"), array_sort(array_distinct(col("hs"))).as("hv"))
+      .filter(size(col("hv")) > 0)
+      .withColumn("fp", md5(array_join(col("hv"), "|")))
+      .withColumn("rep", min(col("doc_id")).over(w))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val memb = withRep.select(col("rep"), col("doc_id"))
+    val uniq = withRep.filter(col("doc_id") === col("rep"))
+      .select(col("doc_id"), col("hv"))
+    val sets = uniq.select(col("doc_id"), explode(col("hv")).as("h"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sized = sets.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val p = prefixes(sets, tauBp)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val inter = candidatesFrom(p)
+    val repPairs = candidatesFrom(p)
       .join(sets.select(col("doc_id").as("a"), col("h")), Seq("a"))
       .join(sets.select(col("doc_id").as("b"), col("h")), Seq("b", "h"))
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter_sz"))
-    inter
       .join(sized.select(col("doc_id").as("a"), col("sz").as("sa")), Seq("a"))
       .join(sized.select(col("doc_id").as("b"), col("sz").as("sb")), Seq("b"))
       .withColumn("union_sz", col("sa") + col("sb") - col("inter_sz"))
       .filter(col("inter_sz") * 10000 >= col("union_sz") * tauBp)
       .select(col("a"), col("b"), col("inter_sz"), col("union_sz"),
         expr("(10000 * inter_sz) DIV union_sz").as("jac_bp"))
+    // cross-group expansion: groups are disjoint, least/greatest
+    // re-orients without duplicates; stats carry over unchanged
+    val cross = repPairs
+      .join(memb.select(col("rep").as("a"), col("doc_id").as("ma")), Seq("a"))
+      .join(memb.select(col("rep").as("b"), col("doc_id").as("mb")), Seq("b"))
+      .select(least(col("ma"), col("mb")).as("a"),
+        greatest(col("ma"), col("mb")).as("b"),
+        col("inter_sz"), col("union_sz"), col("jac_bp"))
+    // within-group: identical sets, exact Jaccard 1 unconditionally
+    val intra = memb.as("x").join(memb.as("y"),
+        col("x.rep") === col("y.rep") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"), col("x.rep").as("rep"))
+      .join(sized.select(col("doc_id").as("rep"), col("sz")), Seq("rep"))
+      .select(col("a"), col("b"), col("sz").as("inter_sz"),
+        col("sz").as("union_sz"), lit(10000L).as("jac_bp"))
+    cross.unionByName(intra)
   }
 
   /** Brute-force DuckDB mirror — ALL pairs, exact Jaccard filter. The

@@ -285,15 +285,73 @@ object QualityTrain {
        |       THEN CAST((20000 * tp) // (2 * tp + fp + fn) AS BIGINT) END AS f1_bp
        |FROM cm""".stripMargin
 
+  /** Score-bucket width for the calibration table. */
+  val CalibBucket = 50L
+
+  /** CALIBRATION / reliability table (X207): held-out docs bucketed by
+    * model score, with the empirical positive rate per bucket — the
+    * reliability diagram a pipeline reads before picking the keep
+    * threshold (a well-calibrated score's pos_rate_bp rises with the
+    * bucket; a flat table means the score carries no signal — which is
+    * exactly what the label-uniform fixture shows). Buckets are FLOOR
+    * division (both engines: Spark `floor(x/50.0)`, DuckDB `//` —
+    * Spark's integer DIV truncates toward zero and would disagree on
+    * negative scores). Unscored held-outs sit out (no score, no
+    * bucket).
+    */
+  def calibration(spark: SparkSession, dir: String): DataFrame = {
+    val sd = seed(spark, dir)
+    val model = trainDocs(sd.filter(col("doc_id") % 3 =!= 0))
+      .select(col("slot"), col("w"))
+    val test = sd.filter(col("doc_id") % 3 === 0)
+    QualityModel.scoreDocs(test.select(col("doc_id"), col("text")), model)
+      .select(col("doc_id"), col("score_q"))
+      .join(test.select(col("doc_id"), col("label")), "doc_id")
+      .select(floor(col("score_q").cast("double") / CalibBucket.toDouble)
+        .cast("long").as("bucket"), col("label"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("label"), 1L).otherwise(0L)).as("positives"))
+      .select(col("bucket"), col("n"), col("positives"),
+        expr("(10000 * positives) DIV n").as("pos_rate_bp"))
+  }
+
+  def calibrationOracle: String =
+    s"""WITH ${trainCtesWhere("doc_id % 3 <> 0")},
+       |test AS (
+       |  SELECT doc_id, text,
+       |    (${Analysis.qualityQSql(TextOps.tokenizeSql("text"))}) >= $LabelThreshold AS label
+       |  FROM documents
+       |  WHERE len(${TextOps.tokenizeSql("text")}) > 0 AND doc_id % 3 = 0),
+       |dtoks AS (
+       |  SELECT doc_id, unnest(${TextOps.preprocessSql("text")}) AS token FROM test),
+       |dslots AS (
+       |  SELECT doc_id,
+       |    (${TextOps.md5HexFold12Sql("md5(token)")}) % ${DocEmbedding.VocabSlots} AS slot
+       |  FROM dtoks),
+       |agg AS (
+       |  SELECT doc_id, count(*) AS n_toks, CAST(sum(w) AS BIGINT) AS sum_w
+       |  FROM dslots JOIN model USING (slot) GROUP BY doc_id),
+       |bk AS (
+       |  SELECT ((1000 * a.sum_w) // a.n_toks) // $CalibBucket AS bucket, t.label
+       |  FROM test t JOIN agg a USING (doc_id))
+       |SELECT CAST(bucket AS BIGINT) AS bucket, CAST(count(*) AS BIGINT) AS n,
+       |  CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS positives,
+       |  CAST((10000 * sum(CASE WHEN label THEN 1 ELSE 0 END)) // count(*) AS BIGINT)
+       |    AS pos_rate_bp
+       |FROM bk GROUP BY bucket""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_quality_train" -> ((s, dir) => train(s, dir)),
     "q_quality_train_score" -> ((s, dir) => trainedScore(s, dir)),
     "q_quality_train_merged" -> ((s, dir) => trainMerged(s, dir)),
-    "q_quality_eval" -> ((s, dir) => evalHoldout(s, dir)))
+    "q_quality_eval" -> ((s, dir) => evalHoldout(s, dir)),
+    "q_quality_calibration" -> ((s, dir) => calibration(s, dir)))
 
   def oracleSql: Map[String, String] = Map(
     "q_quality_train" -> trainOracle,
     "q_quality_eval" -> evalHoldoutOracle,
+    "q_quality_calibration" -> calibrationOracle,
     "q_quality_train_score" -> trainedScoreOracle,
     // count additivity makes batch-merge training bit-identical to
     // whole-seed training — the merged gate answers to the SAME oracle
