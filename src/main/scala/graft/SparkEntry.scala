@@ -85,6 +85,8 @@ object SparkEntry {
       (graft.ops.Scd.queries, graft.ops.Scd.oracleSql),
       (graft.ops.JsonProfile.queries, graft.ops.JsonProfile.oracleSql),
       (graft.ops.Privacy.queries, graft.ops.Privacy.oracleSql),
+      (graft.ops.Versioning.queries, graft.ops.Versioning.oracleSql),
+      (graft.ops.SkewProfile.queries, graft.ops.SkewProfile.oracleSql),
       (DateParse.queries, DateParse.oracleSql),
       (CorpusOps.queries, CorpusOps.oracleSql),
       (graft.ops.FuzzyJoin.queries, graft.ops.FuzzyJoin.oracleSql),

@@ -40,13 +40,15 @@ object AudioSegments {
     * silence/loud blocks. Bytes are the sample's two's complement:
     * (u − 32768) mod 2¹⁶ = (u + 32768) % 65536.
     */
-  def plantWavSeg: Column = {
-    val f = (lit(16) + col("doc_id") % 17).cast("long")
+  def plantWavSeg: Column = plantWavSegFor(col("doc_id"))
+
+  def plantWavSegFor(seed: Column): Column = {
+    val f = (lit(16) + seed % 17).cast("long")
     val dataSize = f * 2
     def u(i: Column) =
       when((i.cast("long") / 8).cast("long") % 2 === 0,
-        lit(32768L) + (col("doc_id") + i) % 7 - 3)
-        .otherwise(lit(40960L) + (col("doc_id") * 7919 + i * 104729) % 16384)
+        lit(32768L) + (seed + i) % 7 - 3)
+        .otherwise(lit(40960L) + (seed * 7919 + i * 104729) % 16384)
     val samples = array_join(
       transform(sequence(lit(0L), f - 1), i => le16h((u(i) + 32768) % 65536)), "")
     unhex(concat(
@@ -98,9 +100,95 @@ object AudioSegments {
        |  CAST(n_samples AS BIGINT) AS n_samples, CAST(peak AS BIGINT) AS peak
        |FROM seg""".stripMargin
 
+  // ---- energy-envelope fingerprint + near-dup join (X212) -----------
+
+  /** Envelope cells (8-bit fingerprint) and the Hamming budget; bands =
+    * maxHam + 1 of ceil(8/2) = 4 bits — pigeonhole recall 1, the image
+    * join's construction.
+    */
+  val FpCells = 8
+  val FpMaxHam = 1
+
+  /** (media_id, n_samples, afp) over the planted WAVs — the audio
+    * member of the near-dup family (text MinHash, image dHash).
+    */
+  def fingerprints(spark: SparkSession, dir: String, seed: Column): DataFrame =
+    graft.ops.ScaleOps.widen(Tables.documents(spark, dir))
+      .select(col("doc_id").as("media_id"), seed.as("s0"))
+      .select(col("media_id"),
+        org.apache.spark.sql.GraftColumnShim.column(graft.plans.WavFingerprint(
+          org.apache.spark.sql.GraftColumnShim.expression(plantWavSegFor(col("s0"))),
+          FpCells)).as("s"))
+      .filter(col("s").isNotNull)
+      .select(col("media_id"), col("s").getField("n_samples").as("n_samples"),
+        col("s").getField("afp").as("afp"))
+
+  /** Banded Hamming-≤ maxHam join bucketed by DURATION class
+    * (n_samples) — the audio analogue of the image dimension class.
+    */
+  def fpPairs(fp: DataFrame, bits: Int = FpCells, maxHam: Int = FpMaxHam): DataFrame = {
+    val nBands = maxHam + 1
+    val bw = (bits + nBands - 1) / nBands
+    val mask = (1L << bw) - 1
+    val bandArr = array((0 until nBands).map(j =>
+      shiftright(col("afp"), bw * j).bitwiseAND(lit(mask))): _*)
+    val banded = fp.select(col("media_id"), col("n_samples"), col("afp"),
+      posexplode(bandArr).as(Seq("band", "bv")))
+    banded.as("x").join(banded.as("y"),
+        col("x.n_samples") === col("y.n_samples") &&
+          col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+          col("x.media_id") < col("y.media_id"))
+      .select(col("x.media_id").as("a"), col("x.afp").as("fa"),
+        col("y.media_id").as("b"), col("y.afp").as("fb"))
+      .distinct()
+      .withColumn("hamming", expr("bit_count(fa ^ fb)").cast("long"))
+      .filter(col("hamming") <= maxHam)
+      .select(col("a"), col("b"), col("hamming"))
+  }
+
+  /** The planted-sample CTE chain ending in fp(media_id, n, afp). */
+  private def fpSql(seedSql: String): String =
+    s"""d AS (
+       |  SELECT doc_id, $seedSql AS s0, 16 + ($seedSql) % 17 AS f
+       |  FROM documents),
+       |sm AS (
+       |  SELECT doc_id, f, i,
+       |    abs((CASE WHEN (i // 8) % 2 = 0 THEN 32768 + (s0 + i) % 7 - 3
+       |              ELSE 40960 + (s0 * 7919 + i * 104729) % 16384 END)
+       |      - 32768) AS a
+       |  FROM d, unnest(range(0, f)) AS u(i)),
+       |env AS (
+       |  SELECT doc_id, f, (i * ${FpCells + 1}) // f AS c,
+       |    sum(a) // count(*) AS ev
+       |  FROM sm GROUP BY doc_id, f, (i * ${FpCells + 1}) // f),
+       |fp AS (
+       |  SELECT l.doc_id AS media_id, CAST(l.f AS BIGINT) AS n_samples,
+       |    CAST(coalesce(sum(CASE WHEN l.ev > r2.ev
+       |        THEN 1::BIGINT << l.c ELSE 0 END), 0) AS BIGINT) AS afp
+       |  FROM env l JOIN env r2
+       |    ON l.doc_id = r2.doc_id AND r2.c = l.c + 1
+       |  GROUP BY l.doc_id, l.f)""".stripMargin
+
+  def fpOracle: String =
+    s"""WITH ${fpSql("doc_id")}
+       |SELECT media_id, n_samples, afp FROM fp""".stripMargin
+
+  def fpPairsOracle: String =
+    s"""WITH ${fpSql("doc_id // 2")}
+       |SELECT x.media_id AS a, y.media_id AS b,
+       |  CAST(bit_count(xor(x.afp, y.afp)) AS BIGINT) AS hamming
+       |FROM fp x JOIN fp y
+       |  ON x.n_samples = y.n_samples AND x.media_id < y.media_id
+       |WHERE bit_count(xor(x.afp, y.afp)) <= $FpMaxHam""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_audio_segments" -> ((s, dir) => segments(s, dir)))
+    "q_audio_segments" -> ((s, dir) => segments(s, dir)),
+    "q_audio_afp" -> ((s, dir) => fingerprints(s, dir, col("doc_id"))),
+    "q_audio_neardup" -> ((s, dir) => fpPairs(
+      fingerprints(s, dir, expr("doc_id DIV 2")))))
 
   def oracleSql: Map[String, String] = Map(
-    "q_audio_segments" -> segmentsOracle)
+    "q_audio_segments" -> segmentsOracle,
+    "q_audio_afp" -> fpOracle,
+    "q_audio_neardup" -> fpPairsOracle)
 }

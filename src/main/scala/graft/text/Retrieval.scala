@@ -310,7 +310,88 @@ object Retrieval {
        |FROM sat2 GROUP BY doc_id
        |ORDER BY score_w DESC, doc_id LIMIT $TopK""".stripMargin
 
+  // ---- snippet extraction (X213) -------------------------------------
+
+  /** Snippet window width, in tokens. */
+  val SnippetW = 10
+
+  /** SNIPPET extraction over the BM25 top-k: for each hit document,
+    * the [[SnippetW]]-token window containing the most DISTINCT query
+    * terms (ties: leftmost window — a total order), rendered as text —
+    * what a retrieval UI shows under each result, and the last
+    * retrieval-stack surface after scoring itself. Window search is
+    * pure per-row ARRAY work (sequence → filter → distinct inside
+    * codegen): no per-window rows ever exist in the plan, so the
+    * operator is map-only over the k hit documents however long they
+    * are; the query terms ride in as a broadcast.
+    */
+  def snippets(docs: DataFrame): DataFrame = {
+    val stats = termStatsOf(docs)
+    val qterms = stats.orderBy(desc("cf"), asc("term")).limit(NumQueryTerms)
+      .agg(collect_list(col("term")).as("qt"))
+    val hits = bm25TopKOf(docs).select(col("doc_id"))
+    docs.join(hits, "doc_id")
+      .crossJoin(broadcast(qterms))
+      .select(col("doc_id"), col("qt"), terms(col("text")).as("tk"))
+      .filter(size(col("tk")) >= SnippetW)
+      .select(col("doc_id"), col("qt"), col("tk"),
+        expr(s"""transform(sequence(0, size(tk) - $SnippetW), s ->
+                 |  size(array_distinct(filter(slice(tk, s + 1, $SnippetW),
+                 |    t -> array_contains(qt, t)))))""".stripMargin).as("hv"))
+      .select(col("doc_id"),
+        expr("array_max(hv)").as("n_hits"),
+        expr("array_position(hv, array_max(hv)) - 1").cast("long").as("start"),
+        expr(s"array_join(slice(tk, CAST(array_position(hv, array_max(hv)) AS INT), $SnippetW), ' ')")
+          .as("snippet"))
+  }
+
+  def snippetsOracle: String =
+    s"""WITH post AS (${postingsOracle}),
+       |nn AS (SELECT count(*) AS n_docs FROM documents),
+       |stats AS (
+       |  SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf,
+       |    CAST(length(bin(n_docs)) - length(bin(count(*))) AS BIGINT) AS idf_bits
+       |  FROM post CROSS JOIN nn GROUP BY term, n_docs
+       |), dl AS (
+       |  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM post GROUP BY doc_id
+       |), avgdl AS (
+       |  SELECT CAST((sum(dl) * 1000) // count(*) AS BIGINT) AS avgdl_m FROM dl
+       |), qterms AS (
+       |  SELECT term, idf_bits FROM stats ORDER BY cf DESC, term LIMIT $NumQueryTerms
+       |), sat1 AS (
+       |  SELECT p.doc_id, q.idf_bits,
+       |    (p.tf * ${K1Milli + 1000L} * 1000) //
+       |      (p.tf * 1000 + ($K1Milli * (1000 - $BMilli +
+       |        ($BMilli * ((d.dl * 1000000) // a.avgdl_m)) // 1000)) // 1000) AS sat_m
+       |  FROM post p
+       |  JOIN qterms q ON q.term = p.term
+       |  JOIN dl d ON d.doc_id = p.doc_id
+       |  CROSS JOIN avgdl a
+       |), top10 AS (
+       |  SELECT doc_id FROM sat1 GROUP BY doc_id
+       |  ORDER BY CAST(sum(idf_bits * sat_m) AS BIGINT) DESC, doc_id LIMIT $TopK
+       |), qt AS (SELECT list(term ORDER BY cf DESC, term) AS qt FROM
+       |    (SELECT term, cf FROM stats ORDER BY cf DESC, term LIMIT $NumQueryTerms)
+       |), tk AS (
+       |  SELECT d.doc_id, ${termsSql("d.text")} AS tk
+       |  FROM documents d JOIN top10 USING (doc_id)
+       |), hv AS (
+       |  SELECT doc_id, tk,
+       |    list_transform(range(0, len(tk) - $SnippetW + 1), s ->
+       |      len(list_distinct(list_filter(tk[s + 1 : s + $SnippetW],
+       |        t -> list_contains(qt.qt, t))))) AS hv
+       |  FROM tk, qt WHERE len(tk) >= $SnippetW
+       |)
+       |SELECT doc_id,
+       |  CAST(list_max(hv) AS INTEGER) AS n_hits,
+       |  CAST(list_position(hv, list_max(hv)) - 1 AS BIGINT) AS start,
+       |  array_to_string(
+       |    tk[list_position(hv, list_max(hv)) : list_position(hv, list_max(hv)) + $SnippetW - 1],
+       |    ' ') AS snippet
+       |FROM hv""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_snippets" -> ((s, dir) => snippets(Tables.documents(s, dir))),
     "q_inverted_postings" -> ((s, dir) => postings(s, dir)),
     "q_term_stats" -> ((s, dir) => termStats(s, dir)),
     "q_bm25_topk" -> ((s, dir) => bm25TopK(s, dir)),
@@ -319,6 +400,7 @@ object Retrieval {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_snippets" -> snippetsOracle,
     "q_inverted_postings" -> postingsOracle,
     "q_term_stats" -> termStatsOracle,
     "q_bm25_topk" -> bm25TopKOracle,

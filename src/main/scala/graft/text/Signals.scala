@@ -130,11 +130,57 @@ object Signals {
     graft.ops.ScaleOps.widen(Tables.documents(s, dir))
       .select(col("doc_id"), col("text"))
 
+  /** CROSS-corpus novelty (X211) — the data-VALUATION question "how
+    * much of this new batch is content the corpus doesn't already
+    * have?": for each batch document (doc_id % 10 = 0, the X42/X198
+    * ingestion split), the fraction of its k-token windows whose hash
+    * appears NOWHERE in the reference corpus (the other 90%). Within-
+    * batch repeats don't matter here — against-the-corpus is the
+    * question — so the reference side reduces to a DISTINCT hash set
+    * and the probe is one left-anti-shaped join on hashes (broadcast
+    * when the reference vocab allows, shuffle-hash otherwise); text
+    * never shuffles. Complements X184 (within-corpus novelty) exactly
+    * the way X198 complements X187.
+    */
+  def crossNovelty(docs: DataFrame, k: Int = NoveltyK): DataFrame = {
+    val starts = graft.dedup.ExactSpans.shingleStarts(docs, k)
+    val isBatch = col("doc_id") % 10 === 0
+    val ref = starts.filter(!isBatch).select(col("h")).distinct()
+      .withColumn("seen", lit(true))
+    starts.filter(isBatch).join(ref, Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("windows"),
+        sum(when(col("seen").isNull, 1L).otherwise(0L)).as("unseen"))
+      .select(col("doc_id"), col("windows"), col("unseen"),
+        expr("(10000 * unseen) DIV windows").as("novelty_bp"))
+  }
+
+  def crossNoveltyOracle(k: Int = NoveltyK): String =
+    s"""WITH d AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks,
+       |    len(string_split(text, ' ')) AS n
+       |  FROM documents),
+       |w AS (
+       |  SELECT doc_id,
+       |    unnest(list_transform(range(0, n - $k + 1), i ->
+       |      md5(array_to_string(toks[i + 1 : i + $k], ' ')))) AS h
+       |  FROM d WHERE n >= $k),
+       |ref AS (SELECT DISTINCT h FROM w WHERE doc_id % 10 <> 0),
+       |b AS (SELECT doc_id, h FROM w WHERE doc_id % 10 = 0)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS windows,
+       |  CAST(sum(CASE WHEN ref.h IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS unseen,
+       |  CAST((10000 * sum(CASE WHEN ref.h IS NULL THEN 1 ELSE 0 END))
+       |    // count(*) AS BIGINT) AS novelty_bp
+       |FROM b LEFT JOIN ref ON ref.h = b.h
+       |GROUP BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_novelty" -> ((s, dir) => novelty(widened(s, dir))),
+    "q_novelty_cross" -> ((s, dir) => crossNovelty(widened(s, dir))),
     "q_vocab_coverage" -> ((s, dir) => vocabCoverage(widened(s, dir))))
 
   def oracleSql: Map[String, String] = Map(
     "q_novelty" -> noveltyOracle(),
+    "q_novelty_cross" -> crossNoveltyOracle(),
     "q_vocab_coverage" -> vocabCoverageOracle)
 }

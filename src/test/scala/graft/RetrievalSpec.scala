@@ -95,6 +95,28 @@ class RetrievalSpec extends SparkSuite {
     assert(p.contains("ReusedExchange"), s"postings recomputed per branch:\n$p")
   }
 
+  test("snippets: best window maximizes distinct query terms, leftmost on ties") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // craft a corpus whose 3 most frequent non-stopword terms are known
+    // and one top doc has its densest window away from position 0
+    val q = "qalpha qbeta qgamma"
+    val docs = (
+      Seq((1L, s"filler01 filler02 filler03 filler04 filler05 $q qalpha filler06 filler07 filler08")) ++
+      (2L to 20L).map(i => (i, s"$q pad${i}a pad${i}b pad${i}c pad${i}d pad${i}e pad${i}f pad${i}g"))
+    ).toDF("doc_id", "text")
+    val snip = graft.text.Retrieval.snippets(docs).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2), r.getString(3))).toMap
+    assert(snip.nonEmpty)
+    // doc 1: the only window with all 3 query terms starts at token 4
+    // (0-based) — "filler05 qalpha qbeta qgamma qalpha ..." has them all
+    val (h1, s1, t1) = snip(1L)
+    assert(h1 == 3, s"got $h1")
+    assert(t1.contains("qalpha") && t1.contains("qbeta") && t1.contains("qgamma"))
+    // all-at-front docs: leftmost tie wins -> start 0
+    assert(snip.collect { case (id, (_, s, _)) if id != 1L => s }.forall(_ == 0L))
+  }
+
   test("rm3 expansion terms exclude the original query terms") {
     val docs = Tables.documents(spark, Sf)
     val q = Retrieval.termStatsOf(docs)
@@ -109,7 +131,11 @@ class RetrievalSpec extends SparkSuite {
 
   test("rm3 rerank is well-formed and reachable by expansion-only docs") {
     val docs = Tables.documents(spark, Sf)
-    val rows = Retrieval.rm3TopKOf(docs).collect()
+    val df = Retrieval.rm3TopKOf(docs)
+    val rows = df.collect()
+    // the postings subtree feeds many branches; AQE must reuse, not
+    // recompute, the tokenize+count exchange (the bm25 discipline)
+    assert(df.queryExecution.executedPlan.toString.contains("ReusedExchange"))
     assert(rows.length == Retrieval.TopK)
     // scores strictly ordered by (score desc, doc_id asc)
     val scores = rows.map(r => (r.getLong(2), r.getLong(0)))

@@ -51,6 +51,57 @@ class WavSegmentsSpec extends SparkSuite {
     assert(WavPcm.parse(wav(Seq(5000), fmtCode = 7)).isNullAt(0))
   }
 
+  private def bruteAfp(samples: Seq[Int], cells: Int): Long = {
+    val n = samples.length
+    val sum = new Array[Long](cells + 1)
+    val cnt = new Array[Long](cells + 1)
+    samples.zipWithIndex.foreach { case (v, i) =>
+      val c = (i.toLong * (cells + 1) / n).toInt
+      sum(c) += math.abs(v).toLong; cnt(c) += 1
+    }
+    (0 until cells).foldLeft(0L) { (fp, j) =>
+      if (sum(j) / cnt(j) > sum(j + 1) / cnt(j + 1)) fp | (1L << j) else fp
+    }
+  }
+
+  test("audio fingerprint equals the independent mirror; envelope gradients set bits") {
+    import graft.plans.WavFingerprint
+    val loudThenQuiet = Seq.fill(20)(20000) ++ Seq.fill(20)(100)
+    val r = WavFingerprint.compute(wav(loudThenQuiet), 8)
+    assert(r != null && r.getLong(0) == 40L)
+    assert(r.getLong(1) == bruteAfp(loudThenQuiet, 8))
+    assert(r.getLong(1) != 0L, "a falling envelope must set at least one bit")
+    // random-ish stream agrees too
+    val mixed = (0 until 37).map(i => ((i * 7919 + 13) % 30000) - 15000)
+    val m = WavFingerprint.compute(wav(mixed), 8)
+    assert(m != null && m.getLong(1) == bruteAfp(mixed, 8))
+  }
+
+  test("audio fingerprint: sub-cell streams and non-PCM yield null") {
+    import graft.plans.WavFingerprint
+    assert(WavFingerprint.compute(wav(Seq.fill(8)(500)), 8) == null) // n < cells+1
+    assert(WavFingerprint.compute(wav(Seq(1, 2, 3), 8), 8) == null)  // non-PCM fmt=8
+    assert(WavFingerprint.compute(null, 8) == null)
+  }
+
+  test("banded audio near-dup join equals brute force on the planted fixture") {
+    import org.apache.spark.sql.functions._
+    val fp = graft.multimodal.AudioSegments
+      .fingerprints(spark, Sf, expr("doc_id DIV 2")).persist()
+    val got = graft.multimodal.AudioSegments.fpPairs(fp).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val rows = fp.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val brute = (for {
+      (a, na, fa) <- rows; (b, nb, fb) <- rows
+      if a < b && na == nb
+      ham = java.lang.Long.bitCount(fa ^ fb).toLong
+      if ham <= graft.multimodal.AudioSegments.FpMaxHam
+    } yield (a, b, ham)).toSet
+    fp.unpersist()
+    assert(got == brute)
+    assert(brute.exists(_._3 == 0L), "seed-paired identical audio must appear")
+  }
+
   test("refactored WavPcm stats unchanged on a mixed stream") {
     val r = WavPcm.parse(wav(Seq(100, -32768, 32767, 0)))
     assert(r.getLong(0) == 4L)
