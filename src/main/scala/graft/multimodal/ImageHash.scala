@@ -88,6 +88,25 @@ object ImageHash {
     * `doc_id` or `doc_id // 2`). Mirrors PngPlant's three layouts
     * verbatim.
     */
+  /** The PngPlant pixel formulas as SQL r/g/b select items over seed
+    * `s` and pixel index `i` — the one copy both this module's oracles
+    * and the tar-composition gate restate (drift between them would be
+    * a silent oracle fork).
+    */
+  private[graft] def rgbCaseSql(s: String = "s", i: String = "i"): String =
+    s"""CASE $s % 4
+       |      WHEN 1 THEN ($s + 17 * (($s + $i) % 16)) % 256
+       |      WHEN 3 THEN (($s * 31 + 257 * $i) % 65536) // 256
+       |      ELSE ($s + 3 * $i) % 256 END AS r,
+       |    CASE $s % 4
+       |      WHEN 1 THEN ($s * 7 + 23 * (($s + $i) % 16)) % 256
+       |      WHEN 3 THEN (($s * 31 + 257 * $i) % 65536) // 256
+       |      ELSE ($s * 7 + 5 * $i) % 256 END AS g,
+       |    CASE $s % 4
+       |      WHEN 1 THEN ($s * 13 + 29 * (($s + $i) % 16)) % 256
+       |      WHEN 3 THEN (($s * 31 + 257 * $i) % 65536) // 256
+       |      ELSE ($s * 13 + 11 * $i) % 256 END AS b""".stripMargin
+
   private def hashSql(seedSql: String): String =
     s"""dims AS (
        |  SELECT doc_id, $seedSql AS s, 4 + ($seedSql) % 13 AS w,
@@ -95,18 +114,7 @@ object ImageHash {
        |  FROM documents),
        |px AS (
        |  SELECT doc_id, w, h, i % w AS x, i // w AS y,
-       |    CASE s % 4
-       |      WHEN 1 THEN (s + 17 * ((s + i) % 16)) % 256
-       |      WHEN 3 THEN ((s * 31 + 257 * i) % 65536) // 256
-       |      ELSE (s + 3 * i) % 256 END AS r,
-       |    CASE s % 4
-       |      WHEN 1 THEN (s * 7 + 23 * ((s + i) % 16)) % 256
-       |      WHEN 3 THEN ((s * 31 + 257 * i) % 65536) // 256
-       |      ELSE (s * 7 + 5 * i) % 256 END AS g,
-       |    CASE s % 4
-       |      WHEN 1 THEN (s * 13 + 29 * ((s + i) % 16)) % 256
-       |      WHEN 3 THEN ((s * 31 + 257 * i) % 65536) // 256
-       |      ELSE (s * 13 + 11 * i) % 256 END AS b
+       |    ${rgbCaseSql()}
        |  FROM dims, unnest(range(0, w * h)) AS u(i)
        |  WHERE w >= $GW + 1),
        |cells AS (

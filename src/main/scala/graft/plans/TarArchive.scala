@@ -173,6 +173,53 @@ case class TarPlant(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** [[TarPlant]]'s MEDIA sibling: the image-bearing WebDataset shard —
+  * each sample is `{key}.png` (a REAL [[PngPlant]] image, seed
+  * 2·id + j) plus `{key}.cls`. Payload bytes are a genuine encoder's
+  * output, so member SIZES are not closed-form; gates over this plant
+  * assert the DECODED facts (dims, dhash, cls), which are.
+  */
+case class TarPlantMedia(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case LongType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(s"tar_plant_media requires bigint, got $t")
+    }
+
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "tar_plant_media"
+
+  override def nullSafeEval(input: Any): Any =
+    TarPlantMedia.encode(input.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.TarPlantMedia.encode($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object TarPlantMedia {
+
+  def seedOf(id: Long, j: Long): Long = 2 * id + j
+
+  /** Static so generated code calls it directly. */
+  def encode(id: Long): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    var j = 0L
+    while (j < 2) {
+      val ascii = java.nio.charset.StandardCharsets.US_ASCII
+      TarPlant.writeMember(bos, s"s${id}_$j.png", PngPlant.encode(seedOf(id, j)), '0')
+      TarPlant.writeMember(bos, s"s${id}_$j.cls",
+        TarPlant.clsOf(id, j).getBytes(ascii), '0')
+      j += 1
+    }
+    bos.write(new Array[Byte](1024)) // two zero end blocks
+    bos.toByteArray
+  }
+}
+
 object TarPlant {
 
   def txtOf(id: Long, j: Long): String = s"sample s${id}_$j text ${(id + j) % 13}"
@@ -204,22 +251,27 @@ object TarPlant {
     h
   }
 
+  /** One member: header + payload + block padding (shared with the
+    * media plant).
+    */
+  private[plans] def writeMember(bos: java.io.ByteArrayOutputStream,
+      name: String, payload: Array[Byte], typeflag: Char): Unit = {
+    bos.write(header(name, payload.length.toLong, typeflag))
+    bos.write(payload)
+    val pad = (512 - payload.length % 512) % 512
+    bos.write(new Array[Byte](pad))
+  }
+
   /** Static so generated code calls it directly. */
   def encode(id: Long): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
-    def member(name: String, payload: Array[Byte], typeflag: Char): Unit = {
-      bos.write(header(name, payload.length.toLong, typeflag))
-      bos.write(payload)
-      val pad = (512 - payload.length % 512) % 512
-      bos.write(new Array[Byte](pad))
-    }
-    member(s"d$id/", Array.emptyByteArray, '5')
+    writeMember(bos, s"d$id/", Array.emptyByteArray, '5')
     var j = 0L
     while (j < 2) {
       val ascii = java.nio.charset.StandardCharsets.US_ASCII
-      member(s"s${id}_$j.txt", txtOf(id, j).getBytes(ascii), '0')
-      member(s"s${id}_$j.cls", clsOf(id, j).getBytes(ascii), '0')
-      member(s"s${id}_$j.json", jsonOf(id, j).getBytes(ascii), '0')
+      writeMember(bos, s"s${id}_$j.txt", txtOf(id, j).getBytes(ascii), '0')
+      writeMember(bos, s"s${id}_$j.cls", clsOf(id, j).getBytes(ascii), '0')
+      writeMember(bos, s"s${id}_$j.json", jsonOf(id, j).getBytes(ascii), '0')
       j += 1
     }
     bos.write(new Array[Byte](1024)) // two zero end blocks

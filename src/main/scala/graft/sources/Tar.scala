@@ -105,11 +105,85 @@ object Tar {
        |FROM m WHERE typeflag = '0'
        |GROUP BY doc_id, string_split(name, '.')[1]""".stripMargin
 
+  // ---- image-shard composition (X214) --------------------------------
+
+  /** The END-TO-END WebDataset image pipeline: tar shards whose `.png`
+    * members are REAL PngPlant images → ustar walk (checksums) → PNG
+    * decode → perceptual dHash, labels joined from the `.cls` sibling
+    * in one sample regroup — container, codec, and fingerprint in a
+    * single plan, every stage exercised on genuine bytes. Payload
+    * bytes stay BINARY through the walk (the text gate casts; this one
+    * must not); member sizes are a real encoder's output and so not
+    * SQL-derivable — the gate asserts the DECODED facts (dims, hash,
+    * cls), which are closed-form. Sub-grid images (w < 5) are absent,
+    * the dHash contract.
+    */
+  def imageSamples(spark: SparkSession, dir: String): DataFrame = {
+    val ms = graft.ops.ScaleOps.widen(Tables.documents(spark, dir))
+      .select(col("doc_id"),
+        org.apache.spark.sql.GraftColumnShim.column(graft.plans.TarPlantMedia(
+          org.apache.spark.sql.GraftColumnShim.expression(col("doc_id"))))
+          .as("shard"))
+      .select(col("doc_id"),
+        org.apache.spark.sql.GraftColumnShim.column(graft.plans.TarMembers(
+          org.apache.spark.sql.GraftColumnShim.expression(col("shard"))))
+          .as("ms"))
+      .select(col("doc_id"), posexplode_outer(col("ms")).as(Seq("m_idx", "m")))
+      .filter(col("m").isNotNull)
+      .select(col("doc_id"),
+        substring_index(col("m").getField("name"), ".", 1).as("key"),
+        substring_index(col("m").getField("name"), ".", -1).as("ext"),
+        col("m").getField("payload").as("payload"))
+    val png = ms.filter(col("ext") === "png")
+      .select(col("doc_id"), col("key"),
+        graft.multimodal.ImageHash.dhashOf(col("payload")).as("s"))
+      .filter(col("s").isNotNull)
+    val cls = ms.filter(col("ext") === "cls")
+      .select(col("doc_id"), col("key"),
+        col("payload").cast("string").cast("long").as("cls"))
+    png.join(cls, Seq("doc_id", "key"))
+      .select(col("doc_id"), col("key"),
+        col("s").getField("width").as("width"),
+        col("s").getField("height").as("height"),
+        col("s").getField("dhash").as("dhash"), col("cls"))
+  }
+
+  def imageSamplesOracle: String =
+    s"""WITH smp AS (
+       |  SELECT doc_id, j, 2 * doc_id + j AS s, (doc_id + 3 * j) % 10 AS cls,
+       |    4 + (2 * doc_id + j) % 13 AS w, 4 + (2 * doc_id + j) % 11 AS h
+       |  FROM documents, unnest([0, 1]) AS t(j)),
+       |px AS (
+       |  SELECT doc_id, j, w, h, i % w AS x, i // w AS y,
+       |    ${graft.multimodal.ImageHash.rgbCaseSql()}
+       |  FROM smp, unnest(range(0, w * h)) AS u(i)
+       |  WHERE w >= 5),
+       |cells AS (
+       |  SELECT doc_id, j, w, h, rr, c, sum(gray) // count(*) AS av FROM (
+       |    SELECT doc_id, j, w, h, (y * 4) // h AS rr, (x * 5) // w AS c,
+       |      (299 * r + 587 * g + 114 * b) // 1000 AS gray
+       |    FROM px) GROUP BY doc_id, j, w, h, rr, c),
+       |hash AS (
+       |  SELECT l.doc_id, l.j, l.w, l.h,
+       |    CAST(coalesce(sum(CASE WHEN l.av > r2.av
+       |        THEN 1::BIGINT << (l.rr * 4 + l.c) ELSE 0 END), 0) AS BIGINT)
+       |      AS dhash
+       |  FROM cells l JOIN cells r2
+       |    ON l.doc_id = r2.doc_id AND l.j = r2.j AND l.rr = r2.rr
+       |      AND r2.c = l.c + 1
+       |  GROUP BY l.doc_id, l.j, l.w, l.h)
+       |SELECT h.doc_id, 's' || h.doc_id || '_' || h.j AS key,
+       |  CAST(h.w AS INTEGER) AS width, CAST(h.h AS INTEGER) AS height,
+       |  h.dhash, CAST((h.doc_id + 3 * h.j) % 10 AS BIGINT) AS cls
+       |FROM hash h""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_tar_members" -> ((s, dir) => members(s, dir)),
-    "q_wds_samples" -> ((s, dir) => samples(s, dir)))
+    "q_wds_samples" -> ((s, dir) => samples(s, dir)),
+    "q_wds_image_dhash" -> ((s, dir) => imageSamples(s, dir)))
 
   def oracleSql: Map[String, String] = Map(
     "q_tar_members" -> membersOracle,
-    "q_wds_samples" -> samplesOracle)
+    "q_wds_samples" -> samplesOracle,
+    "q_wds_image_dhash" -> imageSamplesOracle)
 }

@@ -99,6 +99,25 @@ class TarSpec extends SparkSuite {
     assert(names(noise) == Seq("a.txt"))
   }
 
+  test("media shard: png payloads survive the walk byte-exact") {
+    import graft.plans.{PngDhash, TarPlantMedia}
+    for (id <- Seq(1L, 6L, 13L)) {
+      val arr = TarMembers.parse(TarPlantMedia.encode(id))
+      assert(arr.numElements() == 4) // 2 samples x (png, cls)
+      for (j <- 0 to 1) {
+        val png = arr.getStruct(j * 2, 4)
+        assert(png.getUTF8String(0).toString == s"s${id}_$j.png")
+        val direct = PngDhash.compute(
+          graft.plans.PngPlant.encode(TarPlantMedia.seedOf(id, j)), 4, 4)
+        val viaTar = PngDhash.compute(png.getBinary(3), 4, 4)
+        assert((direct == null) == (viaTar == null))
+        if (direct != null)
+          assert(direct.getLong(2) == viaTar.getLong(2),
+            s"payload must round-trip byte-exact (id=$id j=$j)")
+      }
+    }
+  }
+
   test("NUL typeflag reads as regular file '0'") {
     val h = hdr("plain.txt", 2, '0')
     // rewrite typeflag to NUL and re-checksum
