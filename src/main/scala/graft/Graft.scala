@@ -859,4 +859,70 @@ object Graft {
     */
   def parseJsonLines(lines: DataFrame): DataFrame =
     sources.JsonLines.parse(lines)
+
+  // ---- round-12 closing-session surface ------------------------------
+
+  /** EXACT set-similarity join (recall 1): every pair with shingle-set
+    * Jaccard ≥ τ, prefix-filtered + exact-copy-collapsed.
+    */
+  def setSimJoin(docs: DataFrame, tauBp: Int = dedup.SetSim.TauBp): DataFrame =
+    dedup.SetSim.similarityJoin(docs, tauBp)
+
+  /** Measured MinHash-LSH recall against the exact pair list. */
+  def lshRecall(spark: SparkSession, sfDir: String): DataFrame =
+    dedup.SetSim.lshRecall(spark, sfDir)
+
+  /** Keep each near-dup cluster's highest-QUALITY member. */
+  def qualityRepresentatives(spark: SparkSession, sfDir: String): DataFrame =
+    dedup.Dedup.qualityReps(spark, sfDir)
+
+  /** Chat-template rendering of (conv_id, turn_idx, role, content). */
+  def renderChat(messages: DataFrame): DataFrame =
+    text.ChatTemplate.render(messages)
+
+  /** Assistant loss-mask [start, end) character spans per turn. */
+  def chatLossSpans(messages: DataFrame): DataFrame =
+    text.ChatTemplate.lossSpans(messages)
+
+  /** SCD type-2 dimension build over an event stream. */
+  def scd2(events: DataFrame): DataFrame = ops.Scd.scd2(events)
+
+  /** Banded Hamming near-dup join over (media_id, width, height,
+    * dhash) perceptual image fingerprints.
+    */
+  def imageNearDups(dh: DataFrame): DataFrame =
+    multimodal.ImageHash.hammingPairs(dh)
+
+  /** Energy-envelope audio fingerprint near-dup join. */
+  def audioNearDups(fp: DataFrame): DataFrame =
+    multimodal.AudioSegments.fpPairs(fp)
+
+  /** USTAR member walk (WebDataset shard reading) over binary shards. */
+  def tarMembers(shard: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.GraftColumnShim.column(plans.TarMembers(
+      org.apache.spark.sql.GraftColumnShim.expression(shard)))
+
+  /** RM3 pseudo-relevance-feedback rerank over the fixture corpus. */
+  def rm3TopK(docs: DataFrame): DataFrame = text.Retrieval.rm3TopKOf(docs)
+
+  /** Linkage-preserving e-mail pseudonymization of a text column. */
+  def pseudonymize(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    text.Pseudonym.pseudonymize(c)
+
+  /** Order-independent dataset fingerprint (XOR of row digests). */
+  def tableFingerprint(docs: DataFrame): DataFrame =
+    ops.Versioning.fingerprint(docs)
+
+  /** Keyed three-way diff between two dataset versions. */
+  def versionDiff(a: DataFrame, b: DataFrame): DataFrame =
+    ops.Versioning.versionDiff(a, b)
+
+  /** Near-dup pairs crossing train/val/test boundaries. */
+  def splitLeakage(spark: SparkSession, sfDir: String): DataFrame =
+    ops.CorpusOps.splitLeakage(spark, sfDir)
+
+  /** Streaming SCD-2 twin with TTL retirement. */
+  def scdStream(events: org.apache.spark.sql.Dataset[streaming.ScdStream.Ev])
+      : org.apache.spark.sql.Dataset[streaming.ScdStream.VersionRow] =
+    streaming.ScdStream.scdStream(events)
 }

@@ -154,7 +154,12 @@ object ImageHash {
   def clusters(spark: SparkSession, dir: String): DataFrame =
     graft.dedup.Dedup.Components.of(
       hammingPairs(plantedDhash(spark, dir, expr("doc_id DIV 2")))
-        .select(col("a").as("doc_a"), col("b").as("doc_b")))
+        .select(col("a").as("doc_a"), col("b").as("doc_b"))
+        // label propagation is iterative: without an eager checkpoint
+        // every round would re-run the plant + decode + banded join
+        // (wordClusters feeds Components a MATERIALIZED pair table; a
+        // live pipeline must checkpoint at the same seam)
+        .localCheckpoint(true))
 
   def clustersOracle: String =
     graft.dedup.Dedup.Components.oracleOn(
