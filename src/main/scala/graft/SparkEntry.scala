@@ -47,6 +47,7 @@ object SparkEntry {
       (graft.text.Redact.queries, graft.text.Redact.oracleSql),
       (graft.text.Pseudonym.queries, graft.text.Pseudonym.oracleSql),
       (graft.text.Bpe.queries, graft.text.Bpe.oracleSql),
+      (graft.text.Wordpiece.queries, graft.text.Wordpiece.oracleSql),
       (graft.text.HeavyHitters.queries, graft.text.HeavyHitters.oracleSql),
       (graft.text.Html.queries, graft.text.Html.oracleSql),
       (graft.text.HtmlTables.queries, graft.text.HtmlTables.oracleSql),
