@@ -221,9 +221,9 @@ object Mixing {
 
   def temperatureQuotasOracle: String =
     s"""WITH $tempCtes
-       |SELECT q.lang, q.avail_toks, q.w, q.quota,
-       |  q.quota * 10000 // t.budget AS share_bp,
-       |  q.avail_toks * 10000 // t.total AS prop_bp
+       |SELECT q.lang, CAST(q.avail_toks AS BIGINT) AS avail_toks, q.w, q.quota,
+       |  CAST(q.quota * 10000 // t.budget AS BIGINT) AS share_bp,
+       |  CAST(q.avail_toks * 10000 // t.total AS BIGINT) AS prop_bp
        |FROM quota q, tot t""".stripMargin
 
   def mixTemperatureOracle: String =

@@ -38,6 +38,16 @@ object QualityModel {
     */
   val KeepThreshold = 0L
 
+  /** Exact-integer FLOOR division for oracle SQL. DuckDB's `//`
+    * truncates toward zero exactly like Spark's DIV (measured:
+    * `-7 // 2 = -3`), so on a negative non-divisible numerator the
+    * truncated quotient sits one above the floor — subtract the
+    * correction instead of round-tripping through DOUBLE. Requires
+    * a positive divisor (all divisors here are counts ≥ 1).
+    */
+  def floorDivSql(x: String, n: String): String =
+    s"(($x) // ($n) - CASE WHEN ($x) % ($n) <> 0 AND ($x) < 0 THEN 1 ELSE 0 END)"
+
   /** (slot, w) — one quantized weight per vocabulary slot: dimension 0 of
     * the embeddings fixture vector, floor(x·1000).
     */
@@ -74,9 +84,16 @@ object QualityModel {
     toks.join(broadcast(wtable), "slot")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_toks"), sum(col("w")).as("sum_w"))
+      // FLOOR division in exact integers, not Spark's truncate-toward-zero
+      // DIV: `sum_w` is a signed log-odds sum, and on a negative
+      // non-divisible numerator DIV and DuckDB's `//` differ by 1 — enough
+      // to flip a calibration bucket or an eval verdict. Subtracting
+      // pmod(x, n) (non-negative for n > 0) makes the numerator exactly
+      // divisible, so DIV then returns floor(x/n) for any sign.
       .select(col("doc_id"), col("n_toks"), col("sum_w"),
-        expr("(1000 * sum_w) DIV n_toks").as("score_q"),
-        (expr("(1000 * sum_w) DIV n_toks") > KeepThreshold).as("keep"))
+        expr("(1000 * sum_w - pmod(1000 * sum_w, n_toks)) DIV n_toks").as("score_q"),
+        (expr("(1000 * sum_w - pmod(1000 * sum_w, n_toks)) DIV n_toks")
+          > KeepThreshold).as("keep"))
   }
 
   /** The weight table as a driver map — the model artifact a deploy
@@ -116,14 +133,16 @@ object QualityModel {
     // [[graft.text.Phrases.mergeTokens]] documents the failure mode)
     val keep = element_at(transform(array(ws), a => {
       val sumw = aggregate(a, lit(0L), (acc, v) => acc + v)
-      // exact integral division (truncate toward zero — the batch DIV),
-      // via Catalyst's IntegralDivide rather than a double round-trip.
+      // exact integral FLOOR division (the batch score_q contract): the
+      // numerator less pmod(x, n) is exactly divisible, so IntegralDivide
+      // returns floor(x/n) for any sign — same pmod trick as scoreDocs.
       // greatest(n,1): the n=0 row fails the size(a)>0 conjunct either
       // way, but the divide must never see a zero under ANSI evaluation
+      val n = greatest(size(a), lit(1)).cast("long")
+      val x = lit(1000L) * sumw
       val scoreQ = org.apache.spark.sql.GraftColumnShim.column(
         new org.apache.spark.sql.catalyst.expressions.IntegralDivide(
-          longCol(lit(1000L) * sumw),
-          longCol(greatest(size(a), lit(1)).cast("long"))))
+          longCol(x - pmod(x, n)), longCol(n)))
       size(a) > 0 && scoreQ > KeepThreshold
     }), 1)
     docs.filter(keep)
@@ -145,8 +164,8 @@ object QualityModel {
        |  FROM slots JOIN wt USING (slot) GROUP BY doc_id
        |)
        |SELECT doc_id, n_toks, sum_w,
-       |  (1000 * sum_w) // n_toks AS score_q,
-       |  ((1000 * sum_w) // n_toks) > $KeepThreshold AS keep
+       |  ${floorDivSql("1000 * sum_w", "n_toks")} AS score_q,
+       |  ${floorDivSql("1000 * sum_w", "n_toks")} > $KeepThreshold AS keep
        |FROM agg""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -201,8 +201,8 @@ object QualityTrain {
        |  FROM dslots JOIN model USING (slot) GROUP BY doc_id
        |)
        |SELECT doc_id, n_toks, sum_w,
-       |  (1000 * sum_w) // n_toks AS score_q,
-       |  ((1000 * sum_w) // n_toks) > ${QualityModel.KeepThreshold} AS keep
+       |  ${QualityModel.floorDivSql("1000 * sum_w", "n_toks")} AS score_q,
+       |  ${QualityModel.floorDivSql("1000 * sum_w", "n_toks")} > ${QualityModel.KeepThreshold} AS keep
        |FROM agg""".stripMargin
 
   /** HELD-OUT evaluation (X202): train on doc_id % 3 ≠ 0, score the
@@ -265,7 +265,7 @@ object QualityTrain {
        |  FROM dslots JOIN model USING (slot) GROUP BY doc_id),
        |pred AS (
        |  SELECT t.label,
-       |    coalesce(((1000 * a.sum_w) // a.n_toks) > ${QualityModel.KeepThreshold},
+       |    coalesce(${QualityModel.floorDivSql("1000 * a.sum_w", "a.n_toks")} > ${QualityModel.KeepThreshold},
        |      false) AS pred
        |  FROM test t LEFT JOIN agg a USING (doc_id)),
        |cm AS (
@@ -293,11 +293,12 @@ object QualityTrain {
     * reliability diagram a pipeline reads before picking the keep
     * threshold (a well-calibrated score's pos_rate_bp rises with the
     * bucket; a flat table means the score carries no signal — which is
-    * exactly what the label-uniform fixture shows). Buckets are FLOOR
-    * division (both engines: Spark `floor(x/50.0)`, DuckDB `//` —
-    * Spark's integer DIV truncates toward zero and would disagree on
-    * negative scores). Unscored held-outs sit out (no score, no
-    * bucket).
+    * exactly what the label-uniform fixture shows). Every division on
+    * the score path is FLOOR division on both engines: `score_q` itself
+    * floors via the pmod trick in [[QualityModel.scoreDocs]], and the
+    * bucket floors again (Spark `floor(x/50.0)`, DuckDB `//`) — so the
+    * agreement never depends on the sign of the fixture weights.
+    * Unscored held-outs sit out (no score, no bucket).
     */
   def calibration(spark: SparkSession, dir: String): DataFrame = {
     val sd = seed(spark, dir)
@@ -333,7 +334,9 @@ object QualityTrain {
        |  SELECT doc_id, count(*) AS n_toks, CAST(sum(w) AS BIGINT) AS sum_w
        |  FROM dslots JOIN model USING (slot) GROUP BY doc_id),
        |bk AS (
-       |  SELECT ((1000 * a.sum_w) // a.n_toks) // $CalibBucket AS bucket, t.label
+       |  SELECT ${QualityModel.floorDivSql(
+                    QualityModel.floorDivSql("1000 * a.sum_w", "a.n_toks"),
+                    CalibBucket.toString)} AS bucket, t.label
        |  FROM test t JOIN agg a USING (doc_id))
        |SELECT CAST(bucket AS BIGINT) AS bucket, CAST(count(*) AS BIGINT) AS n,
        |  CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS positives,

@@ -22,7 +22,8 @@ class QualityModelSpec extends SparkSuite {
 
   test("score is the exact integer mean: sum_w and n_toks reproduce score_q") {
     val bad = QualityModel.score(spark, Sf)
-      .filter(col("score_q") =!= expr("(1000 * sum_w) DIV n_toks"))
+      .filter(col("score_q") =!=
+        expr("(1000 * sum_w - pmod(1000 * sum_w, n_toks)) DIV n_toks"))
     assert(bad.count() === 0)
   }
 
