@@ -167,14 +167,227 @@ object ImageHash {
          |${neardupOracle.linesIterator.map("  " + _).mkString("\n")}
          |) t""".stripMargin)
 
+  // ---- JPEG / GIF fingerprints (X216): the SAME dHash over the other
+  // two decoders, riding their shared-visitor walks — crawls are
+  // JPEG-dominated, so a PNG-only fingerprint would skip most of a
+  // real image corpus. One [[graft.plans.DhashCore]] definition means
+  // identical pixels hash identically whatever container they arrived
+  // in, which is what makes the mixed-format join below meaningful. ----
+
+  def jpegDhashOf(content: Column, gw: Int = GW, gh: Int = GH): Column =
+    org.apache.spark.sql.GraftColumnShim.column(graft.plans.JpegDhash(
+      org.apache.spark.sql.GraftColumnShim.expression(content), gw, gh))
+
+  def gifDhashOf(content: Column, gw: Int = GW, gh: Int = GH): Column =
+    org.apache.spark.sql.GraftColumnShim.column(graft.plans.GifDhash(
+      org.apache.spark.sql.GraftColumnShim.expression(content), gw, gh))
+
+  private def unpackHash(df: DataFrame): DataFrame =
+    df.filter(col("s").isNotNull)
+      .select(col("media_id"), col("s").getField("width").as("width"),
+        col("s").getField("height").as("height"),
+        col("s").getField("dhash").as("dhash"))
+
+  /** (media_id, width, height, dhash) over DC-exact JpegPlant(seed)
+    * images — planted dims are always ≥ 8×8, so no sub-grid rejects.
+    */
+  def plantedDhashJpeg(spark: SparkSession, dir: String, seed: Column): DataFrame =
+    unpackHash(graft.ops.ScaleOps.widen(Tables.documents(spark, dir))
+      .select(col("doc_id").as("media_id"),
+        org.apache.spark.sql.GraftColumnShim.column(graft.plans.JpegPlant(
+          org.apache.spark.sql.GraftColumnShim.expression(seed))).as("content"))
+      .select(col("media_id"), jpegDhashOf(col("content")).as("s")))
+
+  /** (media_id, width, height, dhash) over GifPlant(seed) images —
+    * width 4 (seed % 9 == 0) is sub-grid for the 4×4 gate and ABSENT,
+    * exercising the reject path in-gate.
+    */
+  def plantedDhashGif(spark: SparkSession, dir: String, seed: Column): DataFrame =
+    unpackHash(graft.ops.ScaleOps.widen(Tables.documents(spark, dir))
+      .select(col("doc_id").as("media_id"),
+        org.apache.spark.sql.GraftColumnShim.column(graft.plans.GifPlant(
+          org.apache.spark.sql.GraftColumnShim.expression(seed))).as("content"))
+      .select(col("media_id"), gifDhashOf(col("content")).as("s")))
+
+  /** MIXED-format near-dup pairs: one fingerprint table across all
+    * three codecs, bucketed by dimension class alone — a production
+    * media table mixes containers freely, and a near-dup pipeline must
+    * find the JPEG re-encode of a PNG in the same bucket. Identity is
+    * `3·doc_id + fmt` (png 0, jpeg 1, gif 2): collision-free for any
+    * doc_id range, closed-form for the oracle, and `media_id % 3`
+    * recovers the format. The Hamming join is format-blind by
+    * construction — only (id, w, h, hash) rows ever shuffle.
+    */
+  def mixedDhash(spark: SparkSession, dir: String): DataFrame = {
+    def tag(df: DataFrame, fmt: Int): DataFrame =
+      df.select((col("media_id") * 3 + fmt).as("media_id"),
+        col("width"), col("height"), col("dhash"))
+    tag(plantedDhash(spark, dir, col("doc_id")), 0)
+      .unionByName(tag(plantedDhashJpeg(spark, dir, col("doc_id")), 1))
+      .unionByName(tag(plantedDhashGif(spark, dir, col("doc_id")), 2))
+  }
+
+  def mixedPairs(spark: SparkSession, dir: String): DataFrame =
+    hammingPairs(mixedDhash(spark, dir))
+
+  /** INCREMENTAL batch×index image dedup (X217): the X42/X198
+    * every-cycle discipline applied to the image fingerprint — a new
+    * crawl batch (doc_id % 10 = 0) hashes and bands against the stored
+    * index (the rest); a batch image is dropped when it shares the
+    * dimension class and ≥1 hash band with an index image AND verifies
+    * at Hamming ≤ maxHam. Candidate work is batch-proportional (never
+    * index×index); the index side's (id, w, h, hash) rows are exactly
+    * what a fingerprint table checkpoint would serve precomputed.
+    * Within-batch near-dups are [[mixedPairs]]/[[hammingPairs]]' job,
+    * not this filter's. The seed plants an exact index twin for every
+    * OTHER batch doc (doc_id % 20 = 0 borrows doc_id+1's seed; the
+    * % 20 = 10 half keeps its own), so both verdicts are exercised —
+    * a seed of doc_id DIV 2 would twin EVERY batch doc and the keep
+    * side would be vacuously empty.
+    */
+  def incrementalKeep(spark: SparkSession, dir: String): DataFrame = {
+    val dh = plantedDhash(spark, dir,
+      expr("CASE WHEN doc_id % 20 = 0 THEN doc_id + 1 ELSE doc_id END"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val isBatch = col("media_id") % 10 === 0
+    val batch = dh.filter(isBatch)
+    val index = dh.filter(!isBatch)
+    val nBands = MaxHam + 1
+    val bw = (GW * GH + nBands - 1) / nBands
+    val mask = (1L << bw) - 1
+    val bandArr = array((0 until nBands).map(j =>
+      shiftright(col("dhash"), bw * j).bitwiseAND(lit(mask))): _*)
+    def banded(df: DataFrame) = df.select(col("media_id"), col("width"),
+      col("height"), col("dhash"), posexplode(bandArr).as(Seq("band", "bv")))
+    val dropped = banded(batch).as("x").join(banded(index).as("y"),
+        col("x.width") === col("y.width") && col("x.height") === col("y.height") &&
+          col("x.band") === col("y.band") && col("x.bv") === col("y.bv"))
+      .filter(expr("bit_count(x.dhash ^ y.dhash)") <= MaxHam)
+      .select(col("x.media_id").as("media_id")).distinct()
+    batch.select(col("media_id")).join(dropped, Seq("media_id"), "left_anti")
+  }
+
+  // ---- oracles for the JPEG/GIF/mixed/incremental surfaces ----
+
+  /** JPEG planted-hash CTE chain ending in jhash(media_id, w, h,
+    * dhash): decoded pixel (x, y) of doc s is the DC-exact solid block
+    * value (s·37 + k·59) mod 256 for block k = (y/8)·wb + (x/8) —
+    * the [[graft.plans.JpegPlant]] formula the stats oracle restates.
+    * Gray of a grayscale pixel v is (299v+587v+114v)//1000 = v, spelled
+    * in full so the oracle mirrors the Spark arithmetic verbatim.
+    */
+  private def jpegHashSql(seedSql: String): String =
+    s"""jdims AS (
+       |  SELECT doc_id, $seedSql AS s, 8 * (1 + ($seedSql) % 4) AS w,
+       |    8 * (1 + ($seedSql) % 3) AS h
+       |  FROM documents),
+       |jpx AS (
+       |  SELECT doc_id, w, h, i % w AS x, i // w AS y,
+       |    (s * 37 + (((i // w) // 8) * (w // 8) + (i % w) // 8) * 59) % 256 AS v
+       |  FROM jdims, unnest(range(0, w * h)) AS u(i)),
+       |jcells AS (
+       |  SELECT doc_id, w, h, rr, c, sum(gray) // count(*) AS av FROM (
+       |    SELECT doc_id, w, h, (y * $GH) // h AS rr, (x * ($GW + 1)) // w AS c,
+       |      (299 * v + 587 * v + 114 * v) // 1000 AS gray
+       |    FROM jpx) GROUP BY doc_id, w, h, rr, c),
+       |jhash AS (
+       |  SELECT l.doc_id AS media_id, l.w, l.h,
+       |    CAST(coalesce(sum(CASE WHEN l.av > r2.av
+       |        THEN 1::BIGINT << (l.rr * $GW + l.c) ELSE 0 END), 0) AS BIGINT)
+       |      AS dhash
+       |  FROM jcells l JOIN jcells r2
+       |    ON l.doc_id = r2.doc_id AND l.rr = r2.rr AND r2.c = l.c + 1
+       |  GROUP BY l.doc_id, l.w, l.h)""".stripMargin
+
+  /** GIF planted-hash CTE chain ending in ghash(media_id, w, h,
+    * dhash): pixel i of doc s maps palette index j = (s+i) mod P to
+    * ((3s+5j) mod 256, (11s+7j) mod 256, (17s+13j) mod 256) — the
+    * [[graft.plans.GifPlant]] formulas. Width-4 docs (s % 9 = 0) are
+    * sub-grid and filtered, matching the expression's null.
+    */
+  private def gifHashSql(seedSql: String): String =
+    s"""gdims AS (
+       |  SELECT doc_id, $seedSql AS s, 4 + ($seedSql) % 9 AS w,
+       |    4 + ($seedSql) % 7 AS h,
+       |    1 << CAST(2 + ($seedSql) % 3 AS INTEGER) AS psize
+       |  FROM documents),
+       |gpx AS (
+       |  SELECT doc_id, w, h, i % w AS x, i // w AS y,
+       |    (3 * s + 5 * ((s + i) % psize)) % 256 AS r,
+       |    (11 * s + 7 * ((s + i) % psize)) % 256 AS g,
+       |    (17 * s + 13 * ((s + i) % psize)) % 256 AS b
+       |  FROM gdims, unnest(range(0, w * h)) AS u(i)
+       |  WHERE w >= $GW + 1),
+       |gcells AS (
+       |  SELECT doc_id, w, h, rr, c, sum(gray) // count(*) AS av FROM (
+       |    SELECT doc_id, w, h, (y * $GH) // h AS rr, (x * ($GW + 1)) // w AS c,
+       |      (299 * r + 587 * g + 114 * b) // 1000 AS gray
+       |    FROM gpx) GROUP BY doc_id, w, h, rr, c),
+       |ghash AS (
+       |  SELECT l.doc_id AS media_id, l.w, l.h,
+       |    CAST(coalesce(sum(CASE WHEN l.av > r2.av
+       |        THEN 1::BIGINT << (l.rr * $GW + l.c) ELSE 0 END), 0) AS BIGINT)
+       |      AS dhash
+       |  FROM gcells l JOIN gcells r2
+       |    ON l.doc_id = r2.doc_id AND l.rr = r2.rr AND r2.c = l.c + 1
+       |  GROUP BY l.doc_id, l.w, l.h)""".stripMargin
+
+  def jpegDhashOracle: String =
+    s"""WITH ${jpegHashSql("doc_id")}
+       |SELECT media_id, CAST(w AS INTEGER) AS width,
+       |  CAST(h AS INTEGER) AS height, dhash
+       |FROM jhash""".stripMargin
+
+  def gifDhashOracle: String =
+    s"""WITH ${gifHashSql("doc_id")}
+       |SELECT media_id, CAST(w AS INTEGER) AS width,
+       |  CAST(h AS INTEGER) AS height, dhash
+       |FROM ghash""".stripMargin
+
+  def mixedPairsOracle: String =
+    s"""WITH ${hashSql("doc_id")},
+       |${jpegHashSql("doc_id")},
+       |${gifHashSql("doc_id")},
+       |allhash AS (
+       |  SELECT media_id * 3 AS media_id, w, h, dhash FROM hash
+       |  UNION ALL
+       |  SELECT media_id * 3 + 1, w, h, dhash FROM jhash
+       |  UNION ALL
+       |  SELECT media_id * 3 + 2, w, h, dhash FROM ghash)
+       |SELECT x.media_id AS a, y.media_id AS b,
+       |  CAST(bit_count(xor(x.dhash, y.dhash)) AS BIGINT) AS hamming
+       |FROM allhash x JOIN allhash y
+       |  ON x.w = y.w AND x.h = y.h AND x.media_id < y.media_id
+       |WHERE bit_count(xor(x.dhash, y.dhash)) <= $MaxHam""".stripMargin
+
+  def incrementalOracle: String =
+    s"""WITH ${hashSql("CASE WHEN doc_id % 20 = 0 THEN doc_id + 1 ELSE doc_id END")},
+       |dropped AS (
+       |  SELECT DISTINCT x.media_id
+       |  FROM hash x JOIN hash y
+       |    ON x.w = y.w AND x.h = y.h
+       |   AND x.media_id % 10 = 0 AND y.media_id % 10 <> 0
+       |  WHERE bit_count(xor(x.dhash, y.dhash)) <= $MaxHam)
+       |SELECT media_id FROM hash
+       |WHERE media_id % 10 = 0
+       |  AND media_id NOT IN (SELECT media_id FROM dropped)""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_image_dhash" -> ((s, dir) => plantedDhash(s, dir, col("doc_id"))),
+    "q_image_dhash_jpeg" -> ((s, dir) => plantedDhashJpeg(s, dir, col("doc_id"))),
+    "q_image_dhash_gif" -> ((s, dir) => plantedDhashGif(s, dir, col("doc_id"))),
     "q_image_neardup" -> ((s, dir) => hammingPairs(
       plantedDhash(s, dir, expr("doc_id DIV 2")))),
+    "q_image_neardup_mixed" -> ((s, dir) => mixedPairs(s, dir)),
+    "q_image_incremental" -> ((s, dir) => incrementalKeep(s, dir)),
     "q_image_clusters" -> ((s, dir) => clusters(s, dir)))
 
   def oracleSql: Map[String, String] = Map(
     "q_image_dhash" -> dhashOracle,
+    "q_image_dhash_jpeg" -> jpegDhashOracle,
+    "q_image_dhash_gif" -> gifDhashOracle,
     "q_image_neardup" -> neardupOracle,
+    "q_image_neardup_mixed" -> mixedPairsOracle,
+    "q_image_incremental" -> incrementalOracle,
     "q_image_clusters" -> clustersOracle)
 }

@@ -72,11 +72,16 @@ object GifPixels {
     r
   }
 
-  /** Static so generated code calls it directly. Never null, never throws. */
-  def parse(b: Array[Byte]): InternalRow = {
-    if (b == null || b.length < 14) return nulls
+  /** Header scan up to the first image frame: signature → logical
+    * screen → color tables → extension skip → image descriptor.
+    * Returns `[w, h, ctOff, ctSize, minCode, dataPos, interlace]`, or
+    * null on malformed framing — the one copy [[parse]] and [[walk]]
+    * share.
+    */
+  private def frame(b: Array[Byte]): Array[Int] = {
+    if (b == null || b.length < 14) return null
     if (b(0) != 'G' || b(1) != 'I' || b(2) != 'F' || b(3) != '8' ||
-        !(b(4) == '7' || b(4) == '9') || b(5) != 'a') return nulls
+        !(b(4) == '7' || b(4) == '9') || b(5) != 'a') return null
     def le16(p: Int): Int = (b(p) & 0xff) | ((b(p + 1) & 0xff) << 8)
 
     val screenPacked = b(10) & 0xff
@@ -87,19 +92,19 @@ object GifPixels {
       gctSize = 1 << ((screenPacked & 7) + 1)
       gctOff = p
       p += 3 * gctSize
-      if (p > b.length) return nulls
+      if (p > b.length) return null
     }
 
     while (p < b.length) {
       (b(p) & 0xff) match {
-        case 0x3b => return nulls // trailer before any image frame
+        case 0x3b => return null // trailer before any image frame
         case 0x21 => // extension: label + sub-blocks, content-agnostic skip
           p += 2
           while (p < b.length && (b(p) & 0xff) != 0) p += 1 + (b(p) & 0xff)
-          if (p >= b.length) return nulls
+          if (p >= b.length) return null
           p += 1
         case 0x2c => // image descriptor: the frame we decode
-          if (p + 10 > b.length) return nulls
+          if (p + 10 > b.length) return null
           val w = le16(p + 5)
           val h = le16(p + 7)
           val imgPacked = b(p + 9) & 0xff
@@ -111,24 +116,90 @@ object GifPixels {
             ctOff = p
             p += 3 * ctSize
           }
-          if (ctOff < 0 || ctOff + 3 * ctSize > b.length) return nulls
-          if (w <= 0 || h <= 0 || w > (1 << 15) || h > (1 << 15)) return nulls
-          if (p >= b.length) return nulls
+          if (ctOff < 0 || ctOff + 3 * ctSize > b.length) return null
+          if (w <= 0 || h <= 0 || w > (1 << 15) || h > (1 << 15)) return null
+          if (p >= b.length) return null
           val minCode = b(p) & 0xff
           p += 1
-          if (minCode < 2 || minCode > 11) return nulls
-          return decodeLzw(b, p, minCode, w, h, ctOff, ctSize)
-        case _ => return nulls
+          if (minCode < 2 || minCode > 11) return null
+          return Array(w, h, ctOff, ctSize, minCode, p,
+            if ((imgPacked & 0x40) != 0) 1 else 0)
+        case _ => return null
       }
     }
-    nulls
+    null
+  }
+
+  /** Channel-stats sink: the original q_multimodal_gif consumer. */
+  private final class StatsSink extends PngPixels.RgbSink {
+    var sumR = 0L; var sumG = 0L; var sumB = 0L
+    var peak = 0
+    def pixel(x: Int, y: Int, r: Int, g: Int, bl: Int, a: Int): Unit = {
+      sumR += r; sumG += g; sumB += bl
+      if (r > peak) peak = r
+      if (g > peak) peak = g
+      if (bl > peak) peak = bl
+    }
+  }
+
+  /** Static so generated code calls it directly. Never null, never throws. */
+  def parse(b: Array[Byte]): InternalRow = {
+    val f = frame(b)
+    if (f == null) return nulls
+    val sink = new StatsSink
+    if (!decodeLzw(b, f(5), f(4), f(0), f(1), f(2), f(3), sink)) return nulls
+    val r = new GenericInternalRow(8)
+    r.setInt(0, f(0)); r.setInt(1, f(1)); r.setInt(2, f(3))
+    r.setLong(3, f(0).toLong * f(1))
+    r.setLong(4, sink.sumR); r.setLong(5, sink.sumG); r.setLong(6, sink.sumB)
+    r.setInt(7, sink.peak)
+    r
+  }
+
+  /** Shared-visitor pixel walk (the [[PngPixels.walk]] twin): header
+    * scan then the LZW stream, every palette-mapped pixel emitted with
+    * its TRUE raster position into the sink built by
+    * `mk(w, h, paletteSize)` — null sink = caller reject, no decode
+    * work spent. Interlaced frames route each stream row through the
+    * GIF89a four-pass permutation (rows 0,8,… then 4,12,… then 2,6,…
+    * then odd), so position-sensitive consumers (the dHash grid) see
+    * the actual raster — the stats path never needed this, a
+    * fingerprint does. Returns `(w << 32) | h`, −1 on malformed input.
+    * Alpha is −1 (the single decoded frame carries no transparency
+    * handling — stats and fingerprints ignore it alike).
+    */
+  def walk(b: Array[Byte], mk: (Int, Int, Int) => PngPixels.RgbSink): Long = {
+    val f = frame(b)
+    if (f == null) return -1L
+    val inner = mk(f(0), f(1), f(3))
+    if (inner == null) return -1L
+    val sink =
+      if (f(6) == 0) inner
+      else {
+        val h = f(1)
+        val rowOf = new Array[Int](h)
+        var idx = 0
+        val passes = Array((0, 8), (4, 8), (2, 4), (1, 2))
+        passes.foreach { case (startRow, step) =>
+          var r = startRow
+          while (r < h) { rowOf(idx) = r; idx += 1; r += step }
+        }
+        new PngPixels.RgbSink {
+          def pixel(x: Int, y: Int, r: Int, g: Int, bl: Int, a: Int): Unit =
+            inner.pixel(x, rowOf(y), r, g, bl, a)
+        }
+      }
+    if (!decodeLzw(b, f(5), f(4), f(0), f(1), f(2), f(3), sink)) return -1L
+    (f(0).toLong << 32) | (f(1).toLong & 0xffffffffL)
   }
 
   /** GIF-flavor LZW over the data sub-blocks starting at `p`, streaming
-    * palette-mapped samples straight into the accumulators.
+    * palette-mapped samples row-major into the sink. False = malformed
+    * stream (truncated, palette overflow, code beyond dictionary).
     */
   private def decodeLzw(b: Array[Byte], start: Int, minCode: Int,
-      w: Int, h: Int, ctOff: Int, ctSize: Int): InternalRow = {
+      w: Int, h: Int, ctOff: Int, ctSize: Int,
+      sink: PngPixels.RgbSink): Boolean = {
     val total = w.toLong * h
     val clear = 1 << minCode
     val endCode = clear + 1
@@ -145,8 +216,6 @@ object GifPixels {
     var q = start
     var blockLeft = 0
     var produced = 0L
-    var sumR = 0L; var sumG = 0L; var sumB = 0L
-    var peak = 0
 
     // -1 = truncated/invalid stream
     def readCode(): Int = {
@@ -174,10 +243,7 @@ object GifPixels {
         if (produced < total) {
           val o = ctOff + 3 * idx
           val r = b(o) & 0xff; val g = b(o + 1) & 0xff; val bl = b(o + 2) & 0xff
-          sumR += r; sumG += g; sumB += bl
-          if (r > peak) peak = r
-          if (g > peak) peak = g
-          if (bl > peak) peak = bl
+          sink.pixel((produced % w).toInt, (produced / w).toInt, r, g, bl, -1)
           produced += 1
         }
         true
@@ -186,13 +252,13 @@ object GifPixels {
     var done = false
     while (!done && produced < total) {
       val code = readCode()
-      if (code < 0) return nulls
+      if (code < 0) return false
       if (code == clear) {
         next = clear + 2; codeSize = minCode + 1; prev = -1
       } else if (code == endCode) {
         done = true
       } else if (prev == -1) {
-        if (code >= clear || !emit(code)) return nulls
+        if (code >= clear || !emit(code)) return false
         prev = code
       } else {
         var sp = 0
@@ -210,8 +276,8 @@ object GifPixels {
           while (c >= clear + 2) { stack(sp) = append(c); sp += 1; c = prefix(c) }
           stack(sp) = c; sp += 1
           firstRoot = c
-        } else return nulls // code beyond dictionary
-        while (sp > 0) { sp -= 1; if (!emit(stack(sp))) return nulls }
+        } else return false // code beyond dictionary
+        while (sp > 0) { sp -= 1; if (!emit(stack(sp))) return false }
         if (next < 4096) {
           prefix(next) = prev
           append(next) = firstRoot
@@ -221,13 +287,6 @@ object GifPixels {
         prev = code
       }
     }
-    if (produced < total) return nulls
-
-    val r = new GenericInternalRow(8)
-    r.setInt(0, w); r.setInt(1, h); r.setInt(2, ctSize)
-    r.setLong(3, total)
-    r.setLong(4, sumR); r.setLong(5, sumG); r.setLong(6, sumB)
-    r.setInt(7, peak)
-    r
+    produced == total
   }
 }

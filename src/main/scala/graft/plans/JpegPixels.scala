@@ -170,6 +170,49 @@ object JpegPixels {
     try parseOrThrow(b)
     catch { case scala.util.control.NonFatal(_) => nulls() }
 
+  /** Shared-visitor pixel walk (the [[PngPixels.walk]] twin): one full
+    * entropy decode, every pixel emitted row-major into the sink built
+    * by `mk` — called once with the decoded dimensions so the consumer
+    * can size itself, or return null to reject (e.g. a sub-grid image:
+    * no work wasted on the scan). Returns `(w << 32) | h`, −1 on
+    * malformed input or a null sink. Alpha is −1 — JPEG carries none.
+    * Single-component images ride the gray plane directly (no per-pixel
+    * tuple), the common case for planted fixtures and document scans.
+    */
+  def walk(b: Array[Byte], mk: (Int, Int) => PngPixels.RgbSink): Long = {
+    val d =
+      (try decode(b) catch { case scala.util.control.NonFatal(_) => None }).orNull
+    if (d == null) return -1L
+    val sink = mk(d.width, d.height)
+    if (sink == null) return -1L
+    if (d.nc == 1) {
+      val plane = d.grayPlane
+      val stride = d.grayStride
+      var y = 0
+      while (y < d.height) {
+        var x = 0
+        while (x < d.width) {
+          val g = plane(y * stride + x)
+          sink.pixel(x, y, g, g, g, -1)
+          x += 1
+        }
+        y += 1
+      }
+    } else {
+      var y = 0
+      while (y < d.height) {
+        var x = 0
+        while (x < d.width) {
+          val (r, g, bl) = d.pixel(x, y)
+          sink.pixel(x, y, r, g, bl, -1)
+          x += 1
+        }
+        y += 1
+      }
+    }
+    (d.width.toLong << 32) | (d.height.toLong & 0xffffffffL)
+  }
+
   /** Test-facing full decode to packed 0xRRGGBB pixels (row-major), for
     * golden comparison against an independent codec. Throws on
     * malformed input (specs want the error, the gate path does not).

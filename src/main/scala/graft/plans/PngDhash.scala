@@ -69,23 +69,11 @@ object PngDhash {
     .add("height", IntegerType)
     .add("dhash", LongType)
 
-  /** Grid sink: accumulates per-cell gray sums over (gw+1) × gh. */
-  private final class GridSink(gw: Int, gh: Int, w: Int, h: Int)
-      extends PngPixels.RgbSink {
-    val cols = gw + 1
-    val sum = new Array[Long](cols * gh)
-    val cnt = new Array[Long](cols * gh)
-    def pixel(x: Int, y: Int, r: Int, g: Int, bl: Int, a: Int): Unit = {
-      val gray = (299 * r + 587 * g + 114 * bl) / 1000
-      val c = (x.toLong * cols / w).toInt
-      val rr = (y.toLong * gh / h).toInt
-      val i = rr * cols + c
-      sum(i) += gray
-      cnt(i) += 1
-    }
-  }
-
-  /** Static for codegen. Null = malformed or sub-grid. */
+  /** Static for codegen. Null = malformed or sub-grid. Grid and fold
+    * arithmetic live in [[DhashCore]] — the one dHash definition the
+    * JPEG and GIF expressions share, so identical pixels fingerprint
+    * identically across formats.
+    */
   def compute(b: Array[Byte], gw: Int, gh: Int): InternalRow = {
     if (b == null || b.length < 33) return null
     // cheap header read: width/height at the fixed IHDR offsets (walk
@@ -95,26 +83,11 @@ object PngDhash {
     val h = ((b(20) & 0xffL) << 24 | (b(21) & 0xffL) << 16 |
       (b(22) & 0xffL) << 8 | (b(23) & 0xffL)).toInt
     if (w < gw + 1 || h < gh) return null
-    val sink = new GridSink(gw, gh, w, h)
+    val sink = new DhashCore.GridSink(gw, gh, w, h)
     val info = PngPixels.walk(b, sink)
     if (info == null) return null
     // walk validated the real header; dims must agree with the probe
     if (info.w != w || info.h != h) return null
-    var hash = 0L
-    var r = 0
-    while (r < gh) {
-      var c = 0
-      while (c < gw) {
-        val i = r * sink.cols + c
-        val av = sink.sum(i) / sink.cnt(i)
-        val an = sink.sum(i + 1) / sink.cnt(i + 1)
-        if (av > an) hash |= 1L << (r * gw + c)
-        c += 1
-      }
-      r += 1
-    }
-    val out = new GenericInternalRow(3)
-    out.setInt(0, w); out.setInt(1, h); out.setLong(2, hash)
-    out
+    DhashCore.row(w, h, DhashCore.fold(sink, gw, gh))
   }
 }

@@ -100,4 +100,113 @@ class ImageHashSpec extends SparkSuite {
     assert(banded == brute)
     assert(brute.exists(_._3 == 0L), "seed-paired identical images must appear")
   }
+
+  // ---- JPEG / GIF fingerprints over the shared DhashCore ----
+
+  import graft.plans.{GifDhash, GifPlant, JpegDhash, JpegPlant}
+
+  test("jpeg dhash equals the closed-form block mirror on planted fixtures") {
+    for (seed <- 1L to 24L) {
+      val wb = JpegPlant.widthBlocksOf(seed)
+      val w = wb * 8; val h = JpegPlant.heightBlocksOf(seed) * 8
+      def px(x: Int, y: Int): (Int, Int, Int) = {
+        val v = JpegPlant.blockValOf(seed, (y / 8) * wb + (x / 8))
+        (v, v, v)
+      }
+      val got = JpegDhash.compute(JpegPlant.encode(seed), 4, 4)
+      assert(got != null, s"seed $seed")
+      assert(got.getInt(0) == w && got.getInt(1) == h, s"seed $seed dims")
+      assert(got.getLong(2) == bruteDhash(w, h, 4, 4, px), s"seed $seed hash")
+    }
+  }
+
+  test("gif dhash equals the palette mirror; width-4 plants are sub-grid null") {
+    for (seed <- 1L to 24L) {
+      val w = GifPlant.widthOf(seed); val h = GifPlant.heightOf(seed)
+      val p = GifPlant.paletteSizeOf(seed)
+      def px(x: Int, y: Int): (Int, Int, Int) = {
+        val j = ((seed + (y.toLong * w + x)) % p).toInt
+        (((seed * 3 + 5 * j) % 256).toInt, ((seed * 11 + 7 * j) % 256).toInt,
+          ((seed * 17 + 13 * j) % 256).toInt)
+      }
+      val got = GifDhash.compute(GifPlant.encode(seed), 4, 4)
+      if (w < 5) assert(got == null, s"seed $seed must reject sub-grid")
+      else {
+        assert(got != null, s"seed $seed")
+        assert(got.getLong(2) == bruteDhash(w, h, 4, 4, px), s"seed $seed hash")
+      }
+    }
+  }
+
+  /** Encode an indexed raster as GIF, optionally interlaced. */
+  private def gifOf(w: Int, h: Int, pal: Int, interlaced: Boolean,
+      idx: (Int, Int) => Int): Array[Byte] = {
+    val rA = Array.tabulate(pal)(j => ((5 * j + 3) % 256).toByte)
+    val gA = Array.tabulate(pal)(j => ((7 * j + 11) % 256).toByte)
+    val bA = Array.tabulate(pal)(j => ((13 * j + 17) % 256).toByte)
+    val icm = new java.awt.image.IndexColorModel(8, pal, rA, gA, bA)
+    val im = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+    for (y <- 0 until h; x <- 0 until w) im.getRaster.setSample(x, y, 0, idx(x, y))
+    val out = new java.io.ByteArrayOutputStream()
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+    writer.setOutput(ios)
+    val param = writer.getDefaultWriteParam
+    param.setProgressiveMode(
+      if (interlaced) javax.imageio.ImageWriteParam.MODE_DEFAULT
+      else javax.imageio.ImageWriteParam.MODE_DISABLED)
+    writer.write(null, new javax.imageio.IIOImage(im, null, null), param)
+    ios.close(); writer.dispose()
+    out.toByteArray
+  }
+
+  test("interlaced GIF dhash equals the sequential encoding's (row remap)") {
+    def idx(x: Int, y: Int): Int = (x * 3 + y * 7) % 16
+    val seq = gifOf(20, 16, 16, interlaced = false, idx)
+    val ilc = gifOf(20, 16, 16, interlaced = true, idx)
+    assert(seq.toSeq != ilc.toSeq, "writer must actually interlace")
+    val a = GifDhash.compute(seq, 4, 4)
+    val b = GifDhash.compute(ilc, 4, 4)
+    assert(a != null && b != null)
+    assert(a.getLong(2) == b.getLong(2),
+      "interlaced rows must land on their true raster positions")
+  }
+
+  test("identical raster fingerprints identically across PNG and GIF containers") {
+    val pal = 16
+    def idx(x: Int, y: Int): Int = (x + y * 5) % pal
+    def rgb(x: Int, y: Int): (Int, Int, Int) = {
+      val j = idx(x, y)
+      ((5 * j + 3) % 256, (7 * j + 11) % 256, (13 * j + 17) % 256)
+    }
+    val p = graft.plans.PngDhash.compute(pngOf(14, 10, rgb), 4, 4)
+    val g = GifDhash.compute(gifOf(14, 10, pal, interlaced = false, idx), 4, 4)
+    assert(p != null && g != null)
+    assert(p.getLong(2) == g.getLong(2), "one DhashCore, one fingerprint")
+  }
+
+  test("jpeg/gif dhash null paths: malformed bytes and null input") {
+    assert(JpegDhash.compute(Array.fill[Byte](64)(3), 4, 4) == null)
+    assert(JpegDhash.compute(null, 4, 4) == null)
+    assert(GifDhash.compute(Array.fill[Byte](64)(3), 4, 4) == null)
+    assert(GifDhash.compute(null, 4, 4) == null)
+  }
+
+  test("incremental keep equals the full-pair cross-check") {
+    val seed = expr("CASE WHEN doc_id % 20 = 0 THEN doc_id + 1 ELSE doc_id END")
+    val dh = ImageHash.plantedDhash(spark, Sf, seed).persist()
+    val pairs = ImageHash.hammingPairs(dh).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val all = dh.select("media_id").collect().map(_.getLong(0)).toSet
+    dh.unpersist()
+    val batch = all.filter(_ % 10 == 0)
+    val droppedRef = batch.filter(b => pairs.exists { case (x, y) =>
+      (x == b && y % 10 != 0) || (y == b && x % 10 != 0)
+    })
+    val kept = ImageHash.incrementalKeep(spark, Sf)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == batch -- droppedRef)
+    assert(kept.nonEmpty && droppedRef.nonEmpty, "both verdicts must be exercised")
+  }
 }
