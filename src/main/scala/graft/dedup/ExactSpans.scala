@@ -237,11 +237,61 @@ object ExactSpans {
        |  CAST(1 AS BIGINT) AS n_spans
        |FROM ids""".stripMargin
 
+  /** Small-k fixture (X218): the granularity knob made a GATE, not a
+    * hidden constant — Lee et al.'s 50-token floor is the conservative
+    * production default, but boilerplate scrubbing (license headers,
+    * navigation chrome) wants k ≈ 8-16, and the operator must keep its
+    * recall-1/precision-1 contract there too. Per doc: 10 unique
+    * prefix tokens, a 12-token span shared by each group of 4 (≥ k=8:
+    * removed exactly), 5 unique mid tokens (the BUFFER — without it
+    * the two shared spans would abut and their straddling shingles,
+    * being all group-shared, would correctly mark the concatenation as
+    * one long duplicated span), a 7-token shared span (< k: untouched
+    * — sub-threshold duplication is below the declared granularity),
+    * 10 unique suffix tokens.
+    */
+  def plantedShort(docs: DataFrame): DataFrame = {
+    val id = col("doc_id").cast("string")
+    val g = expr("doc_id div 4").cast("string")
+    def toks(n: Int, f: Column => Column): Column =
+      transform(sequence(lit(0), lit(n - 1)), j => f(j.cast("string")))
+    val pre = toks(10, j => concat(lit("a"), id, lit("b"), j))
+    val span = toks(12, j => concat(lit("m"), g, lit("w"), j))
+    val mid = toks(5, j => concat(lit("u"), id, lit("m"), j))
+    val short = toks(7, j => concat(lit("n"), g, lit("v"), j))
+    val suf = toks(10, j => concat(lit("c"), id, lit("d"), j))
+    docs.select(col("doc_id"),
+      array_join(concat(pre, span, mid, short, suf), " ").as("text"))
+  }
+
+  /** The small-k gate's granularity. */
+  val KShort = 8
+
+  def plantedShortScrub(spark: SparkSession, dir: String): DataFrame =
+    scrub(plantedShort(graft.ops.ScaleOps.widen(Tables.documents(spark, dir))
+      .select(col("doc_id"))), KShort)
+
+  def plantedShortOracle: String =
+    s"""SELECT doc_id,
+       |  array_to_string(list_transform(range(0, 10),
+       |    j -> 'a' || doc_id || 'b' || j), ' ') || ' ' ||
+       |  array_to_string(list_transform(range(0, 5),
+       |    j -> 'u' || doc_id || 'm' || j), ' ') || ' ' ||
+       |  array_to_string(list_transform(range(0, 7),
+       |    j -> 'n' || (doc_id // 4) || 'v' || j), ' ') || ' ' ||
+       |  array_to_string(list_transform(range(0, 10),
+       |    j -> 'c' || doc_id || 'd' || j), ' ') AS clean,
+       |  CAST(12 AS BIGINT) AS removed_tokens,
+       |  CAST(1 AS BIGINT) AS n_spans
+       |FROM documents""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_exact_span_scrub" -> ((s, dir) => planted(s, dir)),
-    "q_exact_span_scrub_ws" -> ((s, dir) => plantedWsScrub(s, dir)))
+    "q_exact_span_scrub_ws" -> ((s, dir) => plantedWsScrub(s, dir)),
+    "q_exact_span_scrub_k8" -> ((s, dir) => plantedShortScrub(s, dir)))
 
   def oracleSql: Map[String, String] = Map(
     "q_exact_span_scrub" -> plantedOracle,
-    "q_exact_span_scrub_ws" -> plantedWsOracle)
+    "q_exact_span_scrub_ws" -> plantedWsOracle,
+    "q_exact_span_scrub_k8" -> plantedShortOracle)
 }

@@ -163,4 +163,24 @@ class ExactSpansSpec extends SparkSuite {
     assert(!plan.contains("CartesianProduct"), plan)
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
+
+  test("small-k fixture: 12-token span removed at k=8, 7-token span kept; " +
+      "k=50 default leaves the same corpus untouched") {
+    val out = ExactSpans.plantedShortScrub(spark, Sf).persist()
+    val agg = out.agg(min(col("removed_tokens")), max(col("removed_tokens")),
+      min(col("n_spans")), max(col("n_spans"))).collect()(0)
+    assert(agg.getLong(0) == 12L && agg.getLong(1) == 12L)
+    assert(agg.getLong(2) == 1L && agg.getLong(3) == 1L)
+    val one = out.filter(col("doc_id") === 0L).collect()(0).getString(1)
+    out.unpersist()
+    assert(one.contains("n0v0 n0v1"), "sub-threshold 7-token span must survive")
+    assert(!one.contains("m0w0"), "12-token span must be gone")
+    // at the production k=50 floor the same corpus has no span >= k:
+    // the knob, not the operator, decides the granularity
+    val fixture = ExactSpans.plantedShort(
+      Tables.documents(spark, Sf).select(col("doc_id")))
+    val atDefault = ExactSpans.scrub(fixture)
+      .agg(max(col("removed_tokens"))).collect()(0).getLong(0)
+    assert(atDefault == 0L)
+  }
 }
