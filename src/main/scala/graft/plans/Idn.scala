@@ -67,6 +67,39 @@ case class IdnUnicode(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `idn_ascii_strict(host)` — the NONTRANSITIONAL registry form with
+  * the UTS-46 residual the transitional path declares away: RFC 5892
+  * CONTEXTJ join-control legality (ZWJ after virama; ZWNJ after virama
+  * or in a cursive break) and RFC 5893 BIDI label rules. Deviation
+  * characters are kept (faß → xn--fa-hia, not fass). NULL when any
+  * label is ill-formed — a strict registry key is never fabricated
+  * from an illegal name; the crawl-tolerant passthrough is
+  * [[IdnAscii]]. Per-row, shuffle-free, static-call codegen.
+  */
+case class IdnAsciiStrict(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"idn_ascii_strict requires string, got $t")
+  }
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "idn_ascii_strict"
+  override def nullSafeEval(input: Any): Any = {
+    val s = Idn.toAsciiHostStrict(input.asInstanceOf[UTF8String].toString)
+    if (s == null) null else UTF8String.fromString(s)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val s = ctx.freshName("strict")
+      s"""String $s = graft.plans.Idn.toAsciiHostStrict($c.toString());
+         |if ($s == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString($s); }
+         |""".stripMargin
+    })
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object Idn {
 
   // RFC 3492 §5 parameters
@@ -255,6 +288,188 @@ object Idn {
       j += Character.charCount(cp)
     }
     mapped
+  }
+
+  // ---- STRICT (nontransitional) residual: BIDI + CONTEXTJ ----
+
+  /** Virama code points (ccc = 9) — the contextual license for ZWJ and
+    * one of the two for ZWNJ (RFC 5892 appendix A.1/A.2). Declared
+    * subset: the BMP Indic-script viramas in registry use; the full
+    * ccc=9 set extends into SMP historic scripts a registry form never
+    * carries.
+    */
+  private val Viramas: Set[Int] = Set(
+    0x094D, 0x09CD, 0x0A4D, 0x0ACD, 0x0B4D, 0x0BCD, 0x0C4D, 0x0CCD,
+    0x0D4D, 0x0DCA, 0x0E3A, 0x0F84, 0x1039, 0x103A, 0x1714, 0x1734,
+    0x17D2, 0x1A60, 0x1B44, 0x1BAA, 0x1BAB, 0x2D7F, 0xA806, 0xA8C4,
+    0xA953, 0xA9C0, 0xABED)
+
+  /** Joining_Type T (transparent): all Mn/Me/Cf except the join
+    * controls themselves — exact per UAX #9 / ArabicShaping.
+    */
+  private def joinT(cp: Int): Boolean =
+    cp != 0x200C && cp != 0x200D && {
+      val t = Character.getType(cp)
+      t == Character.NON_SPACING_MARK || t == Character.ENCLOSING_MARK ||
+        t == Character.FORMAT
+    }
+
+  /** Joining_Type R — Arabic-block subset (declared: the core block
+    * plus Arabic Supplement; other joining scripts reject through the
+    * regex branch and fall back to the virama branch).
+    */
+  private def joinR(cp: Int): Boolean =
+    (cp >= 0x0622 && cp <= 0x0625) || cp == 0x0627 || cp == 0x0629 ||
+      (cp >= 0x062F && cp <= 0x0632) || cp == 0x0648 ||
+      (cp >= 0x0671 && cp <= 0x0673) || (cp >= 0x0675 && cp <= 0x0677) ||
+      (cp >= 0x0688 && cp <= 0x0699) || cp == 0x06C0 ||
+      (cp >= 0x06C3 && cp <= 0x06CB) || cp == 0x06CD ||
+      cp == 0x06D2 || cp == 0x06D3 || cp == 0x06D5
+
+  /** Joining_Type D — Arabic-block subset. */
+  private def joinD(cp: Int): Boolean =
+    cp == 0x0626 || cp == 0x0628 || (cp >= 0x062A && cp <= 0x062E) ||
+      (cp >= 0x0633 && cp <= 0x063A) || (cp >= 0x0641 && cp <= 0x0647) ||
+      cp == 0x0649 || cp == 0x064A || cp == 0x066E || cp == 0x066F ||
+      (cp >= 0x0678 && cp <= 0x0687) || (cp >= 0x069A && cp <= 0x06BF) ||
+      cp == 0x06C1 || cp == 0x06C2 || cp == 0x06CC || cp == 0x06CE ||
+      cp == 0x06D0 || cp == 0x06D1 || (cp >= 0x06FA && cp <= 0x06FC) ||
+      cp == 0x06FF || (cp >= 0x0750 && cp <= 0x077F)
+
+  /** RFC 5892 CONTEXTJ: every ZWJ must follow a virama; every ZWNJ
+    * must follow a virama OR sit in a cursive break —
+    * `{L,D} (T)* ZWNJ (T)* {R,D}` (L-joining is empty in the declared
+    * Arabic subset). Join controls anywhere else make the label
+    * ill-formed.
+    */
+  def contextJValid(cps: Array[Int]): Boolean = {
+    var i = 0
+    while (i < cps.length) {
+      val cp = cps(i)
+      if (cp == 0x200D) { // ZWJ: virama before, nothing else licenses it
+        if (i == 0 || !Viramas.contains(cps(i - 1))) return false
+      } else if (cp == 0x200C) { // ZWNJ: virama OR the joining regex
+        val viramaOk = i > 0 && Viramas.contains(cps(i - 1))
+        if (!viramaOk) {
+          var l = i - 1
+          while (l >= 0 && joinT(cps(l))) l -= 1
+          var r = i + 1
+          while (r < cps.length && joinT(cps(r))) r += 1
+          val leftOk = l >= 0 && joinD(cps(l))
+          val rightOk = r < cps.length && (joinR(cps(r)) || joinD(cps(r)))
+          if (!leftOk || !rightOk) return false
+        }
+      }
+      i += 1
+    }
+    true
+  }
+
+  // Bidi classes via Character.getDirectionality — the JDK carries the
+  // full UAX #9 property, so RFC 5893 is checkable exactly.
+  private def isRtlClass(d: Byte): Boolean =
+    d == Character.DIRECTIONALITY_RIGHT_TO_LEFT ||
+      d == Character.DIRECTIONALITY_RIGHT_TO_LEFT_ARABIC ||
+      d == Character.DIRECTIONALITY_ARABIC_NUMBER
+
+  /** RFC 5893 (IDNA BIDI) label legality, applied to any label that
+    * carries an R/AL/AN code point (an all-LTR label in an all-LTR
+    * host has no bidi constraint; the per-host "if any label is RTL,
+    * all must validate" aggregation is the caller's scope — this
+    * operator works label-local, declared):
+    * rule 1 — first char L (LTR label) or R/AL (RTL label);
+    * rules 2-3 — RTL labels draw only from {R, AL, AN, EN, ES, CS,
+    * ET, ON, BN, NSM} and end (before trailing NSMs) on R/AL/EN/AN;
+    * rule 4 — EN and AN never mix in an RTL label;
+    * rules 5-6 — LTR labels draw only from {L, EN, ES, CS, ET, ON,
+    * BN, NSM} and end on L/EN.
+    */
+  def bidiValid(cps: Array[Int]): Boolean = {
+    if (cps.isEmpty) return true
+    val d = cps.map(Character.getDirectionality)
+    if (!d.exists(isRtlClass)) return true
+    import Character._
+    val neutralOk = Set(DIRECTIONALITY_EUROPEAN_NUMBER_SEPARATOR,
+      DIRECTIONALITY_COMMON_NUMBER_SEPARATOR,
+      DIRECTIONALITY_EUROPEAN_NUMBER_TERMINATOR,
+      DIRECTIONALITY_OTHER_NEUTRALS, DIRECTIONALITY_BOUNDARY_NEUTRAL,
+      DIRECTIONALITY_NONSPACING_MARK)
+    var last = d.length - 1
+    while (last >= 0 && d(last) == DIRECTIONALITY_NONSPACING_MARK) last -= 1
+    if (last < 0) return false
+    d(0) match {
+      case DIRECTIONALITY_RIGHT_TO_LEFT | DIRECTIONALITY_RIGHT_TO_LEFT_ARABIC =>
+        d.forall(x => x == DIRECTIONALITY_RIGHT_TO_LEFT ||
+          x == DIRECTIONALITY_RIGHT_TO_LEFT_ARABIC ||
+          x == DIRECTIONALITY_ARABIC_NUMBER ||
+          x == DIRECTIONALITY_EUROPEAN_NUMBER || neutralOk(x)) &&
+          !(d.contains(DIRECTIONALITY_EUROPEAN_NUMBER) &&
+            d.contains(DIRECTIONALITY_ARABIC_NUMBER)) &&
+          (d(last) == DIRECTIONALITY_RIGHT_TO_LEFT ||
+            d(last) == DIRECTIONALITY_RIGHT_TO_LEFT_ARABIC ||
+            d(last) == DIRECTIONALITY_EUROPEAN_NUMBER ||
+            d(last) == DIRECTIONALITY_ARABIC_NUMBER)
+      case DIRECTIONALITY_LEFT_TO_RIGHT =>
+        d.forall(x => x == DIRECTIONALITY_LEFT_TO_RIGHT ||
+          x == DIRECTIONALITY_EUROPEAN_NUMBER || neutralOk(x)) &&
+          (d(last) == DIRECTIONALITY_LEFT_TO_RIGHT ||
+            d(last) == DIRECTIONALITY_EUROPEAN_NUMBER)
+      case _ => false // rule 1: EN/AN/neutral first char in a bidi label
+    }
+  }
+
+  /** NONTRANSITIONAL map: deviation characters KEPT (ß stays ß, final
+    * sigma stays ς — UTS-46 §5 nontransitional processing), join
+    * controls KEPT for [[contextJValid]] to judge (they are contextual
+    * exceptions to the prohibited range), other mapped-to-nothing
+    * deletions / lowercase / NFKC as [[mapLabel]]. Null = prohibited
+    * output.
+    */
+  def mapLabelStrict(label: String): String = {
+    val sb = new java.lang.StringBuilder(label.length)
+    var i = 0
+    while (i < label.length) {
+      val cp = label.codePointAt(i)
+      if (cp == 0x200C || cp == 0x200D || !deleted(cp)) sb.appendCodePoint(cp)
+      i += Character.charCount(cp)
+    }
+    val mapped = java.text.Normalizer.normalize(
+      sb.toString.toLowerCase(java.util.Locale.ROOT),
+      java.text.Normalizer.Form.NFKC).toLowerCase(java.util.Locale.ROOT)
+    var j = 0
+    while (j < mapped.length) {
+      val cp = mapped.codePointAt(j)
+      if (cp != 0x200C && cp != 0x200D && prohibited(cp)) return null
+      j += Character.charCount(cp)
+    }
+    mapped
+  }
+
+  /** Host → STRICT registry form: nontransitional map, then CONTEXTJ
+    * and BIDI legality per label. Any ill-formed label rejects the
+    * WHOLE host to null — "no evidence, no verdict": a strict registry
+    * key must never be fabricated from an illegal name (the
+    * crawl-tolerant raw-passthrough path is [[toAsciiHost]]).
+    */
+  def toAsciiHostStrict(host: String): String = {
+    val labels = host.split("\\.", -1)
+    val out = new Array[String](labels.length)
+    var i = 0
+    while (i < labels.length) {
+      val raw = labels(i)
+      if (raw.forall(c => c < 128 && !prohibited(c)))
+        out(i) = raw.toLowerCase(java.util.Locale.ROOT)
+      else {
+        val mapped = mapLabelStrict(raw)
+        if (mapped == null) return null
+        val cps = codePoints(mapped)
+        if (!contextJValid(cps) || !bidiValid(cps)) return null
+        out(i) = if (mapped.forall(_ < 128)) mapped
+          else "xn--" + punycodeEncode(cps)
+      }
+      i += 1
+    }
+    out.mkString(".")
   }
 
   /** Host → registry (ASCII/Punycode) form, label by label: UTS-46

@@ -281,6 +281,73 @@ object Canonical {
        |    ELSE 'bad host.example' END AS display_host
        |FROM documents""".stripMargin
 
+  // ---- STRICT registry form (X219): the UTS-46 BIDI/CONTEXTJ
+  // residual enforced — nontransitional mapping (deviations kept),
+  // RFC 5892 join-control legality, RFC 5893 bidi label rules;
+  // ill-formed hosts answer NULL, never a fabricated key.
+
+  def idnAsciiStrict(c: Column): Column =
+    org.apache.spark.sql.GraftColumnShim.column(
+      graft.plans.IdnAsciiStrict(org.apache.spark.sql.GraftColumnShim.expression(c)))
+
+  /** Ten vectors, one rule each: legal Persian ZWNJ in a cursive break
+    * (encodes WITH the joiner — xn--mgba3gch31f060k is the published
+    * UTS-46 example form), ZWNJ between non-joining letters (reject),
+    * ZWJ after virama (Devanagari क्+ZWJ+ष, legal), ZWJ without
+    * virama (reject), pure-RTL Hebrew (legal), EN digit FIRST in an
+    * RTL label (RFC 5893 rule 1, reject), EN+AN mixed (rule 4,
+    * reject), faß kept nontransitionally (xn--fa-hia, NOT fass),
+    * plain Latin (both paths agree), RTL ending in EN (legal — rule 3
+    * admits EN finals).
+    */
+  def plantIdnStrictHost: Column = {
+    val id = col("doc_id")
+    // joiners spelled as escapes: an editor/formatter must never be
+    // able to silently drop the invisible code point under test
+    when(id % 10 === 0, lit("\u0646\u0627\u0645\u0647\u200C\u0627\u06CC.example"))
+      .when(id % 10 === 1, lit("a\u200Cb.example"))
+      .when(id % 10 === 2, lit("\u0915\u094D\u200D\u0937.example"))
+      .when(id % 10 === 3, lit("\u0915\u200D\u0937.example"))
+      .when(id % 10 === 4, lit("אבג.example"))
+      .when(id % 10 === 5, lit("1אבג.example"))
+      .when(id % 10 === 6, lit("א1٣.example"))
+      .when(id % 10 === 7, lit("faß.example"))
+      .when(id % 10 === 8, lit("bücher.example"))
+      .otherwise(lit("אבג1.example"))
+  }
+
+  def idnHostsStrict(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.ScaleOps.widen(Tables.documents(spark, dir))
+      .select(col("doc_id"), plantIdnStrictHost.as("host"))
+      .select(col("doc_id"), col("host"),
+        idnAsciiStrict(col("host")).as("strict_host"))
+
+  def idnStrictOracle: String =
+    s"""SELECT doc_id,
+       |  CASE doc_id % 10
+       |    WHEN 0 THEN 'نامه' || chr(8204) || 'ای.example'
+       |    WHEN 1 THEN 'a' || chr(8204) || 'b.example'
+       |    WHEN 2 THEN 'क' || chr(2381) || chr(8205) || 'ष.example'
+       |    WHEN 3 THEN 'क' || chr(8205) || 'ष.example'
+       |    WHEN 4 THEN 'אבג.example'
+       |    WHEN 5 THEN '1אבג.example'
+       |    WHEN 6 THEN 'א1٣.example'
+       |    WHEN 7 THEN 'faß.example'
+       |    WHEN 8 THEN 'bücher.example'
+       |    ELSE 'אבג1.example' END AS host,
+       |  CASE doc_id % 10
+       |    WHEN 0 THEN 'xn--mgba3gch31f060k.example'
+       |    WHEN 1 THEN NULL
+       |    WHEN 2 THEN 'xn--11b2ezcw70k.example'
+       |    WHEN 3 THEN NULL
+       |    WHEN 4 THEN 'xn--4dbcd.example'
+       |    WHEN 5 THEN NULL
+       |    WHEN 6 THEN NULL
+       |    WHEN 7 THEN 'xn--fa-hia.example'
+       |    WHEN 8 THEN 'xn--bcher-kva.example'
+       |    ELSE 'xn--1-zhcde.example' END AS strict_host
+       |FROM documents""".stripMargin
+
   /** (doc_id, host, ascii_host, display_host): registry form via
     * encode, display form via decode of the REGISTRY form — the full
     * round trip rides one plan.
@@ -373,6 +440,7 @@ object Canonical {
     "q_pct_normalize" -> ((s, dir) => pctNormalized(s, dir)),
     "q_idn_hosts" -> ((s, dir) => idnHosts(s, dir)),
     "q_idn_hosts_uts46" -> ((s, dir) => idnHostsUts46(s, dir)),
+    "q_idn_hosts_strict" -> ((s, dir) => idnHostsStrict(s, dir)),
     "q_pct_encode" -> ((s, dir) => pctEncoded(s, dir)))
 
   def oracleSql: Map[String, String] = Map(
@@ -380,5 +448,6 @@ object Canonical {
     "q_pct_normalize" -> pctOracle,
     "q_idn_hosts" -> idnOracle,
     "q_idn_hosts_uts46" -> idnUts46Oracle,
+    "q_idn_hosts_strict" -> idnStrictOracle,
     "q_pct_encode" -> pctEncodeOracle)
 }

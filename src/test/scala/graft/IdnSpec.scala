@@ -102,4 +102,56 @@ class IdnSpec extends SparkSuite {
         s"ascii form must be pure ASCII: ${r.getString(2)}")
     }
   }
+
+  // ---- strict (nontransitional) residual: CONTEXTJ + BIDI ----
+
+  test("CONTEXTJ: ZWJ legal only after virama; ZWNJ after virama or cursive break") {
+    // Devanagari ka + virama + ZWJ + ssa: the eyelash-conjunct idiom
+    assert(Idn.toAsciiHostStrict("\u0915\u094D\u200D\u0937.example") != null)
+    // ZWJ with no virama before it
+    assert(Idn.toAsciiHostStrict("\u0915\u200D\u0937.example") == null)
+    // ZWJ label-initial
+    assert(Idn.toAsciiHostStrict("\u200D\u0915.example") == null)
+    // Persian heh + ZWNJ + alef: D (T)* ZWNJ (T)* R — the cursive break
+    assert(Idn.toAsciiHostStrict(
+      "\u0646\u0627\u0645\u0647\u200C\u0627\u06CC.example") ==
+      "xn--mgba3gch31f060k.example")
+    // ZWNJ between non-joining Latin letters
+    assert(Idn.toAsciiHostStrict("a\u200Cb.example") == null)
+    // ZWNJ after virama is licensed even without a joining context
+    assert(Idn.toAsciiHostStrict("\u0915\u094D\u200C\u0937.example") != null)
+    // ZWNJ after an R-joining letter (alef cannot join leftward)
+    assert(Idn.toAsciiHostStrict("\u0627\u200C\u0628.example") == null)
+  }
+
+  test("BIDI: RFC 5893 label rules on RTL content") {
+    // pure Hebrew: legal
+    assert(Idn.toAsciiHostStrict("אבג.example") == "xn--4dbcd.example")
+    // rule 1: an RTL label must not START with a European digit
+    assert(Idn.toAsciiHostStrict("1אבג.example") == null)
+    // rule 3: ending on EN is legal
+    assert(Idn.toAsciiHostStrict("אבג" + "1.example") != null)
+    // rule 4: EN and AN never mix in one RTL label (1 is EN, ٣ is AN)
+    assert(Idn.toAsciiHostStrict("א" + "1٣.example") == null)
+    // AN-only with RTL is legal
+    assert(Idn.toAsciiHostStrict("א٣.example") != null)
+    // an all-LTR label carries no bidi constraint
+    assert(Idn.toAsciiHostStrict("plain.example.com") == "plain.example.com")
+  }
+
+  test("strict keeps deviations (nontransitional) where the default maps them") {
+    assert(Idn.toAsciiHostStrict("faß.example") == "xn--fa-hia.example")
+    assert(Idn.toAsciiHost("faß.example") == "fass.example")
+    // both agree on non-deviation content
+    assert(Idn.toAsciiHostStrict("bücher.example") == Idn.toAsciiHost("bücher.example"))
+  }
+
+  test("strict fixture gate: every rejection vector answers NULL in-plan") {
+    val rows = graft.text.Canonical.idnHostsStrict(spark, Sf).collect()
+    rows.foreach { r =>
+      val rejected = Set(1L, 3L, 5L, 6L).contains(r.getLong(0) % 10)
+      assert(r.isNullAt(2) == rejected,
+        s"doc ${r.getLong(0)} host ${r.getString(1)}: strict=${if (r.isNullAt(2)) null else r.getString(2)}")
+    }
+  }
 }
