@@ -74,12 +74,65 @@ object Graft {
 
   /** Drop near-duplicates: word-shingle MinHash LSH pairs, greedy
     * representative selection. Returns the surviving rows of `docs`.
+    * This is the PROBABILISTIC path (band misses are real — measured
+    * 24/25 recall on the fixture, q_dedup_lsh_recall); the recall-1
+    * apply path is [[dedupCorpusExact]], and the canonical-copy rule
+    * that keeps the cleanest member instead of the first is
+    * [[dedupCorpusByQuality]].
     */
   def dedupCorpus(docs: DataFrame): DataFrame = {
     val hv = Dedup.MinHashLSH.shingleHashes(col("text"))
     val pairs = Dedup.MinHashLSH.nearDupPairsOn(docs, hv, Dedup.MinHashLSH.WordConfig)
     Dedup.dropNearDups(docs, pairs)
   }
+
+  /** Drop near-duplicates with RECALL-1 pairs: the exact prefix-filtered
+    * set-similarity join (X187) instead of MinHash banding — every pair
+    * with shingle-set Jaccard ≥ τ is found, by construction. Keeps the
+    * cluster-min doc_id, like [[dedupCorpus]]. Costs more than LSH on
+    * high-ambient-similarity corpora (the prefix filter's candidate set
+    * grows with shared rare shingles) but never misses a pair.
+    */
+  def dedupCorpusExact(docs: DataFrame,
+                       tauBp: Int = dedup.SetSim.TauBp): DataFrame = {
+    val pairs = dedup.SetSim.similarityJoin(docs, tauBp)
+      .select(col("a").as("doc_a"), col("b").as("doc_b"))
+    Dedup.dropNearDups(docs, pairs)
+  }
+
+  /** QUALITY-AWARE near-dup drop (X190 as the apply path): each cluster
+    * keeps its highest-quality member (X9 exact-integer score, ties by
+    * doc_id) instead of the member that happened to sort first — the
+    * production canonical-copy rule. Pairs come from the recall-1 exact
+    * join by default; pass `exact = false` for the cheaper LSH pairs.
+    */
+  def dedupCorpusByQuality(docs: DataFrame, exact: Boolean = true): DataFrame = {
+    val pairs =
+      if (exact)
+        dedup.SetSim.similarityJoin(docs)
+          .select(col("a").as("doc_a"), col("b").as("doc_b"))
+      else
+        Dedup.MinHashLSH.nearDupPairsOn(docs,
+            Dedup.MinHashLSH.shingleHashes(col("text")), Dedup.MinHashLSH.WordConfig)
+          .select(col("doc_a"), col("doc_b"))
+    val clusters = Dedup.Components.of(pairs)
+    val quality = docs.select(col("doc_id"),
+      text.Analysis.qualityQFromTokens(text.TextOps.tokenize(col("text"))).as("q"))
+    val reps = Dedup.repsOf(clusters, quality).select("doc_id")
+    val drop = clusters.select("doc_id").join(reps, Seq("doc_id"), "left_anti")
+    docs.join(drop, Seq("doc_id"), "left_anti")
+  }
+
+  /** SPAN-level dedup, the documented default: the whitespace-exact
+    * ExactSubstr scrub (X176) — recall 1 at the declared k-token
+    * granularity on ARBITRARY whitespace, surviving text spliced back
+    * byte-exactly. Alias of [[scrubExactSpansWs]]; the single-space
+    * fast path is [[scrubExactSpans]], the CDC byte-proxy (measured
+    * ~72% avg recall) exists only for byte-granularity corpora.
+    */
+  def dedupSpans(docs: DataFrame,
+                 k: Int = dedup.ExactSpans.KTokens): DataFrame =
+    dedup.ExactSpans.scrubWs(docs, k)
 
   /** Per-document quality/text-analysis frame: language, token counts,
     * quality score, fingerprint.

@@ -172,4 +172,48 @@ class GraftFacadeSpec extends SparkSuite {
       "colidx", "header", "cell"))
     assert(tree.count() === 2)
   }
+
+  test("round-13 apply paths: exact dedup, quality reps, span default") {
+    import spark.implicits._
+    val shared = (0 until 40).map(i => s"w$i").mkString(" ")
+    // 1 and 2 are near-identical (share the 40-token body); 2 is LONGER
+    // (higher quality score); 3 is unique
+    val docs = Seq(
+      (1L, shared),
+      (2L, s"$shared extra context tokens improving coverage here today"),
+      (3L, "entirely different content about something else altogether"))
+      .toDF("doc_id", "text")
+    // exact path: recall-1 pairs, min-id representative -> keeps 1 and 3
+    val exactKept = Graft.dedupCorpusExact(docs, tauBp = 6000)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(exactKept === Set(1L, 3L))
+    // quality path: same cluster, but the HIGHEST-quality member wins
+    val q = text.Analysis.qualityQFromTokens(text.TextOps.tokenize(col("text")))
+    val qs = docs.select(col("doc_id"), q.as("q")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val wantRep = if (qs(2L) > qs(1L)) 2L else 1L
+    val qualKept = {
+      // reuse the exact pair list at the test tau via the library seam
+      val pairs = dedup.SetSim.similarityJoin(docs, 6000)
+        .select(col("a").as("doc_a"), col("b").as("doc_b"))
+      val clusters = dedup.Dedup.Components.of(pairs)
+      val reps = dedup.Dedup.repsOf(clusters,
+        docs.select(col("doc_id"), q.as("q"))).select("doc_id")
+      val drop = clusters.select("doc_id").join(reps, Seq("doc_id"), "left_anti")
+      docs.join(drop, Seq("doc_id"), "left_anti")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    }
+    assert(qualKept === Set(wantRep, 3L))
+    // the facade method at the production tau (the pair's jaccard
+    // ~0.83 clears 0.8): the quality winner and the unique doc survive
+    val facadeKept = Graft.dedupCorpusByQuality(docs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(facadeKept === Set(wantRep, 3L))
+    // span default delegates to the ws-exact scrub: byte-exact identity
+    // on a unique corpus, k surfaced
+    val unique = Seq((9L, "u0\tu1\n u2")).toDF("doc_id", "text")
+    assert(Graft.dedupSpans(unique).collect()(0).getString(1) == "u0\tu1\n u2")
+    assert(Graft.dedupSpans(unique, k = 8).columns.toSeq ===
+      Seq("doc_id", "clean", "removed_tokens", "n_spans"))
+  }
 }
