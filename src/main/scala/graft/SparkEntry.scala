@@ -62,6 +62,7 @@ object SparkEntry {
       (graft.text.Chunker.queries, graft.text.Chunker.oracleSql),
       (graft.text.ChatTemplate.queries, graft.text.ChatTemplate.oracleSql),
       (graft.multimodal.ImageHash.queries, graft.multimodal.ImageHash.oracleSql),
+      (graft.multimodal.VideoHash.queries, graft.multimodal.VideoHash.oracleSql),
       (graft.multimodal.AudioSegments.queries, graft.multimodal.AudioSegments.oracleSql),
       (graft.text.Unicode.queries, graft.text.Unicode.oracleSql),
       (graft.sources.Warc.queries, graft.sources.Warc.oracleSql),

@@ -56,21 +56,27 @@ object ImageHash {
         col("s").getField("height").as("height"),
         col("s").getField("dhash").as("dhash"))
 
-  /** Banded Hamming-≤ maxHam join over a (media_id, width, height,
-    * dhash) table: nBands = maxHam + 1 bands of ceil(bits / nBands)
-    * bits each, bucketed by (width, height, band, band_value).
+  /** Banded Hamming-≤ maxHam join over a (media_id, keyCols…, dhash)
+    * table: nBands = maxHam + 1 bands of ceil(bits / nBands) bits each,
+    * bucketed by (keyCols…, band, band_value). The key columns are the
+    * pre-bucket every fingerprint join needs (dimension class for
+    * images; dimension class + frame count for the packed video
+    * signature); unused high bits above `bits` are zero on both sides,
+    * so the pigeonhole argument is unaffected by padding.
     */
-  def hammingPairs(dh: DataFrame, bits: Int = GW * GH, maxHam: Int = MaxHam): DataFrame = {
+  def hammingPairs(dh: DataFrame, bits: Int = GW * GH, maxHam: Int = MaxHam,
+                   keyCols: Seq[String] = Seq("width", "height")): DataFrame = {
     val nBands = maxHam + 1
     val bw = (bits + nBands - 1) / nBands
-    val mask = (1L << bw) - 1
+    val mask = if (bw >= 64) -1L else (1L << bw) - 1
     val bandArr = array((0 until nBands).map(j =>
       shiftright(col("dhash"), bw * j).bitwiseAND(lit(mask))): _*)
-    val banded = dh.select(col("media_id"), col("width"), col("height"),
-      col("dhash"), posexplode(bandArr).as(Seq("band", "bv")))
+    val banded = dh.select(col("media_id") +: keyCols.map(col) :+
+      col("dhash") :+ posexplode(bandArr).as(Seq("band", "bv")): _*)
+    val keyEq = keyCols.map(k => col(s"x.$k") === col(s"y.$k"))
+      .reduce(_ && _)
     val cand = banded.as("x").join(banded.as("y"),
-        col("x.width") === col("y.width") && col("x.height") === col("y.height") &&
-          col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+        keyEq && col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
           col("x.media_id") < col("y.media_id"))
       .select(col("x.media_id").as("a"), col("x.dhash").as("ha"),
         col("y.media_id").as("b"), col("y.dhash").as("hb"))

@@ -74,27 +74,16 @@ object AviFrames {
   def parse(b: Array[Byte]): InternalRow =
     try parseOrThrow(b) catch { case scala.util.control.NonFatal(_) => nulls() }
 
-  private def parseOrThrow(b: Array[Byte]): InternalRow = {
+  /** The RIFF/AVI frame walk factored as a VISITOR (the
+    * [[PngPixels.walk]] discipline — one container walk, many
+    * consumers: stats fold here, the video fingerprint in
+    * [[AviDhash]]): `onFrame(payloadOffset, length)` fires for every
+    * `##dc`/`##db` chunk inside `movi`, in stream order. Returns false
+    * when the bytes are not a RIFF/AVI container at all.
+    */
+  private[plans] def frames(b: Array[Byte])(onFrame: (Int, Int) => Unit): Boolean = {
     if (b == null || b.length < 12 || !tag(b, 0, "RIFF") || !tag(b, 8, "AVI "))
-      return nulls()
-    var nFrames = 0; var nBad = 0
-    var width = -1; var height = -1
-    var nPixels = 0L; var sumGray = 0L; var peak = 0
-
-    def frame(payload: Int, len: Int): Unit = {
-      val fb = java.util.Arrays.copyOfRange(b, payload, payload + len)
-      val row = JpegPixels.parse(fb)
-      nFrames += 1
-      if (row.isNullAt(0)) nBad += 1
-      else {
-        if (width < 0) { width = row.getInt(0); height = row.getInt(1) }
-        nPixels += row.getLong(3)
-        sumGray += row.getLong(4) // gray: sum_r == sum_g == sum_b
-        val p = row.getInt(7)
-        if (p > peak) peak = p
-      }
-    }
-
+      return false
     // chunk walk; recurse only into LIST boxes (hdrl/strl skipped as a
     // group unless they are movi)
     def walk(from: Int, to: Int, inMovi: Boolean, depth: Int): Unit = {
@@ -109,7 +98,7 @@ object AviFrames {
           walk(payload + 4, end.toInt, inMovi || isMovi, depth + 1)
         } else if (inMovi && size > 0 && payload + size <= to &&
           (b(p + 2) == 'd' && (b(p + 3) == 'c' || b(p + 3) == 'b'))) {
-          frame(payload, size.toInt) // ##dc compressed / ##db uncompressed slot
+          onFrame(payload, size.toInt) // ##dc compressed / ##db uncompressed slot
         }
         val next = end + (size & 1L) // even-byte padding
         if (next <= p) return
@@ -117,6 +106,28 @@ object AviFrames {
       }
     }
     walk(12, b.length, inMovi = false, 0)
+    true
+  }
+
+  private def parseOrThrow(b: Array[Byte]): InternalRow = {
+    var nFrames = 0; var nBad = 0
+    var width = -1; var height = -1
+    var nPixels = 0L; var sumGray = 0L; var peak = 0
+
+    val isAvi = frames(b) { (payload, len) =>
+      val fb = java.util.Arrays.copyOfRange(b, payload, payload + len)
+      val row = JpegPixels.parse(fb)
+      nFrames += 1
+      if (row.isNullAt(0)) nBad += 1
+      else {
+        if (width < 0) { width = row.getInt(0); height = row.getInt(1) }
+        nPixels += row.getLong(3)
+        sumGray += row.getLong(4) // gray: sum_r == sum_g == sum_b
+        val p = row.getInt(7)
+        if (p > peak) peak = p
+      }
+    }
+    if (!isAvi) return nulls()
 
     val r = new GenericInternalRow(7)
     r.setInt(0, nFrames)
@@ -198,5 +209,82 @@ object AviPlant {
     val movi = list("movi", frames)
     val body = "AVI ".getBytes ++ hdrl ++ junk ++ movi
     "RIFF".getBytes ++ le32(body.length) ++ body
+  }
+}
+
+/** `avi_dhash(content, gw, gh)` — the VIDEO perceptual fingerprint:
+  * every MJPEG frame through the shared [[JpegPixels.walk]] visitor
+  * into the one [[DhashCore]] grid, producing (width, height,
+  * n_frames, sig) with `sig(f)` = frame f's gw×gh difference hash in
+  * stream order. Near-identical videos (re-encodes, container
+  * rewraps, brightness-preserving edits) differ in a few signature
+  * bits; any torn/sub-grid frame or geometry drift nulls the WHOLE
+  * struct — a fingerprint demands a clean stream (quality triage of
+  * dirty streams is [[AviFrames]]' job, which counts bad frames
+  * instead). Per-row, shuffle-free, static-call codegen; memory is
+  * one frame's grid, never a raster.
+  */
+case class AviDhash(child: Expression, gw: Int, gh: Int) extends UnaryExpression {
+  require(gw >= 1 && gh >= 1 && gw.toLong * gh <= 64,
+    s"dhash grid must fit 64 bits, got ${gw}x$gh")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case BinaryType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(s"avi_dhash requires binary, got $t")
+    }
+
+  override def dataType: DataType = AviDhash.Schema
+  override def nullable: Boolean = true
+  override def prettyName: String = "avi_dhash"
+
+  override def nullSafeEval(input: Any): Any =
+    AviDhash.compute(input.asInstanceOf[Array[Byte]], gw, gh)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val r = ctx.freshName("vdh")
+      s"""InternalRow $r = graft.plans.AviDhash.compute($c, $gw, $gh);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
+         |""".stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object AviDhash {
+
+  val Schema: StructType = new StructType()
+    .add("width", IntegerType)
+    .add("height", IntegerType)
+    .add("n_frames", IntegerType)
+    .add("sig", org.apache.spark.sql.types.ArrayType(LongType, containsNull = false))
+
+  /** Static for codegen. Null = not AVI, no frames, or any frame
+    * malformed / sub-grid / geometry-drifted.
+    */
+  def compute(b: Array[Byte], gw: Int, gh: Int): InternalRow = {
+    val hashes = new scala.collection.mutable.ArrayBuffer[Long](8)
+    var w = -1; var h = -1
+    var bad = false
+    val isAvi = AviFrames.frames(b) { (payload, len) =>
+      if (!bad) {
+        val fb = java.util.Arrays.copyOfRange(b, payload, payload + len)
+        val row = JpegDhash.compute(fb, gw, gh)
+        if (row == null) bad = true
+        else {
+          val fw = row.getInt(0); val fh = row.getInt(1)
+          if (w < 0) { w = fw; h = fh }
+          if (fw != w || fh != h) bad = true
+          else hashes += row.getLong(2)
+        }
+      }
+    }
+    if (!isAvi || bad || hashes.isEmpty) return null
+    val out = new GenericInternalRow(4)
+    out.setInt(0, w); out.setInt(1, h); out.setInt(2, hashes.length)
+    out.update(3, org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(hashes.toArray))
+    out
   }
 }
