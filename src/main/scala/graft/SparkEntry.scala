@@ -63,6 +63,7 @@ object SparkEntry {
       (graft.text.ChatTemplate.queries, graft.text.ChatTemplate.oracleSql),
       (graft.multimodal.ImageHash.queries, graft.multimodal.ImageHash.oracleSql),
       (graft.multimodal.VideoHash.queries, graft.multimodal.VideoHash.oracleSql),
+      (graft.text.Mojibake.queries, graft.text.Mojibake.oracleSql),
       (graft.multimodal.AudioSegments.queries, graft.multimodal.AudioSegments.oracleSql),
       (graft.text.Unicode.queries, graft.text.Unicode.oracleSql),
       (graft.sources.Warc.queries, graft.sources.Warc.oracleSql),
