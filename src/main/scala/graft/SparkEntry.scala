@@ -64,6 +64,7 @@ object SparkEntry {
       (graft.multimodal.ImageHash.queries, graft.multimodal.ImageHash.oracleSql),
       (graft.multimodal.VideoHash.queries, graft.multimodal.VideoHash.oracleSql),
       (graft.text.Mojibake.queries, graft.text.Mojibake.oracleSql),
+      (graft.text.Entropy.queries, graft.text.Entropy.oracleSql),
       (graft.multimodal.AudioSegments.queries, graft.multimodal.AudioSegments.oracleSql),
       (graft.text.Unicode.queries, graft.text.Unicode.oracleSql),
       (graft.sources.Warc.queries, graft.sources.Warc.oracleSql),
