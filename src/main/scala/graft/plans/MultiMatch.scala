@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow, TernaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType, StructType}
 
@@ -178,6 +178,108 @@ object MultiMatch {
     val r = new GenericInternalRow(2)
     r.setLong(0, hits)
     r.setInt(1, nSeen)
+    r
+  }
+}
+
+/** `multi_replace(text, patterns, replacement)` — the SCRUB half of
+  * the blocklist story ([[MultiMatch]] counts; this removes):
+  * leftmost-LONGEST, non-overlapping replacement of every blocklist
+  * phrase, the FlashText contract (Singh 2017) and what "remove
+  * banned terms" actually means in a curation recipe — "scan slow"
+  * must consume as one phrase where "scan" alone also matches, and
+  * occurrences never overlap ("a a a" scrubs one "a a", keeps the
+  * tail). One left-to-right pass; at each position the shared
+  * [[MultiMatch.build]] trie walks to the deepest accepting state
+  * (O(max-phrase-length) per position — blocklist phrases are a few
+  * words, declared), then the cursor jumps past the match. The
+  * automaton hoists per expression instance exactly like the counting
+  * scan. Output: (clean, n_replaced). Per-row, shuffle-free.
+  */
+case class MultiReplace(first: Expression, second: Expression, third: Expression)
+  extends TernaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (StringType, ArrayType(StringType, _), StringType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (a, b, c) => TypeCheckResult.TypeCheckFailure(
+        s"multi_replace requires (string, array<string>, string), got $a, $b, $c")
+    }
+
+  override def dataType: DataType = MultiReplace.Schema
+  override def prettyName: String = "multi_replace"
+
+  @transient private lazy val staticAuto: MultiMatch.Automaton =
+    if (second.foldable) {
+      val arr = second.eval(null)
+      if (arr == null) null
+      else MultiMatch.build(arr.asInstanceOf[ArrayData])
+    } else null
+
+  override def nullSafeEval(text: Any, patterns: Any, repl: Any): Any = {
+    val auto =
+      if (staticAuto != null) staticAuto
+      else MultiMatch.build(patterns.asInstanceOf[ArrayData])
+    MultiReplace.run(text.toString, auto, repl.toString)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    if (staticAuto != null) {
+      val autoRef = ctx.addReferenceObj("acAuto", staticAuto,
+        classOf[MultiMatch.Automaton].getName)
+      defineCodeGen(ctx, ev, (t, _, r) =>
+        s"graft.plans.MultiReplace.run($t.toString(), $autoRef, $r.toString())")
+    } else
+      defineCodeGen(ctx, ev, (t, p, r) =>
+        s"graft.plans.MultiReplace.run($t.toString(), " +
+          s"graft.plans.MultiMatch.build($p), $r.toString())")
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+object MultiReplace {
+
+  val Schema: StructType = new StructType()
+    .add("clean", org.apache.spark.sql.types.StringType)
+    .add("n_replaced", LongType)
+
+  /** Static so generated code calls it directly. Leftmost-longest,
+    * non-overlapping, single pass.
+    */
+  def run(text: String, a: MultiMatch.Automaton, repl: String): InternalRow = {
+    val sb = new java.lang.StringBuilder(text.length)
+    var replaced = 0L
+    var i = 0
+    while (i < text.length) {
+      // trie walk from the root at position i: deepest accepting depth
+      var s = 0
+      var j = i
+      var bestEnd = -1
+      var cont = true
+      while (cont && j < text.length) {
+        val t = a.next(s).get(text.charAt(j))
+        if (t == null) cont = false
+        else {
+          s = t.intValue()
+          if (a.ownPats(s).nonEmpty) bestEnd = j + 1
+          j += 1
+        }
+      }
+      if (bestEnd > i) {
+        sb.append(repl)
+        replaced += 1
+        i = bestEnd
+      } else {
+        sb.append(text.charAt(i))
+        i += 1
+      }
+    }
+    val r = new GenericInternalRow(2)
+    r.update(0, org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString))
+    r.setLong(1, replaced)
     r
   }
 }

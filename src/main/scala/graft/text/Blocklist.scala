@@ -66,9 +66,66 @@ object Blocklist {
        |FROM occ GROUP BY 1""".stripMargin
   }
 
+  // ---- the SCRUB half (X223): leftmost-longest non-overlapping
+  // replacement via graft.plans.MultiReplace — what "remove banned
+  // terms" means in a curation recipe. The gate plants the three
+  // structures that distinguish the contract (longest-wins, adjacent
+  // matches, non-overlap) with closed-form survivors; the SPEC pins
+  // the algorithm against an independent mirror over the whole real
+  // corpus, so the plant is coverage, not the only evidence. ----
+
+  val Replacement = "[X]"
+
+  def multiReplace(text: org.apache.spark.sql.Column,
+      patterns: Seq[String]): org.apache.spark.sql.Column =
+    org.apache.spark.sql.GraftColumnShim.column(
+      graft.plans.MultiReplace(
+        org.apache.spark.sql.GraftColumnShim.expression(text),
+        org.apache.spark.sql.GraftColumnShim.expression(
+          array(patterns.map(lit): _*)),
+        org.apache.spark.sql.GraftColumnShim.expression(lit(Replacement))))
+
+  /** doc_id % 4 = 0 → "scan slow" must consume as ONE phrase (longest
+    * wins over the "scan" prefix pattern); 1 → two adjacent matches;
+    * 2 → "a a a": one "a a" scrubbed, the tail kept (non-overlap);
+    * 3 → pattern-free.
+    */
+  def plantScrubText: org.apache.spark.sql.Column = {
+    val id = col("doc_id").cast("string")
+    val mid = when(col("doc_id") % 4 === 0, lit("scan slow"))
+      .when(col("doc_id") % 4 === 1, lit("scan fast"))
+      .when(col("doc_id") % 4 === 2, lit("a a a"))
+      .otherwise(lit("clean words"))
+    concat(lit("intro w"), id, lit(" "), mid, lit(" outro q"), id)
+  }
+
+  def blocklistScrub(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.ScaleOps.widen(Tables.documents(spark, dir))
+      .select(col("doc_id"), plantScrubText.as("t"))
+      .select(col("doc_id"), multiReplace(col("t"), Patterns).as("m"))
+      .select(col("doc_id"),
+        col("m").getField("clean").as("clean"),
+        col("m").getField("n_replaced").as("n_replaced"))
+
+  def scrubOracle: String =
+    s"""SELECT doc_id,
+       |  'intro w' || CAST(doc_id AS VARCHAR) || ' ' ||
+       |  CASE CAST(doc_id % 4 AS INTEGER)
+       |    WHEN 0 THEN '[X]'
+       |    WHEN 1 THEN '[X] [X]'
+       |    WHEN 2 THEN '[X] a'
+       |    ELSE 'clean words' END ||
+       |  ' outro q' || CAST(doc_id AS VARCHAR) AS clean,
+       |  CAST(CASE CAST(doc_id % 4 AS INTEGER)
+       |    WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 1 ELSE 0 END AS BIGINT)
+       |    AS n_replaced
+       |FROM documents""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_blocklist_hits" -> ((s, dir) => blocklistHits(s, dir)))
+    "q_blocklist_hits" -> ((s, dir) => blocklistHits(s, dir)),
+    "q_blocklist_scrub" -> ((s, dir) => blocklistScrub(s, dir)))
 
   def oracleSql: Map[String, String] = Map(
-    "q_blocklist_hits" -> blocklistOracle)
+    "q_blocklist_hits" -> blocklistOracle,
+    "q_blocklist_scrub" -> scrubOracle)
 }

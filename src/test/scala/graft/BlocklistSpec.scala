@@ -89,4 +89,65 @@ class BlocklistSpec extends SparkSuite {
     assert(!plan.contains("hashpartitioning"), "blocklist scan must not shuffle by key")
     assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"))
   }
+
+  // ---- the scrub half: leftmost-longest non-overlapping replacement ----
+
+  /** Independent mirror of the FlashText contract: at each position
+    * try every pattern by direct substring compare, keep the longest,
+    * jump past it — no trie, no shared code with the expression.
+    */
+  private def mirrorScrub(text: String, pats: Seq[String], repl: String): (String, Long) = {
+    val sb = new StringBuilder
+    var n = 0L
+    var i = 0
+    while (i < text.length) {
+      val best = pats.filter(p => p.nonEmpty && text.startsWith(p, i))
+        .map(_.length).sorted.lastOption
+      best match {
+        case Some(len) => sb.append(repl); n += 1; i += len
+        case None => sb.append(text.charAt(i)); i += 1
+      }
+    }
+    (sb.toString, n)
+  }
+
+  test("scrub contract cases: longest wins, adjacency, non-overlap, miss") {
+    def run(t: String) = {
+      val r = graft.plans.MultiReplace.run(t,
+        graft.plans.MultiMatch.build(
+          org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+            Blocklist.Patterns.map(org.apache.spark.unsafe.types.UTF8String.fromString).toArray)),
+        "[X]")
+      (r.getUTF8String(0).toString, r.getLong(1))
+    }
+    assert(run("x scan slow y") == (("x [X] y", 1L)), "longest must win over its prefix")
+    assert(run("scan fast") == (("[X] [X]", 2L)), "adjacent matches both scrub")
+    assert(run("a a a") == (("[X] a", 1L)), "occurrences never overlap")
+    assert(run("nothing here") == (("nothing here", 0L)))
+    assert(run("") == (("", 0L)))
+    assert(run("scanscan slow") == (("[X][X]", 2L)),
+      "a consumed prefix does not resurrect for the next position")
+  }
+
+  test("scrub equals the independent mirror over the whole real corpus") {
+    val texts = Tables.documents(spark, Sf).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val auto = graft.plans.MultiMatch.build(
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+        Blocklist.Patterns.map(org.apache.spark.unsafe.types.UTF8String.fromString).toArray))
+    var changed = 0
+    texts.foreach { case (id, t) =>
+      val got = graft.plans.MultiReplace.run(t, auto, "[X]")
+      val want = mirrorScrub(t, Blocklist.Patterns, "[X]")
+      assert((got.getUTF8String(0).toString, got.getLong(1)) == want, s"doc $id")
+      if (want._2 > 0) changed += 1
+    }
+    assert(changed > 0, "the fixture must actually contain blocklist phrases")
+  }
+
+  test("scrub gate plan stays map-only too") {
+    val plan = Blocklist.blocklistScrub(spark, Sf).queryExecution.executedPlan.toString
+    assert(!plan.contains("hashpartitioning"))
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"))
+  }
 }
