@@ -65,6 +65,8 @@ object SparkEntry {
       (graft.multimodal.VideoHash.queries, graft.multimodal.VideoHash.oracleSql),
       (graft.text.Mojibake.queries, graft.text.Mojibake.oracleSql),
       (graft.text.Entropy.queries, graft.text.Entropy.oracleSql),
+      (graft.text.Bitext.queries, graft.text.Bitext.oracleSql),
+      (graft.text.Preference.queries, graft.text.Preference.oracleSql),
       (graft.multimodal.AudioSegments.queries, graft.multimodal.AudioSegments.oracleSql),
       (graft.text.Unicode.queries, graft.text.Unicode.oracleSql),
       (graft.sources.Warc.queries, graft.sources.Warc.oracleSql),
