@@ -67,6 +67,7 @@ object SparkEntry {
       (graft.text.Entropy.queries, graft.text.Entropy.oracleSql),
       (graft.text.Bitext.queries, graft.text.Bitext.oracleSql),
       (graft.text.Preference.queries, graft.text.Preference.oracleSql),
+      (graft.text.BytePretok.queries, graft.text.BytePretok.oracleSql),
       (graft.multimodal.AudioSegments.queries, graft.multimodal.AudioSegments.oracleSql),
       (graft.text.Unicode.queries, graft.text.Unicode.oracleSql),
       (graft.sources.Warc.queries, graft.sources.Warc.oracleSql),
