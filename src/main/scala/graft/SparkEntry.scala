@@ -68,6 +68,7 @@ object SparkEntry {
       (graft.text.Bitext.queries, graft.text.Bitext.oracleSql),
       (graft.text.Preference.queries, graft.text.Preference.oracleSql),
       (graft.text.BytePretok.queries, graft.text.BytePretok.oracleSql),
+      (graft.ops.Batching.queries, graft.ops.Batching.oracleSql),
       (graft.multimodal.AudioSegments.queries, graft.multimodal.AudioSegments.oracleSql),
       (graft.text.Unicode.queries, graft.text.Unicode.oracleSql),
       (graft.sources.Warc.queries, graft.sources.Warc.oracleSql),
