@@ -69,6 +69,7 @@ object SparkEntry {
       (graft.text.Preference.queries, graft.text.Preference.oracleSql),
       (graft.text.BytePretok.queries, graft.text.BytePretok.oracleSql),
       (graft.ops.Batching.queries, graft.ops.Batching.oracleSql),
+      (graft.ops.Attribution.queries, graft.ops.Attribution.oracleSql),
       (graft.multimodal.AudioSegments.queries, graft.multimodal.AudioSegments.oracleSql),
       (graft.text.Unicode.queries, graft.text.Unicode.oracleSql),
       (graft.sources.Warc.queries, graft.sources.Warc.oracleSql),

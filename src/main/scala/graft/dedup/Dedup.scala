@@ -1066,9 +1066,48 @@ object Dedup {
        |    row_number() OVER (PARTITION BY cluster_id ORDER BY qt.q DESC, cl.doc_id) AS rn
        |  FROM cl JOIN qt USING (doc_id)) WHERE rn = 1""".stripMargin
 
+  /** SOURCE-PRIORITY cluster representatives (X228) — the other
+    * canonical-copy rule production recipes run (next to X190's
+    * quality rule): when the corpus mixes provenances, the cluster
+    * keeps its member from the most TRUSTED source (curated wiki
+    * beats common crawl regardless of surface quality), ties by
+    * doc_id. Priority here is the fixture's source rank (`srcN` → N,
+    * lower = more trusted — a real deploy passes its own rank
+    * table); same pair-table-sized join + cluster-keyed window shape
+    * as [[repsOf]].
+    */
+  def repsBySource(clusters: DataFrame, meta: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_id")).orderBy(col("prio"), col("doc_id"))
+    clusters.join(meta, "doc_id")
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("cluster_id"), col("doc_id"), col("source"))
+  }
+
+  def sourceReps(spark: SparkSession, dir: String): DataFrame =
+    repsBySource(PairTable.wordClusters(spark, dir),
+      Tables.documents(spark, dir).select(col("doc_id"), col("source"),
+        expr("CAST(substring(source, 4) AS INT)").as("prio")))
+
+  def sourceRepsOracle: String =
+    s"""WITH cl AS (
+       |  SELECT * FROM (
+       |${Components.oracleOn(MinHashLSH.oracle).linesIterator.map("    " + _).mkString("\n")}
+       |  ) c),
+       |st AS (
+       |  SELECT doc_id, source,
+       |    CAST(substring(source, 4) AS INTEGER) AS prio
+       |  FROM documents)
+       |SELECT cluster_id, doc_id, source FROM (
+       |  SELECT cl.cluster_id, cl.doc_id, st.source,
+       |    row_number() OVER (PARTITION BY cluster_id ORDER BY st.prio, cl.doc_id) AS rn
+       |  FROM cl JOIN st USING (doc_id)) WHERE rn = 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> ((s, dir) => Exact.dedupExact(Tables.documents(s, dir))),
     "q_dedup_rep_quality" -> ((s, dir) => qualityReps(s, dir)),
+    "q_dedup_rep_source" -> ((s, dir) => sourceReps(s, dir)),
     "q_dedup_neardup" -> ((s, dir) => MinHashLSH.nearDupPairs(s, dir)),
     "q_dedup_chargram" -> ((s, dir) => MinHashLSH.charGramPairs(s, dir)),
     // consumes the materialized pair TABLE (PairTable), not a re-run of
@@ -1096,6 +1135,7 @@ object Dedup {
   def oracleSql: Map[String, String] = Map(
     "q_dedup_exact" -> Exact.oracle,
     "q_dedup_rep_quality" -> qualityRepsOracle,
+    "q_dedup_rep_source" -> sourceRepsOracle,
     "q_dedup_neardup" -> MinHashLSH.oracle,
     "q_dedup_chargram" -> MinHashLSH.charGramOracle,
     "q_dedup_apply" ->
