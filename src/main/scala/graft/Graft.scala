@@ -978,4 +978,64 @@ object Graft {
   def scdStream(events: org.apache.spark.sql.Dataset[streaming.ScdStream.Ev])
       : org.apache.spark.sql.Dataset[streaming.ScdStream.VersionRow] =
     streaming.ScdStream.scdStream(events)
+
+  // ---- round-13 surface ----------------------------------------------
+
+  /** Undo Latin-1/cp1252 mojibake exactly (ftfy core); genuine text
+    * passes through untouched.
+    */
+  def fixMojibake(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    text.Mojibake.fixOf(c)
+
+  /** Word-free garbage signal: (n_chars, distinct_chars, entropy_q)
+    * struct — repetition ≈ 1 bit/char, language ≈ 4, blobs ≈ 6.
+    */
+  def charEntropy(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    text.Entropy.entropyOf(c)
+
+  /** Leftmost-longest blocklist scrub: (clean, n_replaced) struct. */
+  def scrubBlocklist(c: org.apache.spark.sql.Column,
+                     patterns: Seq[String]): org.apache.spark.sql.Column =
+    text.Blocklist.multiReplace(c, patterns)
+
+  /** Bitext pair hygiene verdicts over (pair_id, src, tgt). */
+  def screenBitext(pairs: DataFrame): DataFrame = text.Bitext.screen(pairs)
+
+  /** DPO pairs from rated completions (prompt_id, cand_id, rating). */
+  def preferencePairs(cands: DataFrame): DataFrame =
+    text.Preference.pairsOf(cands)
+
+  /** GPT-2 byte-level pretokens (array<string>), losslessly mapped. */
+  def bytePretokenize(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    text.BytePretok.pretokensOf(c)
+
+  /** Length-bucketed batch report (pad_waste per batch). */
+  def lengthBatches(spark: SparkSession, sfDir: String): DataFrame =
+    ops.Batching.batches(spark, sfDir)
+
+  /** Last-touch view→purchase attribution over the events table. */
+  def attributionLastTouch(spark: SparkSession, sfDir: String): DataFrame =
+    ops.Attribution.lastTouch(spark, sfDir)
+
+  /** Watermarked stream-stream attribution candidates. */
+  def attributionStream(views: DataFrame, purchases: DataFrame): DataFrame =
+    streaming.AttributionStream.candidatePairs(views, purchases)
+
+  /** Perceptual fingerprints for the other two image codecs. */
+  def jpegDhash(content: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    multimodal.ImageHash.jpegDhashOf(content)
+  def gifDhash(content: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    multimodal.ImageHash.gifDhashOf(content)
+
+  /** Video fingerprint: per-frame dHash signature struct. */
+  def videoDhash(content: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    multimodal.VideoHash.aviDhashOf(content)
+
+  /** Near-dup clusters keep the most TRUSTED source's member. */
+  def sourceRepresentatives(spark: SparkSession, sfDir: String): DataFrame =
+    dedup.Dedup.sourceReps(spark, sfDir)
+
+  /** Strict IDN registry form (BIDI + CONTEXTJ enforced; null = reject). */
+  def idnAsciiStrict(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    text.Canonical.idnAsciiStrict(c)
 }

@@ -216,4 +216,41 @@ class GraftFacadeSpec extends SparkSuite {
     assert(Graft.dedupSpans(unique, k = 8).columns.toSeq ===
       Seq("doc_id", "clean", "removed_tokens", "n_spans"))
   }
+
+  test("round-13 delegates: columns and one-row liveness") {
+    import spark.implicits._
+    val one = Seq((1L, "caf\u00C3\u00A9 and scan slow don't stop"))
+      .toDF("doc_id", "text")
+    val cols = one.select(
+      Graft.fixMojibake(col("text")).as("fixed"),
+      Graft.charEntropy(col("text")).as("ent"),
+      Graft.scrubBlocklist(col("text"), Seq("zz-absent")).as("nohit"),
+      Graft.scrubBlocklist(col("text"), Seq("scan slow")).as("scrubbed"),
+      Graft.jpegDhash(org.apache.spark.sql.GraftColumnShim.column(
+        graft.plans.JpegPlant(org.apache.spark.sql.GraftColumnShim.expression(
+          col("doc_id"))))).as("jd"),
+      Graft.videoDhash(org.apache.spark.sql.GraftColumnShim.column(
+        graft.plans.AviPlant(org.apache.spark.sql.GraftColumnShim.expression(
+          col("doc_id"))))).as("vd"),
+      Graft.idnAsciiStrict(lit("bücher.example")).as("strict"))
+      .collect()(0)
+    assert(cols.getString(0).startsWith("caf\u00E9"))
+    assert(cols.getStruct(2).getLong(1) == 0L, "absent pattern scrubs nothing")
+    assert(cols.getStruct(1).getLong(0) > 0)
+    assert(cols.getStruct(3).getLong(1) == 1L, "one phrase scrubbed")
+    assert(!cols.isNullAt(4) && !cols.isNullAt(5))
+    assert(cols.getString(6) == "xn--bcher-kva.example")
+    assert(one.select(posexplode(Graft.bytePretokenize(col("text")))).count() > 3)
+
+    val bitext = Graft.screenBitext(
+      Seq((1L, "alpha beta gamma", "alpha beta gamma")).toDF("pair_id", "src", "tgt"))
+    assert(bitext.collect()(0).getString(5) == "copy")
+    val pref = Graft.preferencePairs(
+      Seq((1L, 10L, 2L), (1L, 11L, 0L)).toDF("prompt_id", "cand_id", "rating"))
+    assert(pref.collect()(0).getLong(1) == 10L)
+    assert(Graft.lengthBatches(spark, Sf).limit(1).count() === 1)
+    assert(Graft.attributionLastTouch(spark, Sf).limit(1).count() === 1)
+    assert(Graft.sourceRepresentatives(spark, Sf).columns.toSeq ==
+      Seq("cluster_id", "doc_id", "source"))
+  }
 }
