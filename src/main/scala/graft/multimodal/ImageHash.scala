@@ -71,7 +71,12 @@ object ImageHash {
     val mask = if (bw >= 64) -1L else (1L << bw) - 1
     val bandArr = array((0 until nBands).map(j =>
       shiftright(col("dhash"), bw * j).bitwiseAND(lit(mask))): _*)
-    val banded = dh.select(col("media_id") +: keyCols.map(col) :+
+    // the fingerprint table feeds BOTH sides of the self-join: persist
+    // it or the whole upstream (decode passes for the planted gates)
+    // runs twice — the C1 multi-branch fan-out discipline, same seam
+    // as nearDupPairsOn's band table
+    val hashed = dh.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = hashed.select(col("media_id") +: keyCols.map(col) :+
       col("dhash") :+ posexplode(bandArr).as(Seq("band", "bv")): _*)
     val keyEq = keyCols.map(k => col(s"x.$k") === col(s"y.$k"))
       .reduce(_ && _)
@@ -228,6 +233,8 @@ object ImageHash {
     def tag(df: DataFrame, fmt: Int): DataFrame =
       df.select((col("media_id") * 3 + fmt).as("media_id"),
         col("width"), col("height"), col("dhash"))
+    // three decode passes produce this union — hammingPairs persists
+    // its input, so downstream fan-out never re-decodes
     tag(plantedDhash(spark, dir, col("doc_id")), 0)
       .unionByName(tag(plantedDhashJpeg(spark, dir, col("doc_id")), 1))
       .unionByName(tag(plantedDhashGif(spark, dir, col("doc_id")), 2))

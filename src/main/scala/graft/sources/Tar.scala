@@ -134,6 +134,11 @@ object Tar {
         substring_index(col("m").getField("name"), ".", 1).as("key"),
         substring_index(col("m").getField("name"), ".", -1).as("ext"),
         col("m").getField("payload").as("payload"))
+      // the member table feeds BOTH regroup sides (.png decode, .cls
+      // label): persist it or the shard plant + ustar walk runs twice —
+      // the C1 fan-out discipline (measured: the 10× probe ran this
+      // gate at 2× its true cost before the cache)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val png = ms.filter(col("ext") === "png")
       .select(col("doc_id"), col("key"),
         graft.multimodal.ImageHash.dhashOf(col("payload")).as("s"))
