@@ -21,14 +21,24 @@ import graft.Tables
   * rasters are 4–16 px wide; the expression supports up to 8×8, the
   * production grid.
   *
-  * Near-dup join: candidates must share the DIMENSION CLASS (w, h) —
-  * the pre-bucket every image-dedup pipeline applies; a 16-bit
-  * gradient hash alone would drown in cross-size coincidences — and at
-  * least one of maxHam+1 disjoint hash bands (a pair within Hamming ≤
-  * maxHam differs in ≤ maxHam bands, so by pigeonhole it matches one:
-  * recall 1, the LSH-for-Hamming construction the SimHash48 join
-  * uses). Verify is one exact `bit_count(a XOR b)` per candidate.
-  * Images never shuffle — only (id, w, h, hash) rows.
+  * Near-dup join: candidates must share the ASPECT-RATIO CLASS
+  * (`(w·16) DIV h`) — NOT exact dimensions: [[graft.plans.DhashCore]]'s
+  * grid fold is resolution-independent by construction, and the single
+  * most common duplicate transformation on the web is the rescale
+  * (thumbnails, responsive variants), which PRESERVES the aspect class
+  * while changing (w, h). An exact-dimension key would make every such
+  * duplicate invisible (the round-13 verdict's top finding); the
+  * aspect class keeps the grouping power a 16-bit gate hash needs
+  * against cross-shape coincidences while letting a 1024×768 original
+  * meet its 512×384 thumbnail in one bucket. Candidates must further
+  * share at least one of maxHam+1 disjoint hash bands (a pair within
+  * Hamming ≤ maxHam differs in ≤ maxHam bands, so by pigeonhole it
+  * matches one: recall 1, the LSH-for-Hamming construction the
+  * SimHash48 join uses). Verify is one exact `bit_count(a XOR b)` per
+  * candidate. Images never shuffle — only (id, w, h, hash) rows. The
+  * cross-resolution recall is GATED: q_image_neardup_rescale plants
+  * the same per-cell content at 1× and 2× resolution and the pair
+  * must be found at Hamming 0 (see [[plantedDhashScaled]]).
   */
 object ImageHash {
 
@@ -56,26 +66,41 @@ object ImageHash {
         col("s").getField("height").as("height"),
         col("s").getField("dhash").as("dhash"))
 
+  /** The rescale-invariant pre-bucket: 16 aspect-ratio classes per
+    * octave of shape — a k× rescale maps to the SAME class exactly
+    * (both dims scale together), while shape-different images stay
+    * apart. The Spark and DuckDB spellings of one formula.
+    */
+  def aspectClass: Column = expr("CAST((width * 16) DIV height AS INT)")
+  def aspectClassSql(w: String, h: String): String = s"($w * 16) // $h"
+
   /** Banded Hamming-≤ maxHam join over a (media_id, keyCols…, dhash)
     * table: nBands = maxHam + 1 bands of ceil(bits / nBands) bits each,
-    * bucketed by (keyCols…, band, band_value). The key columns are the
-    * pre-bucket every fingerprint join needs (dimension class for
-    * images; dimension class + frame count for the packed video
-    * signature); unused high bits above `bits` are zero on both sides,
-    * so the pigeonhole argument is unaffected by padding.
+    * bucketed by (keyCols…, band, band_value). The default key is the
+    * ASPECT class (derived from width/height when absent) — the
+    * rescale-invariant pre-bucket; the packed video signature passes
+    * its own exact (dims, frame-count) key because its matching is
+    * declared frame-aligned. Unused high bits above `bits` are zero on
+    * both sides, so the pigeonhole argument is unaffected by padding.
     */
   def hammingPairs(dh: DataFrame, bits: Int = GW * GH, maxHam: Int = MaxHam,
-                   keyCols: Seq[String] = Seq("width", "height")): DataFrame = {
+                   keyCols: Seq[String] = Seq("aspect")): DataFrame = {
     val nBands = maxHam + 1
     val bw = (bits + nBands - 1) / nBands
     val mask = if (bw >= 64) -1L else (1L << bw) - 1
     val bandArr = array((0 until nBands).map(j =>
       shiftright(col("dhash"), bw * j).bitwiseAND(lit(mask))): _*)
+    val keyed =
+      if (keyCols.contains("aspect") && !dh.columns.contains("aspect"))
+        dh.withColumn("aspect", aspectClass)
+      else dh
     // the fingerprint table feeds BOTH sides of the self-join: persist
     // it or the whole upstream (decode passes for the planted gates)
     // runs twice — the C1 multi-branch fan-out discipline, same seam
-    // as nearDupPairsOn's band table
-    val hashed = dh.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // as nearDupPairsOn's band table; registered in Caches so a
+    // multi-invocation session can release (Verify/Bench clearCache
+    // between queries already does)
+    val hashed = graft.ops.Caches.persist(keyed)
     val banded = hashed.select(col("media_id") +: keyCols.map(col) :+
       col("dhash") :+ posexplode(bandArr).as(Seq("band", "bv")): _*)
     val keyEq = keyCols.map(k => col(s"x.$k") === col(s"y.$k"))
@@ -153,7 +178,8 @@ object ImageHash {
        |SELECT x.media_id AS a, y.media_id AS b,
        |  CAST(bit_count(xor(x.dhash, y.dhash)) AS BIGINT) AS hamming
        |FROM hash x JOIN hash y
-       |  ON x.w = y.w AND x.h = y.h AND x.media_id < y.media_id
+       |  ON ${aspectClassSql("x.w", "x.h")} = ${aspectClassSql("y.w", "y.h")}
+       |    AND x.media_id < y.media_id
        |WHERE bit_count(xor(x.dhash, y.dhash)) <= $MaxHam""".stripMargin
 
   /** Image near-dup CLUSTERS (X205): connected components over the
@@ -221,7 +247,7 @@ object ImageHash {
       .select(col("media_id"), gifDhashOf(col("content")).as("s")))
 
   /** MIXED-format near-dup pairs: one fingerprint table across all
-    * three codecs, bucketed by dimension class alone — a production
+    * three codecs, bucketed by aspect class alone — a production
     * media table mixes containers freely, and a near-dup pipeline must
     * find the JPEG re-encode of a PNG in the same bucket. Identity is
     * `3·doc_id + fmt` (png 0, jpeg 1, gif 2): collision-free for any
@@ -247,7 +273,7 @@ object ImageHash {
     * every-cycle discipline applied to the image fingerprint — a new
     * crawl batch (doc_id % 10 = 0) hashes and bands against the stored
     * index (the rest); a batch image is dropped when it shares the
-    * dimension class and ≥1 hash band with an index image AND verifies
+    * aspect class and ≥1 hash band with an index image AND verifies
     * at Hamming ≤ maxHam. Candidate work is batch-proportional (never
     * index×index); the index side's (id, w, h, hash) rows are exactly
     * what a fingerprint table checkpoint would serve precomputed.
@@ -259,9 +285,9 @@ object ImageHash {
     * side would be vacuously empty.
     */
   def incrementalKeep(spark: SparkSession, dir: String): DataFrame = {
-    val dh = plantedDhash(spark, dir,
+    val dh = graft.ops.Caches.persist(plantedDhash(spark, dir,
       expr("CASE WHEN doc_id % 20 = 0 THEN doc_id + 1 ELSE doc_id END"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .withColumn("aspect", aspectClass))
     val isBatch = col("media_id") % 10 === 0
     val batch = dh.filter(isBatch)
     val index = dh.filter(!isBatch)
@@ -270,15 +296,86 @@ object ImageHash {
     val mask = (1L << bw) - 1
     val bandArr = array((0 until nBands).map(j =>
       shiftright(col("dhash"), bw * j).bitwiseAND(lit(mask))): _*)
-    def banded(df: DataFrame) = df.select(col("media_id"), col("width"),
-      col("height"), col("dhash"), posexplode(bandArr).as(Seq("band", "bv")))
+    def banded(df: DataFrame) = df.select(col("media_id"), col("aspect"),
+      col("dhash"), posexplode(bandArr).as(Seq("band", "bv")))
     val dropped = banded(batch).as("x").join(banded(index).as("y"),
-        col("x.width") === col("y.width") && col("x.height") === col("y.height") &&
+        col("x.aspect") === col("y.aspect") &&
           col("x.band") === col("y.band") && col("x.bv") === col("y.bv"))
       .filter(expr("bit_count(x.dhash ^ y.dhash)") <= MaxHam)
       .select(col("x.media_id").as("media_id")).distinct()
     batch.select(col("media_id")).join(dropped, Seq("media_id"), "left_anti")
   }
+
+  // ---- cross-RESOLUTION near-dup (the rescale gate, X230) ----------
+
+  /** Production grid for the rescale gate: 8×7 → 56-bit hash (bit 55
+    * max — BIGINT-safe in the oracle without the HUGEINT re-bias), 4
+    * bands of 14 bits, maxHam 3. At 56 bits, cross-doc coincidence
+    * pairs are ~2⁻⁴² per pair — the output is exactly the planted
+    * cross-resolution twins.
+    */
+  val RGW = 8
+  val RGH = 7
+
+  /** (media_id, width, height, dhash) over [[graft.plans.PngPlantCell]]
+    * plants: media 2·doc_id at 1× ((RGW+1)×RGH = 9×7) and media
+    * 2·doc_id + 1 at 2× (18×14) — the SAME per-cell content, so the 1×
+    * plant IS the exact 2× box-downscale of its twin and both fold to
+    * one hash. This is the operator-level proof that the aspect-class
+    * key (not exact dims) is the right pre-bucket: under the old
+    * (width, height) key these twins would never be candidates.
+    */
+  def plantedDhashScaled(spark: SparkSession, dir: String): DataFrame = {
+    def side(scale: Int, off: Int): DataFrame =
+      graft.ops.ScaleOps.widen(Tables.documents(spark, dir))
+        .select((col("doc_id") * 2 + off).as("media_id"),
+          org.apache.spark.sql.GraftColumnShim.column(graft.plans.PngPlantCell(
+            org.apache.spark.sql.GraftColumnShim.expression(col("doc_id")),
+            scale, RGW, RGH)).as("content"))
+        .select(col("media_id"), dhashOf(col("content"), RGW, RGH).as("s"))
+    unpackHash(side(1, 0).unionByName(side(2, 1)))
+  }
+
+  def rescalePairs(spark: SparkSession, dir: String): DataFrame =
+    hammingPairs(plantedDhashScaled(spark, dir), bits = RGW * RGH)
+
+  /** Closed-form oracle: the hash straight from the 63 cell formulas —
+    * no pixel unnest, and scale drops out entirely (both twins carry
+    * the same per-cell values), which is the gate's point.
+    */
+  /** First md5 hex pair as an integer byte — [[graft.plans.PngPlantCell
+    * .cellValue]]'s DuckDB spelling (the md5HexFold12Sql ascii-decode
+    * idiom at width 2).
+    */
+  private def md5ByteSql(arg: String): String = {
+    def digit(i: Int) =
+      s"(CAST(ascii(substring(md5($arg), $i, 1)) AS BIGINT) - 48" +
+        s" - CASE WHEN ascii(substring(md5($arg), $i, 1)) >= 97 THEN 39 ELSE 0 END)"
+    s"(${digit(1)} * 16 + ${digit(2)})"
+  }
+
+  def rescalePairsOracle: String =
+    s"""WITH cells AS (
+       |  SELECT doc_id, i // ${RGW + 1} AS rr, i % ${RGW + 1} AS c,
+       |    ${md5ByteSql("doc_id || ':' || i")} AS v
+       |  FROM documents, unnest(range(0, ${(RGW + 1) * RGH})) AS u(i)),
+       |rhash AS (
+       |  SELECT l.doc_id,
+       |    CAST(coalesce(sum(CASE WHEN l.v > r2.v
+       |        THEN 1::BIGINT << CAST(l.rr * $RGW + l.c AS INTEGER)
+       |        ELSE 0 END), 0) AS BIGINT) AS dhash
+       |  FROM cells l JOIN cells r2
+       |    ON l.doc_id = r2.doc_id AND l.rr = r2.rr AND r2.c = l.c + 1
+       |  WHERE l.c < $RGW
+       |  GROUP BY l.doc_id),
+       |media AS (
+       |  SELECT 2 * doc_id AS media_id, dhash FROM rhash
+       |  UNION ALL
+       |  SELECT 2 * doc_id + 1, dhash FROM rhash)
+       |SELECT x.media_id AS a, y.media_id AS b,
+       |  CAST(bit_count(xor(x.dhash, y.dhash)) AS BIGINT) AS hamming
+       |FROM media x JOIN media y ON x.media_id < y.media_id
+       |WHERE bit_count(xor(x.dhash, y.dhash)) <= $MaxHam""".stripMargin
 
   // ---- oracles for the JPEG/GIF/mixed/incremental surfaces ----
 
@@ -370,7 +467,8 @@ object ImageHash {
        |SELECT x.media_id AS a, y.media_id AS b,
        |  CAST(bit_count(xor(x.dhash, y.dhash)) AS BIGINT) AS hamming
        |FROM allhash x JOIN allhash y
-       |  ON x.w = y.w AND x.h = y.h AND x.media_id < y.media_id
+       |  ON ${aspectClassSql("x.w", "x.h")} = ${aspectClassSql("y.w", "y.h")}
+       |    AND x.media_id < y.media_id
        |WHERE bit_count(xor(x.dhash, y.dhash)) <= $MaxHam""".stripMargin
 
   def incrementalOracle: String =
@@ -378,7 +476,7 @@ object ImageHash {
        |dropped AS (
        |  SELECT DISTINCT x.media_id
        |  FROM hash x JOIN hash y
-       |    ON x.w = y.w AND x.h = y.h
+       |    ON ${aspectClassSql("x.w", "x.h")} = ${aspectClassSql("y.w", "y.h")}
        |   AND x.media_id % 10 = 0 AND y.media_id % 10 <> 0
        |  WHERE bit_count(xor(x.dhash, y.dhash)) <= $MaxHam)
        |SELECT media_id FROM hash
@@ -392,6 +490,7 @@ object ImageHash {
     "q_image_neardup" -> ((s, dir) => hammingPairs(
       plantedDhash(s, dir, expr("doc_id DIV 2")))),
     "q_image_neardup_mixed" -> ((s, dir) => mixedPairs(s, dir)),
+    "q_image_neardup_rescale" -> ((s, dir) => rescalePairs(s, dir)),
     "q_image_incremental" -> ((s, dir) => incrementalKeep(s, dir)),
     "q_image_clusters" -> ((s, dir) => clusters(s, dir)))
 
@@ -401,6 +500,7 @@ object ImageHash {
     "q_image_dhash_gif" -> gifDhashOracle,
     "q_image_neardup" -> neardupOracle,
     "q_image_neardup_mixed" -> mixedPairsOracle,
+    "q_image_neardup_rescale" -> rescalePairsOracle,
     "q_image_incremental" -> incrementalOracle,
     "q_image_clusters" -> clustersOracle)
 }

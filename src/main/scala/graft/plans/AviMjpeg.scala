@@ -186,8 +186,18 @@ object AviPlant {
     chunk("LIST", kind.getBytes ++ inner)
 
   /** Static so generated code calls it directly. */
-  def encode(docId: Long): Array[Byte] = {
-    val nf = framesOf(docId)
+  def encode(docId: Long): Array[Byte] =
+    encodeSeq(docId, framesOf(docId), 0)
+
+  /** Generalized plant: `nf` frames whose frame slot f carries the
+    * content of salt (salt0 + f) — [[JpegPlant.encodeFrame]]'s per-frame
+    * arithmetic with a shifted start, so a (salt0 = 1, nf − 1)-frame
+    * plant IS the front-trimmed twin of the (salt0 = 0, nf)-frame one:
+    * the closed-form fixture for trim-tolerant video matching. Container
+    * framing (JUNK, audio chunk, odd-length padding) identical to
+    * [[encode]].
+    */
+  def encodeSeq(docId: Long, nf: Int, salt0: Int): Array[Byte] = {
     val w = JpegPlant.widthBlocksOf(docId) * 8
     val h = JpegPlant.heightBlocksOf(docId) * 8
     val avih = le32(33333L) ++ le32(0) ++ le32(0) ++ le32(0x10) ++
@@ -203,13 +213,47 @@ object AviPlant {
       list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
     val junk = chunk("JUNK", Array.fill[Byte](11)(0x4a)) // odd size → padded
     val frames = (0 until nf).flatMap { f =>
-      chunk("00dc", JpegPlant.encodeFrame(docId, f)) ++
+      chunk("00dc", JpegPlant.encodeFrame(docId, salt0 + f)) ++
         (if (f == 0) chunk("01wb", Array.fill[Byte](6)(0x55)) else Array.empty[Byte])
     }.toArray
     val movi = list("movi", frames)
     val body = "AVI ".getBytes ++ hdrl ++ junk ++ movi
     "RIFF".getBytes ++ le32(body.length) ++ body
   }
+}
+
+/** `avi_plant_seq(seed, fBase, fMod, salt0, drop)` — the parameterized
+  * planting twin for the LONG-video and TRIM-tolerance gates: a real
+  * MJPEG/AVI stream of `fBase + seed % fMod − drop` frames whose frame
+  * slot f carries salt (salt0 + f) content (see
+  * [[AviPlant.encodeSeq]]). With (salt0 = 1, drop = 1) the plant is the
+  * exact front-trimmed twin of the (0, 0) stream — same geometry, one
+  * frame shorter, every remaining frame bit-identical.
+  */
+case class AviPlantSeq(child: Expression, fBase: Int, fMod: Int,
+                       salt0: Int, drop: Int) extends UnaryExpression {
+  require(fBase - drop >= 1 && fMod >= 1, s"bad frame range: $fBase % $fMod - $drop")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.LongType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(s"avi_plant_seq requires bigint, got $t")
+    }
+
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "avi_plant_seq"
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[Long]
+    AviPlant.encodeSeq(s, (fBase + s % fMod).toInt - drop, salt0)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.plans.AviPlant.encodeSeq($c, (int)($fBase + $c % $fMod) - $drop, $salt0)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** `avi_dhash(content, gw, gh)` — the VIDEO perceptual fingerprint:

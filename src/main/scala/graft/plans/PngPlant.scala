@@ -122,8 +122,14 @@ object PngPlant {
         }
         im
     }
+    writePng(img, docId % 8 == 2)
+  }
+
+  /** Shared ImageIO PNG write; `progressive` selects ADAM7 interlace. */
+  private[plans] def writePng(img: java.awt.image.BufferedImage,
+                              progressive: Boolean): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream(1024)
-    if (docId % 8 == 2) {
+    if (progressive) {
       // every eighth doc writes ADAM7-interlaced (ImageIO's progressive
       // mode) — same RGB pixel formula, so the same oracle gates it
       val writer = javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
@@ -137,5 +143,79 @@ object PngPlant {
       javax.imageio.ImageIO.write(img, "png", out)
     }
     out.toByteArray
+  }
+}
+
+/** `png_plant_cell(seed, scale, gw, gh)` — the CROSS-RESOLUTION planting
+  * twin for the resize-invariant near-dup gate: a real PNG of dimensions
+  * ((gw+1)·scale) × (gh·scale) whose pixel (x, y) is the GRAY value of
+  * its dHash grid cell, in closed form:
+  *
+  *   v(s, rr, c) = first byte of md5(s ‖ ":" ‖ (rr·(gw+1) + c))
+  *   with rr = y // scale, c = x // scale  (r = g = b = v, so ITU-601
+  *   gray is v exactly)
+  *
+  * Because every pixel of a cell carries the cell's value, the per-cell
+  * integer mean equals v at ANY scale — a scale-2 plant IS the exact 2×
+  * box-upscale of the scale-1 plant, and both reduce to the SAME
+  * [[DhashCore]] hash. That makes the "thumbnails must match originals"
+  * property a closed-form oracle: the DuckDB side computes the hash from
+  * the 63 cell formulas directly, no pixel unnest. The md5 byte makes
+  * the gradient bits of DISTINCT docs independent coin flips (an
+  * arithmetic cell formula leaves the 56 bits linearly correlated
+  * across seeds — measured: 31k coincidence pairs at sf0.01 — the same
+  * structured-plant trap the 16-bit gotcha records), so the gate output
+  * is exactly the planted twins at any fixture scale.
+  */
+case class PngPlantCell(child: Expression, scale: Int, gw: Int, gh: Int)
+  extends UnaryExpression {
+  require(scale >= 1 && scale <= 64, s"scale out of range: $scale")
+  require(gw >= 1 && gh >= 1 && gw.toLong * gh <= 64,
+    s"dhash grid must fit 64 bits, got ${gw}x$gh")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case LongType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(s"png_plant_cell requires bigint, got $t")
+    }
+
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "png_plant_cell"
+
+  override def nullSafeEval(input: Any): Any =
+    PngPlantCell.encode(input.asInstanceOf[Long], scale, gw, gh)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.PngPlantCell.encode($c, $scale, $gw, $gh)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object PngPlantCell {
+
+  /** The per-cell gray value — the ONE formula the oracle restates. */
+  def cellValue(docId: Long, cellIdx: Int): Int = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(s"$docId:$cellIdx".getBytes(java.nio.charset.StandardCharsets.UTF_8))(0) & 0xff
+  }
+
+  /** Static so generated code calls it directly. */
+  def encode(docId: Long, scale: Int, gw: Int, gh: Int): Array[Byte] = {
+    val w = (gw + 1) * scale
+    val h = gh * scale
+    val im = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = cellValue(docId, (y / scale) * (gw + 1) + (x / scale))
+        im.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    PngPlant.writePng(im, progressive = false)
   }
 }

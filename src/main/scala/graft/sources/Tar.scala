@@ -119,7 +119,8 @@ object Tar {
     * the dHash contract.
     */
   def imageSamples(spark: SparkSession, dir: String): DataFrame = {
-    val ms = graft.ops.ScaleOps.widen(Tables.documents(spark, dir))
+    val ms = graft.ops.Caches.persist(
+      graft.ops.ScaleOps.widen(Tables.documents(spark, dir))
       .select(col("doc_id"),
         org.apache.spark.sql.GraftColumnShim.column(graft.plans.TarPlantMedia(
           org.apache.spark.sql.GraftColumnShim.expression(col("doc_id"))))
@@ -137,8 +138,9 @@ object Tar {
       // the member table feeds BOTH regroup sides (.png decode, .cls
       // label): persist it or the shard plant + ustar walk runs twice —
       // the C1 fan-out discipline (measured: the 10× probe ran this
-      // gate at 2× its true cost before the cache)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // gate at 2× its true cost before the cache); registered in
+      // Caches so long-lived sessions can release it
+    )
     val png = ms.filter(col("ext") === "png")
       .select(col("doc_id"), col("key"),
         graft.multimodal.ImageHash.dhashOf(col("payload")).as("s"))

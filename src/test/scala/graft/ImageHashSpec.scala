@@ -92,13 +92,58 @@ class ImageHashSpec extends SparkSuite {
       (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
     val brute = (for {
       (a, wa, hha, ha) <- rows; (b, wb, hhb, hb) <- rows
-      if a < b && wa == wb && hha == hhb
+      if a < b && wa * 16 / hha == wb * 16 / hhb // the aspect-class key
       ham = java.lang.Long.bitCount(ha ^ hb).toLong
       if ham <= ImageHash.MaxHam
     } yield (a, b, ham)).toSet
     dh.unpersist()
     assert(banded == brute)
     assert(brute.exists(_._3 == 0L), "seed-paired identical images must appear")
+  }
+
+  // ---- resize invariance (X230): the aspect-class key's reason to exist ----
+
+  import graft.plans.PngPlantCell
+
+  test("cell plant twins hash identically at 1x, 2x and 3x resolution") {
+    for (seed <- 1L to 12L) {
+      val h1 = PngDhash.compute(PngPlantCell.encode(seed, 1, 8, 7), 8, 7)
+      val h2 = PngDhash.compute(PngPlantCell.encode(seed, 2, 8, 7), 8, 7)
+      val h3 = PngDhash.compute(PngPlantCell.encode(seed, 3, 8, 7), 8, 7)
+      assert(h1 != null && h2 != null && h3 != null, s"seed $seed")
+      assert(h1.getLong(2) == h2.getLong(2) && h2.getLong(2) == h3.getLong(2),
+        s"seed $seed: per-cell content must be resolution-blind")
+      assert(h1.getInt(0) == 9 && h2.getInt(0) == 18 && h3.getInt(0) == 27)
+    }
+  }
+
+  test("a TRUE 2x box-downscale stays within the Hamming budget") {
+    // not cell-aligned: the downscale is a real box reduce with floor
+    // rounding, so bits MAY flip — the gate property is that a genuine
+    // thumbnail lands within maxHam of its original, i.e. the pair
+    // SURVIVES the banded join's verify step
+    val (w, h) = (36, 28)
+    val big = pngOf(w, h, f)
+    def down(x: Int, y: Int): (Int, Int, Int) = {
+      val ps = Seq(f(2 * x, 2 * y), f(2 * x + 1, 2 * y),
+        f(2 * x, 2 * y + 1), f(2 * x + 1, 2 * y + 1))
+      (ps.map(_._1).sum / 4, ps.map(_._2).sum / 4, ps.map(_._3).sum / 4)
+    }
+    val small = pngOf(w / 2, h / 2, down)
+    val hb = PngDhash.compute(big, 8, 7)
+    val hs = PngDhash.compute(small, 8, 7)
+    assert(hb != null && hs != null)
+    val ham = java.lang.Long.bitCount(hb.getLong(2) ^ hs.getLong(2))
+    assert(ham <= ImageHash.MaxHam,
+      s"2x thumbnail drifted $ham bits — rescale recall broken")
+  }
+
+  test("rescale pairs gate finds every cross-resolution twin at hamming 0") {
+    val pairs = ImageHash.rescalePairs(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val docs = spark.read.parquet(s"$Sf/documents.parquet").count()
+    assert(pairs.length == docs.toInt, "exactly one pair per doc, no coincidences")
+    assert(pairs.forall { case (a, b, ham) => b == a + 1 && a % 2 == 0 && ham == 0L })
   }
 
   // ---- JPEG / GIF fingerprints over the shared DhashCore ----

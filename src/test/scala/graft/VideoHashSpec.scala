@@ -84,6 +84,60 @@ class VideoHashSpec extends SparkSuite {
     assert(banded.forall { case (a, b, _) => !flat(a) && !flat(b) })
   }
 
+  // ---- long-video array path (X231) + trim tolerance (X232) ----------
+
+  private def bruteDist(sa: Seq[Long], sb: Seq[Long]): Long =
+    sa.zip(sb).map { case (x, y) => java.lang.Long.bitCount(x ^ y).toLong }.sum
+
+  test("long-video banded array join equals brute force on 8-16 frame streams") {
+    val sigs = VideoHash.plantedSignatures(spark, Sf, expr("doc_id DIV 2"),
+      VideoHash.LFBase, VideoHash.LFMod, 0, 0, col("doc_id")).persist()
+    val rows = sigs.collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+      r.getInt(3), r.getSeq[Long](4)))
+    assert(rows.forall(r => r._4 >= 8 && r._4 <= 16 && r._5.length == r._4))
+    val live = rows.filter(_._5.exists(_ != 0L))
+    val brute = (for {
+      (a, wa, ha, na, sa) <- live; (b, wb, hb, nb, sb) <- live
+      if a < b && wa == wb && ha == hb && na == nb
+      ham = bruteDist(sa, sb)
+      if ham <= VideoHash.MaxHam
+    } yield (a, b, ham)).toSet
+    sigs.unpersist()
+    val banded = VideoHash.nearDupPairsLong(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(banded == brute)
+    assert(brute.exists(_._3 == 0L), "seed-paired identical streams must appear")
+  }
+
+  test("trim join finds the 1-frame-trimmed twin at hamming 0, equals brute force") {
+    def sideRows(off: Int, salt0: Int, drop: Int) =
+      VideoHash.plantedSignatures(spark, Sf, col("doc_id"),
+        VideoHash.LFBase, VideoHash.LFMod, salt0, drop, col("doc_id") * 2 + off)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+          r.getInt(3), r.getSeq[Long](4)))
+    val rows = sideRows(0, 0, 0) ++ sideRows(1, 1, 1)
+    val live = rows.filter(_._5.exists(_ != 0L))
+    val brute = (for {
+      (a, wa, ha, na, sa) <- live; (b, wb, hb, nb, sb) <- live
+      if a < b && wa == wb && ha == hb && math.abs(na - nb) <= 1
+      ham = if (na == nb) bruteDist(sa, sb)
+        else if (na == nb + 1)
+          math.min(bruteDist(sa.drop(1), sb), bruteDist(sa.take(nb), sb))
+        else math.min(bruteDist(sb.drop(1), sa), bruteDist(sb.take(na), sa))
+      if ham <= VideoHash.MaxHam
+    } yield (a, b, ham)).toSet
+    val got = VideoHash.nearDupPairsTrim(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == brute)
+    // every live full stream must meet its front-trimmed twin at distance 0
+    val liveIds = live.map(_._1).toSet
+    val twins = live.map(_._1).filter(m => m % 2 == 0 && liveIds(m + 1))
+    assert(twins.nonEmpty)
+    twins.foreach { m =>
+      assert(got((m, m + 1, 0L)), s"twin pair ($m, ${m + 1}) missing")
+    }
+  }
+
   test("packed signature folds the frame hashes at 16-bit stride") {
     val byFrame = VideoHash.plantedFrameDhash(spark, Sf, col("doc_id"))
       .collect().groupBy(_.getLong(0))
