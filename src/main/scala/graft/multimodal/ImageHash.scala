@@ -343,21 +343,10 @@ object ImageHash {
     * no pixel unnest, and scale drops out entirely (both twins carry
     * the same per-cell values), which is the gate's point.
     */
-  /** First md5 hex pair as an integer byte — [[graft.plans.PngPlantCell
-    * .cellValue]]'s DuckDB spelling (the md5HexFold12Sql ascii-decode
-    * idiom at width 2).
-    */
-  private def md5ByteSql(arg: String): String = {
-    def digit(i: Int) =
-      s"(CAST(ascii(substring(md5($arg), $i, 1)) AS BIGINT) - 48" +
-        s" - CASE WHEN ascii(substring(md5($arg), $i, 1)) >= 97 THEN 39 ELSE 0 END)"
-    s"(${digit(1)} * 16 + ${digit(2)})"
-  }
-
   def rescalePairsOracle: String =
     s"""WITH cells AS (
        |  SELECT doc_id, i // ${RGW + 1} AS rr, i % ${RGW + 1} AS c,
-       |    ${md5ByteSql("doc_id || ':' || i")} AS v
+       |    ${graft.text.TextOps.md5ByteSql("doc_id || ':' || i")} AS v
        |  FROM documents, unnest(range(0, ${(RGW + 1) * RGH})) AS u(i)),
        |rhash AS (
        |  SELECT l.doc_id,

@@ -537,6 +537,50 @@ object Multimodal {
         col("s").getField("peak").as("peak"),
         col("s").getField("clip_count").as("clip_count"))
 
+  /** (media_id, n_samples, sum_abs, peak, clip_count) over REAL FLAC
+    * streams (X233): [[graft.plans.FlacPlantWide]] encodes full-range
+    * planted samples — negative values, forced full-scale clips,
+    * multi-frame streams with a short tail block — through the real
+    * [[graft.plans.FlacEncode]] (CONSTANT / FIXED-Rice / VERBATIM per
+    * block), and [[graft.plans.FlacPcm]] must decode them back through
+    * frame headers, CRC-8/16, subframe dispatch, and Rice residual
+    * reconstruction. FLAC is lossless, so the oracle restates the
+    * sample formulas directly — any slip anywhere in the bitstream walk
+    * breaks the gate. Same schema as [[pcmStats]]: one stats contract
+    * across codecs.
+    */
+  def flacStats(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.ScaleOps.widen(Tables.documents(spark, dir))
+      .select(col("doc_id").as("media_id"),
+        org.apache.spark.sql.GraftColumnShim.column(
+          graft.plans.FlacPlantWide(
+            org.apache.spark.sql.GraftColumnShim.expression(col("doc_id")))).as("content"))
+      .select(col("media_id"),
+        org.apache.spark.sql.GraftColumnShim.column(
+          graft.plans.FlacPcmStats(
+            org.apache.spark.sql.GraftColumnShim.expression(col("content")))).as("s"))
+      .select(col("media_id"),
+        col("s").getField("n_samples").as("n_samples"),
+        col("s").getField("sum_abs").as("sum_abs"),
+        col("s").getField("peak").as("peak"),
+        col("s").getField("clip_count").as("clip_count"))
+
+  def flacStatsOracle: String =
+    s"""WITH s AS (
+       |  SELECT doc_id, i,
+       |    CASE WHEN i % 50 = 7 THEN 32767
+       |         WHEN i % 50 = 29 THEN -32768
+       |         ELSE (doc_id * 7919 + i * 104729) % 65536 - 32768 END AS v
+       |  FROM documents, unnest(range(0, 100 + doc_id % 64)) AS u(i)
+       |)
+       |SELECT doc_id AS media_id,
+       |  CAST(count(*) AS BIGINT) AS n_samples,
+       |  CAST(sum(abs(v)) AS BIGINT) AS sum_abs,
+       |  CAST(max(abs(v)) AS BIGINT) AS peak,
+       |  CAST(sum(CASE WHEN v = 32767 OR v = -32768 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS clip_count
+       |FROM s GROUP BY doc_id""".stripMargin
+
   /** (media_id, width, height, channels, n_pixels, sum_r, sum_g, sum_b,
     * peak) — plant a COMPLETE deterministic PNG through the JDK's own
     * ImageIO encoder (independent filter choices + Deflater), decode it
@@ -671,6 +715,7 @@ object Multimodal {
     "q_multimodal_pixels" -> ((s, dir) => pixelStats(s, dir)),
     "q_multimodal_gif" -> ((s, dir) => gifStats(s, dir)),
     "q_multimodal_pcm" -> ((s, dir) => pcmStats(s, dir)),
+    "q_multimodal_flac" -> ((s, dir) => flacStats(s, dir)),
     "q_multimodal_audio" -> ((s, dir) => audioHeaderDecode(s, dir)),
     "q_multimodal_video" -> ((s, dir) => videoHeaderDecode(s, dir)),
     "q_multimodal_jpeg" -> ((s, dir) => jpegStats(s, dir)),
@@ -691,6 +736,7 @@ object Multimodal {
     "q_multimodal_pixels" -> pixelStatsOracle,
     "q_multimodal_gif" -> gifStatsOracle,
     "q_multimodal_pcm" -> pcmStatsOracle,
+    "q_multimodal_flac" -> flacStatsOracle,
     "q_multimodal_audio" -> audioHeaderOracle,
     "q_multimodal_video" -> videoHeaderOracle,
     "q_multimodal_jpeg" -> jpegStatsOracle,

@@ -79,15 +79,24 @@ object WavFingerprint {
     * the envelope pass (both linear byte scans; the declared chunk
     * size alone would drift on truncated blobs).
     */
-  def compute(b: Array[Byte], cells: Int): InternalRow = {
+  def compute(b: Array[Byte], cells: Int): InternalRow =
+    envelopeOver(WavPcm.walk, b, cells)
+
+  /** The envelope fold over ANY decoder speaking the shared sample
+    * sink — [[WavPcm.walk]] here, [[FlacPcm.walk]] in
+    * [[FlacFingerprint]]: one fingerprint definition across codecs, so
+    * a WAV master and its FLAC re-encode hash identically.
+    */
+  private[plans] def envelopeOver(walkFn: (Array[Byte], WavPcm.SampleSink) => Int,
+                                  b: Array[Byte], cells: Int): InternalRow = {
     var n = 0
     val counter = new WavPcm.SampleSink {
       def sample(i: Int, v: Int): Unit = { n = i + 1 }
     }
-    if (WavPcm.walk(b, counter) < 0) return null
+    if (walkFn(b, counter) < 0) return null
     if (n < cells + 1) return null
     val sink = new EnvelopeSink(cells, n)
-    WavPcm.walk(b, sink)
+    walkFn(b, sink)
     var fp = 0L
     var j = 0
     while (j < cells) {

@@ -86,6 +86,18 @@ object TextOps {
       .mkString(" + ")
   }
 
+  /** First md5 hex pair of `arg` as an integer byte (0–255) — the
+    * [[md5HexFold12Sql]] ascii-decode idiom at width 2; the DuckDB
+    * spelling of "first byte of md5(arg)" that the media cell plants
+    * (PngPlantCell, the audio cell WAV/FLAC plants) restate.
+    */
+  def md5ByteSql(arg: String): String = {
+    def digit(i: Int) =
+      s"(CAST(ascii(substring(md5($arg), $i, 1)) AS BIGINT) - 48" +
+        s" - CASE WHEN ascii(substring(md5($arg), $i, 1)) >= 97 THEN 39 ELSE 0 END)"
+    s"(${digit(1)} * 16 + ${digit(2)})"
+  }
+
   def tokenizeSql(c: String): String =
     s"list_filter(string_split_regex(trim($c), '\\s+'), t -> length(t) > 0)"
 
