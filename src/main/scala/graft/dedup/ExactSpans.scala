@@ -271,19 +271,33 @@ object ExactSpans {
     scrub(plantedShort(graft.ops.ScaleOps.widen(Tables.documents(spark, dir))
       .select(col("doc_id"))), KShort)
 
+  /** Scale-factor independent: a doc whose group-of-4 has a single
+    * member carries its "shared" spans exactly once corpus-wide, so
+    * the scrub correctly leaves them — the oracle conditions on the
+    * group's actual membership count instead of assuming every group
+    * is populated (a doc count with remainder 1 mod 4 would otherwise
+    * hash-mismatch on the last group).
+    */
   def plantedShortOracle: String =
-    s"""SELECT doc_id,
+    s"""WITH gsz AS (
+       |  SELECT doc_id,
+       |    count(*) OVER (PARTITION BY doc_id // 4) AS gc
+       |  FROM documents)
+       |SELECT doc_id,
        |  array_to_string(list_transform(range(0, 10),
        |    j -> 'a' || doc_id || 'b' || j), ' ') || ' ' ||
+       |  CASE WHEN gc >= 2 THEN '' ELSE
+       |    array_to_string(list_transform(range(0, 12),
+       |      j -> 'm' || (doc_id // 4) || 'w' || j), ' ') || ' ' END ||
        |  array_to_string(list_transform(range(0, 5),
        |    j -> 'u' || doc_id || 'm' || j), ' ') || ' ' ||
        |  array_to_string(list_transform(range(0, 7),
        |    j -> 'n' || (doc_id // 4) || 'v' || j), ' ') || ' ' ||
        |  array_to_string(list_transform(range(0, 10),
        |    j -> 'c' || doc_id || 'd' || j), ' ') AS clean,
-       |  CAST(12 AS BIGINT) AS removed_tokens,
-       |  CAST(1 AS BIGINT) AS n_spans
-       |FROM documents""".stripMargin
+       |  CAST(CASE WHEN gc >= 2 THEN 12 ELSE 0 END AS BIGINT) AS removed_tokens,
+       |  CAST(CASE WHEN gc >= 2 THEN 1 ELSE 0 END AS BIGINT) AS n_spans
+       |FROM gsz""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_exact_span_scrub" -> ((s, dir) => planted(s, dir)),

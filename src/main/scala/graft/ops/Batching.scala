@@ -23,8 +23,15 @@ import graft.Tables
   *
   * Shape: ONE bucket-keyed exchange (the window), partial-agg batch
   * rollup on the same key — text never moves, only (doc_id, n, key)
-  * rows; at 100 TB the bucket count is ~20 whatever the corpus, so
-  * the window key is (bucket) salted by the hash order inside.
+  * rows. DECLARED scale ceiling: exact GLOBAL batch ids within a
+  * bucket are a total order, so each of the ~20 power-of-two buckets
+  * funnels through one task — inherent to the contract, and the rows
+  * are 3 columns wide, but at true 100 TB corpus sizes the per-bucket
+  * row_number becomes the straggler. The scale path when global ids
+  * are NOT required is to shard the window key by an ord-prefix
+  * (e.g. substring(ord, 1, 2) → 256 shards/bucket) and offset batch
+  * ids per shard — same batches, renumbered; this module keeps the
+  * exact-global form because the batch id IS its gated contract.
   */
 object Batching {
 

@@ -30,8 +30,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * are vanishingly rare in natural text because UTF-8 continuation
   * constraints are strict. No heuristics, no scoring: the transform
   * is deterministic, idempotent on its own output, and exactly
-  * invertible where applied. Per-row, shuffle-free, codegen via a
-  * static call.
+  * invertible where applied. Idempotence holds unconditionally: the
+  * repair loops to a FIXPOINT, and an input still repairable after
+  * [[FixMojibake.MaxRounds]] hops (pathological ≥4-deep nesting)
+  * returns the ORIGINAL string untouched rather than a partially
+  * unwound one — fix(fix(x)) = fix(x) on every input, not just ≤3-hop
+  * ones. Per-row, shuffle-free, codegen via a static call.
   */
 case class FixMojibake(child: Expression) extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -102,7 +106,10 @@ object FixMojibake {
   }
 
   /** Static so generated code calls it directly. Never null, never
-    * throws; returns the input when no exact repair applies.
+    * throws; returns the input when no exact repair applies, and the
+    * ORIGINAL input when [[MaxRounds]] hops still haven't reached a
+    * fixpoint (returning the partial unwind would break idempotence:
+    * fix() on that output would make further progress).
     */
   def fix(s: String): String = {
     var cur = s
@@ -115,6 +122,10 @@ object FixMojibake {
       cur = dec
       round += 1
     }
-    cur
+    // cap reached: if another hop would still progress, the input is
+    // deeper than the declared ceiling — leave it alone entirely
+    val rb = reverseBytes(cur)
+    if (rb != null && { val d = strictUtf8(rb); d != null && d != cur }) s
+    else cur
   }
 }

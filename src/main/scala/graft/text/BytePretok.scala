@@ -43,9 +43,20 @@ object BytePretok {
     val pat =
       """''s|''t|''re|''ve|''m|''ll|''d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}\x01]+|\s+|\x01"""
     s"""WITH marked AS (
+       |  -- FIXTURE GUARD: the byte→unicode CASE below covers only the
+       |  -- ASCII ranks (≤32 shifted, 127 shifted) and the chr(1)
+       |  -- sentinel assumes its absence, so oracle equivalence DEPENDS
+       |  -- on the documents fixture staying pure ASCII; if it ever
+       |  -- gains non-ASCII or control-1 text this WHERE empties the
+       |  -- oracle and the gate fails LOUDLY as a row-count mismatch
+       |  -- instead of a confusing hash mismatch (the Spark side stays
+       |  -- byte-correct for any UTF-8 input)
        |  SELECT doc_id,
        |    regexp_replace(text, '(\\s)(\\s\\S)', '\\1' || chr(1) || '\\2', 'g') AS t
-       |  FROM documents),
+       |  FROM documents
+       |  WHERE 0 = (SELECT count(*) FROM documents
+       |             WHERE octet_length(encode(text)) <> length(text)
+       |                OR contains(text, chr(1)))),
        |arrs AS (
        |  SELECT doc_id, regexp_extract_all(t, '$pat') AS arr FROM marked),
        |toks AS (

@@ -79,6 +79,18 @@ class MojibakeSpec extends SparkSuite {
     }
   }
 
+  test("past the hop ceiling the ORIGINAL comes back — idempotence survives depth") {
+    // 4-deep nesting: MaxRounds (3) hops would leave a 1-hop-broken
+    // string on which fix() would still progress; the contract is to
+    // return the untouched input instead
+    val deep = mangleLatin1(mangleLatin1(mangleLatin1(mangleLatin1("café"))))
+    val out = FixMojibake.fix(deep)
+    assert(out == deep, "must not partially unwind")
+    assert(FixMojibake.fix(out) == out, "idempotence at depth 4")
+    // exactly at the ceiling the repair still completes
+    assert(FixMojibake.fix(mangleLatin1(mangleLatin1(mangleLatin1("café")))) == "café")
+  }
+
   test("unmappable characters stop the reversal cold (no partial repair)") {
     // a CJK char has no single-byte origin: even though the rest of the
     // string looks like mojibake, the whole string is returned verbatim
