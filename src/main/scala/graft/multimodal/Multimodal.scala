@@ -344,7 +344,7 @@ object Multimodal {
        |      k -> (doc_id * 37 + f * 101 + k * 59) % 256)))) AS INTEGER) AS peak
        |FROM documents""".stripMargin
 
-  /** (doc_id, format) — route 13 planted blob kinds through
+  /** (doc_id, format) — route 14 planted blob kinds through
     * [[graft.plans.MagicFormat]]: real plants where the repo has them
     * (gzip via the actual Deflater, WAV/MP4/WARC via their planting
     * expressions), published signature prefixes elsewhere; `doc_id %
@@ -352,7 +352,7 @@ object Multimodal {
     * offset slip (RIFF subtype at 8, ftyp at 4) breaks the gate.
     */
   def magicFormats(spark: SparkSession, dir: String): DataFrame = {
-    val k = col("doc_id") % 13
+    val k = col("doc_id") % 14
     def gz(c: Column) = org.apache.spark.sql.GraftColumnShim.column(
       graft.plans.GzipBytes(org.apache.spark.sql.GraftColumnShim.expression(c)))
     val blob =
@@ -369,6 +369,9 @@ object Multimodal {
         .when(k === 9, lit("WARC/1.0\r\n").cast("binary"))
         .when(k === 10, lit("<?xml version=\"1.0\"?>").cast("binary"))
         .when(k === 11, unhex(lit("EFBBBF68690A")))     // UTF-8 BOM + "hi"
+        .when(k === 12, org.apache.spark.sql.GraftColumnShim.column(
+          graft.plans.ZstdStoreBytes(org.apache.spark.sql.GraftColumnShim
+            .expression(coalesce(col("text"), lit("x")))))) // real zstd frame
         .otherwise(lit("plain old text").cast("binary"))
     graft.ops.ScaleOps.widen(Tables.documents(spark, dir))
       .select(col("doc_id"), blob.as("content"))
@@ -380,11 +383,12 @@ object Multimodal {
 
   def magicOracle: String =
     s"""SELECT doc_id,
-       |  CASE doc_id % 13
+       |  CASE doc_id % 14
        |    WHEN 0 THEN 'png' WHEN 1 THEN 'gif' WHEN 2 THEN 'jpeg'
        |    WHEN 3 THEN 'pdf' WHEN 4 THEN 'gzip' WHEN 5 THEN 'zip'
        |    WHEN 6 THEN 'wav' WHEN 7 THEN 'avi' WHEN 8 THEN 'mp4'
        |    WHEN 9 THEN 'warc' WHEN 10 THEN 'xml' WHEN 11 THEN 'text-bom'
+       |    WHEN 12 THEN 'zstd'
        |    ELSE 'unknown' END AS format
        |FROM documents""".stripMargin
 

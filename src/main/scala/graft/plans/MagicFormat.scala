@@ -9,7 +9,7 @@ import org.apache.spark.unsafe.types.UTF8String
 /** Magic-number format sniffing — the FIRST routing decision an
   * ingestion pipeline makes on an opaque blob (crawl payloads arrive
   * with wrong/missing Content-Type constantly; bytes don't lie):
-  * `magic_format(blob)` → one of png/gif/jpeg/pdf/gzip/zip/wav/avi/
+  * `magic_format(blob)` → one of png/gif/jpeg/pdf/gzip/zstd/zip/wav/avi/
   * mp4/warc/xml/text-bom/unknown, by the published signatures
   * (RIFF discriminates wav vs avi at offset 8; mp4 matches `ftyp` at
   * offset 4 regardless of the size field; WARC by its version line).
@@ -62,6 +62,9 @@ object MagicFormat {
     else if (at(b, 0, Array(0xff, 0xd8, 0xff))) "jpeg"
     else if (at(b, 0, "%PDF")) "pdf"
     else if (at(b, 0, Array(0x1f, 0x8b))) "gzip"
+    else if (at(b, 0, Array(0x28, 0xb5, 0x2f, 0xfd)) ||
+      (b.length >= 4 && (b(0) & 0xf0) == 0x50 &&
+        at(b, 1, Array(0x2a, 0x4d, 0x18)))) "zstd" // frame or skippable
     else if (at(b, 0, Array(0x50, 0x4b, 0x03, 0x04))) "zip"
     else if (at(b, 0, "RIFF") && at(b, 8, "WAVE")) "wav"
     else if (at(b, 0, "RIFF") && at(b, 8, "AVI ")) "avi"

@@ -91,6 +91,40 @@ object Warc {
         col("r").getField("content_length").as("content_length"),
         col("r").getField("payload").as("payload"))
 
+  /** The `.warc.zst` path (X236): each record its OWN zstd frame,
+    * frames concatenated (the newer Common Crawl drop layout — same
+    * multi-member discipline as the gzip path), decoded through the
+    * full pure-JVM [[graft.plans.Zstd]] decoder, then the SAME walk and
+    * the SAME oracle as [[warcRecords]]: the codec must be
+    * content-transparent end to end. Plants write stored-mode frames
+    * (legal zstd, reference-CLI-verified); the COMPRESSED-block decode
+    * surface is golden-pinned in ZstdSpec against reference-CLI
+    * streams at levels 1/3/19.
+    */
+  def warcZstdRecords(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.ScaleOps.widen(Tables.documents(spark, dir))
+      .select(col("doc_id"),
+        concat(plantRecords.map(c =>
+          org.apache.spark.sql.GraftColumnShim.column(
+            graft.plans.ZstdStoreBytes(
+              org.apache.spark.sql.GraftColumnShim.expression(c)))): _*).as("zst"))
+      .select(col("doc_id"),
+        org.apache.spark.sql.GraftColumnShim.column(
+          graft.plans.WarcRecords(
+            org.apache.spark.sql.GraftColumnShim.expression(
+              org.apache.spark.sql.GraftColumnShim.column(
+                graft.plans.ZstdText(
+                  org.apache.spark.sql.GraftColumnShim.expression(col("zst")))))))
+          .as("recs"))
+      .select(col("doc_id"), posexplode_outer(col("recs")).as(Seq("rec_idx", "r")))
+      .filter(col("r").isNotNull)
+      .select(col("doc_id"),
+        col("rec_idx").cast("int").as("rec_idx"),
+        col("r").getField("rec_type").as("rec_type"),
+        col("r").getField("uri").as("uri"),
+        col("r").getField("content_length").as("content_length"),
+        col("r").getField("payload").as("payload"))
+
   /** (doc_id, rec_idx, rec_type, uri, content_length, payload). */
   def warcRecords(spark: SparkSession, dir: String): DataFrame =
     graft.ops.ScaleOps.widen(Tables.documents(spark, dir))
@@ -434,6 +468,7 @@ object Warc {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_warc_records" -> ((s, dir) => warcRecords(s, dir)),
     "q_warc_gzip" -> ((s, dir) => warcGzipRecords(s, dir)),
+    "q_warc_zstd" -> ((s, dir) => warcZstdRecords(s, dir)),
     "q_warc_http" -> ((s, dir) => warcHttp(s, dir)),
     "q_meta_charset" -> ((s, dir) => metaCharset(s, dir)))
 
@@ -442,6 +477,7 @@ object Warc {
     // compression is content-transparent: the gz path answers to the
     // identical oracle
     "q_warc_gzip" -> warcOracle,
+    "q_warc_zstd" -> warcOracle,
     "q_warc_http" -> warcHttpOracle,
     "q_meta_charset" -> metaCharsetOracle)
 }
