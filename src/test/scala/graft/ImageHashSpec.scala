@@ -92,7 +92,7 @@ class ImageHashSpec extends SparkSuite {
       (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
     val brute = (for {
       (a, wa, hha, ha) <- rows; (b, wb, hhb, hb) <- rows
-      if a < b && wa * 16 / hha == wb * 16 / hhb // the aspect-class key
+      if a < b && wa * 64 / hha == wb * 64 / hhb // the aspect-class key
       ham = java.lang.Long.bitCount(ha ^ hb).toLong
       if ham <= ImageHash.MaxHam
     } yield (a, b, ham)).toSet

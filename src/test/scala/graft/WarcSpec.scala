@@ -85,14 +85,14 @@ class WarcSpec extends SparkSuite {
     assert(gunzip(bomb).isEmpty, "over-cap output -> null, not OOM")
   }
 
-  test("magic sniffing routes all 13 planted kinds") {
+  test("magic sniffing routes all 14 planted kinds") {
     val rows = graft.multimodal.Multimodal.magicFormats(spark, Sf)
-      .orderBy("doc_id").limit(40).collect()
+      .orderBy("doc_id").limit(42).collect()
     val exp = Seq("png", "gif", "jpeg", "pdf", "gzip", "zip", "wav", "avi",
-      "mp4", "warc", "xml", "text-bom", "unknown")
+      "mp4", "warc", "xml", "text-bom", "zstd", "unknown")
     rows.foreach { r =>
       val id = r.getAs[Long]("doc_id")
-      assert(r.getAs[String]("format") == exp((id % 13).toInt), s"doc $id")
+      assert(r.getAs[String]("format") == exp((id % 14).toInt), s"doc $id")
     }
   }
 

@@ -88,7 +88,10 @@ class WavSegmentsSpec extends SparkSuite {
     import org.apache.spark.sql.functions._
     val fp = graft.multimodal.AudioSegments
       .fingerprints(spark, Sf, expr("doc_id DIV 2")).persist()
-    val got = graft.multimodal.AudioSegments.fpPairs(fp).collect()
+    // the 8-bit legacy fingerprint needs the duration pre-bucket (the
+    // production 32-bit path is keyless — see resamplePairs)
+    val got = graft.multimodal.AudioSegments
+      .fpPairs(fp, keyCols = Seq("n_samples")).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     val rows = fp.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     val brute = (for {
